@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Timing = full query wall time (plan + execute + collect-to-count) per
+query, after a session warm-up query so JVM/codegen startup isn't billed
+to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: every operator family, weighted toward the scale-sensitive
+# ones (joins, windows, dedup, similarity).
+BENCH_QUERIES = [
+    "q01_filter_project",
+    "q03_agg_pricing_summary",
+    "q04_distinct_agg",
+    "q05_join_groupby",
+    "q06_join3_topk",
+    "q07_left_outer",
+    "q09_broadcast_dim",
+    "q10_range_join",
+    "q11_rank_window",
+    "q12_frame_window",
+    "q13_topk",
+    "q15_rollup",
+    "q16_scalar_zoo",
+    "q17_json_extract",
+    "q18b_explode",
+    "q19_tumbling_batch",
+    "q20_asof_join",
+    "q21_dedup_groups",
+    "q22_cosine_topk",
+    "text_word_counts",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_brute_topk",
+    "text_lang_id",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from crest_spark.registry import load_all
+    from crest_spark.session import get_spark
+
+    specs = load_all()
+    spark = get_spark("crest-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM + parquet footer caches
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Warehouse-level catalog over commit-log tables.
+
+Parity with the reference's catalog surface
+(``/root/reference/pkg/ingestor/iceberg_committer.go:40-119``): namespace
+DDL (best-effort create), get-or-create table keyed by name with the
+schema pinned by the first writer, plus listing — the same contract
+``GetOrCreateTable``/``createTable`` provide against Lakekeeper, minus the
+REST hop (the warehouse dir is the catalog root; swapping in an Iceberg
+REST catalog later only changes this module).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.types import StructType
+
+from crest_spark.lakehouse.table import LakehouseTable
+
+
+class LakehouseCatalog:
+    def __init__(self, warehouse: str, default_namespace: str = "default"):
+        self.warehouse = warehouse
+        self.default_namespace = default_namespace
+        os.makedirs(warehouse, exist_ok=True)
+
+    def create_namespace(self, namespace: str) -> None:
+        os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def list_tables(self, namespace: str | None = None) -> list[str]:
+        ns = namespace or self.default_namespace
+        ns_dir = os.path.join(self.warehouse, ns)
+        if not os.path.isdir(ns_dir):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(ns_dir)
+            if LakehouseTable(self.warehouse, ns, d).exists()
+        )
+
+    def table(self, name: str, namespace: str | None = None) -> LakehouseTable:
+        return LakehouseTable(self.warehouse, namespace or self.default_namespace, name)
+
+    def get_or_create_table(
+        self, name: str, schema: StructType, namespace: str | None = None
+    ) -> LakehouseTable:
+        """First writer pins the schema (reference:
+        ``batch_writer.go:61-83`` + ``iceberg_committer.go:54-81``)."""
+        ns = namespace or self.default_namespace
+        self.create_namespace(ns)
+        t = self.table(name, ns)
+        if not t.exists():
+            t.create(schema)
+        return t

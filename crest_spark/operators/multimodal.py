@@ -1,0 +1,143 @@
+"""Multimodal column handling: opaque ``binary`` payloads + typed metadata.
+
+Design contract (100 TB posture):
+- media lives in BinaryType columns (or object-store URIs) beside typed
+  metadata columns; Spark never interprets the bytes in the JVM;
+- decode / feature-extract run as ``mapInPandas`` over Arrow batches, so
+  the Python worker sees contiguous byte arrays, not per-row calls;
+- actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container — the
+  decode step is stubbed behind ``_decode_image_stub`` with a clearly
+  deterministic fake, keeping the Spark-side plumbing (schema, batch
+  shape, partitioning) real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crest_spark.registry import register
+from crest_spark.sources.tables import load_table
+
+FEATURE_DIM = 8
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5,
+               CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "binary"),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction, JVM-side only (no decode):
+    byte length, content digest, leading byte. Uses text cast to binary as
+    the stand-in payload (the container ships no media files)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.ascii(F.substring("text", 1, 1)).cast("int").alias("first_byte"),
+    ).orderBy("doc_id")
+
+
+def _decode_image_stub(payload: bytes) -> list[float]:
+    """STUB for the real image decoder (PIL etc. not installed).
+
+    Deterministic fake feature vector derived from the payload digest so
+    tests are stable. Replace the body with a real decode + model forward
+    when codecs are available; the Spark plumbing does not change.
+    """
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def extract_image_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched feature extraction over a binary column.
+
+    mapInPandas: each Arrow batch arrives as one pandas DataFrame; the
+    decode loop is per-batch Python (vectorizable when a real codec takes
+    buffer lists). Output schema: id + array<float> features + n_bytes.
+    """
+    schema = f"{id_col} long, features array<float>, n_bytes long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [
+                        _decode_image_stub(bytes(p)) for p in payloads
+                    ],
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+) -> DataFrame:
+    """Video frame-sampling plumbing (decode stubbed): emits one row per
+    sampled "frame" with a frame index and a deterministic fake thumbnail
+    digest — the explode-shaped output a real ffmpeg-based sampler has."""
+    schema = f"{id_col} long, frame_idx int, frame_md5 string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_ids, out_idx, out_md5 = [], [], []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col])
+                for i in range(n_frames):
+                    out_ids.append(row[id_col])
+                    out_idx.append(i)
+                    out_md5.append(
+                        hashlib.md5(payload + i.to_bytes(4, "little")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {id_col: out_ids, "frame_idx": out_idx, "frame_md5": out_md5}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+@register("multimodal_features", oracle=None, tags=("llm", "multimodal"))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal plumbing demo: binary payload -> Arrow-batched
+    stub decode -> feature vector + reduction. Deterministic but the sha256
+    stub is not SQL-expressible => rows-only driver check; pytest asserts
+    exact values."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    feats = extract_image_features(with_payload, "payload", "doc_id")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feature_sum"
+        ),
+        F.size("features").cast("int").alias("feature_dim"),
+    ).orderBy("doc_id")

@@ -1,0 +1,218 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword heuristic), quality scoring, token statistics, and
+document fingerprinting — all pure Catalyst column expressions (split /
+higher-order array functions / regexp / md5), zero Python in the row path,
+so they run inside whole-stage codegen and scale linearly with one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crest_spark.functions.stable import avg4, round4
+from crest_spark.registry import register
+from crest_spark.sources.tables import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
+# (Real pipelines plug fastText/CLD3 in via the same column contract.)
+_LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "es": ("el", "la", "de", "y", "que", "en"),
+    "de": ("der", "die", "das", "und", "zu", "in"),
+}
+_LANG_ORDER = ("en", "es", "de")  # deterministic argmax tie-break
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _duck_hits(lang: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> list_contains([{lits}], t)))"
+    )
+
+
+def _spark_hits(lang: str) -> F.Column:
+    arr = F.array(*[F.lit(w) for w in _LANG_STOPWORDS[lang]])
+    return F.size(
+        F.filter(F.split("text", " "), lambda t: F.array_contains(arr, t))
+    ).cast("bigint")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST({_duck_hits('en')} AS BIGINT) AS hits_en,
+                   CAST({_duck_hits('es')} AS BIGINT) AS hits_es,
+                   CAST({_duck_hits('de')} AS BIGINT) AS hits_de
+            FROM documents
+        )
+        SELECT doc_id, hits_en, hits_es, hits_de,
+               CASE
+                 WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+                 WHEN hits_es >= hits_de THEN 'es'
+                 ELSE 'de'
+               END AS pred_lang
+        FROM scored
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with a deterministic argmax tie-break."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        _spark_hits("en").alias("hits_en"),
+        _spark_hits("es").alias("hits_es"),
+        _spark_hits("de").alias("hits_de"),
+    )
+    pred = (
+        F.when(
+            (F.col("hits_en") >= F.col("hits_es"))
+            & (F.col("hits_en") >= F.col("hits_de")),
+            "en",
+        )
+        .when(F.col("hits_es") >= F.col("hits_de"), "es")
+        .otherwise("de")
+    )
+    return scored.withColumn("pred_lang", pred).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               {round4("CAST(LENGTH(text) AS DOUBLE) / len(string_split(text, ' '))")} AS avg_tok_len,
+               {round4(f"CAST({_duck_hits('en')} AS DOUBLE) / len(string_split(text, ' '))")} AS stopword_ratio,
+               CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000
+                     AND CAST(LENGTH(text) AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 2 AND 12
+                    THEN 1 ELSE 0 END AS quality_pass
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style length/ratio quality gates as one projection pass."""
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    avg_tok = n_chars.cast("double") / n_tokens
+    stop_ratio = _spark_hits("en").cast("double") / n_tokens
+    quality = F.when(
+        n_tokens.between(5, 1000) & avg_tok.between(2, 12), 1
+    ).otherwise(0)
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.expr(round4("CAST(LENGTH(text) AS DOUBLE) / size(split(text, ' '))")).alias(
+            "avg_tok_len"
+        ),
+        F.expr(
+            round4(
+                "CAST(size(filter(split(text, ' '),"
+                " t -> array_contains(array('the','a','of','and','to','in'), t)))"
+                " AS DOUBLE) / size(split(text, ' '))"
+            )
+        ).alias("stopword_ratio"),
+        quality.cast("int").alias("quality_pass"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+               {round4("CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))")} AS ttr,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "tokens"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex (BPE-ish word/number pieces) token counting and
+    type-token ratio."""
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_ws = F.size(toks).cast("bigint")
+    n_unique = F.size(F.array_distinct(toks)).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_unique.alias("n_unique"),
+        F.expr(
+            round4(
+                "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
+                " / size(split(text, ' '))"
+            )
+        ).alias("ttr"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+        .cast("bigint")
+        .alias("n_re_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS content_md5,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS shuffle_invariant_md5
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: raw md5 plus a token-order-invariant variant
+    (sorted distinct token bag) for word-shuffle dup detection."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+            ).cast("binary")
+        ).alias("shuffle_invariant_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_word_counts",
+    oracle="""
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+        ORDER BY c DESC, w
+        LIMIT 20
+    """,
+    tags=("llm", "text", "wordcount"),
+)
+def text_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies (Q23): explode + count + top-k."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(20)
+    )

@@ -1,0 +1,96 @@
+"""Central query/operator registry.
+
+Every implemented operator from SURVEY.md §2 registers here with:
+  - ``fn(spark, sf_dir) -> DataFrame``  — the Spark-native implementation
+  - ``oracle``                          — equivalent DuckDB-runnable ANSI SQL
+                                          (None => non-SQL-expressible; the
+                                          driver then records a rows-only
+                                          check)
+
+``__spark_entry__.py`` exposes this registry to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+# Session confs every query needs regardless of who built the session (the
+# driver constructs its own SparkSession without our factory): nanosecond
+# parquet timestamps are unreadable in Spark 4 without nanosAsLong, and
+# epoch outputs / timestamp literals require a UTC session to match the
+# (naive-timestamp) DuckDB oracle.
+_REQUIRED_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # perf (all runtime-settable): AQE coalesces the vanilla 200-partition
+    # shuffles down to the data's real size at any scale factor
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+    # Stateful streaming ops can't use AQE coalescing; if the session still
+    # has the untouched Spark default (200), right-size for local runs.
+    # A deliberately configured value is left alone.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def register(
+    name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=wrapped, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module so registrations run, then return REGISTRY."""
+    import crest_spark.operators.dedup  # noqa: F401
+    import crest_spark.operators.multimodal  # noqa: F401
+    import crest_spark.operators.relational  # noqa: F401
+    import crest_spark.operators.similarity  # noqa: F401
+    import crest_spark.operators.text  # noqa: F401
+    import crest_spark.streaming.queries  # noqa: F401
+
+    return REGISTRY

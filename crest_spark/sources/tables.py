@@ -1,0 +1,73 @@
+"""Parquet star-schema loaders.
+
+The reference discovers sources at runtime and takes schemas off the wire
+(``/root/reference/pkg/ingestor/flight_reader.go:120-148``); the Spark-native
+equivalent is self-describing parquet: ``spark.read.parquet`` needs no
+declared schema, Catalyst prunes columns and pushes predicates into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCAST_DIMS = {"region", "nation", "supplier"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def normalize_ns_timestamps(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Convert nanosecond-epoch LongType columns to micro timestamps.
+
+    Spark 4.x reads parquet TIMESTAMP(NANOS) only via
+    ``spark.sql.legacy.parquet.nanosAsLong``; this restores a proper
+    TimestampType (floor-truncated to micros, matching unix_timestamp
+    floor semantics downstream).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for c in cols:
+        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(
+                c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table, normalizing schema quirks (events.ts nanos)."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = normalize_ns_timestamps(df)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table in the scale-factor directory as a DataFrame."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load and register each table as a temp view for ``spark.sql`` use."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,82 @@
+"""Structured Streaming queries exposed to the correctness gate.
+
+Each runs a genuine multi-micro-batch Structured Streaming job to
+completion (availableNow trigger over a staged file replay) and returns the
+final result as a batch DataFrame, with a DuckDB oracle expressing the same
+logic in batch SQL — stream-vs-batch parity is Structured Streaming's
+documented guarantee, and here the driver checks it per round.
+
+Watermark/late-data/session-window/stateful variants that cannot surface
+through a hash-matchable batch result live in ``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crest_spark.functions.stable import sum4
+from crest_spark.registry import register
+from crest_spark.sources.tables import load_table, table_path
+from crest_spark.streaming.replay import read_stream, run_to_memory, stage_slices
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=f"""
+        SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start,
+               event_type,
+               COUNT(*) AS n,
+               {sum4("value")} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: tumbling event-time window over an 8-micro-batch replay of
+    ``events``; the streamed result must equal the batch oracle exactly."""
+    src = table_path(sf_dir, "events")
+    staging, schema = stage_slices(spark, src, n_slices=8, order_col="event_id")
+    stream = read_stream(spark, staging, schema)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.expr(sum4("value")).alias("sum_value"))
+    )
+    result = run_to_memory(agg, f"s1_tumbling_{abs(hash(sf_dir)) % 10**8}")
+    return result.select(
+        F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("win_start", "event_type")
+
+
+@register(
+    "stream_dedup_counts",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n
+        FROM (SELECT DISTINCT event_id, user_id FROM events)
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: streaming dropDuplicates over a replay in which every slice is
+    duplicated (copies=2, at-least-once delivery simulation). The streamed
+    dedup + count must equal batch DISTINCT on the original table —
+    upgrading the reference's duplicate-prone re-polling source
+    (``/root/reference/pkg/ingestor/ingestor.go:131-152``) to
+    exactly-once semantics."""
+    src = table_path(sf_dir, "events")
+    staging, schema = stage_slices(
+        spark, src, n_slices=4, order_col="event_id", copies=2
+    )
+    stream = read_stream(spark, staging, schema, files_per_trigger=2)
+    deduped = stream.select("event_id", "user_id").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("user_id").agg(F.count("*").alias("n"))
+    result = run_to_memory(agg, f"s4_dedup_{abs(hash(sf_dir)) % 10**8}")
+    return result.orderBy("user_id")

@@ -1,0 +1,91 @@
+"""Deterministic file-stream replay of a parquet table.
+
+Models the reference's per-tick Flight batches
+(``/root/reference/pkg/ingestor/ingestor.go:131-152``: a 500 ms ticker
+re-reading a view) as the Spark-native equivalent: the table split into N
+slice files in a staging dir, consumed by ``readStream`` with
+``maxFilesPerTrigger=1`` — one slice per micro-batch, offsets checkpointed
+(which is exactly the at-least-once defect fix called out in SURVEY §2.1 O5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stage_slices(
+    spark: SparkSession,
+    source_parquet: str,
+    n_slices: int = 8,
+    order_col: str | None = None,
+    dest: str | None = None,
+    copies: int = 1,
+) -> tuple[str, StructType]:
+    """Write `source_parquet` as n_slices parquet files under a staging dir.
+
+    Slicing is deterministic (hash of a stable column or range split on
+    order_col). ``copies`` > 1 duplicates every slice (for dedup tests).
+    Returns (staging_dir, schema). Idempotent per (source, n, copies).
+    """
+    key = hashlib.md5(
+        f"{source_parquet}|{n_slices}|{order_col}|{copies}".encode()
+    ).hexdigest()[:12]
+    dest = dest or os.path.join(tempfile.gettempdir(), f"crest_stage_{key}")
+    from crest_spark.sources.tables import normalize_ns_timestamps
+
+    df = normalize_ns_timestamps(spark.read.parquet(source_parquet))
+    done_marker = os.path.join(dest, "_STAGED")
+    if not os.path.exists(done_marker):
+        shutil.rmtree(dest, ignore_errors=True)
+        os.makedirs(dest, exist_ok=True)
+        if order_col is not None:
+            sliced = df.repartitionByRange(n_slices, F.col(order_col))
+        else:
+            sliced = df.repartition(n_slices)
+        if copies == 1:
+            sliced.write.mode("append").parquet(dest)
+        else:
+            # plain subdir names (no '=': must NOT look like partition cols)
+            for copy in range(copies):
+                sliced.write.mode("append").parquet(os.path.join(dest, f"c{copy}"))
+        with open(done_marker, "w") as fh:
+            fh.write("ok")
+    return dest, df.schema
+
+
+def read_stream(
+    spark: SparkSession, staging_dir: str, schema: StructType, files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming DataFrame over a staged slice dir, one file per trigger."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(staging_dir)
+    )
+
+
+def run_to_memory(
+    streaming_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute a streaming aggregation to completion (availableNow) into a
+    memory sink; returns the final result as a batch DataFrame."""
+    spark = streaming_df.sparkSession
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

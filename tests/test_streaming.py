@@ -1,0 +1,215 @@
+"""Streaming semantics tests: S1-S5 from SURVEY §2.3.
+
+Stream-vs-batch parity over a deterministic file replay of ``events``,
+watermark-driven late-data handling, sliding/session windows, stateful
+dedup, and the kill-and-restart exactly-once ingestion test (the upgrade
+over the reference's at-least-once polling,
+``/root/reference/pkg/ingestor/ingestor.go:131-152``)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crest_spark.functions.stable import sum4
+from crest_spark.sources.tables import load_table, table_path
+from crest_spark.streaming.ingest import IngestConfig, IngestionService, SourceSpec
+from crest_spark.streaming.replay import read_stream, run_to_memory, stage_slices
+
+
+def _events_stream(spark, sf_dir, n_slices=6):
+    staging, schema = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=n_slices, order_col="event_id"
+    )
+    return read_stream(spark, staging, schema)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_s2_sliding_window_parity(spark, sf_dir):
+    """Sliding window (10m window, 5m slide): stream == batch."""
+    win = F.window("ts", "10 minutes", "5 minutes").alias("w")
+    agg_cols = [F.count("*").alias("n"), F.expr(sum4("value")).alias("sv")]
+
+    stream = _events_stream(spark, sf_dir)
+    s = run_to_memory(
+        stream.withWatermark("ts", "10 minutes").groupBy(win, "event_type").agg(*agg_cols),
+        "s2_sliding",
+    ).select(F.col("w.start").alias("ws"), "event_type", "n", "sv")
+
+    batch = load_table(spark, sf_dir, "events")
+    b = batch.groupBy(win, "event_type").agg(*agg_cols).select(
+        F.col("w.start").alias("ws"), "event_type", "n", "sv"
+    )
+    assert _rows(s, "ws", "event_type", "n", "sv") == _rows(
+        b, "ws", "event_type", "n", "sv"
+    )
+
+
+def test_s3_session_window_parity(spark, sf_dir):
+    """Session window (30m gap) per user: stream == batch."""
+    # No watermark: with one, closed sessions are evicted from state and
+    # disappear from the complete-mode sink; unbounded state is fine for a
+    # bounded replay (append-mode + watermark variant is test_s1).
+    win = F.session_window("ts", "30 minutes").alias("w")
+    stream = _events_stream(spark, sf_dir)
+    s = run_to_memory(
+        stream.groupBy(win, "user_id").agg(F.count("*").alias("n")),
+        "s3_session",
+    ).select(F.col("w.start").alias("ws"), "user_id", "n")
+    batch = load_table(spark, sf_dir, "events")
+    b = batch.groupBy(win, "user_id").agg(F.count("*").alias("n")).select(
+        F.col("w.start").alias("ws"), "user_id", "n"
+    )
+    assert _rows(s, "ws", "user_id", "n") == _rows(b, "ws", "user_id", "n")
+
+
+def test_s1_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode tumbling window with a watermark: a row arriving after
+    the watermark passed its window is dropped (late-data semantics)."""
+    import time as _time
+    from datetime import datetime as _dt
+
+    src = str(tmp_path / "late_src")
+    schema = "ts TIMESTAMP, v LONG"
+
+    def write_slice(name, rows):
+        typed = [(_dt.fromisoformat(ts), v) for ts, v in rows]
+        spark.createDataFrame(typed, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: events up to 10:59 -> watermark will advance past the 10:00
+    # window (delay 5m) once max ts is 10:59
+    write_slice("b1", [("2024-01-01 10:00:30", 1), ("2024-01-01 10:59:00", 1)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("s1_late")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.table("s1_late").count() >= 1:
+                break
+            _time.sleep(1)
+        # late row into the long-closed 10:00 window
+        write_slice("b2", [("2024-01-01 10:01:00", 99)])
+        _time.sleep(8)
+        q.processAllAvailable()
+        out = spark.table("s1_late").collect()
+    finally:
+        q.stop()
+    emitted = {(str(r["w"]["start"]), r["n"]) for r in out}
+    # the 10:00 window was emitted with exactly 1 row; the late row never
+    # re-emitted or inflated it
+    assert ("2024-01-01 10:00:00", 1) in emitted
+    assert all(n == 1 for _, n in emitted)
+
+
+def test_s4_stateful_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark removes cross-batch duplicates."""
+    staging, schema = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=3, order_col="event_id", copies=2
+    )
+    stream = read_stream(spark, staging, schema, files_per_trigger=1)
+    # Watermark wider than the whole event-time span: no replayed copy can
+    # ever be dropped as "late", so every duplicate is seen and removed by
+    # the dedup state (bounded-state behavior is covered by test_s1).
+    deduped = (
+        stream.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("s4_ddw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_unique = load_table(spark, sf_dir, "events").count()
+    got = spark.table("s4_ddw").count()
+    assert got == n_unique
+
+
+def test_s5_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart from checkpoint: lakehouse row count equals the
+    batch count — no dups, no loss."""
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=6, order_col="event_id"
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[SourceSpec(name="events", path=staging, files_per_trigger=1)],
+    )
+
+    # phase 1: process a couple of batches then hard-stop mid-stream
+    svc = IngestionService(spark, cfg)
+    svc.start()
+    import time as _time
+
+    deadline = _time.time() + 120
+    t = svc.catalog.table("events")
+    while _time.time() < deadline:
+        if t.exists() and len(t.versions()) >= 2:
+            break
+        _time.sleep(0.5)
+    svc.stop()  # "kill"
+
+    # phase 2: restart from the same checkpoint, drain the rest
+    svc2 = IngestionService(spark, cfg)
+    svc2.run_once()
+
+    expected = load_table(spark, sf_dir, "events").count()
+    got = svc2.catalog.table("events").read(spark).count()
+    assert got == expected  # exactly-once: no dups from the restart overlap
+
+
+def test_ingest_auto_create_and_metrics(spark, sf_dir, tmp_path):
+    """Auto-create DDL from first batch + metrics listener output."""
+    from crest_spark.streaming import metrics as m
+
+    listener = m.attach(spark, str(tmp_path / "metrics.jsonl"))
+    try:
+        staging, _ = stage_slices(
+            spark, table_path(sf_dir, "region"), n_slices=2
+        )
+        cfg = IngestConfig(
+            warehouse=str(tmp_path / "wh2"),
+            checkpoint_root=str(tmp_path / "ckpt2"),
+            sources=[SourceSpec(name="region", path=staging, files_per_trigger=1)],
+        )
+        svc = IngestionService(spark, cfg)
+        svc.run_once()
+        t = svc.catalog.table("region")
+        assert t.exists()
+        assert t.read(spark).count() == load_table(spark, sf_dir, "region").count()
+        assert [f.name for f in t.schema().fields] == ["r_regionkey", "r_name"]
+        import json
+        import os
+
+        path = str(tmp_path / "metrics.jsonl")
+        assert os.path.exists(path)
+        events = [json.loads(line) for line in open(path)]
+        assert any(e["event"] == "progress" for e in events)
+    finally:
+        spark.streams.removeListener(listener)
