@@ -1,0 +1,81 @@
+"""YAML configuration loader.
+
+Mirrors the reference's config surface and defaults
+(``/root/reference/pkg/config/config.go:60-89``: maxRows=1000,
+maxTimeWindow=60s, storage local:"data", namespace "default"), mapped to
+the Spark-native ingestion service. Unlike the reference, the batching
+limits are actually enforced (trigger/maxFilesPerTrigger — fixing SURVEY
+§2.1 O20).
+
+Example:
+
+    warehouse: data/warehouse
+    checkpoints: data/checkpoints
+    namespace: default
+    batching:
+      maxRows: 1000
+      maxTimeWindowSeconds: 60
+    sources:
+      - name: events
+        path: /staging/events
+        filesPerTrigger: 1
+    metrics:
+      enabled: true
+      collectionPath: data/metrics.jsonl
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import yaml
+
+from crest_spark.streaming.ingest import IngestConfig, SourceSpec
+
+
+@dataclass
+class MetricsConfig:
+    enabled: bool = False
+    collection_path: str = "data/metrics.jsonl"
+
+
+@dataclass
+class EngineConfig:
+    ingest: IngestConfig
+    metrics: MetricsConfig
+
+
+def load_config(path: str) -> EngineConfig:
+    with open(path) as fh:
+        raw = yaml.safe_load(fh) or {}
+
+    batching = raw.get("batching", {})
+    max_rows = int(batching.get("maxRows", 1000))  # reference default
+    window_s = int(batching.get("maxTimeWindowSeconds", 60))
+
+    sources = [
+        SourceSpec(
+            name=s["name"],
+            path=s["path"],
+            files_per_trigger=int(s.get("filesPerTrigger", 1)),
+            namespace=s.get("namespace"),
+        )
+        for s in raw.get("sources", [])
+    ]
+
+    ingest = IngestConfig(
+        warehouse=raw.get("warehouse", "data/warehouse"),  # local:"data" default
+        checkpoint_root=raw.get("checkpoints", "data/checkpoints"),
+        namespace=raw.get("namespace", "default"),
+        trigger_interval=(
+            f"{window_s} seconds" if raw.get("continuous", False) else None
+        ),
+        max_rows_per_batch=max_rows,
+        sources=sources,
+    )
+    m = raw.get("metrics", {})
+    metrics = MetricsConfig(
+        enabled=bool(m.get("enabled", False)),
+        collection_path=m.get("collectionPath", "data/metrics.jsonl"),
+    )
+    return EngineConfig(ingest=ingest, metrics=metrics)

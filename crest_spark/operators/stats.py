@@ -1,0 +1,213 @@
+"""Statistical aggregates, pivot, grouping sets, and NULL-handling.
+
+Variance/stddev/correlation are NOT order-independent in floating point
+(different partial-aggregation trees give different last bits), so the
+oracle-matched forms are derived from decimal-exact moment sums:
+
+    var = (S2 - S1^2/n) / (n-1),  S1 = sum(x), S2 = sum(x^2)  (exact)
+
+computed identically in both engines; the engine-native ``stddev``/
+``corr`` are pytest tolerance-checked against these instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crest_spark.functions.stable import round4
+from crest_spark.registry import register
+from crest_spark.sources.tables import load_table
+
+# exact decimal moment sums, valid SQL in both engines
+_S1 = "CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,8))) AS DOUBLE)"
+_S2 = "CAST(SUM(CAST((o_totalprice * o_totalprice) AS DECIMAL(38,6))) AS DOUBLE)"
+_VAR = f"(({_S2}) - ({_S1}) * ({_S1}) / COUNT(*)) / (COUNT(*) - 1)"
+
+
+@register(
+    "stats_moments",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               {round4(f"{_S1} / COUNT(*)")} AS mean_price,
+               {round4(f"SQRT({_VAR})")} AS stddev_price,
+               {round4(_VAR)} AS var_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("aggregation", "stats"),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/stddev/variance from exact moment sums (order-independent)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(round4(f"{_S1} / COUNT(*)")).alias("mean_price"),
+            F.expr(round4(f"SQRT({_VAR})")).alias("stddev_price"),
+            F.expr(round4(_VAR)).alias("var_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "stats_minmax_percentile",
+    oracle=f"""
+        SELECT l_returnflag,
+               {round4("MIN(l_extendedprice)")} AS min_p,
+               {round4("MAX(l_extendedprice)")} AS max_p,
+               {round4("quantile_cont(l_extendedprice, 0.5)")} AS median_p
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "percentile"),
+)
+def stats_minmax_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: same linear-interpolation definition over the same
+    sorted doubles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(round4("MIN(l_extendedprice)")).alias("min_p"),
+            F.expr(round4("MAX(l_extendedprice)")).alias("max_p"),
+            F.expr(round4("percentile(l_extendedprice, 0.5)")).alias("median_p"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q15c_grouping_sets",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus, {round4("SUM(CAST(l_quantity AS DECIMAL(30,8)))")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("aggregation", "grouping-sets"),
+)
+def q15c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (distinct from rollup/cube shapes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {round4("SUM(CAST(l_quantity AS DECIMAL(30,8)))")} AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@register(
+    "q15d_pivot",
+    oracle=f"""
+        SELECT l_returnflag,
+               {round4("SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(30,8)) ELSE CAST(0 AS DECIMAL(30,8)) END)")} AS F,
+               {round4("SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(30,8)) ELSE CAST(0 AS DECIMAL(30,8)) END)")} AS O
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "pivot"),
+)
+def q15d_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: groupBy().pivot() with explicit values (explicit values
+    avoid the extra distinct-scan job at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,8)")))
+        .na.fill(0.0)
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.expr(round4("F")).alias("F"),
+        F.expr(round4("O")).alias("O"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q16d_null_zoo",
+    oracle="""
+        SELECT o_orderkey,
+               NULLIF(o_orderstatus, 'O') AS status_or_null,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS coalesced,
+               CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END AS is_null_flag,
+               IFNULL(NULLIF(o_orderpriority, o_orderpriority), 'same') AS ifnull_demo
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    tags=("functions", "null"),
+)
+def q16d_null_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: NULLIF / COALESCE / IS NULL / IFNULL."""
+    o = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("open")).alias("coalesced"),
+        F.when(status_or_null.isNull(), 1).otherwise(0).alias("is_null_flag"),
+        F.ifnull(
+            F.nullif(F.col("o_orderpriority"), F.col("o_orderpriority")),
+            F.lit("same"),
+        ).alias("ifnull_demo"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q11b_window_zoo",
+    oracle=f"""
+        SELECT c_custkey,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               {round4("PERCENT_RANK() OVER w")} AS pct_rank,
+               {round4("CUME_DIST() OVER w")} AS cume,
+               {round4("FIRST_VALUE(c_acctbal) OVER w")} AS first_bal,
+               {round4("LEAD(c_acctbal, 1, 0) OVER w")} AS next_bal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_custkey
+    """,
+    tags=("window",),
+)
+def q11b_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function zoo: rank/dense_rank/ntile/percent_rank/cume_dist/
+    first_value/lead over one window spec (single shuffle + sort)."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("_pr"),
+        F.cume_dist().over(w).alias("_cd"),
+        F.first("c_acctbal").over(w).alias("_fb"),
+        F.lead("c_acctbal", 1, 0).over(w).alias("_nb"),
+    ).select(
+        "c_custkey",
+        "rnk",
+        "drnk",
+        "quartile",
+        F.expr(round4("_pr")).alias("pct_rank"),
+        F.expr(round4("_cd")).alias("cume"),
+        F.expr(round4("_fb")).alias("first_bal"),
+        F.expr(round4("_nb")).alias("next_bal"),
+    ).orderBy("c_custkey")

@@ -1,0 +1,72 @@
+"""Plan-shape regression tests: the physical plans behind the headline
+queries must keep their scale-critical properties (pushdown, pruning,
+broadcast, top-k, codegen)."""
+
+from __future__ import annotations
+
+from crest_spark.plans.checks import (
+    codegen_stage_count,
+    has_pushed_filter,
+    read_schema_columns,
+    shuffle_count,
+    uses_broadcast_join,
+    uses_take_ordered,
+)
+from crest_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def test_q01_filter_pushdown_and_pruning(spark, sf_dir):
+    df = SPECS["q01_filter_project"].fn(spark, sf_dir)
+    assert has_pushed_filter(df, "l_quantity")
+    assert has_pushed_filter(df, "l_shipdate")
+    # projection pruned: only the 4 referenced columns are read
+    assert read_schema_columns(df) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_quantity",
+        "l_shipdate",
+    }
+
+
+def test_q02_in_between_like_pushdown(spark, sf_dir):
+    df = SPECS["q02_predicates"].fn(spark, sf_dir)
+    assert has_pushed_filter(df, "o_totalprice")
+    assert has_pushed_filter(df, "o_orderstatus")
+
+
+def test_q09_broadcasts_the_dim(spark, sf_dir):
+    df = SPECS["q09_broadcast_dim"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_q05_join_is_broadcast_at_small_sf(spark, sf_dir):
+    # dims under the threshold must not shuffle-join
+    df = SPECS["q05_join_groupby"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_q13_topk_avoids_global_sort(spark, sf_dir):
+    df = SPECS["q13_topk"].fn(spark, sf_dir)
+    assert uses_take_ordered(df)
+
+
+def test_q03_single_shuffle_aggregate(spark, sf_dir):
+    # partial+final hash aggregate: exactly one exchange before the sort
+    df = SPECS["q03_agg_pricing_summary"].fn(spark, sf_dir)
+    # one for the groupBy, one for the final orderBy
+    assert shuffle_count(df) <= 2
+
+
+def test_scalar_query_is_fully_codegen(spark, sf_dir):
+    df = SPECS["q16_scalar_zoo"].fn(spark, sf_dir)
+    assert codegen_stage_count(df) >= 1
+
+
+def test_q20_asof_single_shuffle(spark, sf_dir):
+    """The as-of join must stay a one-shuffle window plan, not a join."""
+    df = SPECS["q20_asof_join"].fn(spark, sf_dir)
+    plan_shuffles = shuffle_count(df)
+    assert plan_shuffles <= 2  # user_id window + final order
