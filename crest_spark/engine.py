@@ -1,0 +1,54 @@
+"""Thin engine facade: the user-facing API surface (SURVEY §7 M1).
+
+One object wraps session + table registration + SQL/DataFrame entry +
+lakehouse access, so a reference user's workflow maps one-to-one:
+
+    eng = Engine.local(sf_dir="/root/testdata/sf0.1")
+    eng.sql("SELECT COUNT(*) FROM lineitem").show()
+    eng.table("orders").groupBy(...).agg(...)
+    eng.catalog.get_or_create_table("out", df.schema).append(df)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crest_spark.lakehouse import LakehouseCatalog
+from crest_spark.registry import ensure_session_confs
+from crest_spark.session import get_spark
+from crest_spark.sources.tables import TABLE_NAMES, load_table
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        warehouse: str | None = None,
+    ):
+        self.spark = spark
+        ensure_session_confs(spark)
+        self._sf_dir = sf_dir
+        self.catalog = LakehouseCatalog(warehouse) if warehouse else None
+        if sf_dir:
+            for name in TABLE_NAMES:
+                load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+    @classmethod
+    def local(
+        cls, sf_dir: str | None = None, warehouse: str | None = None, **conf
+    ) -> "Engine":
+        return cls(get_spark("crest-engine", extra_conf=conf or None), sf_dir, warehouse)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        if self._sf_dir is not None and name in TABLE_NAMES:
+            return load_table(self.spark, self._sf_dir, name)
+        return self.spark.table(name)
+
+    def explain(self, query: str) -> str:
+        from crest_spark.plans.checks import formatted_plan
+
+        return formatted_plan(self.sql(query))

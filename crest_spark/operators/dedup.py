@@ -32,7 +32,15 @@ MERSENNE = (1 << 31) - 1
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # documents is small in BYTES (one parquet file -> one partition) but
+    # heavy in downstream per-row compute (shingling, hashing): spread it
+    # across a few cores up front or everything below runs single-
+    # threaded. Kept modest (8): at test scale per-task scheduling and
+    # Python-worker spin-up outweigh extra parallelism; at 100 TB the
+    # scan itself provides partitioning and this repartition disappears
+    # behind maxPartitionBytes.
+    df = load_table(spark, sf_dir, "documents")
+    return df.repartition(8, "doc_id")
 
 
 def with_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -147,39 +155,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _minhash_params(k: int) -> list[tuple[int, int]]:
-    """Deterministic (a_i, b_i) hash-permutation parameters (seeded PRNG)."""
-    import random
+def minhash_band_rows(
+    df: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """(doc_id, band, sig) LSH bucket rows via Arrow-batched numpy.
 
-    rng = random.Random(42)
-    return [(rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE)) for _ in range(k)]
+    h_i(s) = (a_i * crc32(s) + b_i) mod M31 with seeded constants. One
+    (k x S) affine + min per doc — vectorized C, not per-element JVM
+    lambda evaluation: Catalyst higher-order functions are *interpreted*
+    (no whole-stage codegen inside the lambda), which made the pure-
+    expression formulation ~50x slower. The signature stage is map-only
+    either way; only the tiny (doc, band, sig) rows are shuffled."""
+    import zlib
+    from typing import Iterator
 
+    import numpy as np
+    import pandas as pd
 
-def minhash_signatures(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """k-permutation MinHash signature as one array<bigint> column.
+    rows_per_band = k // bands
+    rng = np.random.RandomState(42)
+    A = rng.randint(1, MERSENNE, size=k, dtype=np.int64)
+    B = rng.randint(0, MERSENNE, size=k, dtype=np.int64)
 
-    h_i(s) = (a_i * xxhash64(s) + b_i) mod M61 with seeded constant
-    (a_i, b_i). The shingle hash is computed ONCE per shingle into a
-    ``hashes`` column; each permutation is then an array_min over a cheap
-    affine transform — all JVM-side inside codegen."""
-    hashed = df.withColumn(
-        "_mh_hashes", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_doc, out_band, out_sig = [], [], []
+            for doc_id, shingles in zip(pdf["doc_id"], pdf["shingles"]):
+                if len(shingles) == 0:
+                    continue
+                h = np.array(
+                    [zlib.crc32(s.encode()) for s in shingles], dtype=np.int64
+                )
+                # (k x S) affine mod M31, min over shingles -> signature
+                sig = ((A[:, None] * h[None, :] + B[:, None]) % MERSENNE).min(axis=1)
+                for b in range(bands):
+                    chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                    out_doc.append(doc_id)
+                    out_band.append(b)
+                    out_sig.append(zlib.crc32(chunk.tobytes()))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "band": out_band, "sig": out_sig}
+            )
+
+    return df.select("doc_id", "shingles").mapInPandas(
+        sign, "doc_id long, band int, sig long"
     )
-
-    def _affine(a: int, b: int):
-        # PySpark infers lambda arity from the signature: keep it unary.
-        # Mask the 64-bit hash down to 31 bits before the multiply.
-        return lambda h: F.pmod(
-            F.lit(a) * h.bitwiseAND(F.lit(MERSENNE)) + F.lit(b), F.lit(MERSENNE)
-        )
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_mh_hashes"), _affine(a, b)))
-            for a, b in _minhash_params(k)
-        ]
-    )
-    return hashed.withColumn("minhash", sig).drop("_mh_hashes")
 
 
 @register("dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "lsh"))
@@ -190,31 +212,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets -> exact-Jaccard re-rank of candidates only. Non-deterministic
     across hash choices => no SQL oracle; pytest cross-checks recall
     against dedup_ngram_jaccard's exact pairs."""
-    rows = MINHASH_K // LSH_BANDS
-    d = minhash_signatures(with_shingles(_docs(spark, sf_dir)))
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("minhash"), bi * rows + 1, rows),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ).alias("sig"),
-            )
-            for bi in range(LSH_BANDS)
-        ]
-    )
-    bands = d.select(
-        "doc_id", "shingles", F.explode(band_keys).alias("bk")
-    ).select(
-        "doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
-    )
-
+    # Bands carry ONLY (doc_id, band, sig): the band table and its
+    # self-join shuffle 3 longs per row. Shingle arrays (the heavy payload)
+    # are joined back onto the tiny surviving candidate-pair set for the
+    # exact-Jaccard verify — at scale this is the difference between
+    # shuffling the corpus x bands and shuffling the candidates.
+    bands = minhash_band_rows(with_shingles(_docs(spark, sf_dir)))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -224,19 +227,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # fresh shingle scan for the verify side: re-deriving shingles is one
+    # cheap map pass, whereas branching `d` would re-run the 64-permutation
+    # signature computation a second time
+    sh = with_shingles(_docs(spark, sf_dir)).select("doc_id", "shingles")
+    sh_a = sh.select(F.col("doc_id").alias("_ja"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("_jb"), F.col("shingles").alias("sh_b"))
+    verified = cand.join(sh_a, F.col("doc_a") == F.col("_ja")).join(
+        sh_b, F.col("doc_b") == F.col("_jb")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter.cast("double") / union.cast("double")
     return (
-        cand.withColumn("jaccard_raw", jac)
+        verified.withColumn("jaccard_raw", jac)
         .where(F.col("jaccard_raw") >= _JACCARD_T)
         .select(
             "doc_a",
@@ -256,42 +263,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs: per-bit majority vote over shingle
     hashes, then 4x16-bit band blocking (Hamming <= 3 guarantees one equal
     band), then exact Hamming verify on candidates."""
-    d = with_shingles(_docs(spark, sf_dir))
-    h = d.withColumn("hashes", F.transform("shingles", lambda s: F.xxhash64(s)))
-    # Per-bit majority vote folded into a single BIGINT, all in one SQL
-    # expression (shift amounts are columns => SQL operators, not the
-    # int-only Python shiftleft/shiftright helpers).
-    simhash_expr = F.expr(
-        """
-        aggregate(
-          zip_with(
-            transform(sequence(0, 63),
-              j -> aggregate(hashes, 0,
-                     (acc, x) -> acc + IF((shiftright(x, j) & CAST(1 AS BIGINT)) = 1, 1, -1))),
-            sequence(0, 63),
-            (v, j) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))
-          ),
-          CAST(0 AS BIGINT),
-          (acc, x) -> acc | x
-        )
-        """
-    )
-    sim = h.select("doc_id", simhash_expr.alias("simhash"))
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.shiftright(F.col("simhash"), bi * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("chunk"),
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def simhash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-bit majority vote over 64-bit shingle digests, vectorized:
+        # (S x 64) unpacked bits -> column sums -> sign -> packed int64.
+        # (The pure-SQL nested-HOF formulation is interpreted per element
+        # and was ~50x slower; the vote itself is map-only either way.)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_doc, out_sim, out_band, out_chunk = [], [], [], []
+            for doc_id, shingles in zip(pdf["doc_id"], pdf["shingles"]):
+                if len(shingles) == 0:
+                    continue
+                digests = np.frombuffer(
+                    b"".join(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest()
+                        for s in shingles
+                    ),
+                    dtype=np.uint64,
+                )
+                bits = np.unpackbits(
+                    digests.view(np.uint8).reshape(-1, 8), axis=1
+                )  # (S, 64)
+                votes = bits.sum(axis=0) * 2 - len(shingles)
+                sim = np.packbits(votes > 0).view(">u8")[0]
+                sim = int(np.int64(np.uint64(sim)))  # two's-complement bigint
+                for b in range(4):
+                    out_doc.append(doc_id)
+                    out_sim.append(sim)
+                    out_band.append(b)
+                    out_chunk.append((sim >> (b * 16)) & 0xFFFF)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "simhash": out_sim,
+                    "band": out_band,
+                    "chunk": out_chunk,
+                }
             )
-            for bi in range(4)
-        ]
-    )
-    bands = sim.select(
-        "doc_id", "simhash", F.explode(band_keys).alias("bk")
-    ).select(
-        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk")
+
+    d = with_shingles(_docs(spark, sf_dir))
+    bands = d.select("doc_id", "shingles").mapInPandas(
+        simhash_rows, "doc_id long, simhash long, band int, chunk long"
     )
     a = bands.alias("a")
     b = bands.alias("b")

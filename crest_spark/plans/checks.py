@@ -61,7 +61,13 @@ def uses_take_ordered(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return len(set(re.findall(r"\*\((\d+)\)", simple_plan(df))))
+    """Distinct WholeStageCodegen stages in the FINAL (post-AQE) plan.
+    Triggers execution: codegen markers only exist once AQE finalizes."""
+    # collect() THIS dataframe: count() would execute a different plan and
+    # leave this one's AQE un-finalized (isFinalPlan=false, no markers)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    return len(set(re.findall(r"\*\((\d+)\)", final)))
 
 
 def shuffle_count(df: DataFrame) -> int:

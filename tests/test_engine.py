@@ -1,0 +1,35 @@
+"""Engine facade tests: SQL entry, table access, lakehouse wiring."""
+
+from __future__ import annotations
+
+from crest_spark.engine import Engine
+
+
+def test_sql_and_table_entry(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    n_sql = eng.sql("SELECT COUNT(*) AS n FROM lineitem").first()["n"]
+    n_df = eng.table("lineitem").count()
+    assert n_sql == n_df > 0
+    # SQL over the registered views joins fine
+    top = eng.sql(
+        """
+        SELECT r.r_name, COUNT(*) AS n
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """
+    ).collect()
+    assert len(top) == 5
+
+
+def test_engine_lakehouse_wiring(spark, sf_dir, tmp_path):
+    eng = Engine(spark, sf_dir=sf_dir, warehouse=str(tmp_path / "wh"))
+    src = eng.table("region")
+    t = eng.catalog.get_or_create_table("region_copy", src.schema)
+    t.append(src)
+    assert t.read(spark).count() == src.count()
+
+
+def test_engine_explain(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    plan = eng.explain("SELECT l_orderkey FROM lineitem WHERE l_quantity > 30")
+    assert "PushedFilters" in plan and "l_quantity" in plan
