@@ -233,6 +233,117 @@ class LakehouseTable:
             }
         )
 
+    def overwrite(self, df: DataFrame) -> int:
+        """Transactional full overwrite: new files + a ``replace`` commit
+        that supersedes all prior data (readers at older versions still
+        see the old snapshot — time travel preserved)."""
+        txn_dir = os.path.join(self.data_path, f"txn-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(txn_dir)
+        files = sorted(
+            os.path.join(txn_dir, f)
+            for f in os.listdir(txn_dir)
+            if f.endswith(".parquet")
+        )
+        num_rows = int(df.sparkSession.read.parquet(txn_dir).count())
+        return self._try_commit(
+            {
+                "operation": "replace",
+                "files": files,
+                "schema": json.dumps(df.schema.jsonValue()),
+                "commit_ts": time.time(),
+                "num_rows": num_rows,
+            }
+        )
+
+    def merge(self, spark: SparkSession, updates: DataFrame, key: str) -> int:
+        """Upsert (MERGE INTO semantics): rows in ``updates`` replace
+        current rows with the same key; new keys are inserted. Implemented
+        as read-current -> anti-join -> union -> replace commit — one
+        atomic version, snapshot-isolated from concurrent readers."""
+        current = self.read(spark)
+        kept = current.join(updates.select(key), on=key, how="left_anti")
+        merged = kept.unionByName(updates.select(*current.columns))
+        return self.overwrite(merged)
+
+    def compact(self, spark: SparkSession, target_partitions: int = 1) -> int:
+        """Small-file compaction: rewrite the current snapshot into
+        ``target_partitions`` files and commit a ``replace``. Readers are
+        unaffected (same rows); the file count drops from
+        O(commits x partitions) to O(target)."""
+        return self.overwrite(self.read(spark).coalesce(target_partitions))
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop history older than the last ``keep_last`` versions and
+        delete data files no longer referenced by any retained snapshot.
+        Returns the expired version numbers. (The retained snapshots'
+        cumulative file lists are preserved, so current reads are
+        untouched — only time travel beyond the horizon is lost.)"""
+        versions = self.versions()
+        if len(versions) <= keep_last:
+            return []
+        # A 'replace' commit makes prior files unreferenced. Find the last
+        # replace at-or-before the horizon: files before it are garbage.
+        cutoff = versions[-keep_last]
+        snaps = self.snapshots()
+        by_version = {s.version: s for s in snaps}
+        live_files: set[str] = set()
+        # files referenced by the retained suffix (respecting replaces)
+        for v in versions:
+            s = by_version[v]
+            if s.operation == "replace":
+                live_files.clear()
+            live_files.update(s.files)
+        expired = []
+        removable: set[str] = set()
+        # fold the expired prefix into a checkpoint-style base commit
+        base_files: list[str] = []
+        for v in versions:
+            if v >= cutoff:
+                break
+            s = by_version[v]
+            if s.operation == "replace":
+                removable.update(base_files)
+                base_files = list(s.files)
+            else:
+                base_files.extend(s.files)
+            expired.append(v)
+        if not expired:
+            return []
+        # rewrite the oldest retained boundary: merge expired prefix into
+        # one synthetic commit so the retained log still reads correctly
+        first_keep = by_version[cutoff]
+        if first_keep.operation == "replace":
+            # the cutoff itself supersedes the whole expired prefix
+            removable.update(base_files)
+            merged_files = list(first_keep.files)
+        else:
+            merged_files = base_files + list(first_keep.files)
+        record = {
+            "operation": "replace" if first_keep.operation == "replace" else "append",
+            "files": merged_files,
+            "schema": first_keep.schema_json,
+            "commit_ts": first_keep.commit_ts,
+            "num_rows": sum(
+                max(by_version[v].num_rows, 0) for v in expired
+            )
+            + max(first_keep.num_rows, 0)
+            if first_keep.operation != "replace"
+            else first_keep.num_rows,
+            "writer_id": first_keep.writer_id,
+            "batch_id": first_keep.batch_id,
+            "extra": {"checkpointed": expired},
+        }
+        tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        os.replace(tmp, self._version_file(cutoff))
+        for v in expired:
+            os.unlink(self._version_file(v))
+        for f in removable - live_files:
+            if os.path.exists(f):
+                os.unlink(f)
+        return expired
+
     # ----------------------------------------------------------------- reads
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: exactly the files committed at ``version`` (or
@@ -241,7 +352,12 @@ class LakehouseTable:
         if not snaps:
             raise FileNotFoundError(f"table {self.namespace}.{self.name} does not exist")
         schema = StructType.fromJson(json.loads(snaps[-1].schema_json))
-        files = [f for s in snaps for f in s.files]
+        files: list[str] = []
+        for s in snaps:
+            if s.operation == "replace":
+                files = list(s.files)  # replace supersedes all prior data
+            else:
+                files.extend(s.files)
         if not files:
             return spark.createDataFrame([], schema)
         # mergeSchema handles pre-evolution files lacking newer columns
@@ -252,4 +368,10 @@ class LakehouseTable:
         )
 
     def row_count(self) -> int:
-        return sum(max(s.num_rows, 0) for s in self.snapshots())
+        total = 0
+        for s in self.snapshots():
+            if s.operation == "replace":
+                total = max(s.num_rows, 0)
+            else:
+                total += max(s.num_rows, 0)
+        return total

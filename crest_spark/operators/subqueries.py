@@ -1,0 +1,241 @@
+"""Subquery forms, misc aggregates, CTEs, and deterministic sampling.
+
+Catalyst decorrelates correlated subqueries into joins (RewriteCorrelated
+ScalarSubquery / RewritePredicateSubquery) — these queries pin that
+behavior under the oracle gate. Sampling uses a content-hash filter (md5
+exists in both engines) so the "random" sample is deterministic and
+oracle-checkable — which is also the right pattern at 100 TB: a stable
+sample survives reruns and partition changes, unlike rand()."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crest_spark.functions.stable import round4, sum4
+from crest_spark.registry import register
+from crest_spark.sources.tables import load_table
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(f"_sq_{n}")
+
+
+@register(
+    "q24_scalar_subquery",
+    oracle=f"""
+        SELECT o_orderkey, {round4("o_totalprice")} AS price
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+        ORDER BY o_orderkey
+    """,
+    tags=("subquery", "scalar"),
+)
+def q24_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery -> single-row broadcast into the
+    filter. AVG over doubles is engine-ordering-sensitive in general, but
+    the 1.5x-mean threshold sits far from any data point, so the
+    predicate is stable (the aggregate itself is oracle-checked
+    decimal-exact in q03/stats)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, {round4("o_totalprice")} AS price
+        FROM _sq_orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM _sq_orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "q24b_correlated_scalar",
+    oracle=f"""
+        SELECT c.c_custkey,
+               {round4("(SELECT COALESCE(MAX(o.o_totalprice), 0) FROM orders o WHERE o.o_custkey = c.c_custkey)")} AS max_order
+        FROM customer c
+        ORDER BY c.c_custkey
+    """,
+    tags=("subquery", "correlated"),
+)
+def q24b_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: Catalyst decorrelates to a left outer
+    aggregate-join (no per-row re-execution)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey,
+               {round4("(SELECT COALESCE(MAX(o.o_totalprice), 0) FROM _sq_orders o WHERE o.o_custkey = c.c_custkey)")} AS max_order
+        FROM _sq_customer c
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@register(
+    "q24c_in_subquery",
+    oracle="""
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND o_orderkey NOT IN (
+            SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        ORDER BY o_orderkey
+    """,
+    tags=("subquery", "in"),
+)
+def q24c_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries -> semi / null-aware anti joins."""
+    _views(spark, sf_dir, "orders", "customer", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM _sq_orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM _sq_customer WHERE c_mktsegment = 'BUILDING')
+          AND o_orderkey NOT IN (
+            SELECT l_orderkey FROM _sq_lineitem WHERE l_quantity > 45)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "q24d_cte",
+    oracle=f"""
+        WITH big_orders AS (
+            SELECT o_custkey, COUNT(*) AS n
+            FROM orders WHERE o_totalprice > 3000
+            GROUP BY o_custkey
+        )
+        SELECT c.c_name, b.n
+        FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
+        ORDER BY b.n DESC, c.c_name
+        LIMIT 25
+    """,
+    tags=("subquery", "cte"),
+)
+def q24d_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + join + top-k through the SQL entry point."""
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        WITH big_orders AS (
+            SELECT o_custkey, COUNT(*) AS n
+            FROM _sq_orders WHERE o_totalprice > 3000
+            GROUP BY o_custkey
+        )
+        SELECT c.c_name, b.n
+        FROM _sq_customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
+        ORDER BY b.n DESC, c.c_name
+        LIMIT 25
+        """
+    )
+
+
+# (orderkey, linenumber) is NOT unique in the synthetic lineitem, so the
+# arg-extreme ordering key embeds the price itself as a fixed-width string
+# tie-break — total order, identical text in both engines (double->string
+# formatting differs between engines; decimal->string does not).
+def _arg_key(strtype: str) -> str:
+    # Spark spells the type STRING, DuckDB VARCHAR; otherwise identical
+    return (
+        f"lpad(CAST(l_orderkey * 10 + l_linenumber AS {strtype}), 10, '0') || '|' || "
+        f"lpad(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS {strtype}), 12, '0')"
+    )
+
+
+_ARG_KEY = _arg_key("VARCHAR")
+_ARG_KEY_SPARK = _arg_key("STRING")
+
+@register(
+    "q26_misc_aggs",
+    oracle=f"""
+        SELECT l_returnflag,
+               {round4(f"arg_min(l_extendedprice, {_ARG_KEY})")} AS first_price,
+               {round4(f"arg_max(l_extendedprice, {_ARG_KEY})")} AS last_price,
+               bool_and(l_quantity > 0) AS all_positive,
+               bool_or(l_quantity > 49) AS any_large,
+               CAST(median(l_linenumber) AS DOUBLE) AS med_line
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "misc"),
+)
+def q26_misc_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (arg-extremes), bool_and/bool_or, exact median —
+    keyed on a totally-ordered composite so arg extremes are
+    deterministic despite duplicate (orderkey, linenumber) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(f"min_by(l_extendedprice, {_ARG_KEY_SPARK})").alias("_fp"),
+            F.expr(f"max_by(l_extendedprice, {_ARG_KEY_SPARK})").alias("_lp"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+            F.bool_or(F.col("l_quantity") > 49).alias("any_large"),
+            F.expr("CAST(median(l_linenumber) AS DOUBLE)").alias("med_line"),
+        )
+        .select(
+            "l_returnflag",
+            F.expr(round4("_fp")).alias("first_price"),
+            F.expr(round4("_lp")).alias("last_price"),
+            "all_positive",
+            "any_large",
+            "med_line",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q26b_string_agg",
+    oracle="""
+        SELECT c_nationkey,
+               string_agg(c_name, ',' ORDER BY c_name) AS names
+        FROM (SELECT c_nationkey, c_name FROM customer
+              WHERE c_custkey <= 30)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    tags=("aggregation", "string"),
+)
+def q26b_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect -> sort -> join,
+    deterministic by explicit in-group ordering."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 30)
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("c_name"))
+            ).alias("names")
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q25_deterministic_sample",
+    oracle="""
+        SELECT o_orderkey
+        FROM orders
+        WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+        ORDER BY o_orderkey
+    """,
+    tags=("sampling",),
+)
+def q25_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% content-hash sample: md5(key) prefix threshold. Deterministic
+    across engines/reruns/partitionings — the reproducible-sampling
+    pattern for big pipelines (rand()-based sampling is none of those)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(
+            F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 2)
+            < "1a"
+        )
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )

@@ -55,6 +55,95 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_window",
+    oracle=f"""
+        WITH starts AS (
+            SELECT value, event_type,
+                   UNNEST([time_bucket(INTERVAL '5 minutes', ts),
+                           time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws
+            FROM events
+        )
+        SELECT CAST(FLOOR(epoch(ws)) AS BIGINT) AS win_start,
+               event_type,
+               COUNT(*) AS n,
+               {sum4("value")} AS sum_value
+        FROM starts
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: sliding window (10 min window / 5 min slide) over the replay.
+    Oracle: every event belongs to exactly two window starts (its 5-min
+    bucket and the one before), unnested and re-aggregated."""
+    src = table_path(sf_dir, "events")
+    staging, schema = stage_slices(spark, src, n_slices=8, order_col="event_id")
+    stream = read_stream(spark, staging, schema)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.expr(sum4("value")).alias("sum_value"))
+    )
+    result = run_to_memory(agg, f"s2_sliding_{abs(hash(sf_dir)) % 10**8}")
+    return result.select(
+        F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("win_start", "event_type")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '30 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM ordered
+        )
+        SELECT user_id,
+               CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+               COUNT(*) AS n
+        FROM sessions
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: session windows (30-min inactivity gap) per user, streamed.
+
+    Oracle: gaps-and-islands in plain SQL (new session when the gap
+    exceeds 30 min). Boundary semantics differ only when a gap is EXACTLY
+    30:00.000000 (Spark: new session; oracle: same session) — measure-
+    zero on continuous timestamps. No watermark: closed sessions would be
+    evicted from the complete-mode state (bounded-state + append mode is
+    exercised in tests/test_streaming.py)."""
+    src = table_path(sf_dir, "events")
+    staging, schema = stage_slices(spark, src, n_slices=8, order_col="event_id")
+    stream = read_stream(spark, staging, schema)
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    result = run_to_memory(agg, f"s3_session_{abs(hash(sf_dir)) % 10**8}")
+    return result.select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).cast("bigint").alias("session_start"),
+        "n",
+    ).orderBy("user_id", "session_start")
+
+
+@register(
     "stream_dedup_counts",
     oracle="""
         SELECT user_id, COUNT(*) AS n
