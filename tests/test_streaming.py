@@ -213,3 +213,42 @@ def test_ingest_auto_create_and_metrics(spark, sf_dir, tmp_path):
         assert any(e["event"] == "progress" for e in events)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stateful_custom_operator_parity(spark, sf_dir):
+    """applyInPandasWithState running per-user stats: the LAST emitted row
+    per user (update mode re-emits on every touching batch) must equal
+    the batch aggregate."""
+    from crest_spark.streaming.stateful import running_user_stats
+
+    staging, schema = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=5, order_col="event_id"
+    )
+    stream = read_stream(spark, staging, schema)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory sink in update mode appends every emission; keep each user's
+    # final (max n_events) row
+    emitted = spark.table("stateful_stats").collect()
+    final = {}
+    for r in emitted:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+            final[r["user_id"]] = r
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    assert len(final) == len(batch)
+    for r in batch:
+        got = final[r["user_id"]]
+        assert got["n_events"] == r["n"]
+        assert abs(got["total_value"] - r["s"]) < 1e-6
