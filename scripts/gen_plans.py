@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Regenerate docs/PLANS.md: physical plans of headline queries with
+scale commentary. Run from the repo root."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+COMMENTARY = {
+    "q01_filter_project": (
+        "Both predicates reach the scan as PushedFilters; ReadSchema is "
+        "pruned to the 5 referenced columns."
+    ),
+    "q03_agg_pricing_summary": (
+        "Partial HashAggregate before the exchange (map-side combine); "
+        "decimal sums keep partial aggregation lossless."
+    ),
+    "q06_join3_topk": (
+        "The BUILDING filter is applied below the joins; both dim sides "
+        "broadcast; TakeOrderedAndProject caps the output without a global "
+        "sort."
+    ),
+    "q09_broadcast_dim": "Explicit broadcast: probe side never shuffles.",
+    "q13_topk": "TakeOrderedAndProject: per-partition heaps, k rows to the driver.",
+    "q20_asof_join": (
+        "Union + tag + running-max window: the as-of join costs exactly one "
+        "hash partitioning on user_id."
+    ),
+}
+
+
+def main() -> None:
+    from crest_spark.plans.checks import simple_plan
+    from crest_spark.registry import load_all
+    from crest_spark.session import get_spark
+
+    spark = get_spark("plandoc", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+    out = io.StringIO()
+    out.write("# PLANS — physical plans of headline queries (auto-generated)\n\n")
+    out.write("Regenerate: `python scripts/gen_plans.py`. Plan-shape invariants are\n")
+    out.write("enforced in `tests/test_plans.py`; this file is the human-readable\n")
+    out.write("record of WHY each plan is the one we want at scale.\n")
+    for name, note in COMMENTARY.items():
+        df = specs[name].fn(spark, "/root/testdata/sf0.001")
+        out.write(f"\n## {name}\n\n{note}\n\n```\n{simple_plan(df).strip()}\n```\n")
+    with open("docs/PLANS.md", "w") as fh:
+        fh.write(out.getvalue())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
