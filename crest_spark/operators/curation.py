@@ -1,0 +1,109 @@
+"""End-to-end corpus curation pipeline: the composed flow a training-data
+user runs over a raw crawl — quality gate -> exact dedup -> near-dup
+removal -> language filter — expressed as one lazy DataFrame chain so
+Catalyst fuses the stages (single scan, no materialization between
+stages).
+
+The oracle-gated variant uses the exact (SQL-expressible) versions of
+each stage; swapping the near-dup stage for MinHash-LSH
+(``dedup_minhash_lsh``) is a one-line change at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crest_spark.operators.dedup import _DUCK_SHINGLES, _docs, with_shingles
+from crest_spark.registry import register
+
+_MIN_TOKENS = 15
+_JACCARD_T = 0.5
+
+
+@register(
+    "llm_curation_pipeline",
+    oracle=f"""
+        WITH quality AS (
+            SELECT doc_id, text, lang,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {_MIN_TOKENS}
+        ),
+        exact_kept AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM quality GROUP BY md5(text)
+        ),
+        surv AS (
+            SELECT q.* FROM quality q JOIN exact_kept k USING (doc_id)
+        ),
+        sh AS (
+            SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS s FROM surv
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        near_dups AS (
+            SELECT DISTINCT b.doc_id
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            JOIN sizes sa ON sa.doc_id = a.doc_id
+            JOIN sizes sb ON sb.doc_id = b.doc_id
+            GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+            HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*)) >= {_JACCARD_T}
+        )
+        SELECT s.doc_id, s.lang, CAST(s.n_tokens AS BIGINT) AS n_tokens
+        FROM surv s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM near_dups)
+          AND s.lang IN ('en', 'es', 'de')
+        ORDER BY s.doc_id
+    """,
+    tags=("llm", "pipeline", "curation"),
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate -> exact dedup (keep lowest id) -> exact near-dup
+    removal (drop the HIGHER id of every similar pair) -> language
+    allowlist. One lazy plan; each stage is an operator from this repo."""
+    docs = _docs(spark, sf_dir)
+
+    # 1. quality gate (text_quality's length rule)
+    n_tokens = F.size(F.split("text", " "))
+    quality = docs.where(n_tokens >= _MIN_TOKENS).withColumn(
+        "n_tokens", n_tokens.cast("bigint")
+    )
+
+    # 2. exact dedup: keep the lowest doc_id per content hash
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    exact_kept = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # 3. near-dup removal: exact shingle-Jaccard pairs, drop the higher id
+    sh = with_shingles(exact_kept).select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    near_dups = (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .where(
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+            >= _JACCARD_T
+        )
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    survivors = exact_kept.join(near_dups, "doc_id", "left_anti")
+
+    # 4. language allowlist
+    return (
+        survivors.where(F.col("lang").isin("en", "es", "de"))
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )

@@ -897,3 +897,81 @@ def q21_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21b_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     return c.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+@register(
+    "q27_having",
+    oracle=f"""
+        SELECT o_custkey, COUNT(*) AS n, {sum4("o_totalprice")} AS total
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) > 12
+        ORDER BY o_custkey
+    """,
+    tags=("aggregation", "having"),
+)
+def q27_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING (TPC-H Q18 shape): post-aggregation predicate — a plain
+    Filter above the aggregate, never a second shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"), F.expr(sum4("o_totalprice")).alias("total"))
+        .where(F.col("n") > 12)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "q18e_posexplode",
+    oracle="""
+        SELECT vec_id,
+               CAST(i - 1 AS INT) AS pos,
+               CAST(FLOOR(e * 10) AS BIGINT) AS bucket
+        FROM (SELECT vec_id, UNNEST(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+        WHERE vec_id < 5 AND e > 0.25
+        ORDER BY vec_id, pos
+    """,
+    tags=("array", "posexplode"),
+)
+def q18e_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: lateral expansion WITH element index (DuckDB spells it
+    generate_subscripts, 1-based -> oracle subtracts 1)."""
+    em = _t(spark, sf_dir, "embeddings")
+    return (
+        em.where(F.col("vec_id") < 5)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "e"))
+        .where(F.col("e") > 0.25)
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.floor(F.col("e") * 10).cast("bigint").alias("bucket"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+@register(
+    "q17c_to_json",
+    oracle="""
+        SELECT event_id,
+               '{"uid":' || CAST(user_id AS VARCHAR) || ',"type":"' || event_type || '"}' AS j
+        FROM events
+        ORDER BY event_id
+    """,
+    tags=("json", "serialize"),
+)
+def q17c_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json over a struct column (JSON serialization; the oracle
+    reproduces Spark's compact field order/format via string assembly)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("uid"), F.col("event_type").alias("type")
+            )
+        ).alias("j"),
+    ).orderBy("event_id")

@@ -229,3 +229,101 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "sim", "rn")
         .orderBy("query_id", "rn")
     )
+
+
+@register("ann_ivf_topk", oracle=None, tags=("llm", "similarity", "ann", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate K-NN via IVF (inverted-file) partitioning.
+
+    Centroids are fit driver-side on a deterministic sample (seeded
+    k-means, a few Lloyd iterations on <=2k vectors — O(sample) not
+    O(corpus)), then broadcast; every corpus vector is assigned to its
+    nearest centroid cell in one Arrow-batched GEMM pass, and each query
+    probes only its ``nprobe`` nearest cells. Candidate count scales with
+    cell occupancy — the classic sub-linear ANN layout (FAISS IVF-flat
+    shape) expressed as a Spark shuffle key. Approximate => rows-only
+    driver check; pytest measures recall vs ann_brute_topk."""
+    import numpy as np
+
+    n_cells = 16
+    nprobe = 4
+
+    em = _emb(spark, sf_dir)
+    # --- fit centroids on a seeded sample (driver-side, tiny) ---
+    sample = np.array(
+        [r[0] for r in em.select("embedding").limit(2000).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(13)
+    centroids = sample[rng.choice(len(sample), n_cells, replace=False)]
+    for _ in range(5):  # Lloyd iterations
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    b_cent = spark.sparkContext.broadcast(centroids)
+
+    # --- assign corpus vectors to cells (one GEMM per Arrow batch) ---
+    def assign_cells(batches):
+        import pandas as pd
+
+        cent = b_cent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = (mat @ cent.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": cells.astype("int32"),
+                }
+            )
+
+    assigned = em.select("vec_id", "embedding").mapInPandas(
+        assign_cells, "vec_id long, embedding array<float>, cell int"
+    )
+
+    # --- queries probe their nprobe nearest cells ---
+    def probe_cells(batches):
+        import pandas as pd
+
+        cent = b_cent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(mat @ cent.T), axis=1)[:, :nprobe]
+            rows = {"query_id": [], "qemb": [], "cell": []}
+            for i in range(len(pdf)):
+                for c in order[i]:
+                    rows["query_id"].append(pdf["vec_id"].iloc[i])
+                    rows["qemb"].append(pdf["embedding"].iloc[i])
+                    rows["cell"].append(int(c))
+            yield pd.DataFrame(rows)
+
+    queries = (
+        em.where(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(probe_cells, "query_id long, qemb array<float>, cell int")
+    )
+
+    cand = (
+        queries.join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim_raw", cosine_sim(F.col("qemb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("sim", F.expr(round4("sim_raw")))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _ANN_K)
+        .select("query_id", "vec_id", "sim", "rn")
+        .orderBy("query_id", "rn")
+    )

@@ -105,3 +105,13 @@ def test_frame_sampling_shape(spark, sf_dir):
     for r in frames:
         per_doc.setdefault(r["doc_id"], set()).add(r["frame_md5"])
     assert all(len(v) == 4 for v in per_doc.values())
+
+
+def test_ann_ivf_recall_vs_brute(spark, sf_dir):
+    """IVF with nprobe=4/16 cells: recall floor over the exact top-5."""
+    brute = SPECS["ann_brute_topk"].fn(spark, sf_dir).collect()
+    ivf = SPECS["ann_ivf_topk"].fn(spark, sf_dir).collect()
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    a = {(r["query_id"], r["vec_id"]) for r in ivf}
+    assert len(a & b) / len(b) >= 0.3
+    assert {r["query_id"] for r in ivf} == {0, 1, 2, 3, 4}

@@ -252,3 +252,68 @@ def test_stateful_custom_operator_parity(spark, sf_dir):
         got = final[r["user_id"]]
         assert got["n_events"] == r["n"]
         assert abs(got["total_value"] - r["s"]) < 1e-6
+
+
+def test_continuous_trigger_rate_source(spark, tmp_path):
+    """Continuous mode (trigger=processingTime, the reference's 500ms
+    ticker equivalent): a rate-source stream appends into a lakehouse
+    table across multiple triggers until stopped; commits accumulate and
+    every committed batch id is unique (no duplicate commits)."""
+    import time as _time
+
+    from crest_spark.lakehouse import LakehouseCatalog
+
+    catalog = LakehouseCatalog(str(tmp_path / "wh_rate"))
+
+    def sink(df, batch_id):
+        t = catalog.get_or_create_table("ticks", df.schema)
+        t.append(df, writer_id="rate", batch_id=batch_id)
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        t = catalog.table("ticks")
+        while _time.time() < deadline:
+            if t.exists() and len(t.versions()) >= 4:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    snaps = catalog.table("ticks").snapshots()
+    appends = [s for s in snaps if s.operation == "append"]
+    assert len(appends) >= 3  # multiple trigger-driven commits
+    batch_ids = [s.batch_id for s in appends]
+    assert len(batch_ids) == len(set(batch_ids))  # idempotence keys unique
+    assert catalog.table("ticks").read(spark).count() == sum(
+        s.num_rows for s in appends
+    )
+
+
+def test_multi_source_fan_in(spark, sf_dir, tmp_path):
+    """Multiple concurrent sources -> multiple tables (the reference runs
+    one goroutine per (server, view); here one streaming query per
+    source, all draining into the same warehouse)."""
+    cfgs = []
+    for name in ["region", "nation", "supplier"]:
+        staging, _ = stage_slices(spark, table_path(sf_dir, name), n_slices=2)
+        cfgs.append(SourceSpec(name=name, path=staging, files_per_trigger=1))
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh_multi"),
+        checkpoint_root=str(tmp_path / "ckpt_multi"),
+        sources=cfgs,
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    for name in ["region", "nation", "supplier"]:
+        t = svc.catalog.table(name)
+        assert t.exists(), name
+        assert t.read(spark).count() == load_table(spark, sf_dir, name).count()
+    assert svc.catalog.list_tables() == ["nation", "region", "supplier"]
