@@ -74,8 +74,19 @@ def extract_image_features(
     buffer lists). Output schema: id + array<float> features + n_bytes.
     """
     schema = f"{id_col} long, features array<float>, n_bytes long"
+    dim = FEATURE_DIM
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # stdlib-only, fully self-contained closure: serializes by value,
+        # so workers need no importable crest_spark module (the package is
+        # also shipped via addPyFile by ensure_session_confs — this is the
+        # belt to that suspender). Mirrors _decode_image_stub.
+        import hashlib as _hashlib
+
+        def decode(payload: bytes) -> list[float]:
+            digest = _hashlib.sha256(payload).digest()
+            return [b / 255.0 for b in digest[:dim]]
+
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -83,9 +94,7 @@ def extract_image_features(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "features": [
-                        _decode_image_stub(bytes(p)) for p in payloads
-                    ],
+                    "features": [decode(bytes(p)) for p in payloads],
                     "n_bytes": [len(bytes(p)) for p in payloads],
                 }
             )

@@ -49,7 +49,44 @@ _REQUIRED_CONFS = {
 }
 
 
+def _ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship crest_spark to Python workers via addPyFile.
+
+    Driver processes that bootstrap with ``sys.path.insert`` (rather than
+    PYTHONPATH) don't propagate the package to worker processes, so any
+    closure referencing module-level helpers dies with
+    ModuleNotFoundError. A one-time zip + addPyFile makes every worker
+    able to import the package regardless of how the driver found it.
+    """
+    if getattr(spark, "_crest_pkg_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"crest_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Connect sessions; closures are self-contained anyway
+    spark._crest_pkg_shipped = True
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
+    _ensure_package_shipped(spark)
     for k, v in _REQUIRED_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:

@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis): invariants that hold for ALL inputs,
+not just the fixtures — schema-conversion round-trips over random nested
+types, and order-independence of the decimal-stable aggregation."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crest_spark.functions.schema_convert import (
+    arrow_schema_to_spark,
+    arrow_type_to_spark,
+    spark_schema_to_arrow,
+)
+
+_scalars = st.sampled_from(
+    [
+        pa.bool_(),
+        pa.int8(),
+        pa.int16(),
+        pa.int32(),
+        pa.int64(),
+        pa.float32(),
+        pa.float64(),
+        pa.string(),
+        pa.binary(),
+        pa.date32(),
+        pa.timestamp("us"),
+        pa.timestamp("us", tz="UTC"),
+        pa.decimal128(20, 4),
+    ]
+)
+
+
+def _nested(children):
+    return st.one_of(
+        children.map(lambda t: pa.list_(pa.field("element", t, True))),
+        st.lists(children, min_size=1, max_size=3).map(
+            lambda ts: pa.struct(
+                [pa.field(f"f{i}", t, True) for i, t in enumerate(ts)]
+            )
+        ),
+        children.map(lambda t: pa.map_(pa.string(), pa.field("value", t, True))),
+    )
+
+
+_types = st.recursive(_scalars, _nested, max_leaves=6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_types)
+def test_arrow_spark_arrow_roundtrip_preserves_spark_type(arrow_t):
+    """arrow -> spark -> arrow -> spark is a fixed point (the first hop
+    may canonicalize — large_string -> string — but after that the
+    mapping must be stable)."""
+    spark_t = arrow_type_to_spark(arrow_t)
+    schema = pa.schema([pa.field("c", arrow_t, True)])
+    spark_schema = arrow_schema_to_spark(schema)
+    back = spark_schema_to_arrow(spark_schema)
+    assert arrow_schema_to_spark(back) == spark_schema
+    assert spark_schema["c"].dataType == spark_t
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.randoms(),
+)
+def test_decimal_sum_is_order_independent(values, rng):
+    """The stable-aggregation invariant: decimal(30,8) sums are identical
+    for ANY permutation of the inputs (this is what makes the Spark
+    result match the DuckDB oracle regardless of partitioning)."""
+
+    def decimal_sum(vals):
+        return sum(
+            (Decimal(repr(v)).quantize(Decimal("1.00000000")) for v in vals),
+            Decimal(0),
+        )
+
+    shuffled = list(values)
+    rng.shuffle(shuffled)
+    assert decimal_sum(values) == decimal_sum(shuffled)
