@@ -39,6 +39,12 @@ BENCH_QUERIES = [
     "q20_asof_join",
     "q21_dedup_groups",
     "q22_cosine_topk",
+    "q24c_in_subquery",
+    "q26_misc_aggs",
+    "q27_having",
+    "stats_moments",
+    "udf_scalar_pandas",
+    "skew_salted_agg",
     "text_word_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
