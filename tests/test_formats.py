@@ -65,3 +65,17 @@ def test_arrow_ipc_roundtrip(spark, sf_dir, tmp_path):
     back = read_arrow_ipc(spark, p)
     assert _ids(back, "c_custkey") == _ids(src, "c_custkey")
     assert set(back.columns) == set(src.columns)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("codec", ["snappy", "zstd", "gzip"])
+def test_parquet_codec_matrix(spark, sf_dir, tmp_path, codec):
+    """Compression codec round-trips (snappy is the reference default;
+    zstd is the 100 TB cold-storage choice)."""
+    src = load_table(spark, sf_dir, "region")
+    p = str(tmp_path / f"region_{codec}")
+    write_parquet(src, p, compression=codec)
+    back = read_any(spark, p, "parquet")
+    assert _ids(back, "r_regionkey") == _ids(src, "r_regionkey")

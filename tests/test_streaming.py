@@ -317,3 +317,108 @@ def test_multi_source_fan_in(spark, sf_dir, tmp_path):
         assert t.exists(), name
         assert t.read(spark).count() == load_table(spark, sf_dir, name).count()
     assert svc.catalog.list_tables() == ["nation", "region", "supplier"]
+
+
+def test_stream_stream_join_parity(spark, sf_dir):
+    """Stream-stream inner join with watermarks + event-time range
+    condition: each purchase joined to signups of the same user within
+    the preceding 7 days. Stream result must equal the identical batch
+    join (Structured Streaming's documented guarantee)."""
+    staging, schema = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=4, order_col="event_id"
+    )
+
+    def split(df):
+        purchases = (
+            df.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("p_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        signups = (
+            df.where(F.col("event_type") == "signup")
+            .select(
+                F.col("event_id").alias("s_id"),
+                F.col("user_id").alias("s_user"),
+                F.col("ts").alias("s_ts"),
+            )
+        )
+        return purchases, signups
+
+    cond = (
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+
+    sp, ss = split(read_stream(spark, staging, schema, files_per_trigger=1))
+    joined = sp.withWatermark("p_ts", "30 days").join(
+        ss.withWatermark("s_ts", "30 days"), cond, "inner"
+    ).select("p_id", "s_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_pairs = {(r["p_id"], r["s_id"]) for r in spark.table("ss_join").collect()}
+
+    bp, bs = split(load_table(spark, sf_dir, "events"))
+    batch_pairs = {
+        (r["p_id"], r["s_id"])
+        for r in bp.join(bs, cond, "inner").select("p_id", "s_id").collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert len(batch_pairs) > 0
+
+
+def test_streaming_cdc_upsert_into_lakehouse(spark, sf_dir, tmp_path):
+    """CDC-style streaming upsert: each micro-batch MERGEs (not appends)
+    into the lakehouse by key, so the table converges to one row per
+    user with the LATEST event — replayed updates don't duplicate."""
+    from crest_spark.lakehouse import LakehouseCatalog
+
+    staging, schema = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=4, order_col="event_id"
+    )
+    catalog = LakehouseCatalog(str(tmp_path / "wh_cdc"))
+
+    def upsert(df, batch_id):
+        from pyspark.sql.window import Window
+
+        latest = (
+            df.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .select("user_id", "event_id", "event_type", "value")
+        )
+        t = catalog.get_or_create_table("user_latest", latest.schema)
+        if t.read(spark).count() == 0:
+            t.append(latest)
+        else:
+            t.merge(spark, latest, key="user_id")
+
+    stream = read_stream(spark, staging, schema, files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = {r["user_id"]: r["event_id"] for r in catalog.table("user_latest").read(spark).collect()}
+    batch = load_table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: r["max_id"]
+        for r in batch.groupBy("user_id").agg(F.max("event_id").alias("max_id")).collect()
+    }
+    assert out == expected  # one row per user, latest event id
