@@ -975,3 +975,61 @@ def q17c_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("j"),
     ).orderBy("event_id")
+
+
+@register(
+    "q12b_range_frame",
+    oracle=f"""
+        SELECT o_custkey, o_orderkey,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS n_similar_price,
+               {round4("SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)")}
+                   AS price_band_sum
+        FROM orders
+        ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "range-frame"),
+)
+def q12b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frames: peers are defined by ORDER-value
+    distance, not row offsets — the frame a row-offset window cannot
+    express. Deterministic because RANGE frames are peer-inclusive (row
+    order within equal values cannot change the aggregate)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.count("*").over(w.rangeBetween(-500, 0)).cast("bigint").alias(
+                "n_similar_price"
+            ),
+            F.sum("o_totalprice").over(w.rangeBetween(-500, 500)).alias("_bs"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "n_similar_price",
+            F.expr(round4("_bs")).alias("price_band_sum"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "q10c_cross_join",
+    oracle="""
+        SELECT n.n_name, r.r_name
+        FROM nation n CROSS JOIN region r
+        ORDER BY n.n_name, r.r_name
+    """,
+    tags=("join", "cross"),
+)
+def q10c_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product (both sides tiny -> broadcast NL join;
+    Spark requires crossJoin() to be explicit, a guard worth keeping)."""
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    r = _t(spark, sf_dir, "region").select("r_name")
+    return n.crossJoin(F.broadcast(r)).orderBy("n_name", "r_name")
