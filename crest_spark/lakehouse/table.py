@@ -177,6 +177,7 @@ class LakehouseTable:
         writer_id: str | None = None,
         batch_id: int | None = None,
         merge_schema: bool = False,
+        max_rows_per_file: int | None = None,
     ) -> int | None:
         """Transactional append. Returns the committed version, or None if
         this (writer_id, batch_id) was already committed (idempotent
@@ -212,7 +213,12 @@ class LakehouseTable:
             table_schema = df.schema
 
         txn_dir = os.path.join(self.data_path, f"txn-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(txn_dir)
+        writer = df.write.mode("overwrite")
+        if max_rows_per_file is not None:
+            # hard per-file row cap (file-sizing policy; the reference's
+            # batching.maxRows intent, enforced by the writer itself)
+            writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+        writer.parquet(txn_dir)
         files = sorted(
             os.path.join(txn_dir, f)
             for f in os.listdir(txn_dir)

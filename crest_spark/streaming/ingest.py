@@ -72,12 +72,23 @@ class IngestionService:
         catalog = self.catalog
         ns = source.namespace or self.config.namespace
         writer_id = f"ingest-{ns}.{source.name}"
+        max_rows = max(1, self.config.max_rows_per_batch)
 
         def write_batch(df, batch_id: int) -> None:
             # auto-create on first batch: schema taken off the batch, the
             # reference's pin-at-first-write (batch_writer.go:61-83)
             table = catalog.get_or_create_table(source.name, df.schema, ns)
-            table.append(df, writer_id=writer_id, batch_id=batch_id)
+            # merge_schema: a widened source schema evolves the table in
+            # place (the README-promised evolution, README.md:24);
+            # max_rows_per_file enforces batching.maxRows — dead config in
+            # the reference (SURVEY §2.1 O20), a hard writer cap here
+            table.append(
+                df,
+                writer_id=writer_id,
+                batch_id=batch_id,
+                merge_schema=True,
+                max_rows_per_file=max_rows,
+            )
 
         return write_batch
 

@@ -422,3 +422,26 @@ def test_streaming_cdc_upsert_into_lakehouse(spark, sf_dir, tmp_path):
         for r in batch.groupBy("user_id").agg(F.max("event_id").alias("max_id")).collect()
     }
     assert out == expected  # one row per user, latest event id
+
+
+def test_ingest_enforces_max_rows_per_file(spark, sf_dir, tmp_path):
+    """batching.maxRows (dead config in the reference) is enforced here:
+    no committed data file holds more than max_rows_per_batch rows."""
+    import pyarrow.parquet as pq
+
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "orders"), n_slices=2, order_col="o_orderkey"
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh_cap"),
+        checkpoint_root=str(tmp_path / "ckpt_cap"),
+        max_rows_per_batch=100,
+        sources=[SourceSpec(name="orders", path=staging, files_per_trigger=2)],
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    t = svc.catalog.table("orders")
+    assert t.read(spark).count() == load_table(spark, sf_dir, "orders").count()
+    for s in t.snapshots():
+        for f in s.files:
+            assert pq.read_metadata(f).num_rows <= 100, f
