@@ -356,13 +356,16 @@ _DUCK_COS = """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                {round4(_DUCK_COS)} AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_DUCK_COS} >= {_COS_T}
+        WHERE {round4(_DUCK_COS)} >= {_COS_T}
         ORDER BY vec_a, vec_b
     """,
     tags=("llm", "dedup", "embedding"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup pairs: all-pairs cosine >= 0.95, exact.
+    """Semantic near-dup pairs: all-pairs cosine >= threshold, exact.
+    The threshold filter runs on the ROUNDED similarity in both engines
+    (raw doubles differ at 1e-13 between numpy GEMM and the oracle's
+    sequential fold — never let a boundary case disagree).
 
     NOT a cross join: the normalized corpus matrix is broadcast once and
     each Arrow batch of rows scores against it with a single numpy GEMM
@@ -396,7 +399,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             bn[bn == 0] = 1.0
             sims = (block / bn) @ all_mat.T  # (B x N)
             bids = pdf["vec_id"].to_numpy()
-            ai, bj = np.nonzero(sims >= _COS_T)
+            # margin below the threshold: the authoritative (rounded)
+            # filter is applied Spark-side after this coarse prefilter
+            ai, bj = np.nonzero(sims >= _COS_T - 1e-4)
             va, vb, s = bids[ai], all_ids[bj], sims[ai, bj]
             keep = va < vb  # each unordered pair exactly once
             yield pd.DataFrame(
@@ -408,5 +413,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.select("vec_a", "vec_b", F.expr(round4("cos_raw")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= _COS_T)
         .orderBy("vec_a", "vec_b")
     )

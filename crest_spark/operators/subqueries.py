@@ -27,23 +27,21 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     oracle=f"""
         SELECT o_orderkey, {round4("o_totalprice")} AS price
         FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) * 1.5 FROM orders)
         ORDER BY o_orderkey
     """,
     tags=("subquery", "scalar"),
 )
 def q24_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery -> single-row broadcast into the
-    filter. AVG over doubles is engine-ordering-sensitive in general, but
-    the 1.5x-mean threshold sits far from any data point, so the
-    predicate is stable (the aggregate itself is oracle-checked
-    decimal-exact in q03/stats)."""
+    filter. The threshold uses the decimal-exact mean so both engines
+    compare against the bit-identical double (no boundary flips)."""
     _views(spark, sf_dir, "orders")
     return spark.sql(
         f"""
         SELECT o_orderkey, {round4("o_totalprice")} AS price
         FROM _sq_orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM _sq_orders)
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) * 1.5 FROM _sq_orders)
         ORDER BY o_orderkey
         """
     )
