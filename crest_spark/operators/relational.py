@@ -1033,3 +1033,37 @@ def q10c_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_name")
     r = _t(spark, sf_dir, "region").select("r_name")
     return n.crossJoin(F.broadcast(r)).orderBy("n_name", "r_name")
+
+
+@register(
+    "q14d_intersect_all",
+    oracle="""
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier
+        ORDER BY k
+    """,
+    tags=("setop", "all"),
+)
+def q14d_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: bag semantics (min of per-side multiplicities)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersectAll(s).orderBy("k")
+
+
+@register(
+    "q14e_except_all",
+    oracle="""
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier
+        ORDER BY k
+    """,
+    tags=("setop", "all"),
+)
+def q14e_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: bag difference (multiplicity-aware removal)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.exceptAll(s).orderBy("k")

@@ -237,3 +237,106 @@ def q25_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q24e_correlated_max",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_acctbal = (
+            SELECT MAX(s2.s_acctbal) FROM supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY s.s_suppkey
+    """,
+    tags=("subquery", "correlated"),
+)
+def q24e_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape: row must equal its group's correlated MAX.
+    Catalyst decorrelates into an aggregate + self-join; MAX over raw
+    doubles is order-independent, so the equality is engine-stable."""
+    _views(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name
+        FROM _sq_supplier s
+        WHERE s.s_acctbal = (
+            SELECT MAX(s2.s_acctbal) FROM _sq_supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY s.s_suppkey
+        """
+    )
+
+
+@register(
+    "q26c_filtered_aggs",
+    oracle=f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               {sum4("l_extendedprice")} AS sum_all,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+                    FILTER (WHERE l_discount > 0.05), 4) AS DOUBLE) AS sum_discounted
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "filter-clause"),
+)
+def q26c_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates: multiple conditional aggregations in one
+    pass (one scan, one shuffle — vs one scan per condition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_sq_lineitem_f")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               {sum4("l_extendedprice")} AS sum_all,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+                    FILTER (WHERE l_discount > 0.05), 4) AS DOUBLE) AS sum_discounted
+        FROM _sq_lineitem_f
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "q18f_explode_outer",
+    oracle="""
+        WITH src AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id % 3 = 0 THEN []::FLOAT[]
+                        ELSE embedding[1:2] END AS arr
+            FROM embeddings WHERE vec_id < 30
+        )
+        SELECT vec_id, CAST(FLOOR(v * 10) AS BIGINT) AS bucket
+        FROM (SELECT vec_id, UNNEST(arr) AS v FROM src)
+        UNION ALL
+        SELECT vec_id, NULL AS bucket FROM src WHERE len(arr) = 0
+        ORDER BY vec_id, bucket NULLS FIRST
+    """,
+    tags=("array", "explode-outer"),
+)
+def q18f_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty/null arrays survive as NULL rows
+    (plain explode drops them — the silent-row-loss footgun). Oracle
+    emulates outer semantics via UNION ALL of the empty-array rows."""
+    em = load_table(spark, sf_dir, "embeddings")
+    src = em.where(F.col("vec_id") < 30).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 3 == 0, F.array().cast("array<float>")
+        )
+        .otherwise(F.slice("embedding", 1, 2))
+        .alias("arr"),
+    )
+    return (
+        src.select("vec_id", F.explode_outer("arr").alias("v"))
+        .select(
+            "vec_id", F.floor(F.col("v") * 10).cast("bigint").alias("bucket")
+        )
+        .orderBy("vec_id", F.col("bucket").asc_nulls_first())
+    )
