@@ -26,8 +26,14 @@ environment. Same transactional model Iceberg/Delta use:
   never implements).
 
 At 100 TB the same protocol holds: the log is tiny JSON metadata; data
-files go to object storage; listing cost is bounded by checkpointing the
-log (compaction of old entries) — noted in docs/SCALE.md.
+files go to object storage; listing cost is bounded by **log
+checkpoints**: every ``checkpoint_interval`` commits a
+``<version>.checkpoint.json`` snapshot of the folded state (live file
+list, schema, row count, committed writer/batch ids) is written, and
+every state load reads one checkpoint + the log tail after it — O(tail)
+instead of O(all commits), the same mechanism as Delta's
+``_last_checkpoint``. Row counts come from parquet footers (metadata
+only), never a second data scan.
 """
 
 from __future__ import annotations
@@ -45,6 +51,14 @@ from pyspark.sql.types import StructField, StructType
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _VERSION_WIDTH = 20
+_CHECKPOINT_INTERVAL = 20
+
+
+def _footer_row_count(files: list[str]) -> int:
+    """Exact row count from parquet footers — metadata-only, no data scan."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 class CommitConflict(Exception):
@@ -67,13 +81,20 @@ class Snapshot:
 class LakehouseTable:
     """Handle to one commit-log table."""
 
-    def __init__(self, root: str, namespace: str, name: str):
+    def __init__(
+        self,
+        root: str,
+        namespace: str,
+        name: str,
+        checkpoint_interval: int = _CHECKPOINT_INTERVAL,
+    ):
         self.root = root
         self.namespace = namespace
         self.name = name
         self.path = os.path.join(root, namespace, name)
         self.log_path = os.path.join(self.path, _LOG_DIR)
         self.data_path = os.path.join(self.path, _DATA_DIR)
+        self.checkpoint_interval = max(1, checkpoint_interval)
 
     # ------------------------------------------------------------------ log
     def _version_file(self, version: int) -> str:
@@ -116,18 +137,99 @@ class LakehouseTable:
     def exists(self) -> bool:
         return bool(self.versions())
 
+    # ----------------------------------------------------------- checkpoints
+    def _checkpoint_file(self, version: int) -> str:
+        return os.path.join(
+            self.log_path, f"{version:0{_VERSION_WIDTH}d}.checkpoint.json"
+        )
+
+    def _checkpoint_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_path):
+            return []
+        suffix = ".checkpoint.json"
+        out = []
+        for f in os.listdir(self.log_path):
+            if f.endswith(suffix):
+                try:
+                    out.append(int(f[: -len(suffix)]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _state(self, upto: int | None = None) -> dict:
+        """Folded table state at ``upto`` (or latest): live files, schema,
+        row count, and the committed (writer_id -> batch_ids) map.
+
+        Loads the newest checkpoint at-or-before ``upto`` and folds only
+        the log tail after it — the O(tail) path that keeps appends and
+        reads flat-cost at tens of thousands of commits."""
+        versions = self.versions()
+        if upto is not None:
+            versions = [v for v in versions if v <= upto]
+        if not versions:
+            raise FileNotFoundError(
+                f"table {self.namespace}.{self.name} does not exist"
+            )
+        state = {
+            "version": 0,
+            "files": [],
+            "schema": None,
+            "num_rows": 0,
+            "committed": {},
+        }
+        start_after = 0
+        for cv in reversed(self._checkpoint_versions()):
+            if cv <= versions[-1] and cv >= (versions[0] if versions else 0):
+                try:
+                    with open(self._checkpoint_file(cv)) as fh:
+                        state = json.load(fh)
+                    start_after = cv
+                    break
+                except (OSError, json.JSONDecodeError):
+                    continue  # torn/garbage checkpoint: fall back further
+        for v in versions:
+            if v <= start_after:
+                continue
+            with open(self._version_file(v)) as fh:
+                d = json.load(fh)
+            if d.get("operation") == "replace":
+                state["files"] = list(d["files"])
+                state["num_rows"] = max(d.get("num_rows", 0), 0)
+            else:
+                state["files"] = state["files"] + list(d["files"])
+                state["num_rows"] += max(d.get("num_rows", 0), 0)
+            state["schema"] = d["schema"]
+            if d.get("writer_id") is not None and d.get("batch_id") is not None:
+                state["committed"].setdefault(d["writer_id"], []).append(
+                    d["batch_id"]
+                )
+            state["version"] = v
+        return state
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version % self.checkpoint_interval != 0:
+            return
+        try:
+            state = self._state(upto=version)
+        except FileNotFoundError:
+            return
+        tmp = os.path.join(self.log_path, f".tmp-ckpt-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, self._checkpoint_file(version))
+
     def schema(self, version: int | None = None) -> StructType:
-        snaps = self.snapshots(upto=version)
-        if not snaps:
+        state = self._state(upto=version)
+        if state["schema"] is None:
             raise FileNotFoundError(f"table {self.namespace}.{self.name} does not exist")
-        return StructType.fromJson(json.loads(snaps[-1].schema_json))
+        return StructType.fromJson(json.loads(state["schema"]))
 
     def committed_batches(self, writer_id: str) -> set[int]:
-        return {
-            s.batch_id
-            for s in self.snapshots()
-            if s.writer_id == writer_id and s.batch_id is not None
-        }
+        try:
+            state = self._state()
+        except FileNotFoundError:
+            return set()
+        return set(state["committed"].get(writer_id, []))
 
     # --------------------------------------------------------------- commits
     def _try_commit(self, record: dict) -> int:
@@ -224,10 +326,8 @@ class LakehouseTable:
             for f in os.listdir(txn_dir)
             if f.endswith(".parquet")
         )
-        num_rows = int(
-            df.sparkSession.read.parquet(txn_dir).count()
-        )
-        return self._try_commit(
+        num_rows = _footer_row_count(files)
+        version = self._try_commit(
             {
                 "operation": "append",
                 "files": files,
@@ -238,6 +338,8 @@ class LakehouseTable:
                 "batch_id": batch_id,
             }
         )
+        self._maybe_checkpoint(version)
+        return version
 
     def overwrite(self, df: DataFrame) -> int:
         """Transactional full overwrite: new files + a ``replace`` commit
@@ -250,8 +352,8 @@ class LakehouseTable:
             for f in os.listdir(txn_dir)
             if f.endswith(".parquet")
         )
-        num_rows = int(df.sparkSession.read.parquet(txn_dir).count())
-        return self._try_commit(
+        num_rows = _footer_row_count(files)
+        version = self._try_commit(
             {
                 "operation": "replace",
                 "files": files,
@@ -260,6 +362,8 @@ class LakehouseTable:
                 "num_rows": num_rows,
             }
         )
+        self._maybe_checkpoint(version)
+        return version
 
     def merge(self, spark: SparkSession, updates: DataFrame, key: str) -> int:
         """Upsert (MERGE INTO semantics): rows in ``updates`` replace
@@ -345,6 +449,10 @@ class LakehouseTable:
         os.replace(tmp, self._version_file(cutoff))
         for v in expired:
             os.unlink(self._version_file(v))
+        # checkpoints at expired versions can never be selected again
+        for cv in self._checkpoint_versions():
+            if cv < cutoff:
+                os.unlink(self._checkpoint_file(cv))
         for f in removable - live_files:
             if os.path.exists(f):
                 os.unlink(f)
@@ -354,16 +462,9 @@ class LakehouseTable:
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: exactly the files committed at ``version`` (or
         latest). Later/concurrent commits are invisible to this scan."""
-        snaps = self.snapshots(upto=version)
-        if not snaps:
-            raise FileNotFoundError(f"table {self.namespace}.{self.name} does not exist")
-        schema = StructType.fromJson(json.loads(snaps[-1].schema_json))
-        files: list[str] = []
-        for s in snaps:
-            if s.operation == "replace":
-                files = list(s.files)  # replace supersedes all prior data
-            else:
-                files.extend(s.files)
+        state = self._state(upto=version)
+        schema = StructType.fromJson(json.loads(state["schema"]))
+        files: list[str] = state["files"]
         if not files:
             return spark.createDataFrame([], schema)
         # mergeSchema handles pre-evolution files lacking newer columns
@@ -374,10 +475,4 @@ class LakehouseTable:
         )
 
     def row_count(self) -> int:
-        total = 0
-        for s in self.snapshots():
-            if s.operation == "replace":
-                total = max(s.num_rows, 0)
-            else:
-                total += max(s.num_rows, 0)
-        return total
+        return int(self._state()["num_rows"])

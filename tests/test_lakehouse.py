@@ -130,3 +130,39 @@ def test_empty_table_read(spark, catalog):
     df = t.read(spark)
     assert df.count() == 0
     assert df.schema == schema
+
+
+def test_log_checkpointing(spark, catalog, sf_dir):
+    """Past checkpoint_interval commits, state loads fold one checkpoint +
+    the log tail (O(tail), not O(commits)) and stay exactly correct."""
+    import os
+
+    src = load_table(spark, sf_dir, "region")
+    t = catalog.get_or_create_table("region", src.schema)
+    t.checkpoint_interval = 4
+    for _ in range(9):
+        t.append(src)
+    ckpts = t._checkpoint_versions()
+    assert ckpts and max(ckpts) >= 8  # interval hit at least twice
+    n = src.count()
+    assert t.row_count() == 9 * n
+    assert t.read(spark).count() == 9 * n
+    # time travel before/at/after a checkpoint still exact
+    for v in (2, ckpts[-1], 10):
+        assert t.read(spark, version=v).count() == (v - 1) * n
+    # a torn checkpoint falls back to older checkpoint / full fold
+    with open(t._checkpoint_file(ckpts[-1]), "w") as fh:
+        fh.write("{garbage")
+    assert t.row_count() == 9 * n
+    # idempotence map survives the checkpoint path
+    t.append(src, writer_id="w9", batch_id=7)
+    t.checkpoint_interval = 1
+    t.append(src)  # forces a fresh checkpoint that includes w9
+    assert 7 in t.committed_batches("w9")
+    assert t.append(src, writer_id="w9", batch_id=7) is None
+    # expire drops checkpoints that predate the retained horizon
+    t.expire_snapshots(keep_last=2)
+    assert all(
+        cv >= t.versions()[0] for cv in t._checkpoint_versions()
+    )
+    assert t.read(spark).count() == 11 * n
