@@ -487,3 +487,228 @@ def q26d_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "lineitem")
     return spark.sql(_REGR_SQL.format(lineitem="_th_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape — small-quantity-order revenue (correlated avg subquery)
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+    SELECT CAST(ROUND(CAST(
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / 7.0
+           AS DECIMAL(30,12)), 4) AS DOUBLE) AS avg_yearly
+    FROM {lineitem} l
+    JOIN {part} p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey,
+               COUNT(*) AS cnt,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sumq
+        FROM {lineitem}
+        GROUP BY l_partkey
+    ) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND 5 * CAST(ROUND(l.l_quantity * 100) AS BIGINT) * a.cnt < a.sumq
+"""
+
+
+@register(
+    "q30_small_qty_revenue",
+    oracle=_Q17_SQL.format(lineitem="lineitem", part="part"),
+    tags=("subquery", "agg", "tpch-q17"),
+)
+def q30_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below 20% of the part's average
+    quantity.
+
+    The correlated AVG subquery is written in its decorrelated form — a
+    per-partkey (count, sum) aggregate joined back to lineitem — which is
+    exactly the plan Catalyst produces for the correlated spelling, and the
+    only shape that scales (one shuffle on partkey, no per-row re-scan).
+    The threshold `qty < 0.2 * avg(qty)` is cross-multiplied into integer
+    arithmetic on centi-unit BIGINTs (5*qty*cnt < sum), so the comparison
+    is exact in both engines — no float-boundary flips.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    qi = F.round(F.col("l_quantity") * 100).cast("bigint")
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("sumq"),
+        )
+    )
+    brand = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    )
+    return (
+        li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.lit(5) * qi * F.col("cnt") < F.col("sumq"))
+        .agg(
+            F.expr(
+                "CAST(ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)"
+                " / 7.0 AS DECIMAL(30,12)), 4) AS DOUBLE)"
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — suppliers solely at fault on failed multi-supplier orders
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM {supplier} s
+    JOIN {lineitem} l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN {orders} o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM {lineitem} l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM {lineitem} l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+"""
+
+
+@register(
+    "q31_waiting_suppliers",
+    oracle=_Q21_SQL.format(supplier="supplier", lineitem="lineitem", orders="orders"),
+    tags=("subquery", "exists", "tpch-q21"),
+)
+def q31_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS / NOT EXISTS on the same
+    fact table.
+
+    The schema has no receipt/commit dates, so "kept waiting" is adapted to
+    the returned-flag marker: on a finished ('F') multi-supplier order, the
+    supplier whose line was returned ('R') while NO other supplier's line
+    was — the reference query's exact correlation structure (self-EXISTS +
+    self-NOT-EXISTS with a supplier-inequality correlate).
+
+    Spark plan: EXISTS -> left-semi self-join, NOT EXISTS -> left-anti
+    self-join, both shuffling lineitem on orderkey only; supplier is
+    broadcast. At 100 TB all three lineitem scans co-partition on
+    orderkey, so AQE collapses them into one exchange.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+            .select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "leftsemi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey")),
+        "leftanti",
+    )
+    return (
+        cand.join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — dormant high-balance customers by nation (anti join + scalar)
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+    SELECT c.c_nationkey AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS totacctbal
+    FROM {customer} c
+    CROSS JOIN (
+        SELECT COUNT(*) AS cnt,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sumbal
+        FROM {customer}
+        WHERE c_acctbal > 0
+    ) a
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * a.cnt > a.sumbal
+      AND NOT EXISTS (
+          SELECT 1 FROM {orders} o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+      )
+    GROUP BY c.c_nationkey
+    ORDER BY cntrycode
+"""
+
+
+@register(
+    "q32_dormant_customers",
+    oracle=_Q22_SQL.format(customer="customer", orders="orders"),
+    tags=("subquery", "anti", "tpch-q22"),
+)
+def q32_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders,
+    grouped by nation (the schema has no phone column, so nationkey stands
+    in for the phone country code — same key cardinality class; "no orders
+    in 7 years" becomes "no open ('O') orders", which keeps the anti-join
+    correlate non-degenerate on this data).
+
+    The `c_acctbal > AVG(...)` scalar subquery is cross-multiplied into
+    exact centi-unit integer arithmetic (bal*cnt > sum), and NOT EXISTS is
+    a left-anti join against orders on custkey. At scale: the scalar agg
+    is one reduce, broadcast back; the anti join shuffles on custkey.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    scalar = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("sumbal"),
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(scalar))
+        .where(
+            F.round(F.col("c_acctbal") * 100).cast("bigint") * F.col("cnt")
+            > F.col("sumbal")
+        )
+        .join(
+            _t(spark, sf_dir, "orders")
+            .where(F.col("o_orderstatus") == "O")
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "leftanti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)").alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("cntrycode")
+    )
