@@ -181,15 +181,32 @@ def minhash_band_rows(
         for pdf in batches:
             if pdf.empty:
                 continue
+            # Shingle vocabularies overlap heavily across documents, so
+            # hash + affine-permute each UNIQUE shingle once per batch
+            # (k x V matrix) and reduce per doc by column gather + min.
+            # Identical output to the per-doc formulation at a fraction
+            # of the arithmetic: V_unique << sum(len(shingles)).
+            vocab: dict[str, int] = {}
+            doc_cols = []
+            for shingles in pdf["shingles"]:
+                idxs = np.empty(len(shingles), dtype=np.int64)
+                for j, s in enumerate(shingles):
+                    v = vocab.get(s)
+                    if v is None:
+                        v = vocab[s] = len(vocab)
+                    idxs[j] = v
+                doc_cols.append(idxs)
+            if not vocab:
+                continue
+            h = np.array([zlib.crc32(s.encode()) for s in vocab], dtype=np.int64)
+            # (V x k) affine mod M31 over unique shingles only; row-major so
+            # the per-doc gather reads contiguous 64-hash rows (cache-local)
+            H = (A[None, :] * h[:, None] + B[None, :]) % MERSENNE
             out_doc, out_band, out_sig = [], [], []
-            for doc_id, shingles in zip(pdf["doc_id"], pdf["shingles"]):
-                if len(shingles) == 0:
+            for doc_id, idxs in zip(pdf["doc_id"], doc_cols):
+                if len(idxs) == 0:
                     continue
-                h = np.array(
-                    [zlib.crc32(s.encode()) for s in shingles], dtype=np.int64
-                )
-                # (k x S) affine mod M31, min over shingles -> signature
-                sig = ((A[:, None] * h[None, :] + B[:, None]) % MERSENNE).min(axis=1)
+                sig = H[idxs].min(axis=0)
                 for b in range(bands):
                     chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
                     out_doc.append(doc_id)
@@ -212,22 +229,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets -> exact-Jaccard re-rank of candidates only. Non-deterministic
     across hash choices => no SQL oracle; pytest cross-checks recall
     against dedup_ngram_jaccard's exact pairs."""
-    # Bands carry ONLY (doc_id, band, sig): the band table and its
-    # self-join shuffle 3 longs per row. Shingle arrays (the heavy payload)
-    # are joined back onto the tiny surviving candidate-pair set for the
-    # exact-Jaccard verify — at scale this is the difference between
-    # shuffling the corpus x bands and shuffling the candidates.
+    # Bands carry ONLY (doc_id, band, sig): 3 longs per row. Candidate
+    # pairs come from ONE shuffle — groupBy (band, sig) then a double
+    # explode of each bucket's id list — rather than a band-table
+    # self-join: a self-join materializes the signature stage twice
+    # (Catalyst can't reuse the exchange under a broadcast plan), while
+    # the bucket form computes signatures once and never moves shingle
+    # arrays. At 100 TB the skew guard is the bucket itself: a
+    # pathological bucket of B docs yields B^2/2 candidate pairs no
+    # matter the plan; cap/salt upstream if a corpus degenerates.
     bands = minhash_band_rows(with_shingles(_docs(spark, sf_dir)))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("doc_a"), F.col("ids"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # fresh shingle scan for the verify side: re-deriving shingles is one
