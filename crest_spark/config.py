@@ -63,6 +63,7 @@ def load_config(path: str) -> EngineConfig:
         for s in raw.get("sources", [])
     ]
 
+    compaction = raw.get("compaction", {})
     ingest = IngestConfig(
         warehouse=raw.get("warehouse", "data/warehouse"),  # local:"data" default
         checkpoint_root=raw.get("checkpoints", "data/checkpoints"),
@@ -72,6 +73,10 @@ def load_config(path: str) -> EngineConfig:
         ),
         max_rows_per_batch=max_rows,
         sources=sources,
+        compact_after_files=(
+            int(compaction["afterFiles"]) if "afterFiles" in compaction else None
+        ),
+        compact_target_files=int(compaction.get("targetFiles", 4)),
     )
     m = raw.get("metrics", {})
     metrics = MetricsConfig(

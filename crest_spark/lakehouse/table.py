@@ -476,3 +476,7 @@ class LakehouseTable:
 
     def row_count(self) -> int:
         return int(self._state()["num_rows"])
+
+    def file_count(self) -> int:
+        """Live data-file count at the latest version (metadata-only)."""
+        return len(self._state()["files"])

@@ -57,6 +57,15 @@ class IngestConfig:
     trigger_interval: str | None = None  # None => availableNow (drain & stop)
     max_rows_per_batch: int = 1000  # advisory: sizes maxFilesPerTrigger
     sources: list[SourceSpec] = field(default_factory=list)
+    # Auto-compaction: when a table's live file count reaches this many,
+    # the sink rewrites it into compact_target_files before the next
+    # append. None disables. Micro-batch ingestion with a hard per-file
+    # row cap necessarily accretes small files; at object-storage scale
+    # unbounded file counts degrade every subsequent scan's listing and
+    # open cost, so compaction must be part of the write path, not a
+    # manual afterthought.
+    compact_after_files: int | None = None
+    compact_target_files: int = 4
 
 
 class IngestionService:
@@ -74,10 +83,20 @@ class IngestionService:
         writer_id = f"ingest-{ns}.{source.name}"
         max_rows = max(1, self.config.max_rows_per_batch)
 
+        compact_after = self.config.compact_after_files
+        compact_target = max(1, self.config.compact_target_files)
+
         def write_batch(df, batch_id: int) -> None:
             # auto-create on first batch: schema taken off the batch, the
             # reference's pin-at-first-write (batch_writer.go:61-83)
             table = catalog.get_or_create_table(source.name, df.schema, ns)
+            # Compact BEFORE appending (not after): the foreachBatch hook
+            # runs serially per source, so this replace commit can never
+            # race this writer's own appends, and checking first keeps the
+            # just-written batch out of the rewrite churn.
+            if compact_after is not None and table.exists():
+                if table.file_count() >= compact_after:
+                    table.compact(df.sparkSession, compact_target)
             # merge_schema: a widened source schema evolves the table in
             # place (the README-promised evolution, README.md:24);
             # max_rows_per_file enforces batching.maxRows — dead config in

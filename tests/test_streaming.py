@@ -445,3 +445,35 @@ def test_ingest_enforces_max_rows_per_file(spark, sf_dir, tmp_path):
     for s in t.snapshots():
         for f in s.files:
             assert pq.read_metadata(f).num_rows <= 100, f
+
+
+def test_ingest_auto_compaction(spark, sf_dir, tmp_path):
+    """With compact_after_files set, the sink rewrites the table once the
+    live file count crosses the threshold: rows and exactly-once batch ids
+    survive the replace, and the final file count stays bounded."""
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "orders"), n_slices=6, order_col="o_orderkey"
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh_ac"),
+        checkpoint_root=str(tmp_path / "ckpt_ac"),
+        max_rows_per_batch=50,  # force many small files per batch
+        compact_after_files=8,
+        compact_target_files=2,
+        sources=[SourceSpec(name="orders", path=staging, files_per_trigger=1)],
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    t = svc.catalog.table("orders")
+    expected = load_table(spark, sf_dir, "orders").count()
+    assert t.read(spark).count() == expected
+    assert t.row_count() == expected
+    # a replace commit happened (compaction ran at least once)
+    assert any(s.operation == "replace" for s in t.snapshots())
+    # bounded: at most threshold-1 pre-existing + target + last batch's files
+    assert t.file_count() < 8 + 2 + (expected // 50 + 1)
+    # idempotence survives compaction: re-delivering an already-committed
+    # batch id is still a no-op after the replace rewrote the file set
+    src = load_table(spark, sf_dir, "orders").limit(10)
+    assert t.append(src, writer_id="ingest-default.orders", batch_id=0) is None
+    assert t.read(spark).count() == expected
