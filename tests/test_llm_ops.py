@@ -115,3 +115,41 @@ def test_ann_ivf_recall_vs_brute(spark, sf_dir):
     a = {(r["query_id"], r["vec_id"]) for r in ivf}
     assert len(a & b) / len(b) >= 0.3
     assert {r["query_id"] for r in ivf} == {0, 1, 2, 3, 4}
+
+
+def test_weighted_simhash_exact_dups_and_degeneracy(spark, sf_dir, tmp_path):
+    """IDF-weighted simhash: injected exact duplicates are found
+    (hamming 0), and the candidate set stays orders of magnitude below
+    the plain simhash's degenerate output on this skewed-vocab corpus."""
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(50)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    dup = src.withColumn("doc_id", F.col("doc_id") + 100000)
+    staged = str(tmp_path / "docs_with_dups_w")
+    src.union(dup).write.parquet(staged)
+
+    import crest_spark.operators.dedup as dd
+
+    orig = dd._docs
+    try:
+        dd._docs = lambda s, _sf: s.read.parquet(staged).repartition(4, "doc_id")
+        pairs = _pairs(SPECS["dedup_simhash_weighted"].fn(spark, sf_dir))
+    finally:
+        dd._docs = orig
+    for i in range(50):
+        assert (i, i + 100000) in pairs
+
+
+def test_weighted_simhash_recall_vs_exact(spark, sf_dir):
+    """Weighted simhash candidates recover most exact-Jaccard pairs while
+    the unweighted variant's pair count shows the vocabulary-skew
+    degeneracy the weighting exists to fix."""
+    exact = _pairs(SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir))
+    wpairs = _pairs(SPECS["dedup_simhash_weighted"].fn(spark, sf_dir))
+    if exact:
+        recall = len(wpairs & exact) / len(exact)
+        assert recall >= 0.6, f"recall {recall} over {len(exact)} exact pairs"
+    plain = SPECS["dedup_simhash"].fn(spark, sf_dir).count()
+    assert len(wpairs) < plain
