@@ -138,6 +138,43 @@ def q15d_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q15e_unpivot",
+    oracle=f"""
+        WITH agg AS (
+            SELECT l_returnflag,
+                   {round4("SUM(CAST(l_quantity AS DECIMAL(30,8)))")} AS sum_qty,
+                   {round4("SUM(CAST(l_extendedprice AS DECIMAL(30,8)))")} AS sum_price
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+        ORDER BY l_returnflag, metric
+    """,
+    tags=("aggregation", "unpivot"),
+)
+def q15e_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long): ``DataFrame.unpivot`` — Catalyst's Expand
+    node, a map-only row multiplication with no shuffle beyond the
+    feeding aggregation. The oracle spells it as UNION ALL, the portable
+    relational identity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(round4("SUM(CAST(l_quantity AS DECIMAL(30,8)))")).alias("sum_qty"),
+        F.expr(round4("SUM(CAST(l_extendedprice AS DECIMAL(30,8)))")).alias("sum_price"),
+    )
+    return (
+        agg.unpivot(
+            ids=["l_returnflag"],
+            values=["sum_qty", "sum_price"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+@register(
     "q16d_null_zoo",
     oracle="""
         SELECT o_orderkey,
