@@ -30,6 +30,20 @@ COMMENTARY = {
         "Union + tag + running-max window: the as-of join costs exactly one "
         "hash partitioning on user_id."
     ),
+    "q30_small_qty_revenue": (
+        "Correlated AVG subquery in decorrelated form: one per-partkey "
+        "aggregate shuffle joined back to the fact; the brand filter is a "
+        "broadcast semi-reduction applied before the wide join."
+    ),
+    "q31_waiting_suppliers": (
+        "EXISTS/NOT EXISTS as left-semi + left-anti self-joins, all three "
+        "lineitem branches shuffling on l_orderkey only; supplier is "
+        "broadcast after the correlation filters shrink the fact side."
+    ),
+    "q32_dormant_customers": (
+        "Scalar aggregate computed once and broadcast into the threshold "
+        "filter; NOT EXISTS is a left-anti join on custkey."
+    ),
 }
 
 
