@@ -1,0 +1,176 @@
+"""Time-series operators: gap-based sessionization and grid gap-fill.
+
+The reference delegates analytics upstream (``/root/reference/README.md:13``);
+these are the event-stream shapes its warehouse users run on ingested
+event tables, expressed as single-shuffle window/grid plans.
+
+Scale posture: both operators shuffle once on their natural partition key
+(user_id / event_type) and then run pure window/aggregate logic inside
+the partition — no self-joins, no driver loops. Skewed keys are split by
+AQE; the gap-fill grid is generated per key with ``sequence``, so grid
+size is bounded by each key's own time span, never the global span times
+key count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crest_spark.functions.stable import sum4
+from crest_spark.registry import register
+from crest_spark.sources.tables import load_table
+
+SESSION_GAP_S = 28_800  # 8 h: ~2 events/session on the driver fixtures
+GRID_STEP = "15 minutes"
+
+# Gap comparisons run on integer-second epochs in BOTH engines
+# (Spark unix_timestamp vs DuckDB FLOOR(epoch(...))): sub-second
+# precision differs between the engines' nanos/micros handling of the
+# TIMESTAMP(NANOS) fixture, integer seconds do not.
+
+_SESSION_SQL = """
+    WITH ordered AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, ts_s,
+               CASE WHEN ts_s - LAG(ts_s) OVER (
+                        PARTITION BY user_id ORDER BY ts_s, event_id
+                    ) > {gap} THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts_s,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts_s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           MIN(ts_s) AS start_epoch,
+           MAX(ts_s) AS end_epoch,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+"""
+
+
+@register(
+    "q33_sessionize",
+    oracle=_SESSION_SQL.format(gap=SESSION_GAP_S),
+    tags=("window", "time", "session"),
+)
+def q33_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch form of the streaming session
+    window): a new session starts when a user is idle longer than the
+    gap. LAG marks boundaries, a running SUM numbers sessions, one
+    groupBy summarizes — the standard two-window sessionize, ONE
+    shuffle on user_id total (both windows and the aggregate share the
+    partitioning)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts_s") - F.lag("ts_s").over(order) > SESSION_GAP_S, 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_id", F.sum("new_sess").over(run))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_s").alias("start_epoch"),
+            F.max("ts_s").alias("end_epoch"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+_GAPFILL_SQL = f"""
+    WITH b AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '{GRID_STEP}', ts) AS bucket,
+               {sum4("value")} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+        FROM b GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type,
+               UNNEST(generate_series(mn, mx, INTERVAL '{GRID_STEP}')) AS bucket
+        FROM bounds
+    )
+    SELECT g.event_type,
+           CAST(FLOOR(epoch(g.bucket)) AS BIGINT) AS bucket_epoch,
+           last_value(b.sum_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_value,
+           CASE WHEN b.sum_value IS NULL THEN 1 ELSE 0 END AS filled
+    FROM grid g
+    LEFT JOIN b ON b.event_type = g.event_type AND b.bucket = g.bucket
+    ORDER BY g.event_type, bucket_epoch
+"""
+
+
+@register(
+    "q34_gapfill",
+    oracle=_GAPFILL_SQL,
+    tags=("window", "time", "gapfill"),
+)
+def q34_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid gap-fill with last-observation-carried-forward: each
+    event_type's sparse 15-minute buckets become a dense series between
+    its own min and max bucket, empty buckets carrying the previous
+    value (`filled` marks them).
+
+    Plan: one aggregation on (event_type, bucket); the dense grid is
+    ``sequence`` + explode off the per-key bounds (tiny); the fill is a
+    last(ignorenulls) window on the same event_type partitioning — so
+    the whole operator rides a single hash partitioning on event_type
+    with no range join."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.groupBy(
+            "event_type", F.window("ts", GRID_STEP).alias("w")
+        )
+        .agg(F.expr(sum4("value")).alias("sum_value"))
+        .select("event_type", F.col("w.start").alias("bucket"), "sum_value")
+    )
+    grid = (
+        b.groupBy("event_type")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr(f"INTERVAL {GRID_STEP}"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.unix_timestamp("bucket").cast("bigint").alias("bucket_epoch"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value"),
+            F.when(F.col("sum_value").isNull(), 1).otherwise(0).alias("filled"),
+        )
+        .orderBy("event_type", "bucket_epoch")
+    )
