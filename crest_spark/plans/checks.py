@@ -30,10 +30,12 @@ def simple_plan(df: DataFrame) -> str:
 
 
 def has_pushed_filter(df: DataFrame, column: str) -> bool:
-    """True if the parquet scan advertises a pushed filter on `column`."""
+    """True if any parquet scan advertises a pushed filter on `column`."""
     plan = formatted_plan(df)
-    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
-    return bool(m and column in m.group(1))
+    return any(
+        column in m.group(1)
+        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan)
+    )
 
 
 def read_schema_columns(df: DataFrame) -> set[str]:

@@ -70,3 +70,24 @@ def test_q20_asof_single_shuffle(spark, sf_dir):
     df = SPECS["q20_asof_join"].fn(spark, sf_dir)
     plan_shuffles = shuffle_count(df)
     assert plan_shuffles <= 2  # user_id window + final order
+
+
+def test_q33_sessionize_single_data_shuffle(spark, sf_dir):
+    # both windows + the aggregate share one hash partitioning on
+    # user_id; the only other exchange is the final presentation sort
+    df = SPECS["q33_sessionize"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 2
+
+
+def test_q31_waiting_suppliers_pushes_correlate_filters(spark, sf_dir):
+    # the returnflag/orderstatus correlation filters must reach the scans
+    df = SPECS["q31_waiting_suppliers"].fn(spark, sf_dir)
+    assert has_pushed_filter(df, "l_returnflag")
+    assert has_pushed_filter(df, "o_orderstatus")
+    assert uses_broadcast_join(df)
+
+
+def test_q30_prunes_and_broadcasts_brand_filter(spark, sf_dir):
+    df = SPECS["q30_small_qty_revenue"].fn(spark, sf_dir)
+    assert has_pushed_filter(df, "p_brand")
+    assert uses_broadcast_join(df)

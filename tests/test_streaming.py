@@ -477,3 +477,31 @@ def test_ingest_auto_compaction(spark, sf_dir, tmp_path):
     src = load_table(spark, sf_dir, "orders").limit(10)
     assert t.append(src, writer_id="ingest-default.orders", batch_id=0) is None
     assert t.read(spark).count() == expected
+
+
+def test_batch_sessionize_matches_native_session_window(spark, sf_dir):
+    """q33's LAG/SUM sessionization must agree with Spark's built-in
+    gap-merging session_window on session count and per-session event
+    counts — two independent implementations of the same semantics."""
+    from crest_spark.operators.timeseries import SESSION_GAP_S, q33_sessionize
+    from crest_spark.sources.tables import load_table
+
+    ours = q33_sessionize(spark, sf_dir).collect()
+    native = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert len(ours) == len(native)
+    # session_window's end is exclusive (last_ts + gap); compare the
+    # multiset of (user, start-second, n_events) instead
+    a = sorted((r["user_id"], r["start_epoch"], r["n_events"]) for r in ours)
+    b = sorted(
+        (r["user_id"], int(r["w"]["start"].timestamp()), r["n_events"])
+        for r in native
+    )
+    assert a == b
