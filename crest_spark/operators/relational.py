@@ -43,7 +43,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         SELECT l_orderkey, l_linenumber,
                CAST(ROUND(CAST(l_extendedprice AS DECIMAL(30,8)), 4) AS DOUBLE) AS price
         FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '2024-06-01 00:00:00' AND l_quantity > 25
+        WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00' AND l_quantity > 25
         ORDER BY l_orderkey, l_linenumber
     """,
     tags=("scan", "filter", "projection"),
@@ -53,7 +53,7 @@ def q01_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("2024-06-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1998-06-01 00:00:00").cast("timestamp"))
             & (F.col("l_quantity") > 25)
         )
         .select(

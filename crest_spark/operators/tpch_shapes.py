@@ -193,8 +193,8 @@ def q28c_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_suppkey AS supplier_no,
                    {sum4("l_extendedprice * (1 - l_discount)")} AS total_revenue
             FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '2024-01-01 00:00:00'
-              AND l_shipdate <  TIMESTAMP '2024-07-01 00:00:00'
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
             GROUP BY l_suppkey
         )
         SELECT s.s_suppkey, s.s_name, r.total_revenue
@@ -217,8 +217,8 @@ def q28d_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_suppkey AS supplier_no,
                    {sum4("l_extendedprice * (1 - l_discount)")} AS total_revenue
             FROM _th_lineitem
-            WHERE l_shipdate >= TIMESTAMP '2024-01-01 00:00:00'
-              AND l_shipdate <  TIMESTAMP '2024-07-01 00:00:00'
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
             GROUP BY l_suppkey
         )
         SELECT s.s_suppkey, s.s_name, r.total_revenue
@@ -294,8 +294,8 @@ def q28e_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE)
                AS DECIMAL(30,12)), 4) AS DOUBLE) AS promo_share
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-        WHERE l.l_shipdate >= TIMESTAMP '2024-01-01 00:00:00'
-          AND l.l_shipdate <  TIMESTAMP '2024-04-01 00:00:00'
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
     """,
     tags=("agg", "ratio", "tpch-q14"),
 )
@@ -307,8 +307,8 @@ def q28f_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the date filter is pushed into the lineitem scan.
     """
     li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("2024-04-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     joined = li.join(F.broadcast(_t(spark, sf_dir, "part")),
                      F.col("l_partkey") == F.col("p_partkey"))
