@@ -277,15 +277,22 @@ def q08_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08b_anti_join",
     oracle="""
         SELECT c_custkey FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
         ORDER BY c_custkey
     """,
     tags=("join", "anti"),
 )
 def q08b_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join (NOT EXISTS)."""
+    """Left anti join (NOT EXISTS): customers with no urgent orders.
+
+    The pushed-down priority filter shrinks the build side before the
+    anti join; every customer has *some* order in this data, so the
+    unfiltered variant would be trivially empty.
+    """
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey")
@@ -471,14 +478,20 @@ def q14_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_nationkey AS k FROM customer
         EXCEPT
-        SELECT s_nationkey FROM supplier
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
         ORDER BY k
     """,
     tags=("setop",),
 )
 def q14b_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT; the supplier side is filtered so the difference
+    is non-empty (both tables cover all nations unfiltered)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("k"))
+    )
     return c.subtract(s).orderBy("k")  # subtract == EXCEPT DISTINCT
 
 
