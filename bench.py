@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "q24c_in_subquery",
     "q26_misc_aggs",
     "q27_having",
+    "q37_local_supplier_volume",
+    "q38_revenue_forecast",
+    "q40_returned_items",
+    "q45_dominant_suppliers",
     "stats_moments",
     "udf_scalar_pandas",
     "skew_salted_agg",

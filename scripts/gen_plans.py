@@ -44,6 +44,25 @@ COMMENTARY = {
         "Scalar aggregate computed once and broadcast into the threshold "
         "filter; NOT EXISTS is a left-anti join on custkey."
     ),
+    "q38_revenue_forecast": (
+        "TPC-H Q6: all three predicates pushed to the scan (the discount "
+        "band as exact centi-integers); single partial+final aggregate, no "
+        "data-row shuffle."
+    ),
+    "q40_returned_items": (
+        "TPC-H Q10 shape: returnflag and quarter filters reach the scans; "
+        "TakeOrderedAndProject caps the top-20 without a global sort."
+    ),
+    "q44_disjunctive_revenue": (
+        "TPC-H Q19 shape: Catalyst derives the implied per-side filters "
+        "from the OR and pushes them into BOTH scans; part broadcasts so "
+        "the fact table never shuffles."
+    ),
+    "q45_dominant_suppliers": (
+        "TPC-H Q20 shape: per-part totals as a window over the aggregated "
+        "(partkey, suppkey) sums — one fact scan, one fact shuffle; the "
+        "SQL CTE spelling would scan lineitem twice."
+    ),
 }
 
 

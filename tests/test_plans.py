@@ -91,3 +91,43 @@ def test_q30_prunes_and_broadcasts_brand_filter(spark, sf_dir):
     df = SPECS["q30_small_qty_revenue"].fn(spark, sf_dir)
     assert has_pushed_filter(df, "p_brand")
     assert uses_broadcast_join(df)
+
+
+def test_q38_pure_scan_agg_no_data_shuffle(spark, sf_dir):
+    # Q6 shape: all three predicates pushed; only the SinglePartition
+    # final-agg exchange remains (no data-row shuffle)
+    df = SPECS["q38_revenue_forecast"].fn(spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate")
+    assert has_pushed_filter(df, "l_quantity")
+    assert shuffle_count(df) == 1
+    assert read_schema_columns(df) <= {
+        "l_shipdate", "l_quantity", "l_discount", "l_extendedprice"
+    }
+
+
+def test_q40_topk_avoids_global_sort(spark, sf_dir):
+    # Q10 shape: LIMIT 20 must run as TakeOrderedAndProject
+    df = SPECS["q40_returned_items"].fn(spark, sf_dir)
+    assert uses_take_ordered(df)
+    assert has_pushed_filter(df, "l_returnflag")
+    assert has_pushed_filter(df, "o_orderdate")
+
+
+def test_q44_disjunction_reaches_both_scans(spark, sf_dir):
+    # Q19 shape: Catalyst must derive the implied single-side filters
+    # from the OR and push them into BOTH parquet scans, keeping the
+    # fact table shuffle-free (part broadcasts)
+    df = SPECS["q44_disjunctive_revenue"].fn(spark, sf_dir)
+    assert has_pushed_filter(df, "l_quantity")
+    assert has_pushed_filter(df, "p_brand")
+    assert uses_broadcast_join(df)
+
+
+def test_q45_single_fact_scan(spark, sf_dir):
+    # Q20 shape: per-part totals via window over the aggregated pairs —
+    # lineitem must be scanned exactly once
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["q45_dominant_suppliers"].fn(spark, sf_dir)
+    assert simple_plan(df).count("lineitem.parquet") == 1
+    assert has_pushed_filter(df, "l_shipdate")
