@@ -29,6 +29,10 @@ LSH_BANDS = 16  # 16 bands x 4 rows
 # 31-bit Mersenne prime hash space: (a < 2^31) * (h < 2^31) + b stays well
 # inside a 64-bit long, so ANSI-mode Spark never sees an overflow.
 MERSENNE = (1 << 31) - 1
+# Degenerate-bucket guard: an LSH bucket with B members yields B^2/2
+# candidate pairs; above this size the bucket switches to hub-spoke
+# linking (O(B) pairs). See dedup_minhash_lsh.
+LSH_MAX_BUCKET = 64
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,35 +225,59 @@ def minhash_band_rows(
     )
 
 
+def lsh_candidate_pairs(bands: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from (doc_id, band, sig)
+    rows — one shuffle, degenerate-bucket safe.
+
+    Candidate pairs come from ONE shuffle — groupBy (band, sig) then a
+    double explode of each bucket's id list — rather than a band-table
+    self-join: a self-join materializes the signature stage twice
+    (Catalyst can't reuse the exchange under a broadcast plan), while the
+    bucket form computes signatures once and never moves shingle arrays.
+
+    Degenerate-bucket guard (the 100 TB skew case): a bucket of B docs
+    yields B^2/2 all-pairs candidates, and collect_list of a hot bucket
+    is itself an OOM vector. Bucket size and hub (min doc_id) come from
+    window functions over the SAME (band, sig) partitioning (no extra
+    shuffle, no arrays materialized); buckets over `max_bucket` emit
+    hub-spoke pairs only — O(B) rows that still connect every member
+    into one duplicate component for clustering, at the cost of not
+    enumerating every intra-bucket pair directly.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "sig")
+    sized = bands.withColumn("bsz", F.count(F.lit(1)).over(w)).withColumn(
+        "hub", F.min("doc_id").over(w)
+    )
+    small = (
+        sized.where((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket))
+        .groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+    )
+    cand_small = (
+        small.select(F.explode("ids").alias("doc_a"), F.col("ids"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    cand_big = sized.where(
+        (F.col("bsz") > max_bucket) & (F.col("doc_id") != F.col("hub"))
+    ).select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return cand_small.unionByName(cand_big).dropDuplicates(["doc_a", "doc_b"])
+
+
 @register("dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (sub-quadratic; the 100 TB path).
 
     Signature -> band keys -> shuffle on (band, band_sig) -> pairs within
-    buckets -> exact-Jaccard re-rank of candidates only. Non-deterministic
-    across hash choices => no SQL oracle; pytest cross-checks recall
-    against dedup_ngram_jaccard's exact pairs."""
-    # Bands carry ONLY (doc_id, band, sig): 3 longs per row. Candidate
-    # pairs come from ONE shuffle — groupBy (band, sig) then a double
-    # explode of each bucket's id list — rather than a band-table
-    # self-join: a self-join materializes the signature stage twice
-    # (Catalyst can't reuse the exchange under a broadcast plan), while
-    # the bucket form computes signatures once and never moves shingle
-    # arrays. At 100 TB the skew guard is the bucket itself: a
-    # pathological bucket of B docs yields B^2/2 candidate pairs no
-    # matter the plan; cap/salt upstream if a corpus degenerates.
+    buckets (degenerate buckets star-linked, see lsh_candidate_pairs) ->
+    exact-Jaccard re-rank of candidates only. Non-deterministic across
+    hash choices => no SQL oracle; pytest cross-checks recall against
+    dedup_ngram_jaccard's exact pairs."""
+    # Bands carry ONLY (doc_id, band, sig): 3 longs per row.
     bands = minhash_band_rows(with_shingles(_docs(spark, sf_dir)))
-    buckets = (
-        bands.groupBy("band", "sig")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    cand = (
-        buckets.select(F.explode("ids").alias("doc_a"), F.col("ids"))
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = lsh_candidate_pairs(bands)
     # fresh shingle scan for the verify side: re-deriving shingles is one
     # cheap map pass, whereas branching `d` would re-run the 64-permutation
     # signature computation a second time

@@ -153,3 +153,24 @@ def test_weighted_simhash_recall_vs_exact(spark, sf_dir):
         assert recall >= 0.6, f"recall {recall} over {len(exact)} exact pairs"
     plain = SPECS["dedup_simhash"].fn(spark, sf_dir).count()
     assert len(wpairs) < plain
+
+
+def test_lsh_degenerate_bucket_star_linked(spark):
+    """A hot LSH bucket (template spam: B docs with identical band
+    signatures) must produce O(B) hub-spoke candidates, not B^2/2
+    all-pairs — while still connecting every member to the hub so
+    downstream clustering folds them into one duplicate component."""
+    from crest_spark.operators.dedup import LSH_BANDS, lsh_candidate_pairs
+
+    big, small = 200, 3
+    rows = [(d, b, 111) for d in range(big) for b in range(LSH_BANDS)]
+    rows += [(1000 + d, b, 222) for d in range(small) for b in range(LSH_BANDS)]
+    bands = spark.createDataFrame(rows, "doc_id long, band int, sig long")
+
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(bands).collect()}
+    big_pairs = {p for p in pairs if p[0] < 1000}
+    small_pairs = pairs - big_pairs
+    # hot bucket: exactly B-1 star edges from the hub (min doc_id)
+    assert big_pairs == {(0, d) for d in range(1, big)}
+    # normal bucket: full all-pairs enumeration
+    assert small_pairs == {(1000, 1001), (1000, 1002), (1001, 1002)}
