@@ -22,6 +22,9 @@ Example:
     metrics:
       enabled: true
       collectionPath: data/metrics.jsonl
+    catalog:
+      type: local            # or: rest
+      endpoint: http://lakekeeper:8181/catalog   # rest only
 """
 
 from __future__ import annotations
@@ -40,9 +43,21 @@ class MetricsConfig:
 
 
 @dataclass
+class CatalogConfig:
+    """Reference ``CatalogConfig{Endpoint, Type, Warehouse}``
+    (``config.go:46-51``). type 'local' = directory catalog (default);
+    'rest' = Iceberg REST catalog (Lakekeeper-style endpoint)."""
+
+    type: str = "local"
+    endpoint: str | None = None
+    warehouse: str | None = None  # None -> the ingest warehouse dir
+
+
+@dataclass
 class EngineConfig:
     ingest: IngestConfig
     metrics: MetricsConfig
+    catalog: CatalogConfig
 
 
 def load_config(path: str) -> EngineConfig:
@@ -83,4 +98,10 @@ def load_config(path: str) -> EngineConfig:
         enabled=bool(m.get("enabled", False)),
         collection_path=m.get("collectionPath", "data/metrics.jsonl"),
     )
-    return EngineConfig(ingest=ingest, metrics=metrics)
+    c = raw.get("catalog", {})
+    catalog = CatalogConfig(
+        type=c.get("type", "local"),
+        endpoint=c.get("endpoint"),
+        warehouse=c.get("warehouse") or ingest.warehouse,
+    )
+    return EngineConfig(ingest=ingest, metrics=metrics, catalog=catalog)

@@ -139,3 +139,130 @@ def schema_to_string(schema: T.StructType) -> str:
         for f in schema.fields
     ]
     return "schema:\n" + "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg REST schema JSON (the wire format of the REST catalog spec)
+# ---------------------------------------------------------------------------
+
+def spark_schema_to_iceberg(schema: T.StructType) -> dict:
+    """Spark StructType -> Iceberg schema JSON (apache/iceberg OpenAPI
+    spec; the shape ``iceberg-go`` sends in createTable —
+    ``/root/reference/pkg/ingestor/iceberg_committer.go:104-118``).
+    Field IDs are assigned depth-first starting at 1, as the spec
+    requires unique IDs across the whole schema tree."""
+    counter = {"id": 0}
+
+    def next_id() -> int:
+        counter["id"] += 1
+        return counter["id"]
+
+    def conv(dt: T.DataType) -> object:
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision}, {dt.scale})"
+        if isinstance(dt, T.DateType):
+            return "date"
+        if isinstance(dt, T.TimestampNTZType):
+            return "timestamp"
+        if isinstance(dt, T.TimestampType):
+            return "timestamptz"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.BinaryType):
+            return "binary"
+        if isinstance(dt, T.ArrayType):
+            return {
+                "type": "list",
+                "element-id": next_id(),
+                "element": conv(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.MapType):
+            return {
+                "type": "map",
+                "key-id": next_id(),
+                "key": conv(dt.keyType),
+                "value-id": next_id(),
+                "value": conv(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": next_id(),
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": conv(f.dataType),
+                    }
+                    for f in dt.fields
+                ],
+            }
+        raise TypeError(f"no Iceberg mapping for Spark type {dt}")
+
+    out = conv(schema)
+    assert isinstance(out, dict)
+    return {"schema-id": 0, **out}
+
+
+def iceberg_to_spark_schema(schema: dict) -> T.StructType:
+    """Iceberg schema JSON -> Spark StructType (inverse of
+    ``spark_schema_to_iceberg``; field IDs are dropped — Spark tracks
+    columns by name)."""
+    prims = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampNTZType(),
+        "timestamptz": T.TimestampType(),
+        "string": T.StringType(),
+        "uuid": T.StringType(),
+        "binary": T.BinaryType(),
+    }
+
+    def conv(t: object) -> T.DataType:
+        if isinstance(t, str):
+            if t in prims:
+                return prims[t]
+            if t.startswith("decimal"):
+                p, s = t[t.index("(") + 1 : t.index(")")].split(",")
+                return T.DecimalType(int(p), int(s))
+            if t.startswith("fixed"):
+                return T.BinaryType()
+            raise TypeError(f"no Spark mapping for Iceberg type {t!r}")
+        assert isinstance(t, dict)
+        kind = t["type"]
+        if kind == "list":
+            return T.ArrayType(conv(t["element"]), not t.get("element-required", False))
+        if kind == "map":
+            return T.MapType(
+                conv(t["key"]), conv(t["value"]), not t.get("value-required", False)
+            )
+        if kind == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"], conv(f["type"]), not f.get("required", False)
+                    )
+                    for f in t["fields"]
+                ]
+            )
+        raise TypeError(f"no Spark mapping for Iceberg type {kind!r}")
+
+    out = conv({k: v for k, v in schema.items() if k != "schema-id"})
+    assert isinstance(out, T.StructType)
+    return out
