@@ -45,7 +45,15 @@ def main(argv: list[str] | None = None) -> int:
             time.sleep(2)
             spark.streams.removeListener(listener)
 
-    svc = IngestionService(spark, cfg.ingest)
+    metadata_catalog = None
+    if cfg.catalog.type == "rest":
+        from crest_spark.lakehouse.rest_catalog import catalog_from_config
+
+        metadata_catalog = catalog_from_config(
+            "rest", warehouse=cfg.catalog.warehouse, endpoint=cfg.catalog.endpoint
+        )
+
+    svc = IngestionService(spark, cfg.ingest, metadata_catalog=metadata_catalog)
 
     if args.once:
         svc.run_once()

@@ -71,11 +71,35 @@ class IngestConfig:
 class IngestionService:
     """Runs one streaming query per source into lakehouse tables."""
 
-    def __init__(self, spark: SparkSession, config: IngestConfig):
+    def __init__(
+        self, spark: SparkSession, config: IngestConfig, metadata_catalog=None
+    ):
         self.spark = spark
         self.config = config
         self.catalog = LakehouseCatalog(config.warehouse, config.namespace)
+        # Optional external metadata catalog (an Iceberg REST client): the
+        # reference's flow registers every table at Lakekeeper while the
+        # files land in the warehouse (iceberg_committer.go:54-119). The
+        # local commit log stays the source of truth; REST registration is
+        # mirror metadata, retried per batch until it succeeds so a
+        # catalog outage never drops data (the reference logs-and-drops).
+        self.metadata_catalog = metadata_catalog
+        self._registered: set[tuple[str, str]] = set()
         self.queries = []
+
+    def _register_metadata(self, ns: str, name: str, schema) -> None:
+        if self.metadata_catalog is None or (ns, name) in self._registered:
+            return
+        try:
+            self.metadata_catalog.get_or_create_table(ns, name, schema)
+            self._registered.add((ns, name))
+        except Exception as exc:  # noqa: BLE001 — outage must not drop data
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "metadata catalog registration failed for %s.%s (will retry "
+                "next batch): %s", ns, name, exc
+            )
 
     def _sink(self, source: SourceSpec):
         catalog = self.catalog
@@ -90,6 +114,7 @@ class IngestionService:
             # auto-create on first batch: schema taken off the batch, the
             # reference's pin-at-first-write (batch_writer.go:61-83)
             table = catalog.get_or_create_table(source.name, df.schema, ns)
+            self._register_metadata(ns, source.name, df.schema)
             # Compact BEFORE appending (not after): the foreachBatch hook
             # runs serially per source, so this replace commit can never
             # race this writer's own appends, and checking first keeps the

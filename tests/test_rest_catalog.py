@@ -7,14 +7,11 @@ and first-writer-pins-schema behavior — is tested over real HTTP."""
 
 from __future__ import annotations
 
-import json
-import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
 import pytest
 
 from pyspark.sql import types as T
 
+from tests.fake_rest_catalog import serve
 from crest_spark.lakehouse.rest_catalog import (
     RestCatalogClient,
     RestCatalogError,
@@ -31,105 +28,10 @@ SCHEMA = T.StructType(
 )
 
 
-class _FakeCatalog:
-    """Spec-shaped state machine: namespaces + tables with v2 metadata."""
-
-    def __init__(self):
-        self.namespaces: set[str] = set()
-        self.tables: dict[tuple[str, str], dict] = {}
-        self.requests: list[str] = []
-
-
-def _make_handler(state: _FakeCatalog):
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):  # silence
-            pass
-
-        def _send(self, code: int, body: dict | None = None):
-            payload = json.dumps(body or {}).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
-
-        def _body(self) -> dict:
-            n = int(self.headers.get("Content-Length", 0))
-            return json.loads(self.rfile.read(n)) if n else {}
-
-        def do_GET(self):
-            state.requests.append(f"GET {self.path}")
-            path = self.path.split("?")[0]
-            parts = [p for p in path.split("/") if p]
-            if path.startswith("/v1/config"):
-                return self._send(200, {"defaults": {}, "overrides": {}})
-            if path == "/v1/namespaces":
-                return self._send(
-                    200, {"namespaces": [[ns] for ns in sorted(state.namespaces)]}
-                )
-            if len(parts) == 4 and parts[3] == "tables":  # /v1/namespaces/{ns}/tables
-                ns = parts[2]
-                idents = [
-                    {"namespace": [n], "name": t}
-                    for (n, t) in sorted(state.tables)
-                    if n == ns
-                ]
-                return self._send(200, {"identifiers": idents})
-            if len(parts) == 5 and parts[3] == "tables":
-                key = (parts[2], parts[4])
-                if key not in state.tables:
-                    return self._send(404, {"error": {"message": "NoSuchTable"}})
-                return self._send(200, state.tables[key])
-            return self._send(400, {"error": {"message": f"bad path {path}"}})
-
-        def do_POST(self):
-            state.requests.append(f"POST {self.path}")
-            parts = [p for p in self.path.split("/") if p]
-            body = self._body()
-            if self.path == "/v1/namespaces":
-                ns = body["namespace"][0]
-                if ns in state.namespaces:
-                    return self._send(
-                        409, {"error": {"message": "AlreadyExistsException"}}
-                    )
-                state.namespaces.add(ns)
-                return self._send(200, {"namespace": [ns], "properties": {}})
-            if len(parts) == 4 and parts[3] == "tables":
-                ns, name = parts[2], body["name"]
-                if ns not in state.namespaces:
-                    return self._send(404, {"error": {"message": "NoSuchNamespace"}})
-                if (ns, name) in state.tables:
-                    return self._send(
-                        409, {"error": {"message": "AlreadyExistsException"}}
-                    )
-                schema = dict(body["schema"])
-                schema["schema-id"] = 0
-                state.tables[(ns, name)] = {
-                    "metadata-location": f"s3://warehouse/{ns}/{name}/metadata/v1.json",
-                    "metadata": {
-                        "format-version": 2,
-                        "current-schema-id": 0,
-                        "schemas": [schema],
-                        "properties": body.get("properties", {}),
-                    },
-                }
-                return self._send(200, state.tables[(ns, name)])
-            return self._send(400, {"error": {"message": f"bad path {self.path}"}})
-
-    return Handler
-
-
 @pytest.fixture()
 def fake_server():
-    state = _FakeCatalog()
-    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
-    thread = threading.Thread(target=server.serve_forever, daemon=True)
-    thread.start()
-    try:
-        yield f"http://127.0.0.1:{server.server_port}", state
-    finally:
-        server.shutdown()
-        server.server_close()
+    with serve() as (url, state):
+        yield url, state
 
 
 def test_namespace_ddl_and_409_idempotency(fake_server):
@@ -199,3 +101,65 @@ def test_config_parses_catalog_section(tmp_path):
 
     cfg_file.write_text("warehouse: data/wh\n")
     assert load_config(str(cfg_file)).catalog.type == "local"
+
+
+def test_ingest_registers_tables_at_rest_catalog(spark, sf_dir, tmp_path):
+    """The reference's flow: files land in the warehouse AND the table is
+    registered at the REST catalog. A catalog outage must not drop data —
+    registration retries on the next batch."""
+    from crest_spark.sources.tables import load_table, table_path
+    from crest_spark.streaming.ingest import (
+        IngestConfig,
+        IngestionService,
+        SourceSpec,
+    )
+    from crest_spark.streaming.replay import stage_slices
+
+    staging, _ = stage_slices(spark, table_path(sf_dir, "region"), n_slices=2)
+    with serve() as (url, state):
+        client = RestCatalogClient(url)
+        client.config()
+        cfg = IngestConfig(
+            warehouse=str(tmp_path / "wh"),
+            checkpoint_root=str(tmp_path / "ckpt"),
+            sources=[SourceSpec(name="region", path=staging, files_per_trigger=1)],
+        )
+        svc = IngestionService(spark, cfg, metadata_catalog=client)
+        svc.run_once()
+        # local commit log has the data
+        assert svc.catalog.table("region").read(spark).count() == load_table(
+            spark, sf_dir, "region"
+        ).count()
+        # REST catalog has the registration, schema intact
+        assert client.list_tables("default") == ["region"]
+        assert [f.name for f in client.table_schema("default", "region").fields] == [
+            "r_regionkey",
+            "r_name",
+        ]
+
+
+def test_ingest_survives_catalog_outage(spark, sf_dir, tmp_path):
+    """Dead endpoint: every batch still commits locally; registration is
+    retried and the warning path exercised (reference logs-and-drops —
+    this engine logs-and-keeps)."""
+    from crest_spark.sources.tables import load_table, table_path
+    from crest_spark.streaming.ingest import (
+        IngestConfig,
+        IngestionService,
+        SourceSpec,
+    )
+    from crest_spark.streaming.replay import stage_slices
+
+    staging, _ = stage_slices(spark, table_path(sf_dir, "region"), n_slices=2)
+    dead = RestCatalogClient("http://127.0.0.1:1", timeout=0.2)
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[SourceSpec(name="region", path=staging, files_per_trigger=1)],
+    )
+    svc = IngestionService(spark, cfg, metadata_catalog=dead)
+    svc.run_once()
+    assert svc.catalog.table("region").read(spark).count() == load_table(
+        spark, sf_dir, "region"
+    ).count()
+    assert svc._registered == set()  # still pending — would retry next batch
