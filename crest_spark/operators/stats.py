@@ -248,3 +248,66 @@ def q11b_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(round4("_fb")).alias("first_bal"),
         F.expr(round4("_nb")).alias("next_bal"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "stats_percentiles",
+    oracle=f"""
+        SELECT l_returnflag,
+               {round4("QUANTILE_CONT(l_extendedprice, 0.25)")} AS p25,
+               {round4("QUANTILE_CONT(l_extendedprice, 0.50)")} AS p50,
+               {round4("QUANTILE_CONT(l_extendedprice, 0.75)")} AS p75,
+               {round4("MEDIAN(l_extendedprice)")} AS med
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "stats", "percentile"),
+)
+def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``; verified bit-identical on this data, still
+    round4-pinned against ulp drift).
+
+    Exact percentile needs the group's values materialized for the rank
+    lookup — one shuffle on the group key, O(group) memory. At 100 TB
+    with high-cardinality groups switch to ``approx_percentile``
+    (t-digest: mergeable partial sketches, constant memory), the same
+    trade q04b makes for distinct counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(round4("percentile(l_extendedprice, 0.25)")).alias("p25"),
+            F.expr(round4("percentile(l_extendedprice, 0.50)")).alias("p50"),
+            F.expr(round4("percentile(l_extendedprice, 0.75)")).alias("p75"),
+            F.expr(round4("median(l_extendedprice)")).alias("med"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("stats_percentiles_approx", oracle=None, tags=("aggregation", "stats", "sketch"))
+def stats_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable sketch): the 100 TB form of
+    stats_percentiles — partial sketches merge associatively so memory
+    stays constant per group regardless of group size. Accuracy set by
+    the third arg (10000 -> ~0.01% rank error); engine-specific sketch
+    => rows-only gate, pytest bounds the error against the exact op."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)"
+            ).alias("q"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -178,3 +178,15 @@ def test_lsh_degenerate_bucket_star_linked(spark):
     assert big_pairs == {(0, d) for d in range(1, big)}
     # normal bucket: full all-pairs enumeration
     assert small_pairs == {(1000, 1001), (1000, 1002), (1001, 1002)}
+
+
+def test_approx_percentiles_within_tolerance(spark, sf_dir):
+    """approx_percentile (the constant-memory 100 TB path) must sit
+    within 1% relative error of the exact interpolated percentiles."""
+    exact = {r.l_returnflag: r for r in SPECS["stats_percentiles"].fn(spark, sf_dir).collect()}
+    approx = {r.l_returnflag: r for r in SPECS["stats_percentiles_approx"].fn(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for col in ("p25", "p50", "p75"):
+            e, a = exact[k][col], approx[k][col]
+            assert abs(a - e) / e < 0.01, f"{k}.{col}: approx {a} vs exact {e}"
