@@ -574,3 +574,103 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_sim") >= _COS_T)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS s
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_T}
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges
+    ),
+    reach(v, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.v
+    )
+    SELECT v AS doc_id, MIN(r) AS component_id
+    FROM reach GROUP BY v ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=_COMPONENTS_SQL,
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: each doc that appears in a near-dup pair mapped
+    to its component's canonical id (the component's min doc_id) — the
+    doc -> canonical step every dedup pipeline runs after pair mining.
+
+    Spark side: iterative min-label propagation over the symmetric edge
+    list — each round every vertex takes the min label among itself and
+    its neighbors; converged when no label changes (rounds = component
+    diameter). Each round is one shuffle of edge-sized data;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1. Driver-coordinated iteration is the
+    canonical Spark pattern for fixpoint graph algorithms (GraphX/
+    GraphFrames do the same); at 100 TB swap plain propagation for the
+    large-star/small-star contraction (Kiveris et al.), which converges
+    in O(log^2 n) rounds on high-diameter graphs.
+
+    Oracle: DuckDB recursive CTE computing min reachable vertex — the
+    same fixpoint, declaratively.
+    """
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(edges).select(
+        F.col("v").alias("doc_id"), F.col("label").alias("component_id")
+    ).orderBy("doc_id")
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Min-label propagation to a fixpoint: (v, label) with label = the
+    component's min vertex id. See dedup_components for the scale notes."""
+    sym = edges.toDF("src", "dst").union(
+        edges.toDF("dst", "src").select("src", "dst")
+    )
+    # pin the edge list: every round's join would otherwise re-run the
+    # whole upstream edge-mining subplan
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    )
+    for _ in range(max_rounds):
+        msgs = sym.join(labels, sym.src == F.col("v")).select(
+            F.col("dst").alias("v"), F.col("label")
+        )
+        new_labels = (
+            msgs.union(labels).groupBy("v").agg(F.min("label").alias("label"))
+        )
+        # localCheckpoint: truncate lineage so round N doesn't replay 1..N-1
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -190,3 +190,19 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
         for col in ("p25", "p50", "p75"):
             e, a = exact[k][col], approx[k][col]
             assert abs(a - e) / e < 0.01, f"{k}.{col}: approx {a} vs exact {e}"
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """Min-label propagation on a diameter-9 path (forces many rounds)
+    plus a separate triangle: every vertex must land on its component's
+    min id, and the fixpoint must actually be reached (not the cap)."""
+    from crest_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(9)]  # 0-1-...-9
+    tri = [(100, 101), (101, 102), (100, 102)]
+    edges = spark.createDataFrame(chain + tri, "a long, b long")
+    labels = {r.v: r.label for r in connected_components(edges).collect()}
+    assert {v: l for v, l in labels.items() if v < 100} == {i: 0 for i in range(10)}
+    assert {v: l for v, l in labels.items() if v >= 100} == {
+        100: 100, 101: 100, 102: 100
+    }
