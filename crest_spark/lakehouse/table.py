@@ -61,6 +61,42 @@ def _footer_row_count(files: list[str]) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+_ZORDER_BITS = 8  # 256 buckets per dimension
+
+
+def _zorder_key(df: DataFrame, cols: list[str]) -> F.Column:
+    """Morton (Z-order) key over ``cols`` as a single codegen'd LONG.
+
+    Each column is linearly bucketed into 2^_ZORDER_BITS cells between its
+    min and max (one tiny driver-side agg — a maintenance op runs this
+    once per rewrite), then the bucket bits are interleaved so nearby
+    z-values are nearby in EVERY dimension. Linear bucketing matches what
+    Delta's range-based Z-order does after sampling; swap the min/max
+    scaling for approxQuantile boundaries if a column is heavily skewed.
+    """
+    n = 1 << _ZORDER_BITS
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    buckets = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        if mn is None or mx is None or mx <= mn:  # constant/empty column
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+        b = F.floor(frac * n).cast("long")
+        buckets.append(F.least(F.lit(n - 1).cast("long"), F.greatest(F.lit(0).cast("long"), b)))
+    z = F.lit(0).cast("long")
+    for bit in range(_ZORDER_BITS):
+        for i, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * len(buckets) + i
+            )
+    return z
+
+
 class CommitConflict(Exception):
     """Another writer committed this version first (caller should retry)."""
 
@@ -375,12 +411,35 @@ class LakehouseTable:
         merged = kept.unionByName(updates.select(*current.columns))
         return self.overwrite(merged)
 
-    def compact(self, spark: SparkSession, target_partitions: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_partitions: int = 1,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Small-file compaction: rewrite the current snapshot into
         ``target_partitions`` files and commit a ``replace``. Readers are
         unaffected (same rows); the file count drops from
-        O(commits x partitions) to O(target)."""
-        return self.overwrite(self.read(spark).coalesce(target_partitions))
+        O(commits x partitions) to O(target).
+
+        ``zorder_by``: cluster the rewrite on a Z-order (Morton) curve
+        over the given columns (Delta's OPTIMIZE ZORDER BY analog). Each
+        output file then covers a narrow min/max range on EVERY listed
+        column, so parquet row-group/file skipping prunes scans that
+        filter on any of them — the multi-dimensional version of
+        sort-on-one-column. Cost is a range shuffle of the rewritten
+        data, which a compaction pays anyway."""
+        df = self.read(spark)
+        if zorder_by:
+            z = _zorder_key(df, zorder_by)
+            clustered = (
+                df.withColumn("__z", z)
+                .repartitionByRange(target_partitions, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            return self.overwrite(clustered)
+        return self.overwrite(df.coalesce(target_partitions))
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop history older than the last ``keep_last`` versions and
