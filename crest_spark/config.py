@@ -19,6 +19,10 @@ Example:
       - name: events
         path: /staging/events
         filesPerTrigger: 1
+    compaction:
+      afterFiles: 32
+      targetFiles: 4
+      zorderBy: [o_custkey]    # optional: cluster the rewrite
     metrics:
       enabled: true
       collectionPath: data/metrics.jsonl
@@ -92,6 +96,11 @@ def load_config(path: str) -> EngineConfig:
             int(compaction["afterFiles"]) if "afterFiles" in compaction else None
         ),
         compact_target_files=int(compaction.get("targetFiles", 4)),
+        compact_zorder_by=(
+            [str(c) for c in compaction["zorderBy"]]
+            if "zorderBy" in compaction
+            else None
+        ),
     )
     m = raw.get("metrics", {})
     metrics = MetricsConfig(

@@ -66,6 +66,10 @@ class IngestConfig:
     # manual afterthought.
     compact_after_files: int | None = None
     compact_target_files: int = 4
+    # Z-order the compaction rewrite on these columns (OPTIMIZE ZORDER
+    # analog): the periodic rewrite doubles as clustering maintenance, so
+    # scan-heavy tables stay skippable without a separate job.
+    compact_zorder_by: list[str] | None = None
 
 
 class IngestionService:
@@ -109,6 +113,7 @@ class IngestionService:
 
         compact_after = self.config.compact_after_files
         compact_target = max(1, self.config.compact_target_files)
+        compact_zorder = self.config.compact_zorder_by
 
         def write_batch(df, batch_id: int) -> None:
             # auto-create on first batch: schema taken off the batch, the
@@ -121,7 +126,9 @@ class IngestionService:
             # just-written batch out of the rewrite churn.
             if compact_after is not None and table.exists():
                 if table.file_count() >= compact_after:
-                    table.compact(df.sparkSession, compact_target)
+                    table.compact(
+                        df.sparkSession, compact_target, zorder_by=compact_zorder
+                    )
             # merge_schema: a widened source schema evolves the table in
             # place (the README-promised evolution, README.md:24);
             # max_rows_per_file enforces batching.maxRows — dead config in

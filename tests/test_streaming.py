@@ -505,3 +505,42 @@ def test_batch_sessionize_matches_native_session_window(spark, sf_dir):
         for r in native
     )
     assert a == b
+
+
+def test_ingest_auto_compaction_zorder(spark, sf_dir, tmp_path):
+    """compaction.zorderBy: the sink's periodic rewrite clusters on the
+    configured columns — per-file o_custkey ranges narrow vs the global
+    span, rows and batch-id idempotence intact."""
+    import pyarrow.parquet as pq
+
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "orders"), n_slices=6, order_col="o_orderkey"
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh_z"),
+        checkpoint_root=str(tmp_path / "ckpt_z"),
+        max_rows_per_batch=50,
+        compact_after_files=8,
+        compact_target_files=4,
+        compact_zorder_by=["o_custkey"],
+        sources=[SourceSpec(name="orders", path=staging, files_per_trigger=1)],
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    t = svc.catalog.table("orders")
+    assert t.read(spark).count() == load_table(spark, sf_dir, "orders").count()
+    replaces = [s for s in t.snapshots() if s.operation == "replace"]
+    assert replaces
+    files = replaces[-1].files
+    if len(files) > 1:  # single-column zorder == range sort: disjoint-ish files
+        spans, lo, hi = [], None, None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("o_custkey")
+            st = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+            mn, mx = min(s.min for s in st), max(s.max for s in st)
+            spans.append((mn, mx))
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        mean_span = sum((mx - mn) / (hi - lo) for mn, mx in spans) / len(spans)
+        assert mean_span < 0.6, spans
