@@ -61,6 +61,40 @@ def _footer_row_count(files: list[str]) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def _footer_stats(files: list[str]) -> dict[str, dict[str, list]]:
+    """Per-file column min/max from parquet footers (metadata-only):
+    ``{file: {col: [min, max]}}`` for JSON-safe primitive columns (int /
+    float / str / bool). This is the Iceberg-manifest role: file-level
+    pruning happens against the commit log without opening any footer at
+    scan time — at 100 TB that's the difference between listing metadata
+    and issuing an object-store GET per file."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.names
+        cols: dict[str, list] = {}
+        for i, name in enumerate(names):
+            mn = mx = None
+            ok = True
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                gmn, gmx = st.min, st.max
+                if not isinstance(gmn, (int, float, str, bool)):
+                    ok = False
+                    break
+                mn = gmn if mn is None else min(mn, gmn)
+                mx = gmx if mx is None else max(mx, gmx)
+            if ok and mn is not None:
+                cols[name] = [mn, mx]
+        out[f] = cols
+    return out
+
+
 _ZORDER_BITS = 8  # 256 buckets per dimension
 
 
@@ -209,6 +243,7 @@ class LakehouseTable:
         state = {
             "version": 0,
             "files": [],
+            "stats": {},
             "schema": None,
             "num_rows": 0,
             "committed": {},
@@ -230,9 +265,11 @@ class LakehouseTable:
                 d = json.load(fh)
             if d.get("operation") == "replace":
                 state["files"] = list(d["files"])
+                state["stats"] = dict(d.get("stats", {}))
                 state["num_rows"] = max(d.get("num_rows", 0), 0)
             else:
                 state["files"] = state["files"] + list(d["files"])
+                state.setdefault("stats", {}).update(d.get("stats", {}))
                 state["num_rows"] += max(d.get("num_rows", 0), 0)
             state["schema"] = d["schema"]
             if d.get("writer_id") is not None and d.get("batch_id") is not None:
@@ -367,6 +404,7 @@ class LakehouseTable:
             {
                 "operation": "append",
                 "files": files,
+                "stats": _footer_stats(files),
                 "schema": json.dumps(table_schema.jsonValue()),
                 "commit_ts": time.time(),
                 "num_rows": num_rows,
@@ -393,6 +431,7 @@ class LakehouseTable:
             {
                 "operation": "replace",
                 "files": files,
+                "stats": _footer_stats(files),
                 "schema": json.dumps(df.schema.jsonValue()),
                 "commit_ts": time.time(),
                 "num_rows": num_rows,
@@ -500,6 +539,9 @@ class LakehouseTable:
             else first_keep.num_rows,
             "writer_id": first_keep.writer_id,
             "batch_id": first_keep.batch_id,
+            # recompute pruning stats for the merged prefix (metadata-only;
+            # losing them would only degrade skipping, but it's cheap)
+            "stats": _footer_stats([f for f in merged_files if os.path.exists(f)]),
             "extra": {"checkpointed": expired},
         }
         tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
@@ -532,6 +574,60 @@ class LakehouseTable:
             .option("mergeSchema", "false")
             .parquet(*files)
         )
+
+    def pruned_files(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> list[str]:
+        """Live files whose commit-log min/max stats can satisfy every
+        ``{col: (lo, hi)}`` range (either bound may be None). Files with
+        no recorded stats for a column are conservatively kept."""
+        state = self._state(upto=version)
+        stats: dict = state.get("stats", {})
+        out = []
+        for f in state["files"]:
+            keep = True
+            fstats = stats.get(f, {})
+            for col, (lo, hi) in predicates.items():
+                if col not in fstats:
+                    continue  # unknown: cannot prune
+                mn, mx = fstats[col]
+                if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return out
+
+    def scan(
+        self,
+        spark: SparkSession,
+        predicates: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range-predicate read with manifest-level file skipping: files
+        whose commit-log stats exclude the range are never opened (the
+        Iceberg-manifest role — no footer GETs for skipped files at
+        object-store scale), then the exact range filters are applied so
+        semantics match ``read().where(...)`` bit-for-bit. Pairs with
+        ``compact(zorder_by=...)``, which is what makes per-file ranges
+        narrow enough to skip."""
+        files = self.pruned_files(predicates, version=version)
+        state = self._state(upto=version)
+        schema = StructType.fromJson(json.loads(state["schema"]))
+        if not files:
+            df = self.read(spark, version=version).limit(0)
+        else:
+            df = (
+                spark.read.schema(schema)
+                .option("mergeSchema", "false")
+                .parquet(*files)
+            )
+        for col, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.where(F.col(col) >= lo)
+            if hi is not None:
+                df = df.where(F.col(col) <= hi)
+        return df
 
     def row_count(self) -> int:
         return int(self._state()["num_rows"])

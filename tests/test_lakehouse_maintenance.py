@@ -130,3 +130,45 @@ def test_zorder_compact_narrows_file_ranges(spark, sf_dir, tmp_path):
     spans = [span(zf, c) for c in ("l_partkey", "l_suppkey")]
     assert max(spans) < 0.75, spans
     assert sum(spans) / 2 < 0.55, spans
+
+
+def test_scan_prunes_files_and_matches_full_read(spark, sf_dir, tmp_path):
+    """Manifest-level skipping: after a z-ordered compaction, a narrow
+    o_custkey range must open a strict subset of files, and scan() must
+    return exactly read().where(...)."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = _cat(tmp_path).get_or_create_table("ord_z", src.schema)
+    t.append(src)
+    t.compact(spark, target_partitions=8, zorder_by=["o_custkey"])
+
+    lo, hi = 10, 50
+    pruned = t.pruned_files({"o_custkey": (lo, hi)})
+    assert 0 < len(pruned) < t.file_count()  # real skipping happened
+    got = t.scan(spark, {"o_custkey": (lo, hi)})
+    want = t.read(spark).where((F.col("o_custkey") >= lo) & (F.col("o_custkey") <= hi))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # open-ended bound + empty range
+    assert t.scan(spark, {"o_custkey": (None, 5)}).count() == t.read(spark).where(
+        F.col("o_custkey") <= 5
+    ).count()
+    assert t.scan(spark, {"o_custkey": (10**9, None)}).count() == 0
+
+
+def test_scan_keeps_files_without_stats(spark, sf_dir, tmp_path):
+    """Commits from before the stats feature (or columns without
+    comparable stats) must be conservatively kept, never silently
+    skipped."""
+    import json as _json
+
+    src = load_table(spark, sf_dir, "region")
+    t = _cat(tmp_path).get_or_create_table("region_ns", src.schema)
+    t.append(src)
+    # simulate a pre-stats commit: strip stats from the log record
+    vfile = t._version_file(t.versions()[-1])
+    rec = _json.load(open(vfile))
+    rec.pop("stats", None)
+    _json.dump(rec, open(vfile, "w"))
+    assert t.pruned_files({"r_regionkey": (0, 0)}) == t._state()["files"]
+    assert t.scan(spark, {"r_regionkey": (0, 0)}).count() == 1
