@@ -95,6 +95,20 @@ def _footer_stats(files: list[str]) -> dict[str, dict[str, list]]:
     return out
 
 
+def _stats_admit(fstats: dict[str, list], predicates: dict[str, tuple]) -> bool:
+    """True unless the file's recorded [min, max] PROVABLY excludes some
+    requested range. The safety direction is one-sided: a file whose data
+    could intersect the range must always be admitted; pruning is only an
+    optimization on top of that."""
+    for col, (lo, hi) in predicates.items():
+        if col not in fstats:
+            continue  # unknown: cannot prune
+        mn, mx = fstats[col]
+        if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+            return False
+    return True
+
+
 _ZORDER_BITS = 8  # 256 buckets per dimension
 
 
@@ -583,20 +597,11 @@ class LakehouseTable:
         no recorded stats for a column are conservatively kept."""
         state = self._state(upto=version)
         stats: dict = state.get("stats", {})
-        out = []
-        for f in state["files"]:
-            keep = True
-            fstats = stats.get(f, {})
-            for col, (lo, hi) in predicates.items():
-                if col not in fstats:
-                    continue  # unknown: cannot prune
-                mn, mx = fstats[col]
-                if (lo is not None and mx < lo) or (hi is not None and mn > hi):
-                    keep = False
-                    break
-            if keep:
-                out.append(f)
-        return out
+        return [
+            f
+            for f in state["files"]
+            if _stats_admit(stats.get(f, {}), predicates)
+        ]
 
     def scan(
         self,

@@ -10,6 +10,8 @@ import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import types as T
+
 from crest_spark.functions.schema_convert import (
     arrow_schema_to_spark,
     arrow_type_to_spark,
@@ -89,3 +91,73 @@ def test_decimal_sum_is_order_independent(values, rng):
     shuffled = list(values)
     rng.shuffle(shuffled)
     assert decimal_sum(values) == decimal_sum(shuffled)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(-1000, 1000),
+    st.integers(0, 500),
+    st.one_of(st.none(), st.integers(-1200, 1200)),
+    st.one_of(st.none(), st.integers(-1200, 1200)),
+    st.booleans(),
+)
+def test_stats_admit_never_prunes_an_intersecting_file(mn, width, lo, hi, has_stats):
+    """File-skipping safety: a file whose [min, max] intersects the
+    requested [lo, hi] must ALWAYS be admitted; pruning may only drop
+    provably-disjoint files, and missing stats must admit."""
+    from crest_spark.lakehouse.table import _stats_admit
+
+    mx = mn + width
+    fstats = {"c": [mn, mx]} if has_stats else {}
+    admitted = _stats_admit(fstats, {"c": (lo, hi)})
+    intersects = (lo is None or mx >= lo) and (hi is None or mn <= hi)
+    if not has_stats:
+        assert admitted
+    elif intersects:
+        assert admitted  # the one-sided safety property
+    else:
+        assert not admitted  # and pruning is exact for known stats
+
+
+_spark_prims = st.sampled_from(
+    [
+        T.BooleanType(),
+        T.IntegerType(),
+        T.LongType(),
+        T.FloatType(),
+        T.DoubleType(),
+        T.StringType(),
+        T.BinaryType(),
+        T.DateType(),
+        T.TimestampType(),
+        T.TimestampNTZType(),
+        T.DecimalType(30, 8),
+    ]
+)
+_spark_types = st.recursive(
+    _spark_prims,
+    lambda inner: st.one_of(
+        st.builds(T.ArrayType, inner, st.booleans()),
+        st.builds(T.MapType, _spark_prims, inner, st.booleans()),
+    ),
+    max_leaves=4,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_spark_types, min_size=1, max_size=4), st.data())
+def test_iceberg_schema_json_roundtrip(types, data):
+    """Spark -> Iceberg REST schema JSON -> Spark is the identity for the
+    full supported type matrix, including nullability at every level."""
+    from crest_spark.functions.schema_convert import (
+        iceberg_to_spark_schema,
+        spark_schema_to_iceberg,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField(f"c{i}", t, data.draw(st.booleans()))
+            for i, t in enumerate(types)
+        ]
+    )
+    assert iceberg_to_spark_schema(spark_schema_to_iceberg(schema)) == schema
