@@ -58,6 +58,11 @@ COMMENTARY = {
         "from the OR and pushes them into BOTH scans; part broadcasts so "
         "the fact table never shuffles."
     ),
+    "stats_percentiles": (
+        "Exact interpolated percentiles: one shuffle on the group key; "
+        "the group's values are materialized for the rank lookup — the "
+        "documented trade against approx_percentile's mergeable sketches."
+    ),
     "q45_dominant_suppliers": (
         "TPC-H Q20 shape: per-part totals as a window over the aggregated "
         "(partkey, suppkey) sums — one fact scan, one fact shuffle; the "
