@@ -107,3 +107,49 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset mixing: per-stratum deterministic sampling
+# ---------------------------------------------------------------------------
+
+# lang -> keep rate, expressed as a 2-hex-digit md5-prefix threshold out
+# of 256 ('40'=25%, '80'=50%, 'c0'=75%, '19'=~10%, 'zz'=keep all). The
+# thresholds are string compares on the hash prefix — identical bytes in
+# any engine, so the sample is reproducible across engines, reruns, AND
+# partitionings (rand()-based sampling is none of those).
+_MIX_RATES = {"en": "40", "es": "80", "de": "c0", "fr": "19", "zh": "zz"}
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+            CASE lang
+                {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in _MIX_RATES.items())}
+                ELSE '00' END
+        ORDER BY doc_id
+    """,
+    tags=("llm", "sampling", "curation"),
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: per-language keep rates applied as deterministic
+    content-hash thresholds (the q25 pattern, stratified).
+
+    This is how a training-data pipeline rebalances sources: each
+    stratum gets its own md5-prefix cutoff, evaluated row-local in the
+    scan — no shuffle, no state, embarrassingly parallel, and the same
+    doc survives on every engine/rerun/cluster size. Unknown strata
+    default to keep-nothing (fail-closed for new sources)."""
+    d = _docs(spark, sf_dir)
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    cutoff = F.lit("00")
+    for k, v in reversed(_MIX_RATES.items()):
+        cutoff = F.when(F.col("lang") == k, F.lit(v)).otherwise(cutoff)
+    return (
+        d.where(prefix < cutoff)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
