@@ -494,6 +494,25 @@ class LakehouseTable:
             return self.overwrite(clustered)
         return self.overwrite(df.coalesce(target_partitions))
 
+    def rollback(self, version: int) -> int:
+        """Roll the table back to ``version``'s snapshot: commits a NEW
+        replace pointing at that version's file set (Iceberg's
+        rollback-by-new-snapshot — history is preserved, nothing is
+        deleted, and concurrent readers are isolated as for any commit).
+        Metadata-only: no data is rewritten."""
+        state = self._state(upto=version)
+        return self._try_commit(
+            {
+                "operation": "replace",
+                "files": list(state["files"]),
+                "stats": dict(state.get("stats", {})),
+                "schema": state["schema"],
+                "commit_ts": time.time(),
+                "num_rows": state["num_rows"],
+                "extra": {"rollback_of": version},
+            }
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop history older than the last ``keep_last`` versions and
         delete data files no longer referenced by any retained snapshot.

@@ -172,3 +172,24 @@ def test_scan_keeps_files_without_stats(spark, sf_dir, tmp_path):
     _json.dump(rec, open(vfile, "w"))
     assert t.pruned_files({"r_regionkey": (0, 0)}) == t._state()["files"]
     assert t.scan(spark, {"r_regionkey": (0, 0)}).count() == 1
+
+
+def test_rollback_restores_old_snapshot_metadata_only(spark, sf_dir, tmp_path):
+    """rollback(v) commits a new replace pointing at v's files: current
+    read equals the old snapshot, history (incl. the bad commit) is
+    still time-travelable, and no data files were rewritten."""
+    src = load_table(spark, sf_dir, "region")
+    t = _cat(tmp_path).get_or_create_table("region_rb", src.schema)
+    v_good = t.append(src)
+    files_before = set(t._state()["files"])
+    t.append(src.limit(1))  # the "bad" commit
+    assert t.read(spark).count() == src.count() + 1
+    v_rb = t.rollback(v_good)
+    assert t.read(spark).count() == src.count()
+    assert t.row_count() == src.count()
+    # metadata-only: the rollback commit references the ORIGINAL files
+    assert set(t._state()["files"]) == files_before
+    # history preserved: the bad snapshot is still reachable
+    assert t.read(spark, version=v_rb - 1).count() == src.count() + 1
+    # stats carried over: pruning still works after rollback
+    assert t.scan(spark, {"r_regionkey": (0, 1)}).count() == 2
