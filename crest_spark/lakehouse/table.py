@@ -494,6 +494,39 @@ class LakehouseTable:
             return self.overwrite(clustered)
         return self.overwrite(df.coalesce(target_partitions))
 
+    def read_changes(
+        self, spark: SparkSession, after: int, upto: int | None = None
+    ) -> DataFrame:
+        """Incremental scan (Iceberg's incremental read): exactly the rows
+        appended by commits in ``(after, upto]``. Downstream consumers
+        checkpoint the last version they processed and read only the new
+        files — no diffing, no full-table re-read, O(new data) cost.
+
+        A ``replace`` commit in the range (compaction/overwrite/rollback)
+        raises: replaces rewrite history, so "what changed" is no longer
+        expressible as a file list. Callers either consume before
+        maintenance windows or restart from a full read — the same
+        contract Iceberg's incremental scan enforces."""
+        versions = [v for v in self.versions() if v > after]
+        if upto is not None:
+            versions = [v for v in versions if v <= upto]
+        files: list[str] = []
+        for v in versions:
+            with open(self._version_file(v)) as fh:
+                d = json.load(fh)
+            if d.get("operation") == "replace":
+                raise ValueError(
+                    f"incremental read across a replace commit (version {v}); "
+                    "re-read the full snapshot instead"
+                )
+            files.extend(d["files"])
+        schema = self.schema(upto)
+        if not files:
+            return spark.createDataFrame([], schema)
+        return (
+            spark.read.schema(schema).option("mergeSchema", "false").parquet(*files)
+        )
+
     def rollback(self, version: int) -> int:
         """Roll the table back to ``version``'s snapshot: commits a NEW
         replace pointing at that version's file set (Iceberg's

@@ -193,3 +193,24 @@ def test_rollback_restores_old_snapshot_metadata_only(spark, sf_dir, tmp_path):
     assert t.read(spark, version=v_rb - 1).count() == src.count() + 1
     # stats carried over: pruning still works after rollback
     assert t.scan(spark, {"r_regionkey": (0, 1)}).count() == 2
+
+
+def test_read_changes_incremental_consumption(spark, sf_dir, tmp_path):
+    """Incremental scan: rows appended in (after, upto], O(new files);
+    replaces in the range must raise (history was rewritten)."""
+    import pytest as _pytest
+
+    src = load_table(spark, sf_dir, "region")
+    t = _cat(tmp_path).get_or_create_table("region_inc", src.schema)
+    v1 = t.append(src)
+    v2 = t.append(src.limit(2))
+    v3 = t.append(src.limit(1))
+    assert t.read_changes(spark, after=v1).count() == 3
+    assert t.read_changes(spark, after=v1, upto=v2).count() == 2
+    assert t.read_changes(spark, after=v3).count() == 0  # empty, schema intact
+    t.compact(spark, target_partitions=1)
+    with _pytest.raises(ValueError, match="replace"):
+        t.read_changes(spark, after=v1)
+    # consuming only after the replace is fine again
+    v5 = t.append(src.limit(4))
+    assert t.read_changes(spark, after=v5 - 1).count() == 4
