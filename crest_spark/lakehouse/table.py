@@ -429,7 +429,7 @@ class LakehouseTable:
         self._maybe_checkpoint(version)
         return version
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, extra: dict | None = None) -> int:
         """Transactional full overwrite: new files + a ``replace`` commit
         that supersedes all prior data (readers at older versions still
         see the old snapshot — time travel preserved)."""
@@ -449,6 +449,7 @@ class LakehouseTable:
                 "schema": json.dumps(df.schema.jsonValue()),
                 "commit_ts": time.time(),
                 "num_rows": num_rows,
+                **({"extra": extra} if extra else {}),
             }
         )
         self._maybe_checkpoint(version)
@@ -491,8 +492,10 @@ class LakehouseTable:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-            return self.overwrite(clustered)
-        return self.overwrite(df.coalesce(target_partitions))
+            # compaction preserves the rowset — tagged so incremental
+            # consumers (read_changes, the crest_table stream) can skip it
+            return self.overwrite(clustered, extra={"compaction": True})
+        return self.overwrite(df.coalesce(target_partitions), extra={"compaction": True})
 
     def read_changes(
         self, spark: SparkSession, after: int, upto: int | None = None
@@ -502,11 +505,12 @@ class LakehouseTable:
         checkpoint the last version they processed and read only the new
         files — no diffing, no full-table re-read, O(new data) cost.
 
-        A ``replace`` commit in the range (compaction/overwrite/rollback)
-        raises: replaces rewrite history, so "what changed" is no longer
-        expressible as a file list. Callers either consume before
-        maintenance windows or restart from a full read — the same
-        contract Iceberg's incremental scan enforces."""
+        Compaction replaces are SKIPPED — they rewrite files but preserve
+        the rowset, so the delta they contribute is empty (their rows were
+        already delivered by the original appends). Any other ``replace``
+        (overwrite/rollback) raises: rewritten history is no longer
+        expressible as a file delta — the same contract Iceberg's
+        incremental scan enforces."""
         versions = [v for v in self.versions() if v > after]
         if upto is not None:
             versions = [v for v in versions if v <= upto]
@@ -515,6 +519,8 @@ class LakehouseTable:
             with open(self._version_file(v)) as fh:
                 d = json.load(fh)
             if d.get("operation") == "replace":
+                if d.get("extra", {}).get("compaction"):
+                    continue  # rowset-preserving: empty delta
                 raise ValueError(
                     f"incremental read across a replace commit (version {v}); "
                     "re-read the full snapshot instead"

@@ -196,8 +196,9 @@ def test_rollback_restores_old_snapshot_metadata_only(spark, sf_dir, tmp_path):
 
 
 def test_read_changes_incremental_consumption(spark, sf_dir, tmp_path):
-    """Incremental scan: rows appended in (after, upto], O(new files);
-    replaces in the range must raise (history was rewritten)."""
+    """Incremental scan: rows appended in (after, upto], O(new files).
+    Rowset-preserving compactions contribute an empty delta (their rows
+    were already delivered); true overwrites raise."""
     import pytest as _pytest
 
     src = load_table(spark, sf_dir, "region")
@@ -208,9 +209,12 @@ def test_read_changes_incremental_consumption(spark, sf_dir, tmp_path):
     assert t.read_changes(spark, after=v1).count() == 3
     assert t.read_changes(spark, after=v1, upto=v2).count() == 2
     assert t.read_changes(spark, after=v3).count() == 0  # empty, schema intact
+    # compaction: skipped, lagging consumers still get the appended rows
     t.compact(spark, target_partitions=1)
-    with _pytest.raises(ValueError, match="replace"):
-        t.read_changes(spark, after=v1)
-    # consuming only after the replace is fine again
+    assert t.read_changes(spark, after=v1).count() == 3
     v5 = t.append(src.limit(4))
     assert t.read_changes(spark, after=v5 - 1).count() == 4
+    # a TRUE overwrite rewrites history: must raise
+    t.overwrite(src.limit(2))
+    with _pytest.raises(ValueError, match="replace"):
+        t.read_changes(spark, after=v1)
