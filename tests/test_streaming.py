@@ -595,3 +595,59 @@ def test_crest_table_streaming_source(spark, sf_dir, tmp_path):
         assert set(got.columns) == {"r_regionkey", "r_name"}
     finally:
         q.stop()
+
+
+def test_crest_table_stream_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Offsets are commit versions in the engine checkpoint: rows appended
+    while the stream is DOWN are delivered exactly once on restart."""
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.sources.table_stream import register_table_stream
+    import time as _time
+
+    register_table_stream(spark)
+    src = load_table(spark, sf_dir, "region")
+    cat = LakehouseCatalog(str(tmp_path / "wh_rs"))
+    t = cat.get_or_create_table("region_rs", src.schema)
+    t.append(src)
+    ckpt = str(tmp_path / "ckpt_rs")
+    out = str(tmp_path / "out_rs")  # file sink: supports recovery
+
+    def start():
+        return (
+            spark.readStream.format("crest_table")
+            .option("warehouse", str(tmp_path / "wh_rs"))
+            .option("table", "region_rs")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def delivered():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:  # noqa: BLE001 — sink dir not created yet
+            return 0
+
+    q1 = start()
+    deadline = _time.time() + 60
+    while _time.time() < deadline and not q1.recentProgress:
+        _time.sleep(0.5)
+    t.append(src.limit(3))
+    while _time.time() < deadline and delivered() < 3:
+        _time.sleep(1)
+    assert delivered() == 3
+    q1.stop()
+
+    t.append(src.limit(2))  # appended while the stream is down
+    q2 = start()
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline and delivered() < 5:
+            _time.sleep(1)
+        # exactly the missed rows arrive — no replay of the 3 delivered
+        assert delivered() == 5
+    finally:
+        q2.stop()
