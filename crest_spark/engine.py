@@ -52,3 +52,20 @@ class Engine:
         from crest_spark.plans.checks import formatted_plan
 
         return formatted_plan(self.sql(query))
+
+    def stream_table(self, name: str, namespace: str = "default") -> DataFrame:
+        """Tail a lakehouse table as a stream (crest_table data source):
+        commit versions are the offsets, each micro-batch delivers the
+        newly appended files. Requires a warehouse-backed engine."""
+        if self.catalog is None:
+            raise ValueError("stream_table requires an engine with a warehouse")
+        from crest_spark.sources.table_stream import register_table_stream
+
+        register_table_stream(self.spark)
+        return (
+            self.spark.readStream.format("crest_table")
+            .option("warehouse", self.catalog.warehouse)
+            .option("namespace", namespace)
+            .option("table", name)
+            .load()
+        )

@@ -33,3 +33,17 @@ def test_engine_explain(spark, sf_dir):
     eng = Engine(spark, sf_dir=sf_dir)
     plan = eng.explain("SELECT l_orderkey FROM lineitem WHERE l_quantity > 30")
     assert "PushedFilters" in plan and "l_quantity" in plan
+
+
+def test_engine_stream_table(spark, sf_dir, tmp_path):
+    """Engine.stream_table returns a streaming DataFrame with the table's
+    schema, wired to the crest_table source."""
+    from crest_spark.engine import Engine
+    from crest_spark.sources.tables import load_table
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh_eng"))
+    src = load_table(spark, sf_dir, "region")
+    eng.catalog.get_or_create_table("region_es", src.schema).append(src)
+    stream = eng.stream_table("region_es")
+    assert stream.isStreaming
+    assert set(stream.columns) == {"r_regionkey", "r_name"}
