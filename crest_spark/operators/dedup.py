@@ -225,7 +225,11 @@ def minhash_band_rows(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    max_bucket: int = LSH_MAX_BUCKET,
+    order_col: str | None = None,
+) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs from (doc_id, band, sig)
     rows — one shuffle, degenerate-bucket safe.
 
@@ -237,19 +241,29 @@ def lsh_candidate_pairs(bands: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> D
 
     Degenerate-bucket guard (the 100 TB skew case): a bucket of B docs
     yields B^2/2 all-pairs candidates, and collect_list of a hot bucket
-    is itself an OOM vector. Bucket size and hub (min doc_id) come from
-    window functions over the SAME (band, sig) partitioning (no extra
-    shuffle, no arrays materialized); buckets over `max_bucket` emit
-    hub-spoke pairs only — O(B) rows that still connect every member
-    into one duplicate component for clustering, at the cost of not
-    enumerating every intra-bucket pair directly.
+    is itself an OOM vector. Bucket size and the chain predecessor come
+    from window functions over the SAME (band, sig) partitioning (one
+    shuffle + one sort, no arrays materialized); buckets over
+    ``max_bucket`` emit CHAIN edges only — each member linked to its
+    neighbor in ``(order_col, doc_id)`` order, O(B) rows that still
+    connect every member into one duplicate component for clustering,
+    at the cost of not enumerating every intra-bucket pair directly.
+
+    ``order_col`` (optional, e.g. the full simhash value) sorts hot
+    buckets so that near-identical members become chain-adjacent —
+    their edges then survive a downstream exact-distance verify, where
+    an arbitrary hub/spoke pairing would not.
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("band", "sig")
-    sized = bands.withColumn("bsz", F.count(F.lit(1)).over(w)).withColumn(
-        "hub", F.min("doc_id").over(w)
-    )
+    order_cols = ([order_col] if order_col else []) + ["doc_id"]
+    w = Window.partitionBy("band", "sig").orderBy(*order_cols)
+    sized = bands.withColumn(
+        "bsz",
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    ).withColumn("prev", F.lag("doc_id").over(w))
     small = (
         sized.where((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket))
         .groupBy("band", "sig")
@@ -261,8 +275,11 @@ def lsh_candidate_pairs(bands: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> D
         .where(F.col("doc_a") < F.col("doc_b"))
     )
     cand_big = sized.where(
-        (F.col("bsz") > max_bucket) & (F.col("doc_id") != F.col("hub"))
-    ).select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        (F.col("bsz") > max_bucket) & F.col("prev").isNotNull()
+    ).select(
+        F.least("prev", "doc_id").alias("doc_a"),
+        F.greatest("prev", "doc_id").alias("doc_b"),
+    )
     return cand_small.unionByName(cand_big).dropDuplicates(["doc_a", "doc_b"])
 
 
@@ -360,22 +377,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = d.select("doc_id", "shingles").mapInPandas(
         simhash_rows, "doc_id long, simhash long, band int, chunk long"
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Blocking goes through the degenerate-bucket-guarded pair miner
+    # (skewed vocabularies collapse the corpus onto few simhash values,
+    # making raw band self-joins B^2 on hot buckets). Hot buckets are
+    # chain-linked in SIMHASH order so identical/near-identical members
+    # stay adjacent and their edges survive the Hamming verify below.
+    cand = lsh_candidate_pairs(
+        bands.select("doc_id", "band", F.col("chunk").alias("sig"), "simhash"),
+        order_col="simhash",
+    )
+    sims = bands.select("doc_id", "simhash").dropDuplicates(["doc_id"])
+    sa = sims.select(F.col("doc_id").alias("_sa"), F.col("simhash").alias("sim_a"))
+    sb = sims.select(F.col("doc_id").alias("_sb"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        cand.join(sa, F.col("doc_a") == F.col("_sa"))
+        .join(sb, F.col("doc_b") == F.col("_sb"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
@@ -468,25 +486,25 @@ def dedup_simhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = simdf.select(
         "doc_id", "simhash", F.explode(band_structs).alias("bc")
     ).select("doc_id", "simhash", "bc.band", "bc.chunk")
-    buckets = (
-        bands.groupBy("band", "chunk")
-        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("members"))
-        .where(F.size("members") > 1)
+    # Same degenerate-bucket-guarded miner as minhash/simhash: IDF
+    # weighting makes hot buckets rare, not impossible (e.g. a corpus of
+    # one template), so the B^2 explode still needs the O(B) chain cap.
+    cand = lsh_candidate_pairs(
+        bands.select("doc_id", "band", F.col("chunk").alias("sig"), "simhash"),
+        order_col="simhash",
     )
-    a = F.col("a")
-    b = F.col("b")
+    sa = simdf.select(F.col("doc_id").alias("_sa"), F.col("simhash").alias("sim_a"))
+    sb = simdf.select(F.col("doc_id").alias("_sb"), F.col("simhash").alias("sim_b"))
     pairs = (
-        buckets.select(F.explode("members").alias("a"), "members")
-        .select("a", F.explode("members").alias("b"))
-        .where(a["doc_id"] < b["doc_id"])
+        cand.join(sa, F.col("doc_a") == F.col("_sa"))
+        .join(sb, F.col("doc_b") == F.col("_sb"))
         .select(
-            a["doc_id"].alias("doc_a"),
-            b["doc_id"].alias("doc_b"),
-            F.bit_count(a["simhash"].bitwiseXOR(b["simhash"]))
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
             .cast("int")
             .alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     return pairs.where(F.col("hamming") <= _WSIM_T).orderBy("doc_a", "doc_b")
 
@@ -520,58 +538,132 @@ _DUCK_COS = """
     tags=("llm", "dedup", "embedding"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup pairs: all-pairs cosine >= threshold, exact.
-    The threshold filter runs on the ROUNDED similarity in both engines
-    (raw doubles differ at 1e-13 between numpy GEMM and the oracle's
-    sequential fold — never let a boundary case disagree).
+    """Semantic near-dup pairs: all-pairs cosine >= threshold, exact —
+    fully distributed block x block GEMM, no driver-side corpus.
 
-    NOT a cross join: the normalized corpus matrix is broadcast once and
-    each Arrow batch of rows scores against it with a single numpy GEMM
-    (B x D)@(D x N) inside mapInPandas — ~100x faster than evaluating a
-    per-pair fold over n^2/2 joined rows, with only the (tiny) similar
-    pairs ever materialized. Holds while the corpus matrix fits in
-    executor memory (e.g. 1M x 64 floats = 256 MB); beyond that the
-    sub-quadratic path is ``ann_lsh_topk``'s hyperplane bucketing."""
+    See ``embedding_cosine_pairs`` for the plan; the threshold filter
+    runs on the ROUNDED similarity in both engines (raw doubles differ
+    at 1e-13 between numpy GEMM and the oracle's sequential fold —
+    never let a boundary case disagree)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(spark, em, _COS_T)
+
+
+_EMB_BLOCK_ROWS = 2048  # rows per packed block; a block pair's GEMM is
+# (2048 x D)@(D x 2048) -> 32 MB of float64 scores per task
+
+
+def embedding_cosine_pairs(
+    spark: SparkSession,
+    em: DataFrame,
+    threshold: float,
+    block_rows: int = _EMB_BLOCK_ROWS,
+) -> DataFrame:
+    """Exact all-pairs cosine >= ``threshold`` over (vec_id, embedding).
+
+    Plan (nothing ever lands on the driver):
+      1. one ``count()`` fixes the block count B = ceil(N / block_rows);
+      2. each vector hashes to a block; ``applyInPandas`` packs every
+         block into ONE row (ids array + row-normalized float64 matrix
+         bytes) — corpus shrinks to B fat rows;
+      3. a tiny (blk_a <= blk_b) pair-index DataFrame equi-joins the
+         packed blocks twice, so each task holds exactly two blocks;
+      4. ``mapInPandas`` runs one (R x D)@(D x R) GEMM per block pair
+         and emits only pairs above (threshold - margin); the
+         authoritative rounded filter runs Catalyst-side after.
+
+    Exact all-pairs is inherently O(N^2/block_rows) block pairs — each
+    block is shuffled ~B/2 times, which IS the data-movement lower bound
+    for exact pairwise scoring; for corpora where that's too much the
+    sub-quadratic routes are ``ann_ivf_topk``'s cell join or
+    ``ann_lsh_topk``'s hyperplane bucketing. Same-block pairs are
+    deduped by the upper-triangle mask, cross-block pairs by the
+    (blk_a <= blk_b) index, so every unordered pair scores exactly once.
+    """
+    import math
     from typing import Iterator
 
     import numpy as np
     import pandas as pd
 
-    em = load_table(spark, sf_dir, "embeddings")
-    rows = em.select("vec_id", "embedding").collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    normed = mat / norms
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(normed)
+    n = em.count()  # one scalar aggregate (parquet metadata count)
+    n_blocks = max(1, math.ceil(n / block_rows))
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            block = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            bn = np.linalg.norm(block, axis=1, keepdims=True)
-            bn[bn == 0] = 1.0
-            sims = (block / bn) @ all_mat.T  # (B x N)
-            bids = pdf["vec_id"].to_numpy()
-            # margin below the threshold: the authoritative (rounded)
-            # filter is applied Spark-side after this coarse prefilter
-            ai, bj = np.nonzero(sims >= _COS_T - 1e-4)
-            va, vb, s = bids[ai], all_ids[bj], sims[ai, bj]
-            keep = va < vb  # each unordered pair exactly once
-            yield pd.DataFrame(
-                {"vec_a": va[keep], "vec_b": vb[keep], "cos_raw": s[keep]}
-            )
-
-    pairs = em.select("vec_id", "embedding").mapInPandas(
-        score, "vec_a long, vec_b long, cos_raw double"
+    blocked = em.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
     )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat /= norms
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["blk"].iloc[0])],
+                "ids": [pdf["vec_id"].to_numpy().tolist()],
+                "mat": [mat.tobytes()],
+            }
+        )
+
+    packed = blocked.groupBy("blk").applyInPandas(
+        pack, "blk int, ids array<long>, mat binary"
+    )
+
+    pair_idx = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "blk_a int, blk_b int",
+    )
+    pa = packed.select(
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"),
+    )
+    pb = packed.select(
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"),
+    )
+    joined = pair_idx.join(pa, "blk_a").join(pb, "blk_b")
+
+    margin = threshold - 1e-4  # coarse prefilter; rounded filter is final
+
+    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.frombuffer(row.mat_a, dtype=np.float64).reshape(
+                    len(ids_a), -1
+                )
+                B = np.frombuffer(row.mat_b, dtype=np.float64).reshape(
+                    len(ids_b), -1
+                )
+                sims = A @ B.T
+                if row.blk_a == row.blk_b:
+                    # upper triangle only: each same-block pair once
+                    sims = np.where(
+                        np.arange(len(ids_a))[:, None] < np.arange(len(ids_b)),
+                        sims,
+                        -np.inf,
+                    )
+                ai, bj = np.nonzero(sims >= margin)
+                if len(ai) == 0:
+                    continue
+                va, vb, s = ids_a[ai], ids_b[bj], sims[ai, bj]
+                lo = np.minimum(va, vb)
+                hi = np.maximum(va, vb)
+                keep = lo < hi  # drop self-pairs from id hash collisions
+                yield pd.DataFrame(
+                    {"vec_a": lo[keep], "vec_b": hi[keep], "cos_raw": s[keep]}
+                )
+
+    pairs = joined.mapInPandas(gemm, "vec_a long, vec_b long, cos_raw double")
     return (
         pairs.select("vec_a", "vec_b", F.expr(round4("cos_raw")).alias("cos_sim"))
-        .where(F.col("cos_sim") >= _COS_T)
+        .where(F.col("cos_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
 

@@ -154,60 +154,94 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_LSH_BANDS = 4  # bands (16 signature bits reserved per band)
+_ANN_TARGET_BUCKET = 64  # desired bucket occupancy: sets the band width
+_ANN_MAX_BUCKET = 512  # hard per-bucket cap (skew guard)
+
+
+def ann_lsh_band_width(n_corpus: int) -> int:
+    """Band width (bits) so expected bucket occupancy ~= the target.
+
+    Bucket-key cardinality must GROW with the corpus or LSH degrades to
+    a near-linear scan: a fixed narrow width (the round-1 defect: 4 bits
+    -> 64 keys total) gives N/16 candidates per query and 64-way max
+    shuffle parallelism at any N. width = log2(N / target) holds
+    occupancy ~constant: 4 bits at 1k docs, 16 bits (65k keys/band) at
+    4M+, candidates ~= bands * target regardless of corpus size."""
+    import math
+
+    if n_corpus <= _ANN_TARGET_BUCKET:
+        return 4
+    return min(16, max(4, math.ceil(math.log2(n_corpus / _ANN_TARGET_BUCKET))))
+
+
 @register("ann_lsh_topk", oracle=None, tags=("llm", "similarity", "ann", "lsh"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate K-NN via random-hyperplane (sign) LSH.
 
-    16-bit signatures from seeded hyperplanes; corpus is bucketed by
-    signature band (4 bands x 4 bits), queries probe their buckets only,
-    exact cosine re-ranks the candidates. Sub-quadratic: candidate count
-    scales with bucket occupancy, not corpus size. Approximate => no SQL
-    oracle; pytest measures recall vs ann_brute_topk."""
-    import random
-
+    64-bit signatures (one Arrow-batched numpy GEMM against 64 seeded
+    hyperplanes — the per-plane Catalyst fold is interpreted, not
+    codegen'd, and was the slow path); corpus bucketed by signature band
+    (4 bands x ``ann_lsh_band_width(N)`` bits, so key cardinality scales
+    with the corpus), queries probe their buckets only, exact cosine
+    re-ranks the candidates. Two skew defenses: adaptive width keeps
+    expected occupancy ~64, and a hard per-bucket cap (row_number over
+    a deterministic hash order) bounds the worst case — an adversarial
+    corpus of near-identical vectors costs recall, never a hot-key
+    stall. Approximate => no SQL oracle; pytest measures recall vs
+    ann_brute_topk."""
     import numpy as np
 
-    rng = random.Random(7)
+    em = _emb(spark, sf_dir)
+    width = ann_lsh_band_width(em.count())
     dim = 64
-    n_bits = 16
-    planes = [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)
-    ]
+    rng = np.random.RandomState(7)
+    planes = rng.standard_normal((_ANN_LSH_BANDS * 16, dim))
 
-    def sig_expr(emb_col: str):
-        bits = []
-        for j, p in enumerate(planes):
-            lit = F.array(*[F.lit(x) for x in p])
-            d = F.aggregate(
-                F.zip_with(
-                    F.col(emb_col).cast("array<double>"), lit, lambda a, b: a * b
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    def sign_sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T) > 0  # (B x 64)
+            sig = np.packbits(bits, axis=1, bitorder="little").view(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "sig": sig.ravel(),
+                }
             )
-            bits.append(F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out.cast("int")
 
-    em = _emb(spark, sf_dir).withColumn("sig", sig_expr("embedding"))
+    sigged = em.select("vec_id", "embedding").mapInPandas(
+        sign_sigs, "vec_id long, embedding array<float>, sig long"
+    )
+    mask = (1 << width) - 1
     bands = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.shiftright(F.col("sig"), bi * 4).bitwiseAND(F.lit(0xF)).alias("chunk"),
+                F.shiftright(F.col("sig"), bi * 16)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
             )
-            for bi in range(4)
+            for bi in range(_ANN_LSH_BANDS)
         ]
     )
-    exploded = em.select(
+    exploded = sigged.select(
         "vec_id", "embedding", F.explode(bands).alias("bk")
     ).select(
         "vec_id",
         "embedding",
         F.col("bk.band").alias("band"),
         F.col("bk.chunk").alias("chunk"),
+    )
+    # skew guard: cap corpus-side bucket membership deterministically
+    wcap = Window.partitionBy("band", "chunk").orderBy(F.xxhash64("vec_id"))
+    corpus = (
+        exploded.withColumn("_rn", F.row_number().over(wcap))
+        .where(F.col("_rn") <= _ANN_MAX_BUCKET)
+        .drop("_rn")
     )
     queries = exploded.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -216,7 +250,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk",
     )
     cand = (
-        queries.join(exploded, ["band", "chunk"])
+        queries.join(corpus, ["band", "chunk"])
         .where(F.col("vec_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "vec_id"])
         .withColumn("sim_raw", cosine_sim(F.col("qemb"), F.col("embedding")))

@@ -48,8 +48,11 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
 
 
 def test_simhash_finds_exact_duplicates(spark, sf_dir, tmp_path):
-    """Hamming distance of identical texts is 0 -> exact dups must appear
-    in the simhash pair set (validated on a corpus with injected dups)."""
+    """Hamming distance of identical texts is 0 -> each injected exact
+    dup must land in the same duplicate COMPONENT as its original.
+    (Component-level, not pair-level: hot buckets are chain-linked by
+    the degenerate-bucket guard, so a dup pair may be connected through
+    hamming-0 chain edges rather than enumerated directly.)"""
     src = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .limit(50)
@@ -60,15 +63,23 @@ def test_simhash_finds_exact_duplicates(spark, sf_dir, tmp_path):
     src.union(dup).write.parquet(staged)
 
     import crest_spark.operators.dedup as dd
+    from crest_spark.operators.dedup import connected_components
 
     orig = dd._docs
     try:
         dd._docs = lambda s, _sf: s.read.parquet(staged).repartition(4, "doc_id")
-        pairs = _pairs(SPECS["dedup_simhash"].fn(spark, sf_dir))
+        pairs_df = SPECS["dedup_simhash"].fn(spark, sf_dir)
+        labels = {
+            r.v: r.label
+            for r in connected_components(
+                pairs_df.select("doc_a", "doc_b")
+            ).collect()
+        }
     finally:
         dd._docs = orig
     for i in range(50):
-        assert (i, i + 100000) in pairs
+        assert labels.get(i) is not None
+        assert labels.get(i) == labels.get(i + 100000)
 
 
 def test_approx_distinct_tolerance(spark, sf_dir):
@@ -159,10 +170,10 @@ def test_weighted_simhash_recall_vs_exact(spark, sf_dir):
     assert len(wpairs) < plain
 
 
-def test_lsh_degenerate_bucket_star_linked(spark):
+def test_lsh_degenerate_bucket_chain_linked(spark):
     """A hot LSH bucket (template spam: B docs with identical band
-    signatures) must produce O(B) hub-spoke candidates, not B^2/2
-    all-pairs — while still connecting every member to the hub so
+    signatures) must produce O(B) chain candidates, not B^2/2
+    all-pairs — while still connecting every member into one path so
     downstream clustering folds them into one duplicate component."""
     from crest_spark.operators.dedup import LSH_BANDS, lsh_candidate_pairs
 
@@ -174,10 +185,57 @@ def test_lsh_degenerate_bucket_star_linked(spark):
     pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(bands).collect()}
     big_pairs = {p for p in pairs if p[0] < 1000}
     small_pairs = pairs - big_pairs
-    # hot bucket: exactly B-1 star edges from the hub (min doc_id)
-    assert big_pairs == {(0, d) for d in range(1, big)}
+    # hot bucket: exactly B-1 chain edges linking neighbors in doc order
+    assert big_pairs == {(d, d + 1) for d in range(big - 1)}
     # normal bucket: full all-pairs enumeration
     assert small_pairs == {(1000, 1001), (1000, 1002), (1001, 1002)}
+
+
+def test_lsh_chain_order_col_groups_identical_values(spark):
+    """With order_col, hot-bucket chains sort by that column so equal
+    values (e.g. identical simhashes) become chain-adjacent — their
+    edges then survive an exact-distance verify."""
+    from crest_spark.operators.dedup import lsh_candidate_pairs
+
+    # one hot bucket of 100 docs: doc d has "simhash" d % 2 (two value
+    # groups interleaved by doc_id)
+    rows = [(d, 0, 7, d % 2) for d in range(100)]
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band int, sig long, simhash long"
+    )
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            bands, max_bucket=10, order_col="simhash"
+        ).collect()
+    ]
+    assert len(pairs) == 99  # O(B) chain
+    # all even docs chain together first, then odds: exactly one
+    # cross-group edge, every other edge joins same-parity neighbors
+    cross = [p for p in pairs if p[0] % 2 != p[1] % 2]
+    assert len(cross) == 1
+
+
+def test_embedding_cosine_multiblock_matches_single(spark, sf_dir):
+    """The distributed block x block GEMM must be exact: forcing many
+    tiny blocks (64 rows -> ~8 blocks, 36 block pairs) yields the same
+    pair set and similarities as one block (= a single full GEMM)."""
+    from crest_spark.operators.dedup import _COS_T, embedding_cosine_pairs
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one = SPECS["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    many = embedding_cosine_pairs(spark, em, _COS_T, block_rows=64).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+    assert len(one) > 0
+
+
+def test_embedding_cosine_no_driver_collect(spark, sf_dir):
+    """The embedding dedup plan must be the distributed shape: block
+    packing (FlatMapGroupsInPandas) + block-pair GEMM (two pandas
+    stages), not a driver-side corpus broadcast."""
+    df = SPECS["dedup_embedding_cosine"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # applyInPandas block packing
 
 
 def test_approx_percentiles_within_tolerance(spark, sf_dir):
