@@ -218,6 +218,10 @@ class LakehouseTable:
             )
         return snaps
 
+    def version(self) -> int:
+        """Current head version (0 = table does not exist yet)."""
+        return (self.versions() or [0])[-1]
+
     def exists(self) -> bool:
         return bool(self.versions())
 
@@ -319,10 +323,26 @@ class LakehouseTable:
         return set(state["committed"].get(writer_id, []))
 
     # --------------------------------------------------------------- commits
-    def _try_commit(self, record: dict) -> int:
+    def _try_commit(self, record: dict, expected_base: int | None = None) -> int:
+        """Atomically claim the next version slot.
+
+        ``expected_base``: optimistic-concurrency guard for read-modify-write
+        commits (merge/compact/conditional overwrite). The commit only
+        succeeds onto version ``expected_base + 1``; if any other writer
+        advanced the head after the caller read its base snapshot, raise
+        ``CommitConflict`` so the caller re-reads and re-derives — a
+        concurrent append can never be silently dropped by a stale rewrite
+        (Iceberg's validate-base / Delta's conflict-check semantics).
+        """
         os.makedirs(self.log_path, exist_ok=True)
         for _ in range(50):
-            version = (self.versions() or [0])[-1] + 1
+            head = (self.versions() or [0])[-1]
+            if expected_base is not None and head != expected_base:
+                raise CommitConflict(
+                    f"{self.namespace}.{self.name}: head advanced to v{head} "
+                    f"past base v{expected_base}; re-read and retry"
+                )
+            version = head + 1
             tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as fh:
                 json.dump(record, fh)
@@ -390,14 +410,26 @@ class LakehouseTable:
             table_schema = (
                 self._evolved_schema(current, incoming) if merge_schema else current
             )
-            # align: fill absent table columns with NULLs, order canonically
+            # align: fill absent table columns with NULLs, order canonically,
+            # and CAST to the pinned types — a same-name/different-type
+            # column must not commit parquet files that poison later reads
             aligned = df
             for f in table_schema.fields:
                 if f.name not in in_names:
                     aligned = aligned.withColumn(
                         f.name, F.lit(None).cast(f.dataType)
                     )
-            df = aligned.select(*[f.name for f in table_schema.fields])
+            in_types = {f.name: f.dataType for f in incoming.fields}
+            df = aligned.select(
+                *[
+                    (
+                        F.col(f.name)
+                        if in_types.get(f.name) in (None, f.dataType)
+                        else F.col(f.name).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in table_schema.fields
+                ]
+            )
         else:
             table_schema = df.schema
 
@@ -429,10 +461,22 @@ class LakehouseTable:
         self._maybe_checkpoint(version)
         return version
 
-    def overwrite(self, df: DataFrame, extra: dict | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        extra: dict | None = None,
+        expected_version: int | None = None,
+    ) -> int:
         """Transactional full overwrite: new files + a ``replace`` commit
         that supersedes all prior data (readers at older versions still
-        see the old snapshot — time travel preserved)."""
+        see the old snapshot — time travel preserved).
+
+        ``expected_version``: when the new contents were DERIVED from a
+        snapshot read (merge/compact), pass the version that was read; the
+        commit then fails with ``CommitConflict`` if any writer advanced
+        the table past it, instead of silently dropping the concurrent
+        commit's rows. A plain overwrite (df unrelated to current
+        contents) legitimately replaces whatever is there and passes None."""
         txn_dir = os.path.join(self.data_path, f"txn-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(txn_dir)
         files = sorted(
@@ -449,21 +493,79 @@ class LakehouseTable:
                 "schema": json.dumps(df.schema.jsonValue()),
                 "commit_ts": time.time(),
                 "num_rows": num_rows,
+                **(
+                    {"base_version": expected_version}
+                    if expected_version is not None
+                    else {}
+                ),
                 **({"extra": extra} if extra else {}),
-            }
+            },
+            expected_base=expected_version,
         )
         self._maybe_checkpoint(version)
         return version
 
-    def merge(self, spark: SparkSession, updates: DataFrame, key: str) -> int:
+    _MERGE_RETRIES = 5
+
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str,
+        sequence_col: str | None = None,
+    ) -> int:
         """Upsert (MERGE INTO semantics): rows in ``updates`` replace
         current rows with the same key; new keys are inserted. Implemented
-        as read-current -> anti-join -> union -> replace commit — one
-        atomic version, snapshot-isolated from concurrent readers."""
-        current = self.read(spark)
-        kept = current.join(updates.select(key), on=key, how="left_anti")
-        merged = kept.unionByName(updates.select(*current.columns))
-        return self.overwrite(merged)
+        as read-current -> per-key winner -> replace commit — one atomic
+        version, snapshot-isolated from concurrent readers.
+
+        ``sequence_col``: conditional-merge ordering (Delta's ``WHEN
+        MATCHED AND s.seq > t.seq`` / Flink CDC's event-time dedup). A
+        matched row is only replaced when the update's sequence value is
+        NOT LOWER than the current row's; on ties the update wins. This
+        makes the merge convergent under out-of-order or at-least-once
+        delivery — replaying an old batch can never regress a key. Without
+        it, last-writer-wins (only correct under ordered delivery).
+
+        Read-modify-write is conflict-validated: the replace only commits
+        if the table head is still the version that was read; a concurrent
+        append triggers an automatic re-read + re-merge (optimistic retry,
+        bounded), so no concurrent commit is ever silently dropped."""
+        from pyspark.sql.window import Window
+
+        last_err: Exception | None = None
+        for _ in range(self._MERGE_RETRIES):
+            base = self.version()
+            current = self.read(spark, version=base)
+            if sequence_col is None:
+                kept = current.join(updates.select(key), on=key, how="left_anti")
+                merged = kept.unionByName(updates.select(*current.columns))
+            else:
+                # union both sides, keep the per-key winner by (sequence
+                # desc, update-flag desc) — one shuffle on key, fully
+                # JVM-side; ties prefer the update (idempotent replay)
+                cur = current.withColumn("__is_upd", F.lit(0))
+                upd = updates.select(*current.columns).withColumn(
+                    "__is_upd", F.lit(1)
+                )
+                w = Window.partitionBy(key).orderBy(
+                    F.desc(sequence_col), F.desc("__is_upd")
+                )
+                merged = (
+                    cur.unionByName(upd)
+                    .withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1)
+                    .drop("__rn", "__is_upd")
+                )
+            try:
+                return self.overwrite(merged, expected_version=base)
+            except CommitConflict as e:
+                last_err = e
+                continue  # head advanced: re-read and re-derive
+        raise CommitConflict(
+            f"merge into {self.namespace}.{self.name} lost the commit race "
+            f"{self._MERGE_RETRIES} times"
+        ) from last_err
 
     def compact(
         self,
@@ -482,20 +584,38 @@ class LakehouseTable:
         column, so parquet row-group/file skipping prunes scans that
         filter on any of them — the multi-dimensional version of
         sort-on-one-column. Cost is a range shuffle of the rewritten
-        data, which a compaction pays anyway."""
-        df = self.read(spark)
-        if zorder_by:
-            z = _zorder_key(df, zorder_by)
-            clustered = (
-                df.withColumn("__z", z)
-                .repartitionByRange(target_partitions, F.col("__z"))
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
-            # compaction preserves the rowset — tagged so incremental
-            # consumers (read_changes, the crest_table stream) can skip it
-            return self.overwrite(clustered, extra={"compaction": True})
-        return self.overwrite(df.coalesce(target_partitions), extra={"compaction": True})
+        data, which a compaction pays anyway.
+
+        Conflict-validated like ``merge``: the replace only commits onto
+        the snapshot that was read; a concurrent append restarts the
+        rewrite rather than being silently dropped."""
+        last_err: Exception | None = None
+        for _ in range(self._MERGE_RETRIES):
+            base = self.version()
+            df = self.read(spark, version=base)
+            if zorder_by:
+                z = _zorder_key(df, zorder_by)
+                clustered = (
+                    df.withColumn("__z", z)
+                    .repartitionByRange(target_partitions, F.col("__z"))
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            else:
+                clustered = df.coalesce(target_partitions)
+            try:
+                # compaction preserves the rowset — tagged so incremental
+                # consumers (read_changes, the crest_table stream) skip it
+                return self.overwrite(
+                    clustered, extra={"compaction": True}, expected_version=base
+                )
+            except CommitConflict as e:
+                last_err = e
+                continue
+        raise CommitConflict(
+            f"compact of {self.namespace}.{self.name} lost the commit race "
+            f"{self._MERGE_RETRIES} times"
+        ) from last_err
 
     def read_changes(
         self, spark: SparkSession, after: int, upto: int | None = None

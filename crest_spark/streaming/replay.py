@@ -14,6 +14,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,8 +35,9 @@ def stage_slices(
     order_col). ``copies`` > 1 duplicates every slice (for dedup tests).
     Returns (staging_dir, schema). Idempotent per (source, n, copies).
     """
+    # v2: staging-format version bump — v1 dirs predate mtime staggering
     key = hashlib.md5(
-        f"{source_parquet}|{n_slices}|{order_col}|{copies}".encode()
+        f"v2|{source_parquet}|{n_slices}|{order_col}|{copies}".encode()
     ).hexdigest()[:12]
     dest = dest or os.path.join(tempfile.gettempdir(), f"crest_stage_{key}")
     from crest_spark.sources.tables import normalize_ns_timestamps
@@ -55,9 +57,33 @@ def stage_slices(
             # plain subdir names (no '=': must NOT look like partition cols)
             for copy in range(copies):
                 sliced.write.mode("append").parquet(os.path.join(dest, f"c{copy}"))
+        _stagger_mtimes(dest)
         with open(done_marker, "w") as fh:
             fh.write("ok")
     return dest, df.schema
+
+
+def _stagger_mtimes(dest: str) -> None:
+    """Force strictly increasing mtimes on the slice files in (copy, part)
+    order. One parquet job writes every slice with a single mtime, and
+    Spark's FileStreamSource orders candidate files by modification time —
+    identical stamps make the ``maxFilesPerTrigger=1`` replay order
+    arbitrary, which broke the determinism this module promises (an
+    ordered CDC replay saw batches out of event order). part-NNNNN names
+    follow partition index, and ``repartitionByRange`` assigns ranges in
+    ascending ``order_col`` order, so filename order IS event order."""
+    files = []
+    for root, _dirs, names in os.walk(dest):
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                files.append(os.path.join(root, n))
+    files.sort()  # (copy-subdir, part index) lexicographic = delivery order
+    now = int(time.time())
+    for i, f in enumerate(files):
+        # whole-second spacing (> any FS/stream-source timestamp granularity),
+        # all stamps in the past so no source ever considers them "not yet"
+        ts = now - (len(files) - i)
+        os.utime(f, (ts, ts))
 
 
 def read_stream(

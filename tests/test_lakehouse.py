@@ -166,3 +166,118 @@ def test_log_checkpointing(spark, catalog, sf_dir):
         cv >= t.versions()[0] for cv in t._checkpoint_versions()
     )
     assert t.read(spark).count() == 11 * n
+
+
+def test_merge_sequence_out_of_order_converges(spark, catalog, sf_dir):
+    """Sequence-conditioned MERGE (Delta's WHEN MATCHED AND s.seq > t.seq):
+    delivering event batches deliberately OUT of order still converges to
+    the per-key row with the highest sequence — a replayed stale batch can
+    never regress a key. This is the at-least-once-safety the reference's
+    repoll loop (ingestor.go:131-152) lacks."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
+    span = (hi - lo + 1) // 4 + 1
+    slices = [
+        events.where(
+            (F.col("event_id") >= lo + i * span)
+            & (F.col("event_id") < lo + (i + 1) * span)
+        ).cache()
+        for i in range(4)
+    ]
+    t = catalog.get_or_create_table("user_latest", events.schema)
+    for i in (2, 0, 3, 1):  # deliberately out of event order
+        latest = (
+            slices[i]
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        t.merge(spark, latest, key="user_id", sequence_col="event_id")
+    out = {r["user_id"]: r["event_id"] for r in t.read(spark).collect()}
+    expected = {
+        r["user_id"]: r["mx"]
+        for r in events.groupBy("user_id").agg(F.max("event_id").alias("mx")).collect()
+    }
+    assert out == expected
+    for s in slices:
+        s.unpersist()
+
+
+def test_overwrite_conflict_detected(spark, catalog, sf_dir):
+    """A derived replace (expected_version set) must NOT commit over a head
+    that advanced past its base snapshot."""
+    from crest_spark.lakehouse.table import CommitConflict
+
+    src = load_table(spark, sf_dir, "region")
+    t = catalog.get_or_create_table("region", src.schema)
+    t.append(src)
+    base = t.version()
+    t.append(src)  # concurrent writer advances the head
+    with pytest.raises(CommitConflict, match="head advanced"):
+        t.overwrite(src, expected_version=base)
+    # unconditional overwrite (not derived from a read) still allowed
+    t.overwrite(src)
+    assert t.read(spark).count() == src.count()
+
+
+def test_merge_retries_past_concurrent_append(spark, catalog, sf_dir):
+    """A concurrent append landing between merge's read and its commit is
+    never silently dropped: the merge detects the conflict, re-reads, and
+    the appended rows survive in the final state."""
+    src = load_table(spark, sf_dir, "nation")
+    t = catalog.get_or_create_table("nation", src.schema)
+    t.append(src.where(F.col("n_nationkey") < 20))
+
+    extra = src.where(F.col("n_nationkey") >= 20).cache()
+    n_extra = extra.count()
+    assert n_extra > 0
+
+    real_overwrite = t.overwrite
+    injected = {"done": False}
+
+    def racing_overwrite(df, extra_meta=None, expected_version=None, **kw):
+        if not injected["done"]:
+            injected["done"] = True
+            t.append(extra)  # lands AFTER merge read its base snapshot
+        return real_overwrite(
+            df, extra=extra_meta, expected_version=expected_version, **kw
+        )
+
+    t.overwrite = racing_overwrite
+    try:
+        updates = src.where(F.col("n_nationkey") < 5).withColumn(
+            "n_name", F.lit("MERGED")
+        )
+        t.merge(spark, updates, key="n_nationkey")
+    finally:
+        t.overwrite = real_overwrite
+
+    out = t.read(spark)
+    assert injected["done"]
+    # the concurrently-appended rows survived the merge's replace
+    assert out.where(F.col("n_nationkey") >= 20).count() == n_extra
+    assert out.where(F.col("n_name") == "MERGED").count() == 5
+    extra.unpersist()
+
+
+def test_append_casts_to_pinned_schema(spark, catalog, sf_dir):
+    """A same-name/different-type append is cast to the pinned table types
+    instead of committing parquet files that poison subsequent reads."""
+    src = load_table(spark, sf_dir, "region")
+    t = catalog.get_or_create_table("region", src.schema)
+    t.append(src)
+    drifted = src.withColumn("r_regionkey", F.col("r_regionkey").cast("string"))
+    t.append(drifted)  # would previously commit string-typed parquet
+    out = t.read(spark)  # must still read as one coherent schema
+    assert out.schema == t.schema()
+    assert out.count() == 2 * src.count()
+    assert dict(out.groupBy("r_regionkey").count().collect())  # scan executes

@@ -404,7 +404,9 @@ def test_streaming_cdc_upsert_into_lakehouse(spark, sf_dir, tmp_path):
         if t.read(spark).count() == 0:
             t.append(latest)
         else:
-            t.merge(spark, latest, key="user_id")
+            # sequence-conditioned: convergent even if the file stream
+            # ever delivered micro-batches out of event order
+            t.merge(spark, latest, key="user_id", sequence_col="event_id")
 
     stream = read_stream(spark, staging, schema, files_per_trigger=1)
     q = (
@@ -651,3 +653,28 @@ def test_crest_table_stream_resumes_from_checkpoint(spark, sf_dir, tmp_path):
         assert delivered() == 5
     finally:
         q2.stop()
+
+
+def test_stage_slices_mtimes_ordered(spark, sf_dir, tmp_path):
+    """Replay determinism contract: slice files carry strictly increasing
+    mtimes in range order, so FileStreamSource's mtime ordering delivers
+    micro-batches in event order (one parquet job otherwise stamps every
+    slice identically and the replay order is arbitrary)."""
+    import os
+
+    staging, _ = stage_slices(
+        spark,
+        table_path(sf_dir, "events"),
+        n_slices=4,
+        order_col="event_id",
+        dest=str(tmp_path / "stage_mtime"),
+    )
+    files = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(staging)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert len(files) >= 2
+    assert all(b - a >= 1.0 for a, b in zip(mtimes, mtimes[1:]))
