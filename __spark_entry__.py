@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from crest_spark.registry import load_all
+from crest_spark.registry import load_all, ordered_registry
 
 _SF0001 = "/root/testdata/sf0.001"
 
@@ -23,8 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in load_all().items()}
+    """One entry per implemented operator from SURVEY.md §2, category-
+    interleaved so any checked prefix spans every operator category."""
+    return {name: spec.fn for name, spec in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -34,6 +35,6 @@ def oracle_sql() -> dict[str, str]:
     pytest cross-validation in tests/."""
     return {
         name: spec.oracle
-        for name, spec in load_all().items()
+        for name, spec in ordered_registry().items()
         if spec.oracle is not None
     }

@@ -27,6 +27,7 @@ class QuerySpec:
     oracle: str | None = None
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    module: str = ""
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -114,7 +115,12 @@ def register(
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         REGISTRY[name] = QuerySpec(
-            name=name, fn=wrapped, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
+            name=name,
+            fn=wrapped,
+            oracle=oracle,
+            tags=tags,
+            doc=(fn.__doc__ or "").strip(),
+            module=fn.__module__,
         )
         return fn
 
@@ -139,3 +145,34 @@ def load_all() -> dict[str, QuerySpec]:
     import crest_spark.streaming.queries  # noqa: F401
 
     return REGISTRY
+
+
+def ordered_registry() -> dict[str, QuerySpec]:
+    """The registry re-ordered so that ANY prefix spans the operator
+    categories: round-robin one query per defining module, oracle-bearing
+    entries first within each module (registration order otherwise
+    preserved).
+
+    Why: the correctness driver checks a fixed-size prefix of ``queries()``
+    in iteration order. A module-sequential order front-loads two modules
+    and leaves whole categories (tpch shapes, subqueries, text, stats,
+    similarity, udf, streaming parity) with zero driver-side coverage;
+    interleaving puts ≥3 queries from every category inside the first 50.
+    """
+    specs = load_all()
+    by_module: dict[str, list[QuerySpec]] = {}
+    for spec in specs.values():
+        by_module.setdefault(spec.module, []).append(spec)
+    for queue in by_module.values():
+        queue.sort(key=lambda s: s.oracle is None)  # stable: oracles first
+    ordered: dict[str, QuerySpec] = {}
+    queues = list(by_module.values())
+    i = 0
+    while any(queues):
+        for queue in queues:
+            if i < len(queue):
+                ordered[queue[i].name] = queue[i]
+        i += 1
+        if all(i >= len(q) for q in queues):
+            break
+    return ordered

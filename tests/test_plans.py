@@ -131,3 +131,23 @@ def test_q45_single_fact_scan(spark, sf_dir):
     df = SPECS["q45_dominant_suppliers"].fn(spark, sf_dir)
     assert simple_plan(df).count("lineitem.parquet") == 1
     assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_q37_region_filter_below_fact_joins(spark, sf_dir):
+    """The ASIA restriction must be applied dim-side BEFORE the fact
+    joins: the outermost join is fact⋈(supplier⋈nation⋈region) — never a
+    post-hoc nation/region join over already-joined fact rows — and
+    customer is semi-pruned to ASIA nations ahead of the fact shuffles."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["q37_local_supplier_volume"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines, plan
+    # topmost join closes over the supplier key, not region/nation keys
+    assert "l_suppkey" in join_lines[0], join_lines[0]
+    assert "r_regionkey" not in join_lines[0], join_lines[0]
+    # customer pruned to ASIA nations before it rides any fact shuffle
+    assert any("LeftSemi" in ln for ln in join_lines), join_lines
+    # region predicate reaches the parquet scan
+    assert has_pushed_filter(df, "r_name")
