@@ -551,6 +551,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_BLOCK_ROWS = 2048  # rows per packed block; a block pair's GEMM is
 # (2048 x D)@(D x 2048) -> 32 MB of float64 scores per task
+_EMB_SINGLE_BLOCK_ROWS = 8192  # corpora at or under this skip the pair-join
+# machinery entirely (one packed block, one GEMM; 8192^2 f64 scores = 512 MB
+# peak in the single task — a small-corpus-only trade)
 
 
 def embedding_cosine_pairs(
@@ -558,6 +561,7 @@ def embedding_cosine_pairs(
     em: DataFrame,
     threshold: float,
     block_rows: int = _EMB_BLOCK_ROWS,
+    single_block_rows: int = _EMB_SINGLE_BLOCK_ROWS,
 ) -> DataFrame:
     """Exact all-pairs cosine >= ``threshold`` over (vec_id, embedding).
 
@@ -574,9 +578,9 @@ def embedding_cosine_pairs(
 
     Exact all-pairs is inherently O(N^2/block_rows) block pairs — each
     block is shuffled ~B/2 times, which IS the data-movement lower bound
-    for exact pairwise scoring; for corpora where that's too much the
-    sub-quadratic routes are ``ann_ivf_topk``'s cell join or
-    ``ann_lsh_topk``'s hyperplane bucketing. Same-block pairs are
+    for exact pairwise scoring; for corpora where that's too much, the
+    sub-quadratic semantic-dedup route is ``dedup_embedding_ann``
+    (hyperplane-LSH blocking + exact-cosine verify, same output schema). Same-block pairs are
     deduped by the upper-triangle mask, cross-block pairs by the
     (blk_a <= blk_b) index, so every unordered pair scores exactly once.
     """
@@ -587,7 +591,13 @@ def embedding_cosine_pairs(
     import pandas as pd
 
     n = em.count()  # one scalar aggregate (parquet metadata count)
-    n_blocks = max(1, math.ceil(n / block_rows))
+    # small-corpus fast path: one block, no pair-index join — recovers the
+    # fixed pack-shuffle + pair-join + mapInPandas overhead that dominated
+    # small runs (pass single_block_rows=0 to force the multi-block plan)
+    if n <= single_block_rows:
+        n_blocks = 1
+    else:
+        n_blocks = max(1, math.ceil(n / block_rows))
 
     blocked = em.select(
         "vec_id",
@@ -612,21 +622,34 @@ def embedding_cosine_pairs(
         pack, "blk int, ids array<long>, mat binary"
     )
 
-    pair_idx = spark.createDataFrame(
-        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
-        "blk_a int, blk_b int",
-    )
-    pa = packed.select(
-        F.col("blk").alias("blk_a"),
-        F.col("ids").alias("ids_a"),
-        F.col("mat").alias("mat_a"),
-    )
-    pb = packed.select(
-        F.col("blk").alias("blk_b"),
-        F.col("ids").alias("ids_b"),
-        F.col("mat").alias("mat_b"),
-    )
-    joined = pair_idx.join(pa, "blk_a").join(pb, "blk_b")
+    if n_blocks == 1:
+        # one packed row: pair it with itself, no join machinery at all
+        joined = packed.select(
+            F.col("blk").alias("blk_a"),
+            F.col("blk").alias("blk_b"),
+            F.col("ids").alias("ids_a"),
+            F.col("mat").alias("mat_a"),
+            F.col("ids").alias("ids_b"),
+            F.col("mat").alias("mat_b"),
+        )
+    else:
+        # upper-triangle block-pair index built DISTRIBUTED via
+        # spark.range — a driver-side Python list is B(B+1)/2 tuples
+        # (1.2e9 at B=50k blocks), this is two lazy range scans
+        ra = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk_a"))
+        rb = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk_b"))
+        pair_idx = ra.join(rb, F.col("blk_a") <= F.col("blk_b"))
+        pa = packed.select(
+            F.col("blk").alias("blk_a"),
+            F.col("ids").alias("ids_a"),
+            F.col("mat").alias("mat_a"),
+        )
+        pb = packed.select(
+            F.col("blk").alias("blk_b"),
+            F.col("ids").alias("ids_b"),
+            F.col("mat").alias("mat_b"),
+        )
+        joined = pair_idx.join(pa, "blk_a").join(pb, "blk_b")
 
     margin = threshold - 1e-4  # coarse prefilter; rounded filter is final
 
@@ -664,6 +687,88 @@ def embedding_cosine_pairs(
     return (
         pairs.select("vec_a", "vec_b", F.expr(round4("cos_raw")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_EMB_ANN_BANDS = 8  # independent hyperplane bands; recall = 1-(1-p^w)^bands
+
+
+@register(
+    "dedup_embedding_ann",
+    oracle=None,
+    tags=("llm", "dedup", "embedding", "ann", "lsh"),
+)
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs, SUB-QUADRATIC: random-hyperplane LSH
+    blocking + exact-cosine verify of candidates only — the at-scale
+    default where ``dedup_embedding_cosine``'s O(B²) block pairs are
+    unaffordable (its docstring routes here).
+
+    Plan: one Arrow-batched numpy GEMM against ``bands × width`` seeded
+    hyperplanes emits per-band integer bucket keys directly (no 64-bit
+    intermediate — key cardinality per band is ``2^width`` with width
+    adaptive in the corpus size, the ann_lsh_topk lesson: a fixed narrow
+    key set degrades LSH to a near-linear scan). Candidates come from the
+    shared guarded miner (hot buckets chain-linked, O(B) rows, no
+    collect_list blowup), then exact cosine re-scores ONLY candidates and
+    the threshold filter is authoritative. Precision is exact (1.0) by
+    construction; recall is the LSH trade and is pytest-gated against the
+    exact pair set. Approximate + hash-seeded => no SQL oracle."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    from crest_spark.functions.vectors import cosine_sim
+    from crest_spark.operators.similarity import ann_lsh_band_width
+
+    em = load_table(spark, sf_dir, "embeddings")
+    width = ann_lsh_band_width(em.count())
+    n_bands = _EMB_ANN_BANDS
+    rng = np.random.RandomState(41)
+    dim = len(em.select("embedding").first()[0])
+    planes = rng.standard_normal((n_bands * width, dim))
+    weights = (1 << np.arange(width, dtype=np.int64))
+
+    def band_keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T) > 0  # (B x bands*width)
+            out_doc, out_band, out_sig = [], [], []
+            for bi in range(n_bands):
+                chunk = bits[:, bi * width : (bi + 1) * width]
+                keys = chunk @ weights  # pack w bits -> int key
+                out_doc.append(pdf["vec_id"].to_numpy())
+                out_band.append(np.full(len(pdf), bi, dtype=np.int32))
+                out_sig.append(keys)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_doc),
+                    "band": np.concatenate(out_band),
+                    "sig": np.concatenate(out_sig),
+                }
+            )
+
+    bands = em.select("vec_id", "embedding").mapInPandas(
+        band_keys, "doc_id long, band int, sig long"
+    )
+    cand = lsh_candidate_pairs(bands).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    ea = em.select(F.col("vec_id").alias("_va"), F.col("embedding").alias("emb_a"))
+    eb = em.select(F.col("vec_id").alias("_vb"), F.col("embedding").alias("emb_b"))
+    verified = (
+        cand.join(ea, F.col("vec_a") == F.col("_va"))
+        .join(eb, F.col("vec_b") == F.col("_vb"))
+        .withColumn("cos_raw", cosine_sim(F.col("emb_a"), F.col("emb_b")))
+    )
+    return (
+        verified.select(
+            "vec_a", "vec_b", F.expr(round4("cos_raw")).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= _COS_T)
         .orderBy("vec_a", "vec_b")
     )
 
