@@ -40,6 +40,20 @@ class RestCatalogError(RuntimeError):
         self.status = status
 
 
+
+def _ident(name: str) -> str:
+    """URL-encode one identifier for a REST path segment."""
+    return urllib.parse.quote(name, safe="")
+
+
+def _ns(namespace: str) -> str:
+    """Encode a (possibly multi-level, dot-separated) namespace for a REST
+    path: levels joined with the %1F unit separator, as the Iceberg REST
+    OpenAPI spec requires — names with '/', spaces, or dots would
+    otherwise hit the wrong route or be split into bogus path segments."""
+    return urllib.parse.quote("\x1f".join(namespace.split(".")), safe="")
+
+
 class RestCatalogClient:
     """Minimal Iceberg REST catalog client (namespace + table DDL)."""
 
@@ -100,12 +114,12 @@ class RestCatalogClient:
         return sorted(".".join(ns) for ns in out.get("namespaces", []))
 
     def list_tables(self, namespace: str) -> list[str]:
-        out = self._call("GET", f"/namespaces/{namespace}/tables")
+        out = self._call("GET", f"/namespaces/{_ns(namespace)}/tables")
         return sorted(ident["name"] for ident in out.get("identifiers", []))
 
     def table_exists(self, namespace: str, name: str) -> bool:
         try:
-            self._call("GET", f"/namespaces/{namespace}/tables/{name}")
+            self._call("GET", f"/namespaces/{_ns(namespace)}/tables/{_ident(name)}")
             return True
         except RestCatalogError as e:
             if e.status == 404:
@@ -117,7 +131,7 @@ class RestCatalogClient:
     ) -> dict[str, Any]:
         return self._call(
             "POST",
-            f"/namespaces/{namespace}/tables",
+            f"/namespaces/{_ns(namespace)}/tables",
             {
                 "name": name,
                 "schema": spark_schema_to_iceberg(schema),
@@ -126,7 +140,7 @@ class RestCatalogClient:
         )
 
     def load_table(self, namespace: str, name: str) -> dict[str, Any]:
-        return self._call("GET", f"/namespaces/{namespace}/tables/{name}")
+        return self._call("GET", f"/namespaces/{_ns(namespace)}/tables/{_ident(name)}")
 
     def table_schema(self, namespace: str, name: str) -> StructType:
         """Current schema of a table, as a Spark StructType."""

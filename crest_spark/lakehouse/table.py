@@ -104,8 +104,11 @@ def _stats_admit(fstats: dict[str, list], predicates: dict[str, tuple]) -> bool:
         if col not in fstats:
             continue  # unknown: cannot prune
         mn, mx = fstats[col]
-        if (lo is not None and mx < lo) or (hi is not None and mn > hi):
-            return False
+        try:
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                return False
+        except TypeError:
+            continue  # bound/stat type mismatch: cannot prove exclusion
     return True
 
 
@@ -294,6 +297,12 @@ class LakehouseTable:
                 state["committed"].setdefault(d["writer_id"], []).append(
                     d["batch_id"]
                 )
+            # a fold-boundary commit written by expire_snapshots carries the
+            # expired prefix's idempotence map — restore it so replayed
+            # batch ids stay no-ops after history expiration
+            for w, bids in d.get("extra", {}).get("committed", {}).items():
+                cur = state["committed"].setdefault(w, [])
+                cur.extend(b for b in bids if b not in cur)
             state["version"] = v
         return state
 
@@ -695,8 +704,14 @@ class LakehouseTable:
             live_files.update(s.files)
         expired = []
         removable: set[str] = set()
-        # fold the expired prefix into a checkpoint-style base commit
+        # fold the expired prefix into a checkpoint-style base commit;
+        # rows fold WITH replace semantics (a replace supersedes prior
+        # rows — summing across it would overcount), while the
+        # idempotence map folds across replaces (batch-id memory must
+        # survive rewrites or replayed batches double-commit)
         base_files: list[str] = []
+        base_rows = 0
+        folded_committed: dict[str, list[int]] = {}
         for v in versions:
             if v >= cutoff:
                 break
@@ -704,8 +719,12 @@ class LakehouseTable:
             if s.operation == "replace":
                 removable.update(base_files)
                 base_files = list(s.files)
+                base_rows = max(s.num_rows, 0)
             else:
                 base_files.extend(s.files)
+                base_rows += max(s.num_rows, 0)
+            if s.writer_id is not None and s.batch_id is not None:
+                folded_committed.setdefault(s.writer_id, []).append(s.batch_id)
             expired.append(v)
         if not expired:
             return []
@@ -723,10 +742,7 @@ class LakehouseTable:
             "files": merged_files,
             "schema": first_keep.schema_json,
             "commit_ts": first_keep.commit_ts,
-            "num_rows": sum(
-                max(by_version[v].num_rows, 0) for v in expired
-            )
-            + max(first_keep.num_rows, 0)
+            "num_rows": base_rows + max(first_keep.num_rows, 0)
             if first_keep.operation != "replace"
             else first_keep.num_rows,
             "writer_id": first_keep.writer_id,
@@ -734,7 +750,14 @@ class LakehouseTable:
             # recompute pruning stats for the merged prefix (metadata-only;
             # losing them would only degrade skipping, but it's cheap)
             "stats": _footer_stats([f for f in merged_files if os.path.exists(f)]),
-            "extra": {"checkpointed": expired},
+            # preserve first_keep's tags (e.g. a compaction replace at the
+            # cutoff must keep its 'compaction' marker or read_changes
+            # raises on it) and carry the folded idempotence map
+            "extra": {
+                **first_keep.extra,
+                "checkpointed": expired,
+                "committed": folded_committed,
+            },
         }
         tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:

@@ -114,20 +114,28 @@ def sample_frames(
     schema = f"{id_col} long, frame_idx int, frame_md5 string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        suffixes = [i.to_bytes(4, "little") for i in range(n_frames)]
         for pdf in batches:
             if pdf.empty:
                 continue
-            out_ids, out_idx, out_md5 = [], [], []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col])
-                for i in range(n_frames):
-                    out_ids.append(row[id_col])
-                    out_idx.append(i)
-                    out_md5.append(
-                        hashlib.md5(payload + i.to_bytes(4, "little")).hexdigest()
-                    )
+            # vectorized explode: ids/indexes by numpy repeat/tile; the md5
+            # per (payload, frame) stays a Python call (hashlib has no
+            # batch API) but the row bookkeeping no longer iterrows()
+            payloads = [bytes(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
-                {id_col: out_ids, "frame_idx": out_idx, "frame_md5": out_md5}
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_frames),
+                    "frame_idx": np.tile(
+                        np.arange(n_frames, dtype=np.int32), len(pdf)
+                    ),
+                    "frame_md5": [
+                        hashlib.md5(p + sfx).hexdigest()
+                        for p in payloads
+                        for sfx in suffixes
+                    ],
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import urllib.parse
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -40,7 +41,8 @@ def make_handler(state: FakeCatalogState):
         def do_GET(self):
             state.requests.append(f"GET {self.path}")
             path = self.path.split("?")[0]
-            parts = [p for p in path.split("/") if p]
+            parts = [urllib.parse.unquote(p) for p in path.split("/") if p]
+            parts = [p.replace("\x1f", ".") for p in parts]
             if path.startswith("/v1/config"):
                 return self._send(200, {"defaults": {}, "overrides": {}})
             if path == "/v1/namespaces":
@@ -64,7 +66,8 @@ def make_handler(state: FakeCatalogState):
 
         def do_POST(self):
             state.requests.append(f"POST {self.path}")
-            parts = [p for p in self.path.split("/") if p]
+            parts = [urllib.parse.unquote(p) for p in self.path.split("/") if p]
+            parts = [p.replace("\x1f", ".") for p in parts]
             body = self._body()
             if self.path == "/v1/namespaces":
                 ns = body["namespace"][0]

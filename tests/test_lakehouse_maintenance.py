@@ -218,3 +218,35 @@ def test_read_changes_incremental_consumption(spark, sf_dir, tmp_path):
     t.overwrite(src.limit(2))
     with _pytest.raises(ValueError, match="replace"):
         t.read_changes(spark, after=v1)
+
+
+def test_expire_folds_replace_rows_batches_and_tags(spark, sf_dir, tmp_path):
+    """Expiration edge cases: (a) row counts fold WITH replace semantics
+    (no overcount when the expired prefix contains a compaction);
+    (b) expired commits' (writer_id, batch_id) pairs survive in the fold
+    so replayed batches stay no-ops after history expiration; (c) a
+    compaction replace sitting exactly at the cutoff keeps its tag, so
+    incremental consumers still skip it instead of raising."""
+    src = load_table(spark, sf_dir, "region")
+    n = src.count()
+    t = _cat(tmp_path).get_or_create_table("region_exp", src.schema)
+    t.append(src, writer_id="w", batch_id=0)           # v2
+    t.append(src, writer_id="w", batch_id=1)           # v3
+    t.compact(spark, target_partitions=1)              # v4 replace (expired)
+    t.append(src, writer_id="w", batch_id=2)           # v5
+    v_compact2 = t.compact(spark, target_partitions=1) # v6 replace AT cutoff
+    v7 = t.append(src, writer_id="w", batch_id=3)      # v7 retained
+
+    expired = t.expire_snapshots(keep_last=2)  # cutoff = v6 (the compaction)
+    assert expired and max(expired) < v_compact2
+
+    # (a) rows exact — the expired replace superseded batches 0-1
+    assert t.row_count() == 4 * n
+    assert t.read(spark).count() == 4 * n
+    # (b) idempotence memory survives expiration: replays are no-ops
+    for b in (0, 1, 2):
+        assert t.append(src, writer_id="w", batch_id=b) is None
+    assert t.read(spark).count() == 4 * n
+    # (c) the fold-boundary compaction kept its tag: incremental reads
+    # from it do not raise and deliver exactly the post-cutoff appends
+    assert t.read_changes(spark, after=v_compact2).count() == n

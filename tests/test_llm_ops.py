@@ -304,3 +304,45 @@ def test_embedding_cosine_single_block_fast_path(spark, sf_dir):
             spark, em, _COS_T, block_rows=64, single_block_rows=0
         ).collect()
     ]
+
+
+def test_ann_lsh_high_recall_on_clustered_embeddings(spark, sf_dir):
+    """On CLUSTERED embeddings (what real model embeddings look like —
+    near-dup neighbors at cosine ~0.95, not the near-random synthetic
+    corpus), hyperplane LSH must achieve high recall: p(bit agree) =
+    1 - theta/pi ~= 0.9 per plane, so 4 bands of adaptive width recover
+    nearly every true neighbor. The lax 0.2 floor on the random corpus
+    asserts little; this is the gate that matters."""
+    import numpy as np
+
+    import crest_spark.operators.similarity as sim
+
+    rng = np.random.RandomState(11)
+    n_clusters, per_cluster, dim = 40, 25, 64
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[ci] + 0.05 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # queries (vec_id 0..4) land in 5 distinct clusters: cluster ci owns
+    # ids [ci*25, ci*25+25), so ids 0..4 are all cluster 0 — reassign by
+    # shuffling ids deterministically so queries spread across clusters
+    perm = rng.permutation(len(rows))
+    rows = [(int(perm[i]), emb) for i, (_, emb) in enumerate(rows)]
+    clustered = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    orig = sim._emb
+    try:
+        sim._emb = lambda s, _sf: clustered
+        brute = SPECS["ann_brute_topk"].fn(spark, sf_dir).collect()
+        approx = SPECS["ann_lsh_topk"].fn(spark, sf_dir).collect()
+    finally:
+        sim._emb = orig
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    a = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.8, f"clustered-corpus recall {recall}"

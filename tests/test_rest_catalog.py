@@ -163,3 +163,22 @@ def test_ingest_survives_catalog_outage(spark, sf_dir, tmp_path):
         spark, sf_dir, "region"
     ).count()
     assert svc._registered == set()  # still pending — would retry next batch
+
+
+def test_identifiers_url_encoded(fake_server):
+    """Identifiers with spaces, slashes, and dotted (multi-level)
+    namespaces survive the REST path round-trip: levels join with the
+    %1F unit separator and every segment is percent-encoded, per the
+    Iceberg REST OpenAPI spec — raw interpolation would 404 or split
+    names into bogus path segments."""
+    url, state = fake_server
+    cat = RestCatalogClient(url)
+    cat.create_namespace("team a.prod")  # dotted => two levels, one with a space
+    cat.create_table("team a.prod", "events/v2 raw", SCHEMA)
+    assert cat.table_exists("team a.prod", "events/v2 raw")
+    assert cat.list_tables("team a.prod") == ["events/v2 raw"]
+    assert not cat.table_exists("team a.prod", "events")
+    # the wire paths really were encoded (no raw space or interior slash)
+    wire = [r for r in state.requests if "tables" in r]
+    assert wire and all(" a" not in r.split(" ", 1)[1] for r in wire)
+    assert all("%2F" in r.split(" ", 1)[1] for r in wire if "v2" in r)
