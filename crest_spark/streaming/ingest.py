@@ -37,12 +37,18 @@ from crest_spark.sources.tables import normalize_ns_timestamps
 @dataclass
 class SourceSpec:
     """One streaming source -> one target table (reference: one goroutine
-    per (server, view), ``ingestor.go:87-96``)."""
+    per (server, view), ``ingestor.go:87-96``).
+
+    Either a staged parquet dir (``path``) or an Arrow Flight server
+    (``flight_location`` [+ ``flight_prefix``] — the reference's actual
+    ingress, flight_reader.go, served by ``sources/flight_source.py``)."""
 
     name: str  # target table name
-    path: str  # staged parquet dir (file source)
+    path: str | None = None  # staged parquet dir (file source)
     files_per_trigger: int = 1
     namespace: str | None = None
+    flight_location: str | None = None  # grpc://host:port
+    flight_prefix: str | None = None  # descriptor-path filter (view name)
 
 
 @dataclass
@@ -147,15 +153,28 @@ class IngestionService:
         """Start every source's streaming query (reference Start(),
         ``ingestor.go:58-102``)."""
         for src in self.config.sources:
-            schema = normalize_ns_timestamps(
-                self.spark.read.parquet(src.path)
-            ).schema
-            stream = (
-                self.spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", src.files_per_trigger)
-                .option("recursiveFileLookup", "true")
-                .parquet(src.path)
-            )
+            if src.flight_location is not None:
+                from crest_spark.sources.flight_source import (
+                    register_flight_source,
+                )
+
+                register_flight_source(self.spark)
+                reader = self.spark.readStream.format("crest_flight").option(
+                    "location", src.flight_location
+                )
+                if src.flight_prefix:
+                    reader = reader.option("prefix", src.flight_prefix)
+                stream = reader.load()
+            else:
+                schema = normalize_ns_timestamps(
+                    self.spark.read.parquet(src.path)
+                ).schema
+                stream = (
+                    self.spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", src.files_per_trigger)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(src.path)
+                )
             writer = (
                 stream.writeStream.foreachBatch(self._sink(src))
                 .option(

@@ -1,0 +1,216 @@
+"""Arrow Flight source tests against an in-process FlightServerBase —
+the reference's ingress path (flight_reader.go: ListFlights discovery,
+GetFlightInfo schema fetch, per-endpoint DoGet) driven through Spark's
+Python Data Source API, including the exactly-once-on-restart upgrade
+over the reference's at-least-once repoll."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.flight as fl
+import pyarrow.parquet as pq
+import pytest
+
+from crest_spark.sources.flight_source import register_flight_source
+from crest_spark.sources.tables import table_path
+
+
+class SliceFlightServer(fl.FlightServerBase):
+    """Changelog-shaped Flight server: each published slice is one
+    flight named ``<view>/tick-NNNN`` with a single endpoint whose
+    ticket is the flight name (the reference's RisingWave-view layout,
+    one level up: successive ticks are new flights, not re-reads)."""
+
+    def __init__(self):
+        super().__init__("grpc://127.0.0.1:0")
+        self.tables: dict[str, pa.Table] = {}
+
+    @property
+    def location(self) -> str:
+        return f"grpc://127.0.0.1:{self.port}"
+
+    def publish(self, name: str, table: pa.Table) -> None:
+        self.tables[name] = table
+
+    def _info(self, name: str) -> fl.FlightInfo:
+        t = self.tables[name]
+        desc = fl.FlightDescriptor.for_path(*name.split("/"))
+        ep = fl.FlightEndpoint(name.encode(), [self.location])
+        return fl.FlightInfo(t.schema, desc, [ep], t.num_rows, t.nbytes)
+
+    def list_flights(self, context, criteria):
+        for name in sorted(self.tables):
+            yield self._info(name)
+
+    def get_flight_info(self, context, descriptor):
+        name = "/".join(p.decode() for p in descriptor.path)
+        if name not in self.tables:
+            raise fl.FlightUnavailableError(f"no flight {name}")
+        return self._info(name)
+
+    def do_get(self, context, ticket):
+        return fl.RecordBatchStream(self.tables[ticket.ticket.decode()])
+
+
+def _events_us(sf_dir: str) -> pa.Table:
+    """events with timestamps cast ns->us (Flight carries Arrow types
+    verbatim; Spark has no nanosecond timestamp)."""
+    t = pq.read_table(table_path(sf_dir, "events"))
+    schema = pa.schema(
+        [
+            pa.field(f.name, pa.timestamp("us"))
+            if pa.types.is_timestamp(f.type)
+            else f
+            for f in t.schema
+        ]
+    )
+    return t.cast(schema)
+
+
+@pytest.fixture()
+def server():
+    srv = SliceFlightServer()
+    yield srv
+    srv.shutdown()
+
+
+def _slices(t: pa.Table, n: int) -> list[pa.Table]:
+    step = (t.num_rows + n - 1) // n
+    return [t.slice(i * step, step) for i in range(n)]
+
+
+def test_flight_batch_read_matches_source(spark, sf_dir, server):
+    events = _events_us(sf_dir)
+    for i, s in enumerate(_slices(events, 3)):
+        server.publish(f"events/tick-{i:04d}", s)
+    server.publish("other_view/tick-0000", events.slice(0, 5))
+
+    register_flight_source(spark)
+    df = (
+        spark.read.format("crest_flight")
+        .option("location", server.location)
+        .option("prefix", "events/")
+        .load()
+    )
+    # schema inferred via GetFlightInfo; rows exactly the 3 events slices
+    assert df.count() == events.num_rows
+    assert set(df.columns) == set(events.schema.names)
+    got = sorted(r["event_id"] for r in df.select("event_id").collect())
+    assert got == sorted(events.column("event_id").to_pylist())
+
+
+def test_flight_stream_exactly_once_across_restart(spark, sf_dir, server, tmp_path):
+    """S-parity: stream events through the Flight source into a lakehouse
+    table; kill after the first drain, publish more flights, restart from
+    the same checkpoint — every row lands exactly once (no dups from the
+    restart overlap, no loss; the upgrade over ingestor.go's repoll)."""
+    from crest_spark.lakehouse import LakehouseCatalog
+
+    events = _events_us(sf_dir)
+    slices = _slices(events, 4)
+    for i, s in enumerate(slices[:2]):
+        server.publish(f"events/tick-{i:04d}", s)
+
+    register_flight_source(spark)
+    catalog = LakehouseCatalog(str(tmp_path / "wh_flight"))
+
+    def sink(df, batch_id):
+        t = catalog.get_or_create_table("events_flight", df.schema)
+        t.append(df, writer_id="flight.events", batch_id=batch_id)
+
+    def drain():
+        q = (
+            spark.readStream.format("crest_flight")
+            .option("location", server.location)
+            .option("prefix", "events/")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_flight"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # phase 1: first two flights
+    t = catalog.table("events_flight")
+    phase1 = t.read(spark).count()
+    assert phase1 == sum(s.num_rows for s in slices[:2])
+
+    for i, s in enumerate(slices[2:], start=2):
+        server.publish(f"events/tick-{i:04d}", s)
+    drain()  # phase 2: restart from checkpoint, only the new flights
+    assert t.read(spark).count() == events.num_rows
+
+    drain()  # phase 3: nothing new -> no dups
+    assert t.read(spark).count() == events.num_rows
+    ids = sorted(r["event_id"] for r in t.read(spark).select("event_id").collect())
+    assert ids == sorted(events.column("event_id").to_pylist())
+
+
+def test_flight_offset_ignores_expired_flights(spark, sf_dir, server, tmp_path):
+    """Server-side GC of consumed flights must not re-shift offsets: the
+    watermark is the last consumed NAME, so dropping older flights leaves
+    the stream position intact."""
+    events = _events_us(sf_dir)
+    slices = _slices(events, 3)
+    server.publish("events/tick-0000", slices[0])
+    server.publish("events/tick-0001", slices[1])
+
+    register_flight_source(spark)
+    out: list[int] = []
+
+    def sink(df, batch_id):
+        out.append(df.count())
+
+    def drain():
+        q = (
+            spark.readStream.format("crest_flight")
+            .option("location", server.location)
+            .option("prefix", "events/")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_gc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    del server.tables["events/tick-0000"]  # server expires a consumed flight
+    server.publish("events/tick-0002", slices[2])
+    drain()
+    assert sum(out) == events.num_rows  # slice 3 delivered once, no replays
+
+
+def test_ingestion_service_flight_source(spark, sf_dir, server, tmp_path):
+    """Full pipeline parity: IngestionService wired to a Flight source —
+    the reference's Flight -> Iceberg flow (ingestor.go:58-203) as one
+    config entry, with the lakehouse sink's exactly-once batch ids."""
+    from crest_spark.streaming.ingest import (
+        IngestConfig,
+        IngestionService,
+        SourceSpec,
+    )
+
+    events = _events_us(sf_dir)
+    for i, s in enumerate(_slices(events, 3)):
+        server.publish(f"events/tick-{i:04d}", s)
+
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh_svc"),
+        checkpoint_root=str(tmp_path / "ckpt_svc"),
+        sources=[
+            SourceSpec(
+                name="events",
+                flight_location=server.location,
+                flight_prefix="events/",
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    t = svc.catalog.table("events")
+    assert t.read(spark).count() == events.num_rows
+    svc2 = IngestionService(spark, cfg)
+    svc2.run_once()  # nothing new: no dups
+    assert t.read(spark).count() == events.num_rows
