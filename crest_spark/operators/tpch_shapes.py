@@ -60,15 +60,18 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 def q28_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: 5-way join, derived year key, grouped profit.
 
-    supplier/nation/part are broadcast; lineitem-orders is the only
-    fact-fact shuffle (on orderkey). The part filter prunes lineitem rows
-    before the wide join.
+    The filtered part side and bounded nation are broadcast-HINTED;
+    supplier joins WITHOUT a hint — it scales with SF, and an explicit
+    broadcast of an unfiltered SF-scaling dim forces an OOM build at
+    100 TB, while AQE still auto-broadcasts it whenever it fits under
+    the threshold. lineitem-orders is the only fact-fact shuffle (on
+    orderkey); the part filter prunes lineitem rows before the wide join.
     """
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(F.broadcast(_t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")),
                 F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(_t(spark, sf_dir, "supplier")),
+        .join(_t(spark, sf_dir, "supplier"),  # SF-scaling: AQE decides
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(_t(spark, sf_dir, "nation")),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -631,7 +634,8 @@ def q31_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.join(
-            F.broadcast(_t(spark, sf_dir, "supplier")),
+            # unfiltered SF-scaling dim: no broadcast hint, AQE decides
+            _t(spark, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")

@@ -16,8 +16,10 @@ aggregates go through DECIMAL(30,8); threshold comparisons are
 cross-multiplied into exact integer/decimal arithmetic (no float
 boundaries); every ORDER BY ... LIMIT has a total tiebreak on a key.
 
-Scale posture: dims (part/supplier/nation/region, and the derived
-part-supplier pairs at ~|parts|x|avg suppliers| rows) broadcast; lineitem
+Scale posture: bounded or pre-filtered dims are broadcast-HINTED;
+SF-scaling unfiltered dims (supplier, full part) join without a hint so
+AQE picks the strategy — an explicit broadcast of an unbounded side is a
+forced OOM at 100 TB, while AQE still broadcasts it while it fits; lineitem
 and orders are the shuffle sides and always join on their natural keys;
 correlated subqueries are written decorrelated (per-key aggregate joined
 back) which is the only shape that survives 100 TB — one shuffle on the
@@ -86,12 +88,15 @@ def q35_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan Catalyst produces for the correlated spelling, and the only shape
     that scales. The MIN comparison is raw-value equality (MIN returns an
     element of the set, no arithmetic), so no float-boundary risk.
-    supplier and the filtered part side broadcast; the distinct
+    The filtered part side is broadcast-hinted; supplier (SF-scaling,
+    unfiltered) joins without a hint so AQE picks the strategy — a forced
+    broadcast of an unbounded dim is an OOM at 100 TB. The distinct
     part-supplier pairs shuffle once on (partkey, suppkey).
     """
     ps = _part_supp(spark, sf_dir)
     sup = _t(spark, sf_dir, "supplier")
-    pss = ps.join(F.broadcast(sup), ps.l_suppkey == sup.s_suppkey)
+    # supplier scales with SF: no broadcast hint, AQE decides
+    pss = ps.join(sup, ps.l_suppkey == sup.s_suppkey)
     per_part_min = pss.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("s_acctbal").alias("min_bal")
     )
@@ -331,7 +336,7 @@ def q39_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))  # SF-scaling: AQE
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(F.expr(share).alias("mkt_share"))
         .orderBy("o_year")
