@@ -19,6 +19,9 @@ Example:
       - name: events
         path: /staging/events
         filesPerTrigger: 1
+      - name: views            # Arrow Flight ingress (the reference's
+        flight: grpc://host:port   # flight.servers entry, config.go:29-33)
+        flightPrefix: events/  # descriptor-path filter (view selection)
     compaction:
       afterFiles: 32
       targetFiles: 4
@@ -75,12 +78,17 @@ def load_config(path: str) -> EngineConfig:
     sources = [
         SourceSpec(
             name=s["name"],
-            path=s["path"],
+            path=s.get("path"),
             files_per_trigger=int(s.get("filesPerTrigger", 1)),
             namespace=s.get("namespace"),
+            flight_location=s.get("flight"),
+            flight_prefix=s.get("flightPrefix"),
         )
         for s in raw.get("sources", [])
     ]
+    for s in sources:
+        if s.path is None and s.flight_location is None:
+            raise ValueError(f"source {s.name}: needs either 'path' or 'flight'")
 
     compaction = raw.get("compaction", {})
     ingest = IngestConfig(

@@ -63,6 +63,18 @@ COMMENTARY = {
         "the group's values are materialized for the rank lookup — the "
         "documented trade against approx_percentile's mergeable sketches."
     ),
+    "q37_local_supplier_volume": (
+        "TPC-H Q5 shape: the ASIA restriction is applied dim-side BEFORE "
+        "any fact table — supplier joins nation x region('ASIA') and THAT "
+        "filtered result is the broadcast build side; customer is "
+        "semi-pruned to ASIA nations ahead of the two fact shuffles."
+    ),
+    "q28_profit_by_nation_year": (
+        "TPC-H Q9 shape: filtered part and bounded nation broadcast-"
+        "hinted; unfiltered supplier joins WITHOUT a hint (SF-scaling "
+        "side; a forced broadcast is an OOM at 100 TB, AQE still "
+        "broadcasts while it fits)."
+    ),
     "q45_dominant_suppliers": (
         "TPC-H Q20 shape: per-part totals as a window over the aggregated "
         "(partkey, suppkey) sums — one fact scan, one fact shuffle; the "

@@ -214,3 +214,34 @@ def test_ingestion_service_flight_source(spark, sf_dir, server, tmp_path):
     svc2 = IngestionService(spark, cfg)
     svc2.run_once()  # nothing new: no dups
     assert t.read(spark).count() == events.num_rows
+
+
+def test_config_parses_flight_source(tmp_path):
+    """YAML config wires a Flight source (the reference's flight.servers
+    entry, config.go:29-33) into a SourceSpec; a source with neither
+    path nor flight is rejected."""
+    import pytest as _pytest
+
+    from crest_spark.config import load_config
+
+    cfg_file = tmp_path / "cfg.yaml"
+    cfg_file.write_text(
+        """
+warehouse: data/wh
+sources:
+  - name: events
+    flight: grpc://127.0.0.1:9999
+    flightPrefix: events/
+  - name: staged
+    path: /staging/x
+"""
+    )
+    cfg = load_config(str(cfg_file))
+    f, s = cfg.ingest.sources
+    assert f.flight_location == "grpc://127.0.0.1:9999"
+    assert f.flight_prefix == "events/" and f.path is None
+    assert s.path == "/staging/x" and s.flight_location is None
+
+    cfg_file.write_text("sources:\n  - name: broken\n")
+    with _pytest.raises(ValueError, match="path.*or.*flight"):
+        load_config(str(cfg_file))
