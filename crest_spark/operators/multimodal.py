@@ -158,3 +158,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size("features").cast("int").alias("feature_dim"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_features_hex",
+    oracle="""
+        SELECT doc_id,
+               substring(sha256(text), 1, 2 * 8) AS feature_hex,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "binary"),
+)
+def multimodal_features_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated twin of ``multimodal_features``: the SAME Arrow-batched
+    Python decode path (mapInPandas over binary payloads), projected as the
+    raw digest-prefix hex instead of float features — float32 feature
+    values can't hash-compare across engines, the bytes they derive from
+    can. This pins the pandas-UDF plumbing (batch shape, binary transfer,
+    per-payload decode) against DuckDB exactly."""
+    dim = FEATURE_DIM
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feature_hex": [
+                        _hashlib.sha256(p).digest()[:dim].hex() for p in payloads
+                    ],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    feats = with_payload.mapInPandas(
+        run, "doc_id long, feature_hex string, n_bytes long"
+    )
+    return feats.orderBy("doc_id")
