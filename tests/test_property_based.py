@@ -161,3 +161,48 @@ def test_iceberg_schema_json_roundtrip(types, data):
         ]
     )
     assert iceberg_to_spark_schema(spark_schema_to_iceberg(schema)) == schema
+
+
+# ---------------------------------------------------------------------------
+# _stats_admit: pruning is a pure optimization (one-sided safety)
+# ---------------------------------------------------------------------------
+
+_stat_values = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=8),
+    st.booleans(),
+)
+_bounds = st.one_of(st.none(), _stat_values)
+
+
+@given(
+    mn=_stat_values,
+    mx=_stat_values,
+    lo=_bounds,
+    hi=_bounds,
+)
+@settings(max_examples=300, deadline=None)
+def test_stats_admit_never_raises_and_never_wrongly_prunes(mn, mx, lo, hi):
+    """For ANY recorded [min,max] and ANY requested (lo,hi) — including
+    type-mismatched combinations — _stats_admit must (a) never raise and
+    (b) only exclude a file when the recorded range PROVABLY misses the
+    request. Pruning errs open: a kept file costs a read, a wrongly
+    dropped file is a wrong query result."""
+    from crest_spark.lakehouse.table import _stats_admit
+
+    if isinstance(mn, type(mx)) and not isinstance(mn, bool) or (
+        isinstance(mn, (int, float)) and isinstance(mx, (int, float))
+    ):
+        lo_, hi_ = (mn, mx) if mn <= mx else (mx, mn)
+    else:
+        lo_, hi_ = mn, mn  # mixed-type stat: degenerate single-value range
+    admitted = _stats_admit({"c": [lo_, hi_]}, {"c": (lo, hi)})
+    # (b): if everything is comparable and the ranges intersect, the file
+    # MUST be admitted (the one-sided contract)
+    try:
+        intersects = (lo is None or hi_ >= lo) and (hi is None or lo_ <= hi)
+    except TypeError:
+        return  # incomparable: (a) already proven by the call above
+    if intersects:
+        assert admitted
