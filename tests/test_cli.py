@@ -1,0 +1,41 @@
+"""CLI entrypoint smoke (SURVEY §2.1 O18/O19): config load with reference
+defaults, one-shot drain (--once), metrics listener wiring — the
+process-lifecycle surface previously only exercised manually."""
+
+from __future__ import annotations
+
+import json
+
+from crest_spark.cli import main
+from crest_spark.lakehouse import LakehouseCatalog
+from crest_spark.sources.tables import load_table, table_path
+from crest_spark.streaming.replay import stage_slices
+
+
+def test_cli_once_drains_config_sources(spark, sf_dir, tmp_path):
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "region"), n_slices=2, order_col="r_regionkey"
+    )
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"""
+warehouse: {tmp_path / 'wh'}
+checkpoints: {tmp_path / 'ckpt'}
+sources:
+  - name: region
+    path: {staging}
+metrics:
+  enabled: true
+  collectionPath: {tmp_path / 'metrics.jsonl'}
+"""
+    )
+    assert main(["--config", str(cfg), "--once"]) == 0
+    t = LakehouseCatalog(str(tmp_path / "wh")).table("region")
+    expected = load_table(spark, sf_dir, "region").count()
+    assert t.read(spark).count() == expected
+    # a second --once run is a no-op (checkpointed offsets, idempotent ids)
+    assert main(["--config", str(cfg), "--once"]) == 0
+    assert t.read(spark).count() == expected
+    # the metrics listener wrote progress records
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    assert lines and all(json.loads(ln) for ln in lines)
