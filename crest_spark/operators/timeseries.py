@@ -174,3 +174,97 @@ def q34_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_epoch")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution rollup (hypertable continuous-aggregate shape)
+# ---------------------------------------------------------------------------
+
+_MULTIRES_SQL = """
+    WITH minute AS (
+        SELECT event_type,
+               time_bucket(INTERVAL 1 MINUTE, ts) AS m_bucket,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(30,8))) AS sv
+        FROM events GROUP BY 1, 2
+    ),
+    hour AS (
+        SELECT event_type,
+               time_bucket(INTERVAL 1 HOUR, m_bucket) AS h_bucket,
+               SUM(n) AS n, SUM(sv) AS sv,
+               COUNT(*) AS active_minutes
+        FROM minute GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(FLOOR(epoch(time_bucket(INTERVAL 1 DAY, h_bucket))) AS BIGINT)
+               AS day_epoch,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(ROUND(CAST(SUM(sv) AS DOUBLE), 4) AS DOUBLE) AS sum_value,
+           CAST(SUM(active_minutes) AS BIGINT) AS active_minutes,
+           CAST(COUNT(*) AS BIGINT) AS active_hours
+    FROM hour
+    GROUP BY 1, time_bucket(INTERVAL 1 DAY, h_bucket)
+    ORDER BY event_type, day_epoch
+"""
+
+
+@register(
+    "q46_multires_rollup",
+    oracle=_MULTIRES_SQL,
+    tags=("timeseries", "agg", "rollup"),
+)
+def q46_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading multi-resolution rollup (the hypertable continuous-
+    aggregate shape): minute buckets from raw events, hour buckets FROM
+    the minute aggregates, day buckets FROM the hour aggregates — plus
+    per-level activity counts that are only expressible on the cascade
+    (distinct active minutes/hours per day).
+
+    Scale rationale: the raw table is touched ONCE, at minute grain;
+    every coarser resolution re-aggregates the previous level's already
+    ~1000x-reduced output, so the day rollup over 100 TB costs one fact
+    scan + two metadata-scale shuffles (each level's partial aggregate
+    is map-side combined before its exchange). Sums stay in
+    DECIMAL(30,8) across levels so the cascade is bit-identical to a
+    direct day aggregation regardless of partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("m_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("sv"),
+        )
+    )
+    hour = (
+        minute.groupBy(
+            "event_type", F.date_trunc("hour", "m_bucket").alias("h_bucket")
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sv").alias("sv"),
+            F.count(F.lit(1)).alias("active_minutes"),
+        )
+    )
+    return (
+        hour.groupBy(
+            "event_type", F.date_trunc("day", "h_bucket").alias("d_bucket")
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.round(F.sum("sv").cast("double"), 4).alias("sum_value"),
+            F.sum("active_minutes").cast("bigint").alias("active_minutes"),
+            F.count(F.lit(1)).cast("bigint").alias("active_hours"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("d_bucket").cast("bigint").alias("day_epoch"),
+            "n_events",
+            "sum_value",
+            "active_minutes",
+            "active_hours",
+        )
+        .orderBy("event_type", "day_epoch")
+    )
