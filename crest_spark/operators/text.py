@@ -216,3 +216,92 @@ def text_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "w")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary heavy hitters (Misra-Gries sketch -> exact recount)
+# ---------------------------------------------------------------------------
+
+_HH_PHI = 0.002  # report words with frequency >= 0.2% of all tokens
+_HH_K = 2048  # Misra-Gries counters per partition (>= 1/phi guarantees
+# the candidate set is a SUPERSET of every true phi-heavy hitter)
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+        WITH words AS (
+            SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+        ),
+        total AS (SELECT COUNT(*) AS n FROM words)
+        SELECT word, COUNT(*) AS n_occurrences
+        FROM words, total
+        GROUP BY word, total.n
+        HAVING COUNT(*) >= {_HH_PHI} * total.n
+        ORDER BY n_occurrences DESC, word
+    """,
+    tags=("llm", "text", "sketch", "heavy-hitters"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi-heavy-hitter words via the two-pass sketch pattern:
+
+    pass 1 — a Misra-Gries summary per partition (``mapInPandas``,
+    k = 2048 >= 1/phi counters) emits each partition's candidate words;
+    MG guarantees any item with global frequency >= phi survives in at
+    least one partition's summary, so the union is a SUPERSET of the
+    true heavy hitters at bounded memory (k counters per task, no
+    full-vocabulary shuffle);
+    pass 2 — only the candidates (a tiny broadcast semi-join) are
+    exactly recounted and thresholded.
+
+    Output is EXACT (hence the SQL oracle) while the full-vocabulary
+    groupBy a naive plan needs — billions of distinct tokens at 100 TB —
+    never happens: the only wide shuffle carries candidate hits.
+    """
+    from collections import Counter
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+
+    k = _HH_K
+
+    def mg_summary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batch Misra-Gries: merge each Arrow batch's value_counts (C
+        # speed, no per-row Python), then trim to k counters by
+        # subtracting the (k+1)-th largest count from everyone and
+        # dropping the non-positive. One trim by `cutoff` equals
+        # `cutoff` classic decrement-all rounds, and every trim removes
+        # >= (k+1)*cutoff total mass, so across a partition of n words
+        # the total undercount is < n/(k+1) <= phi*n — any word with
+        # global frequency >= phi still ends positive in at least one
+        # partition's summary (the superset guarantee).
+        counters: Counter = Counter()
+        for pdf in batches:
+            counters.update(pdf["word"].value_counts().to_dict())
+            if len(counters) > k:
+                cutoff = sorted(counters.values(), reverse=True)[k]
+                counters = Counter(
+                    {w: c - cutoff for w, c in counters.items() if c > cutoff}
+                )
+        if counters:
+            yield pd.DataFrame({"word": list(counters.keys())})
+
+    candidates = words.mapInPandas(mg_summary, "word string").distinct()
+
+    # token total without a second explode: one scalar scan of sizes
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).first()["n"]
+    threshold = _HH_PHI * total
+    return (
+        words.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= threshold)
+        .orderBy(F.desc("n_occurrences"), "word")
+    )

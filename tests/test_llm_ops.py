@@ -346,3 +346,22 @@ def test_ann_lsh_high_recall_on_clustered_embeddings(spark, sf_dir):
     a = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(a & b) / len(b)
     assert recall >= 0.8, f"clustered-corpus recall {recall}"
+
+
+def test_heavy_hitters_superset_guarantee_tiny_k(spark, sf_dir):
+    """The Misra-Gries candidate pass must remain a SUPERSET of the true
+    phi-heavy hitters even with far fewer counters than vocabulary —
+    exactness comes from the recount, the sketch only has to never drop
+    a true heavy hitter. Force k down to the theoretical floor 1/phi and
+    compare against the plain full-groupBy answer."""
+    import crest_spark.operators.text as tx
+
+    exact_rows = SPECS["text_heavy_hitters"].fn(spark, sf_dir).collect()
+    orig_k = tx._HH_K
+    try:
+        tx._HH_K = int(1 / tx._HH_PHI) + 1  # 501 counters
+        small_k = SPECS["text_heavy_hitters"].fn(spark, sf_dir).collect()
+    finally:
+        tx._HH_K = orig_k
+    assert [tuple(r) for r in small_k] == [tuple(r) for r in exact_rows]
+    assert exact_rows  # non-trivial: the corpus has phi-heavy words
