@@ -153,3 +153,50 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+# md5-prefix thresholds out of 16^4: ~90% train / ~5% val / ~5% test
+_SPLIT_VAL_LO = "e666"  # 16^4 * 0.9
+_SPLIT_TEST_LO = "f333"  # 16^4 * 0.95
+
+
+@register(
+    "curation_train_split",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                         >= '{_SPLIT_TEST_LO}' THEN 'test'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                         >= '{_SPLIT_VAL_LO}' THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("llm", "curation", "split"),
+)
+def curation_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~90/5/5) by content-hash
+    range — the split every training pipeline needs to be REPRODUCIBLE:
+    row-local (scan-embedded, no shuffle, no state), stable across
+    engines, reruns, cluster sizes, and dataset growth (a doc's split
+    never changes when other docs are added — unlike randomSplit, which
+    reshuffles assignments on every change of partitioning or seed
+    handling). Pure Catalyst: md5 + substring + range compare."""
+    d = _docs(spark, sf_dir)
+    prefix = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.when(prefix >= _SPLIT_TEST_LO, "test")
+            .when(prefix >= _SPLIT_VAL_LO, "val")
+            .otherwise("train")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
