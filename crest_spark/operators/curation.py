@@ -200,3 +200,88 @@ def curation_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (token-budget binning via scalable prefix sum)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+                   AS seq_id
+        FROM cum
+        ORDER BY doc_id
+    """,
+    tags=("llm", "curation", "packing"),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents in stable doc_id order are
+    assigned to fixed-token-budget training sequences by their global
+    running token offset (seq_id = completed budgets before the doc).
+
+    The global prefix sum — the part a naive plan does with a
+    single-partition window (ORDER BY doc_id over ALL rows: one task owns
+    100 TB) — runs as the scalable two-level pattern instead:
+    range-partition on doc_id, per-partition window cumsum, then each
+    partition's total is prefix-summed (a few hundred numbers, broadcast
+    back) and added as the partition's offset. Every row is touched in
+    parallel; only the per-partition totals ever leave their partition.
+    Deterministic regardless of where the range boundaries land."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    parts = d.repartitionByRange(32, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("_local_cum", F.sum("n_tokens").over(w_local))
+    # per-partition totals -> exclusive prefix offsets (a handful of rows)
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_ptot"))
+        .withColumn("_offset", F.sum("_ptot").over(w_off) - F.col("_ptot"))
+        .select("_pid", "_offset")
+    )
+    budget = float(_PACK_BUDGET)
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (F.col("_offset") + F.col("_local_cum") - F.col("n_tokens"))
+                / budget
+            )
+            .cast("bigint")
+            .alias("seq_id"),
+        )
+        .orderBy("doc_id")
+    )

@@ -305,3 +305,69 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_occurrences") >= threshold)
         .orderBy(F.desc("n_occurrences"), "word")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style duplicate n-gram filters)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_repetition",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, UNNEST(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1])) AS gram
+            FROM documents
+        ),
+        per_gram AS (
+            SELECT doc_id, gram, COUNT(*) AS c
+            FROM grams GROUP BY doc_id, gram
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               {round4("CAST(MAX(c) AS DOUBLE) / SUM(c)")} AS top_gram_ratio,
+               {round4("1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c)")} AS dup_gram_fraction
+        FROM per_gram
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "repetition"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the most frequent
+    word-2-gram's share of all 2-grams and the duplicated-2-gram
+    fraction — the filters that catch boilerplate/template spam which
+    length and stopword ratios miss.
+
+    Plan: explode 2-grams (adjacent-word zip, pure Catalyst), count per
+    (doc, gram), fold to per-doc ratios — two hash aggregations that
+    both partition by doc_id (the second reuses the first's
+    partitioning: EnsureRequirements inserts no second exchange), so the
+    whole operator is one shuffle of (doc, gram) pairs."""
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.expr(round4("CAST(MAX(c) AS DOUBLE) / SUM(c)")).alias(
+                "top_gram_ratio"
+            ),
+            F.expr(round4("1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c)")).alias(
+                "dup_gram_fraction"
+            ),
+        )
+        .orderBy("doc_id")
+    )
