@@ -285,3 +285,70 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # overlap n-gram width (13 is the common LLM choice; the
+# synthetic docs are short, 8 keeps the fixture non-degenerate)
+_DECON_BENCH = 10  # doc_id < 10 stands in for the benchmark/eval corpus
+
+
+@register(
+    "curation_decontaminate",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, UNNEST(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - {_DECON_N - 1}),
+                       i -> array_to_string(string_split(text, ' ')[i : i + {_DECON_N - 1}], ' ')))
+                   AS gram
+            FROM documents
+        ),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < {_DECON_BENCH})
+        SELECT DISTINCT g.doc_id
+        FROM grams g JOIN bench b ON g.gram = b.gram
+        WHERE g.doc_id >= {_DECON_BENCH}
+        ORDER BY g.doc_id
+    """,
+    tags=("llm", "curation", "decontamination"),
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs that share ANY word
+    {_n}-gram with the eval/benchmark corpus (stand-in: doc_id < 10) are
+    flagged for removal — the n-gram-overlap scrub every LLM data
+    pipeline runs against its eval suites.
+
+    Plan: both sides explode to (doc_id, gram); benchmark grams are
+    distinct-ed and the overlap is a LEFT SEMI join on the gram hash
+    followed by DISTINCT doc_id. At 100 TB the benchmark side is tiny
+    (eval suites are small) and broadcast, so the training-side scan
+    never shuffles its grams — flagging is map-side; the only exchange
+    is the final distinct on flagged doc_ids (bounded by corpus rows,
+    not grams). Hashing grams (xxhash64) instead of shipping strings
+    keeps the broadcast build in the tens of MB per million benchmark
+    grams; a 64-bit collision can only over-flag (~1e-13/pair), which
+    errs on the safe side for decontamination."""
+    d = _docs(spark, sf_dir)
+    n = _DECON_N
+    toks = "split(text, ' ')"
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size({toks}) - {n - 1}),"
+                f" i -> concat_ws(' ', slice({toks}, i, {n})))"
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    bench = (
+        grams.where(F.col("doc_id") < _DECON_BENCH).select("gh").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") >= _DECON_BENCH)
+        .join(F.broadcast(bench), "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
