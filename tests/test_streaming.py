@@ -678,3 +678,49 @@ def test_stage_slices_mtimes_ordered(spark, sf_dir, tmp_path):
     mtimes = [os.path.getmtime(f) for f in files]
     assert len(files) >= 2
     assert all(b - a >= 1.0 for a, b in zip(mtimes, mtimes[1:]))
+
+
+def test_transform_with_state_parity(spark, sf_dir):
+    """The transformWithStateInPandas implementation of the running
+    per-user stats operator must converge to the same final state as the
+    applyInPandasWithState one (and as the batch aggregate)."""
+    from crest_spark.streaming.stateful import running_user_stats_tws
+
+    if running_user_stats_tws is None:
+        pytest.skip(
+            "transformWithState unavailable (needs Spark>=4 AND python "
+            "protobuf, which this container does not ship — the TWS "
+            "driver worker imports google.protobuf at startup)"
+        )
+
+    staging, schema = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=4, order_col="event_id"
+    )
+    stream = read_stream(spark, staging, schema, files_per_trigger=1)
+    q = (
+        running_user_stats_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink: last emission per user is the final state
+    out = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC) AS rn
+            FROM tws_stats) WHERE rn = 1
+        """
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in out}
+    batch = load_table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: (r["n"], round(r["tv"], 4))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == expected
