@@ -69,3 +69,22 @@ class Engine:
             .option("table", name)
             .load()
         )
+
+    def _flight_reader(self, reader, location: str, prefix: str):
+        from crest_spark.sources.flight_source import register_flight_source
+
+        register_flight_source(self.spark)
+        reader = reader.format("crest_flight").option("location", location)
+        if prefix:
+            reader = reader.option("prefix", prefix)
+        return reader.load()
+
+    def flight_table(self, location: str, prefix: str = "") -> DataFrame:
+        """One-shot read of every flight currently listed at ``location``
+        (the reference's ReadBatches pass over a Flight server)."""
+        return self._flight_reader(self.spark.read, location, prefix)
+
+    def stream_flight(self, location: str, prefix: str = "") -> DataFrame:
+        """Continuously consume new flights from ``location`` — the
+        reference's Flight ingress as a checkpointed streaming source."""
+        return self._flight_reader(self.spark.readStream, location, prefix)

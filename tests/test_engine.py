@@ -47,3 +47,24 @@ def test_engine_stream_table(spark, sf_dir, tmp_path):
     stream = eng.stream_table("region_es")
     assert stream.isStreaming
     assert set(stream.columns) == {"r_regionkey", "r_name"}
+
+
+def test_engine_flight_table(spark, sf_dir):
+    """Engine facade exposes the Flight connector for both batch and
+    streaming reads."""
+    import pyarrow as pa
+
+    from crest_spark.engine import Engine
+    from tests.test_flight_source import SliceFlightServer
+
+    srv = SliceFlightServer()
+    try:
+        t = pa.table({"a": list(range(40))})
+        srv.publish("v/tick-0000", t.slice(0, 20))
+        srv.publish("v/tick-0001", t.slice(20, 20))
+        eng = Engine(spark)
+        df = eng.flight_table(srv.location, prefix="v/")
+        assert df.count() == 40
+        assert eng.stream_flight(srv.location, prefix="v/").isStreaming
+    finally:
+        srv.shutdown()
