@@ -169,3 +169,62 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy("user_id").agg(F.count("*").alias("n"))
     result = run_to_memory(agg, f"s4_dedup_{abs(hash(sf_dir)) % 10**8}")
     return result.orderBy("user_id")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        s AS (
+            SELECT event_id AS s_id, user_id AS s_user, ts AS s_ts
+            FROM events WHERE event_type = 'signup'
+        )
+        SELECT p_id, s_id
+        FROM p JOIN s ON p_user = s_user
+                     AND s_ts <= p_ts
+                     AND s_ts >= p_ts - INTERVAL 7 DAY
+        ORDER BY p_id, s_id
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks + an event-time range
+    condition (purchases joined to same-user signups within the prior 7
+    days), drained over a 4-micro-batch replay. The range condition is
+    what BOUNDS the join state: each side's buffered rows age out once
+    the other side's watermark passes the interval — without it,
+    stream-stream join state grows without bound at 100 TB/day.
+
+    The two sides split from ONE staged replay, so micro-batches
+    interleave both streams and the state store genuinely buffers
+    rows across batches before their matches arrive."""
+    src = table_path(sf_dir, "events")
+    staging, schema = stage_slices(spark, src, n_slices=4, order_col="event_id")
+    stream = read_stream(spark, staging, schema, files_per_trigger=1)
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    signups = stream.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    joined = (
+        purchases.withWatermark("p_ts", "30 days")
+        .join(signups.withWatermark("s_ts", "30 days"), cond, "inner")
+        .select("p_id", "s_id")
+    )
+    result = run_to_memory(
+        joined, f"ss_join_{abs(hash(sf_dir)) % 10**8}", output_mode="append"
+    )
+    return result.orderBy("p_id", "s_id")
