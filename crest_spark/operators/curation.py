@@ -250,7 +250,11 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
-    parts = d.repartitionByRange(32, "doc_id").withColumn(
+    # partition count follows the session's shuffle parallelism (sized to
+    # the cluster), not a constant: the offsets side stays one row per
+    # partition either way
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = d.repartitionByRange(n_parts, "doc_id").withColumn(
         "_pid", F.spark_partition_id()
     )
     w_local = (

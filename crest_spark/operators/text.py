@@ -291,6 +291,10 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if counters:
             yield pd.DataFrame({"word": list(counters.keys())})
 
+    # candidate-set size is bounded by partitions x k (NOT corpus
+    # tokens); no broadcast HINT — at extreme partition counts that
+    # bound can outgrow the threshold, and AQE already broadcasts the
+    # post-distinct set whenever it actually fits
     candidates = words.mapInPandas(mg_summary, "word string").distinct()
 
     # token total without a second explode: one scalar scan of sizes
@@ -299,7 +303,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()["n"]
     threshold = _HH_PHI * total
     return (
-        words.join(F.broadcast(candidates), "word", "left_semi")
+        words.join(candidates, "word", "left_semi")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .where(F.col("n_occurrences") >= threshold)
