@@ -1080,3 +1080,38 @@ def q14e_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
     return c.exceptAll(s).orderBy("k")
+
+
+@register(
+    "q05b_shuffle_hash_join",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n,
+               {sum4("l.l_extendedprice")} AS sum_price
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    tags=("join", "shuffle-hash"),
+)
+def q05b_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi join executed as a SHUFFLED HASH join (hinted) —
+    the strategy for two large sides where one is still small enough to
+    hash per partition: both sides shuffle on orderkey, but the build
+    side skips the sort a sort-merge join would pay. The right call when
+    the build side fits executor memory per partition and spilling sort
+    runs would dominate; plan-pinned in test_plans. Completes the join-
+    strategy coverage: broadcast (q09), sort-merge (q06), shuffled hash
+    (here), nested-loop/theta (q10b)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.hint("shuffle_hash")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(sum4("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -151,3 +151,14 @@ def test_q37_region_filter_below_fact_joins(spark, sf_dir):
     assert any("LeftSemi" in ln for ln in join_lines), join_lines
     # region predicate reaches the parquet scan
     assert has_pushed_filter(df, "r_name")
+
+
+def test_q05b_uses_shuffled_hash_join(spark, sf_dir):
+    """The hint must hold: shuffled hash join (no per-partition sort of
+    either side), not sort-merge or broadcast."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["q05b_shuffle_hash_join"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
