@@ -203,3 +203,79 @@ def multimodal_features_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
         run, "doc_id long, feature_hex string, n_bytes long"
     )
     return feats.orderBy("doc_id")
+
+
+_RESIZE_W, _RESIZE_H = 64, 48  # target thumbnail dims
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = _RESIZE_W,
+    height: int = _RESIZE_H,
+) -> DataFrame:
+    """Image resize plumbing (decode/encode stubbed): binary payload in,
+    fixed-dims thumbnail payload + dims metadata out.
+
+    The stub derives a deterministic ``width*height``-byte fake raster
+    from the payload digest (a real implementation swaps the body for
+    PIL decode -> resize -> encode; the Spark contract — binary in,
+    binary out, Arrow-batched, metadata beside payload — is identical
+    and is what this tests). Output payload size is CONSTANT, which is
+    the operational point of thumbnailing at 100 TB: downstream stages
+    shuffle fixed-size thumbnails, never the raw media."""
+    schema = (
+        f"{id_col} long, thumb binary, thumb_w int, thumb_h int, "
+        "src_bytes long"
+    )
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        def fake_resize(payload: bytes) -> bytes:
+            # digest-seeded byte expansion to exactly n_out bytes
+            out = bytearray()
+            seed = _hashlib.sha256(payload).digest()
+            counter = 0
+            while len(out) < n_out:
+                out.extend(
+                    _hashlib.sha256(seed + counter.to_bytes(4, "little")).digest()
+                )
+                counter += 1
+            return bytes(out[:n_out])
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "thumb": [fake_resize(p) for p in payloads],
+                    "thumb_w": width,
+                    "thumb_h": height,
+                    "src_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+@register("multimodal_resize", oracle=None, tags=("llm", "multimodal"))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline over the documents payload stand-in: constant-size
+    thumbnails + dims metadata (sha-stubbed decode => rows-only driver
+    check; pytest asserts determinism, sizes, and metadata)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    out = resize_images(payload)
+    return out.select(
+        "doc_id",
+        F.octet_length("thumb").cast("int").alias("thumb_bytes"),
+        "thumb_w",
+        "thumb_h",
+        "src_bytes",
+        F.md5("thumb").alias("thumb_md5"),
+    ).orderBy("doc_id")

@@ -365,3 +365,21 @@ def test_heavy_hitters_superset_guarantee_tiny_k(spark, sf_dir):
         tx._HH_K = orig_k
     assert [tuple(r) for r in small_k] == [tuple(r) for r in exact_rows]
     assert exact_rows  # non-trivial: the corpus has phi-heavy words
+
+
+def test_multimodal_resize_deterministic_fixed_size(spark, sf_dir):
+    """Resize plumbing: every thumbnail is exactly w*h bytes (the
+    constant-size contract that makes downstream shuffles bounded),
+    metadata matches the source, and two runs agree exactly."""
+    from crest_spark.operators.multimodal import _RESIZE_H, _RESIZE_W
+
+    a = SPECS["multimodal_resize"].fn(spark, sf_dir).collect()
+    b = SPECS["multimodal_resize"].fn(spark, sf_dir).collect()
+    assert a == b
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    assert len(a) == len(n_chars)
+    for r in a:
+        assert r["thumb_bytes"] == _RESIZE_W * _RESIZE_H
+        assert (r["thumb_w"], r["thumb_h"]) == (_RESIZE_W, _RESIZE_H)
+        assert r["src_bytes"] == n_chars[r["doc_id"]]
