@@ -724,3 +724,79 @@ def test_transform_with_state_parity(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_derived_aggregate_table_cascade(spark, sf_dir, tmp_path):
+    """The materialized-view role end-to-end: events ingest into a base
+    lakehouse table; a crest_table stream tails the base and folds each
+    DELTA into a derived per-type aggregate table (incremental view
+    maintenance — only the increment is aggregated, never a base
+    re-scan). After a second ingestion wave and a second drain, the
+    derived table equals the batch aggregate of everything ingested.
+    This is the RisingWave-MV role the reference delegates upstream,
+    expressed as source -> table -> derived table."""
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.sources.table_stream import register_table_stream
+
+    register_table_stream(spark)
+    cat = LakehouseCatalog(str(tmp_path / "wh_mv"))
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half2 = events.where(F.col("event_id") % 2 == 1)
+
+    base = cat.get_or_create_table("events_base", events.schema)
+    base.append(half1)
+
+    derived_schema = (
+        base.read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .schema
+    )
+    derived = cat.get_or_create_table("events_by_type", derived_schema)
+
+    def fold_delta(delta, batch_id):
+        d = delta.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+        )
+        cur = derived.read(spark)
+        merged = (
+            cur.unionByName(d)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        )
+        derived.overwrite(merged)
+
+    def drain():
+        q = (
+            spark.readStream.format("crest_table")
+            .option("warehouse", str(tmp_path / "wh_mv"))
+            .option("table", "events_base")
+            .load()
+            .writeStream.foreachBatch(fold_delta)
+            .option("checkpointLocation", str(tmp_path / "ckpt_mv"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # NOTE: the stream's initialOffset is the version at FIRST start, so
+    # the pre-stream snapshot (half1) seeds the derived table directly
+    fold_delta(base.read(spark), -1)
+    drain()  # no new commits yet: no-op
+    base.append(half2)  # second ingestion wave
+    drain()  # folds exactly the half2 delta
+
+    got = {
+        r["event_type"]: (r["n"], round(r["sv"], 6))
+        for r in derived.read(spark).collect()
+    }
+    expected = {
+        r["event_type"]: (r["n"], round(r["sv"], 6))
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert got == expected
