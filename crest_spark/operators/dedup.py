@@ -879,3 +879,50 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+_EMB_COMPONENTS_SQL = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {round4(_DUCK_COS)} >= {_COS_T}
+    ),
+    sym AS (
+        SELECT va AS a, vb AS b FROM pairs
+        UNION ALL
+        SELECT vb, va FROM pairs
+    ),
+    reach(v, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.v
+    )
+    SELECT v AS vec_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY v ORDER BY vec_id
+"""
+
+
+@register(
+    "dedup_embedding_components",
+    oracle=_EMB_COMPONENTS_SQL,
+    tags=("llm", "dedup", "embedding", "graph", "iterative"),
+)
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate CLUSTERS: connected components over the exact
+    embedding-cosine near-dup pair graph — vec_id -> canonical cluster id
+    (the cluster's min vec_id). The keep-one-per-cluster step of semantic
+    dedup, composed from two operators that are each exact and verified:
+    ``embedding_cosine_pairs`` mines the edges (distributed block GEMM),
+    ``connected_components`` folds them (min-label propagation, lineage
+    truncated per round). At 100 TB the edge mining is the cost; the
+    propagation runs on the pair set, which near-dup thresholds keep
+    orders of magnitude smaller than the corpus. Swap the edge miner for
+    ``dedup_embedding_ann`` when O(B²) block pairs are unaffordable —
+    the component fold is identical."""
+    em = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(spark, em, _COS_T).select("vec_a", "vec_b")
+    return (
+        connected_components(pairs)
+        .select(F.col("v").alias("vec_id"), F.col("label").alias("cluster_id"))
+        .orderBy("vec_id")
+    )
