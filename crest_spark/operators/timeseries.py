@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crest_spark.functions.stable import sum4
+from crest_spark.functions.stable import round4, sum4
 from crest_spark.registry import register
 from crest_spark.sources.tables import load_table
 
@@ -268,3 +268,128 @@ def q46_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_epoch")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid gap-fill with LINEAR interpolation
+# ---------------------------------------------------------------------------
+
+_INTERP = """CASE
+    WHEN v IS NOT NULL THEN v
+    WHEN pv IS NULL THEN nv
+    WHEN nv IS NULL THEN pv
+    ELSE pv + (nv - pv) * (ep - pe) / (ne - pe)
+END"""
+
+_GAPFILL_INTERP_SQL = f"""
+    WITH b AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '{GRID_STEP}', ts) AS bucket,
+               {sum4("value")} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+        FROM b GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type,
+               UNNEST(generate_series(mn, mx, INTERVAL '{GRID_STEP}')) AS bucket
+        FROM bounds
+    ),
+    j AS (
+        SELECT g.event_type,
+               CAST(FLOOR(epoch(g.bucket)) AS BIGINT) AS ep,
+               CAST(b.sum_value AS DOUBLE) AS v
+        FROM grid g
+        LEFT JOIN b ON b.event_type = g.event_type AND b.bucket = g.bucket
+    ),
+    w AS (
+        SELECT event_type, ep, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY ep
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN ep END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY ep
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pe,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY ep
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN ep END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY ep
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ne
+        FROM j
+    )
+    SELECT event_type, ep AS bucket_epoch,
+           {round4(_INTERP)} AS value_interp,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS filled
+    FROM w
+    ORDER BY event_type, bucket_epoch
+"""
+
+
+@register(
+    "q34b_gapfill_interpolate",
+    oracle=_GAPFILL_INTERP_SQL,
+    tags=("window", "time", "gapfill", "interpolation"),
+)
+def q34b_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid gap-fill with LINEAR interpolation: empty buckets get
+    the time-weighted blend of the surrounding known values (edges fall
+    back to nearest-known) — the other half of the hypertable gap-fill
+    surface next to q34's carry-forward.
+
+    Same single event_type hash partitioning as q34: bucket aggregation,
+    tiny per-key grid, then two mirrored ignorenulls windows (backward
+    last + forward first) produce the bracketing (value, epoch) pairs
+    and the blend is pure row-local arithmetic. Both engines interpolate
+    on identical double operands (decimal sums cast down, integer epoch
+    gaps), so the rounded result is bit-stable."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.groupBy("event_type", F.window("ts", GRID_STEP).alias("w"))
+        .agg(F.expr(sum4("value")).alias("sum_value"))
+        .select("event_type", F.col("w.start").alias("bucket"), "sum_value")
+    )
+    grid = (
+        b.groupBy("event_type")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr(f"INTERVAL {GRID_STEP}"))
+            ).alias("bucket"),
+        )
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("ep")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("ep")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = grid.join(b, ["event_type", "bucket"], "left").select(
+        "event_type",
+        F.unix_timestamp("bucket").cast("bigint").alias("ep"),
+        F.col("sum_value").cast("double").alias("v"),
+    )
+    known_ep = F.when(F.col("v").isNotNull(), F.col("ep"))
+    w = j.select(
+        "event_type",
+        "ep",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(known_ep, ignorenulls=True).over(wb).alias("pe"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_ep, ignorenulls=True).over(wf).alias("ne"),
+    )
+    return w.select(
+        "event_type",
+        F.col("ep").alias("bucket_epoch"),
+        F.expr(round4(_INTERP)).alias("value_interp"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("filled"),
+    ).orderBy("event_type", "bucket_epoch")
