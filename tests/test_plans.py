@@ -162,3 +162,23 @@ def test_q05b_uses_shuffled_hash_join(spark, sf_dir):
     plan = simple_plan(df)
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q46_multires_rollup_cascade_shuffles(spark, sf_dir):
+    """The cascading rollup touches the fact table once and re-aggregates
+    the shrinking levels: 3 level exchanges + the final order, nothing
+    quadratic, no re-scan per level (exactly one parquet scan)."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["q46_multires_rollup"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 4
+    assert simple_plan(df).count("FileScan parquet") == 1
+
+
+def test_q34b_interpolate_single_data_partitioning(spark, sf_dir):
+    """Both interpolation windows and the bucket aggregate ride the same
+    event_type hash partitioning: bucket agg + grid agg + window + final
+    order — bounded exchanges, no range join, one fact scan feeding both
+    the buckets and the grid bounds."""
+    df = SPECS["q34b_gapfill_interpolate"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 5
