@@ -311,3 +311,47 @@ def stats_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram
+# ---------------------------------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_NB = 0.0, 50.0, 10  # l_quantity range, 10 buckets
+
+
+@register(
+    "stats_histogram",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(LEAST(GREATEST(FLOOR((l_quantity - {_HIST_LO})
+                        / (({_HIST_HI} - {_HIST_LO}) / {_HIST_NB})), 0),
+                    {_HIST_NB - 1}) AS INT) AS bucket,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("aggregation", "stats", "histogram"),
+)
+def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per group (the distribution profile
+    every data-quality / feature-stats pass computes): bucket index is
+    pure row-local integer arithmetic (clamped to [0, nb)), so the whole
+    operator is one map-side-combinable aggregation on (group, bucket) —
+    cardinality groups x buckets, constant memory at any scale. The same
+    bucket expression in both engines keeps edges exact (floor on the
+    identical double operands)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    step = (_HIST_HI - _HIST_LO) / _HIST_NB
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("l_quantity") - _HIST_LO) / step), F.lit(0)
+        ),
+        F.lit(_HIST_NB - 1),
+    ).cast("int")
+    return (
+        li.groupBy("l_returnflag", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag", "bucket")
+    )
