@@ -245,3 +245,48 @@ sources:
     cfg_file.write_text("sources:\n  - name: broken\n")
     with _pytest.raises(ValueError, match="path.*or.*flight"):
         load_config(str(cfg_file))
+
+
+class MultiEndpointFlightServer(SliceFlightServer):
+    """One flight fanned out over TWO endpoints (tickets '<name>#0' and
+    '<name>#1', each serving half the rows) — the layout a sharded
+    Flight service exposes, and what makes endpoint-level scan
+    parallelism real."""
+
+    def _info(self, name: str) -> fl.FlightInfo:
+        t = self.tables[name]
+        desc = fl.FlightDescriptor.for_path(*name.split("/"))
+        eps = [
+            fl.FlightEndpoint(f"{name}#{i}".encode(), [self.location])
+            for i in range(2)
+        ]
+        return fl.FlightInfo(t.schema, desc, eps, t.num_rows, t.nbytes)
+
+    def do_get(self, context, ticket):
+        name, idx = ticket.ticket.decode().rsplit("#", 1)
+        t = self.tables[name]
+        half = (t.num_rows + 1) // 2
+        part = t.slice(0, half) if idx == "0" else t.slice(half)
+        return fl.RecordBatchStream(part)
+
+
+def test_flight_multiple_endpoints_per_flight(spark, sf_dir):
+    """Every endpoint of a flight becomes one input partition: a
+    two-endpoint flight reads complete (both halves, no dup/loss) and
+    scans as two partitions (the reference reads endpoints serially in
+    one process — flight_reader.go:177; here they are parallel tasks)."""
+    srv = MultiEndpointFlightServer()
+    try:
+        t = pa.table({"a": list(range(100))})
+        srv.publish("v/tick-0000", t)
+        register_flight_source(spark)
+        df = (
+            spark.read.format("crest_flight")
+            .option("location", srv.location)
+            .option("prefix", "v/")
+            .load()
+        )
+        assert sorted(r["a"] for r in df.collect()) == list(range(100))
+        assert df.rdd.getNumPartitions() == 2
+    finally:
+        srv.shutdown()

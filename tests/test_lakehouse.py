@@ -281,3 +281,33 @@ def test_append_casts_to_pinned_schema(spark, catalog, sf_dir):
     assert out.schema == t.schema()
     assert out.count() == 2 * src.count()
     assert dict(out.groupBy("r_regionkey").count().collect())  # scan executes
+
+
+def test_concurrent_merges_both_land(spark, catalog, sf_dir):
+    """Two writers merging DIFFERENT keys concurrently: optimistic
+    conflict detection forces the loser to re-read and re-merge, so both
+    updates land — no lost update in either direction."""
+    src = load_table(spark, sf_dir, "region").cache()
+    src.count()
+    t = catalog.get_or_create_table("region", src.schema)
+    t.append(src)
+    errors: list[Exception] = []
+
+    def merge_marked(keys, marker):
+        try:
+            upd = src.where(F.col("r_regionkey").isin(keys)).withColumn(
+                "r_name", F.lit(marker)
+            )
+            t.merge(spark, upd, key="r_regionkey")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    th1 = threading.Thread(target=merge_marked, args=([0, 1], "M1"))
+    th2 = threading.Thread(target=merge_marked, args=([3, 4], "M2"))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errors
+    out = {r["r_regionkey"]: r["r_name"] for r in t.read(spark).collect()}
+    assert out[0] == out[1] == "M1"
+    assert out[3] == out[4] == "M2"
+    assert t.read(spark).count() == src.count()
+    src.unpersist()
