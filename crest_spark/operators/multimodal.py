@@ -279,3 +279,64 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_bytes",
         F.md5("thumb").alias("thumb_md5"),
     ).orderBy("doc_id")
+
+
+_AUDIO_SR = 16_000  # stub sample rate (Hz)
+_AUDIO_CHUNK_S = 30  # seconds per chunk
+_AUDIO_BYTES_PER_S = _AUDIO_SR * 2  # 16-bit mono PCM
+
+
+def chunk_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    chunk_seconds: int = _AUDIO_CHUNK_S,
+    bytes_per_second: int = _AUDIO_BYTES_PER_S,
+) -> DataFrame:
+    """Audio chunking plumbing (decode stubbed): one binary payload in,
+    one row per fixed-duration window out, with offsets and a chunk
+    digest — the segmentation every ASR/audio-training pipeline runs
+    before per-chunk feature extraction.
+
+    The payload is treated as PCM at the stub rate (a real implementation
+    decodes the container first; the windowing, Arrow batching, and
+    explode-shaped output — the Spark contract — are identical). Chunks
+    are size-bounded by construction, so downstream per-chunk work is
+    uniform regardless of source-file length — the property that stops a
+    10-hour recording from becoming one straggler task."""
+    schema = (
+        f"{id_col} long, chunk_idx int, start_s double, "
+        "n_bytes long, chunk_md5 string"
+    )
+    window = chunk_seconds * bytes_per_second
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {k: [] for k in (id_col, "chunk_idx", "start_s", "n_bytes", "chunk_md5")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                n_chunks = max(1, (len(data) + window - 1) // window)
+                for i in range(n_chunks):
+                    piece = data[i * window : (i + 1) * window]
+                    out[id_col].append(doc_id)
+                    out["chunk_idx"].append(i)
+                    out["start_s"].append(float(i * chunk_seconds))
+                    out["n_bytes"].append(len(piece))
+                    out["chunk_md5"].append(hashlib.md5(piece).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+@register("multimodal_audio_chunks", oracle=None, tags=("llm", "multimodal", "audio"))
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-chunking pipeline over the documents payload stand-in
+    (1-second stub windows so the short fixtures produce multi-chunk
+    docs). Deterministic sha/md5 stub => rows-only driver check; pytest
+    pins coverage (every byte in exactly one chunk) and determinism."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    out = chunk_audio(payload, chunk_seconds=1, bytes_per_second=64)
+    return out.orderBy("doc_id", "chunk_idx")

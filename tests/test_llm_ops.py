@@ -383,3 +383,23 @@ def test_multimodal_resize_deterministic_fixed_size(spark, sf_dir):
         assert r["thumb_bytes"] == _RESIZE_W * _RESIZE_H
         assert (r["thumb_w"], r["thumb_h"]) == (_RESIZE_W, _RESIZE_H)
         assert r["src_bytes"] == n_chars[r["doc_id"]]
+
+
+def test_audio_chunks_cover_payload_exactly(spark, sf_dir):
+    """Chunking invariants: per-doc chunk sizes sum to the payload size,
+    every chunk except the last is exactly the window, indexes/offsets
+    are dense, and two runs agree exactly."""
+    a = SPECS["multimodal_audio_chunks"].fn(spark, sf_dir).collect()
+    assert a == SPECS["multimodal_audio_chunks"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    per_doc: dict = {}
+    for r in a:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(n_chars)
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        assert sum(r["n_bytes"] for r in rows) == n_chars[doc_id]
+        assert all(r["n_bytes"] == 64 for r in rows[:-1])
+        assert all(r["start_s"] == float(i) for i, r in enumerate(rows))
