@@ -63,6 +63,20 @@ COMMENTARY = {
         "the group's values are materialized for the rank lookup — the "
         "documented trade against approx_percentile's mergeable sketches."
     ),
+    "q46_multires_rollup": (
+        "Cascading rollup: ONE fact scan at minute grain; hour and day "
+        "levels re-aggregate the previous level's ~1000x-smaller output "
+        "(partial aggregates before each of the 3 level exchanges)."
+    ),
+    "text_heavy_hitters": (
+        "Misra-Gries candidates (bounded per-partition state, no "
+        "vocabulary shuffle) -> exact recount of candidates only; the "
+        "wide shuffle carries candidate hits, never the full vocabulary."
+    ),
+    "q05b_shuffle_hash_join": (
+        "Hinted ShuffledHashJoin: both fact sides exchange on orderkey "
+        "but skip the per-partition sort a sort-merge join pays."
+    ),
     "q37_local_supplier_volume": (
         "TPC-H Q5 shape: the ASIA restriction is applied dim-side BEFORE "
         "any fact table — supplier joins nation x region('ASIA') and THAT "
