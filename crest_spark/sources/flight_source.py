@@ -102,6 +102,12 @@ class CrestFlightStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.location = options["location"]
         self.prefix = options.get("prefix", "")
+        # backpressure knob (the file source's maxFilesPerTrigger analog):
+        # cap how many NEW flights one micro-batch may ingest, so a large
+        # backlog at stream start drains in bounded batches instead of one
+        # giant catch-up batch. 0 / unset = unlimited.
+        self.max_per_trigger = int(options.get("maxFlightsPerTrigger", "0"))
+        self._last_end: str | None = None  # driver-side watermark memory
 
     def initialOffset(self) -> dict:
         # consume the server's whole backlog from the start: listed
@@ -111,7 +117,24 @@ class CrestFlightStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         paths = _list_paths(self.location, self.prefix)
-        return {"last": paths[-1] if paths else ""}
+        if not paths:
+            return {"last": self._last_end or ""}
+        end = paths[-1]
+        if self.max_per_trigger > 0:
+            # advance at most N names past the last end this reader
+            # handed out. After a restart _last_end is empty and the
+            # first capped ends may sort below the checkpointed start:
+            # partitions(start, end<=start) is simply empty, and each
+            # trigger advances the watermark until it passes start —
+            # progress is monotone either way.
+            floor = self._last_end or ""
+            pending = [p for p in paths if p > floor]
+            if pending:
+                end = pending[: self.max_per_trigger][-1]
+            else:
+                end = floor
+        self._last_end = end
+        return {"last": end}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         parts: list[InputPartition] = []

@@ -290,3 +290,43 @@ def test_flight_multiple_endpoints_per_flight(spark, sf_dir):
         assert df.rdd.getNumPartitions() == 2
     finally:
         srv.shutdown()
+
+
+def test_flight_max_flights_per_trigger(spark, sf_dir, server, tmp_path):
+    """Backpressure: with maxFlightsPerTrigger=2 a 6-flight backlog
+    drains in >= 3 bounded micro-batches (never one giant catch-up
+    batch), and every row still arrives exactly once."""
+    import time as _time
+
+    t = pa.table({"a": list(range(60))})
+    for i in range(6):
+        server.publish(f"v/tick-{i:04d}", t.slice(i * 10, 10))
+
+    register_flight_source(spark)
+    batches: list[int] = []
+
+    def sink(df, batch_id):
+        n = df.count()
+        if n:
+            batches.append(n)
+
+    q = (
+        spark.readStream.format("crest_flight")
+        .option("location", server.location)
+        .option("prefix", "v/")
+        .option("maxFlightsPerTrigger", "2")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bp"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline and sum(batches) < 60:
+            _time.sleep(1)
+    finally:
+        q.stop()
+    assert sum(batches) == 60  # exactly once, nothing lost
+    assert len(batches) >= 3  # bounded batches: at most 2 flights each
+    assert max(batches) <= 20
