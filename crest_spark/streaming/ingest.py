@@ -159,8 +159,12 @@ class IngestionService:
                 )
 
                 register_flight_source(self.spark)
-                reader = self.spark.readStream.format("crest_flight").option(
-                    "location", src.flight_location
+                reader = (
+                    self.spark.readStream.format("crest_flight")
+                    .option("location", src.flight_location)
+                    # files_per_trigger doubles as the flight backpressure
+                    # cap (maxFlightsPerTrigger): same per-batch bound
+                    .option("maxFlightsPerTrigger", src.files_per_trigger)
                 )
                 if src.flight_prefix:
                     reader = reader.option("prefix", src.flight_prefix)
