@@ -159,13 +159,17 @@ class IngestionService:
                 )
 
                 register_flight_source(self.spark)
-                reader = (
-                    self.spark.readStream.format("crest_flight")
-                    .option("location", src.flight_location)
-                    # files_per_trigger doubles as the flight backpressure
-                    # cap (maxFlightsPerTrigger): same per-batch bound
-                    .option("maxFlightsPerTrigger", src.files_per_trigger)
+                reader = self.spark.readStream.format("crest_flight").option(
+                    "location", src.flight_location
                 )
+                if self.config.trigger_interval:
+                    # continuous mode only: files_per_trigger doubles as
+                    # the flight backpressure cap. Under availableNow the
+                    # engine latches latestOffset ONCE, so a cap would
+                    # strand the backlog past the first N flights.
+                    reader = reader.option(
+                        "maxFlightsPerTrigger", src.files_per_trigger
+                    )
                 if src.flight_prefix:
                     reader = reader.option("prefix", src.flight_prefix)
                 stream = reader.load()
