@@ -107,44 +107,73 @@ class CrestFlightStreamReader(DataSourceStreamReader):
         # backlog at stream start drains in bounded batches instead of one
         # giant catch-up batch. 0 / unset = unlimited.
         self.max_per_trigger = int(options.get("maxFlightsPerTrigger", "0"))
-        self._last_end: str | None = None  # driver-side watermark memory
+        self._last_end: str | None = None  # last offset this reader emitted
+        # Highest engine position this reader KNOWS about. A restarted
+        # reader can't see the checkpointed offset until the engine's
+        # first partitions(start, end) call reveals it (the engine even
+        # calls latestOffset() BEFORE initialOffset() on a fresh
+        # stream), so a capped latestOffset may emit an end that sorts
+        # below the checkpoint and land in the offset log. The floor
+        # makes that harmless: partitions() clamps its effective start
+        # to it, so the later sweep batch (regressed_end, position]
+        # plans empty instead of re-ingesting committed flights.
+        self._floor: str | None = None
+        # last (start, end) -> partitions, so a re-plan of the identical
+        # range (engine-side re-execution) returns the same partitions
+        # rather than being clamped empty by the floor
+        self._plan_cache: tuple[tuple[str, str], list] | None = None
 
     def initialOffset(self) -> dict:
         # consume the server's whole backlog from the start: listed
         # flights ARE the data (unlike the table stream, where history
-        # is served better by a batch read)
+        # is served better by a batch read). Only called when no
+        # checkpoint exists, so '' is the engine's true position.
+        if self._floor is None:
+            self._floor = ""
         return {"last": ""}
 
     def latestOffset(self) -> dict:
+        floor = max(self._last_end or "", self._floor or "")
         paths = _list_paths(self.location, self.prefix)
         if not paths:
-            return {"last": self._last_end or ""}
-        end = paths[-1]
-        if self.max_per_trigger > 0:
-            # advance at most N names past the last end this reader
-            # handed out. After a restart _last_end is empty and the
-            # first capped ends may sort below the checkpointed start:
-            # partitions(start, end<=start) is simply empty, and each
-            # trigger advances the watermark until it passes start —
-            # progress is monotone either way.
-            floor = self._last_end or ""
-            pending = [p for p in paths if p > floor]
-            if pending:
-                end = pending[: self.max_per_trigger][-1]
-            else:
-                end = floor
+            # an empty listing (server GC'd everything) must not reset
+            # the watermark below what was already consumed
+            end = floor
+        else:
+            end = paths[-1]
+            if self.max_per_trigger > 0:
+                # advance at most N names past the watermark, so a
+                # large backlog drains in bounded batches
+                pending = [p for p in paths if p > floor]
+                if pending:
+                    end = pending[: self.max_per_trigger][-1]
+                else:
+                    end = floor
+            if end < floor:
+                end = floor  # expired listing: never regress
         self._last_end = end
         return {"last": end}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        key = (start["last"], end["last"])
+        if self._plan_cache is not None and self._plan_cache[0] == key:
+            return self._plan_cache[1]
+        # never re-read below the engine's highest known position (see
+        # _floor above); on the very first call the floor is unknown
+        # and start IS the engine's checkpoint — replay verbatim
+        lo = max(start["last"], self._floor or "")
         parts: list[InputPartition] = []
-        for path in _list_paths(self.location, self.prefix):
-            if start["last"] < path <= end["last"]:
-                parts.extend(
-                    _TicketPartition(self.location, t)
-                    for t in _endpoints(self.location, path)
-                )
-        return parts or [_TicketPartition(self.location, b"")]
+        if lo < end["last"]:
+            for path in _list_paths(self.location, self.prefix):
+                if lo < path <= end["last"]:
+                    parts.extend(
+                        _TicketPartition(self.location, t)
+                        for t in _endpoints(self.location, path)
+                    )
+        self._floor = max(self._floor or "", start["last"], end["last"])
+        parts = parts or [_TicketPartition(self.location, b"")]
+        self._plan_cache = (key, parts)
+        return parts
 
     def read(self, partition: _TicketPartition) -> Iterator:  # executor-side
         if not partition.ticket:

@@ -292,6 +292,107 @@ def test_flight_multiple_endpoints_per_flight(spark, sf_dir):
         srv.shutdown()
 
 
+def test_flight_offset_never_regresses_below_engine_position(server):
+    """Restart + cap regression guard, driven through the reader's
+    method contract exactly as the engine calls it. A restarted capped
+    reader's first latestOffset may emit an end below the engine's
+    checkpoint (it can't know the checkpoint yet — the engine calls
+    latestOffset before initialOffset/partitions); partitions() must
+    then (a) plan that regressed range empty, (b) learn the true
+    position from the planned range, and (c) clamp the later sweep
+    batch so committed flights are never re-ingested."""
+    from crest_spark.sources.flight_source import CrestFlightStreamReader
+
+    t = pa.table({"a": [1]})
+    for i in range(6):
+        server.publish(f"v/tick-{i:04d}", t)
+    opts = {
+        "location": server.location,
+        "prefix": "v/",
+        "maxFlightsPerTrigger": "2",
+    }
+
+    # --- restarted reader, engine checkpoint at tick-0003 ---
+    r = CrestFlightStreamReader(opts)
+    off1 = r.latestOffset()  # capped from '': regresses below checkpoint
+    assert off1 == {"last": "v/tick-0001"}
+    # engine plans (checkpoint, off1]: must be EMPTY (no re-ingestion)
+    parts = r.partitions({"last": "v/tick-0003"}, off1)
+    assert [p for p in parts if p.ticket] == []
+    # next trigger resumes past the learned checkpoint, still capped
+    off2 = r.latestOffset()
+    assert off2 == {"last": "v/tick-0005"}
+    # the sweep batch (regressed_end, off2] is clamped to the floor:
+    # only flights 4 and 5 are planned, never the committed 2-3
+    parts = r.partitions(off1, off2)
+    tickets = sorted(p.ticket.decode() for p in parts if p.ticket)
+    assert tickets == ["v/tick-0004", "v/tick-0005"]
+    # identical re-plan of the same range returns the same partitions
+    assert r.partitions(off1, off2) is parts
+
+    # --- fresh-stream reader: capped monotone progression ---
+    r2 = CrestFlightStreamReader(opts)
+    r2.initialOffset()
+    assert r2.latestOffset() == {"last": "v/tick-0001"}
+    assert r2.latestOffset() == {"last": "v/tick-0003"}
+
+    # --- empty listing keeps the watermark pinned, not reset to '' ---
+    r3 = CrestFlightStreamReader(opts)
+    r3.partitions({"last": "v/tick-0003"}, {"last": "v/tick-0003"})
+    server.tables.clear()
+    assert r3.latestOffset() == {"last": "v/tick-0003"}
+
+
+def test_flight_capped_restart_exactly_once(spark, sf_dir, server, tmp_path):
+    """Integration shape of the same defect: capped stream, stop, publish
+    more, restart from the checkpoint — every row exactly once (the
+    pre-fix reader re-ingested flights 2-3 after the restart because its
+    first capped end sorted below the checkpoint)."""
+    import time as _time
+
+    t = pa.table({"a": list(range(60))})
+    for i in range(4):
+        server.publish(f"v/tick-{i:04d}", t.slice(i * 10, 10))
+
+    register_flight_source(spark)
+    by_batch: dict[int, list[int]] = {}
+
+    def sink(df, batch_id):
+        rows = [r["a"] for r in df.collect()]
+        if rows:
+            by_batch[batch_id] = rows  # keyed: foreachBatch replays dedup
+
+    def run(until: int) -> None:
+        q = (
+            spark.readStream.format("crest_flight")
+            .option("location", server.location)
+            .option("prefix", "v/")
+            .option("maxFlightsPerTrigger", "2")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_capre"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 90
+            while (
+                _time.time() < deadline
+                and sum(len(v) for v in by_batch.values()) < until
+            ):
+                _time.sleep(0.5)
+        finally:
+            q.stop()
+
+    run(40)
+    assert sum(len(v) for v in by_batch.values()) == 40
+    for i in range(4, 6):
+        server.publish(f"v/tick-{i:04d}", t.slice(i * 10, 10))
+    run(60)
+    flat = sorted(x for v in by_batch.values() for x in v)
+    assert flat == list(range(60))
+
+
 def test_flight_max_flights_per_trigger(spark, sf_dir, server, tmp_path):
     """Backpressure: with maxFlightsPerTrigger=2 a 6-flight backlog
     drains in >= 3 bounded micro-batches (never one giant catch-up
