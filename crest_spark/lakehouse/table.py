@@ -112,6 +112,22 @@ def _stats_admit(fstats: dict[str, list], predicates: dict[str, tuple]) -> bool:
     return True
 
 
+def _merge_committed(
+    *maps: dict[str, list[int]],
+) -> dict[str, list[int]]:
+    """Union (writer_id -> batch_ids) idempotence maps, dedup-preserving
+    order. Used when folding expired history: every map in play (each
+    expired commit's own ids, maps carried by previous fold boundaries,
+    and the cutoff commit's map) must survive, or replaying an old batch
+    id after two expirations double-commits."""
+    out: dict[str, list[int]] = {}
+    for m in maps:
+        for w, bids in m.items():
+            cur = out.setdefault(w, [])
+            cur.extend(b for b in bids if b not in cur)
+    return out
+
+
 _ZORDER_BITS = 8  # 256 buckets per dimension
 
 
@@ -725,6 +741,13 @@ class LakehouseTable:
                 base_rows += max(s.num_rows, 0)
             if s.writer_id is not None and s.batch_id is not None:
                 folded_committed.setdefault(s.writer_id, []).append(s.batch_id)
+            # an expired commit may itself be a previous fold boundary
+            # carrying an already-folded idempotence map — merge it, or
+            # batch-id memory older than one expiration is lost and a
+            # replayed batch double-commits
+            for w, bids in s.extra.get("committed", {}).items():
+                cur = folded_committed.setdefault(w, [])
+                cur.extend(b for b in bids if b not in cur)
             expired.append(v)
         if not expired:
             return []
@@ -752,11 +775,15 @@ class LakehouseTable:
             "stats": _footer_stats([f for f in merged_files if os.path.exists(f)]),
             # preserve first_keep's tags (e.g. a compaction replace at the
             # cutoff must keep its 'compaction' marker or read_changes
-            # raises on it) and carry the folded idempotence map
+            # raises on it) and carry the folded idempotence map MERGED
+            # with any map first_keep already carries from an earlier
+            # expiration (overwriting would drop that memory)
             "extra": {
                 **first_keep.extra,
                 "checkpointed": expired,
-                "committed": folded_committed,
+                "committed": _merge_committed(
+                    folded_committed, first_keep.extra.get("committed", {})
+                ),
             },
         }
         tmp = os.path.join(self.log_path, f".tmp-{uuid.uuid4().hex}.json")

@@ -86,6 +86,29 @@ def test_expire_snapshots_preserves_current_read(spark, sf_dir, tmp_path):
     assert len(t.versions()) == 2
 
 
+def test_double_expire_preserves_batch_id_memory(spark, sf_dir, tmp_path):
+    """Idempotence memory must survive REPEATED expirations: the first
+    expiration folds old (writer, batch) ids into the boundary commit's
+    extra['committed'] map; when a second expiration expires that
+    boundary commit itself, the carried map has to be merged forward —
+    dropping it lets a replayed old batch id double-commit."""
+    src = load_table(spark, sf_dir, "region")
+    t = _cat(tmp_path).get_or_create_table("region_dx", src.schema)
+    t.append(src, writer_id="w", batch_id=1)
+    t.append(src, writer_id="w", batch_id=2)
+    t.append(src, writer_id="w", batch_id=3)
+    assert t.expire_snapshots(keep_last=1)
+    t.append(src, writer_id="w", batch_id=4)
+    t.append(src, writer_id="w", batch_id=5)
+    assert t.expire_snapshots(keep_last=1)  # expires the fold boundary
+    n = t.read(spark).count()
+    assert t.committed_batches("w") >= {1, 2, 3, 4, 5}
+    # replays of ids folded through BOTH expirations are no-ops
+    assert t.append(src, writer_id="w", batch_id=1) is None
+    assert t.append(src, writer_id="w", batch_id=4) is None
+    assert t.read(spark).count() == n
+
+
 def test_zorder_compact_narrows_file_ranges(spark, sf_dir, tmp_path):
     """OPTIMIZE ZORDER analog: after a z-ordered rewrite, each file's
     parquet min/max range on BOTH cluster columns must be far narrower
