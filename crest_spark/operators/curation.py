@@ -340,9 +340,14 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "doc_id",
         F.explode(
+            # guard: sequence(1, k) DESCENDS for k < 1 (docs shorter
+            # than n tokens), which would hit slice(.., 0, ..) and
+            # throw at runtime — such docs simply have no n-grams
             F.expr(
+                f"CASE WHEN size({toks}) >= {n} THEN "
                 f"transform(sequence(1, size({toks}) - {n - 1}),"
                 f" i -> concat_ws(' ', slice({toks}, i, {n})))"
+                f" ELSE array() END"
             )
         ).alias("gram"),
     ).select("doc_id", F.xxhash64("gram").alias("gh"))

@@ -355,9 +355,14 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "doc_id",
         F.explode(
+            # guard: sequence(1, 0) DESCENDS for 1-token docs, yielding
+            # null grams that diverge from the oracle's empty series —
+            # such docs have no 2-grams at all
             F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
                 "transform(sequence(1, size(split(text, ' ')) - 1),"
                 " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+                " ELSE array() END"
             )
         ).alias("gram"),
     )

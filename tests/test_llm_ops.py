@@ -403,3 +403,40 @@ def test_audio_chunks_cover_payload_exactly(spark, sf_dir):
         assert sum(r["n_bytes"] for r in rows) == n_chars[doc_id]
         assert all(r["n_bytes"] == 64 for r in rows[:-1])
         assert all(r["start_s"] == float(i) for i, r in enumerate(rows))
+
+
+def test_short_docs_gram_guard(spark, sf_dir):
+    """sequence(1, k) DESCENDS for k < 1, so docs shorter than the gram
+    width must contribute zero grams — not a runtime slice() error
+    (decontaminate) or null grams diverging from the oracle
+    (text_repetition). Fixture corpora have >=10 tokens per doc, so this
+    only reproduces on injected short docs."""
+    import crest_spark.operators.curation as cu
+    import crest_spark.operators.text as tx
+
+    long_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, long_text), (11, "alpha beta"), (12, "solo"), (13, long_text)],
+        "doc_id bigint, text string",
+    )
+    orig_cu, orig_tx = cu._docs, tx._docs
+    try:
+        cu._docs = lambda s, _sf: df
+        tx._docs = lambda s, _sf: df
+        flagged = [
+            r["doc_id"]
+            for r in SPECS["curation_decontaminate"].fn(spark, sf_dir).collect()
+        ]
+        assert flagged == [13]  # 8-gram overlap with the bench doc; short
+        # docs (2 and 1 tokens) produce no grams and no crash
+        rep = {
+            r["doc_id"]: r
+            for r in SPECS["text_repetition"].fn(spark, sf_dir).collect()
+        }
+        assert set(rep) == {1, 11, 13}  # 1-token doc has no 2-grams
+        assert rep[11]["n_grams"] == 1
+        assert rep[11]["top_gram_ratio"] == 1.0
+        assert rep[11]["dup_gram_fraction"] == 0.0
+    finally:
+        cu._docs = orig_cu
+        tx._docs = orig_tx
