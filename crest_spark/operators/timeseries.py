@@ -199,7 +199,7 @@ _MULTIRES_SQL = """
            CAST(FLOOR(epoch(time_bucket(INTERVAL 1 DAY, h_bucket))) AS BIGINT)
                AS day_epoch,
            CAST(SUM(n) AS BIGINT) AS n_events,
-           CAST(ROUND(CAST(SUM(sv) AS DOUBLE), 4) AS DOUBLE) AS sum_value,
+           CAST(ROUND(SUM(sv), 4) AS DOUBLE) AS sum_value,
            CAST(SUM(active_minutes) AS BIGINT) AS active_minutes,
            CAST(COUNT(*) AS BIGINT) AS active_hours
     FROM hour
@@ -254,7 +254,10 @@ def q46_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n").cast("bigint").alias("n_events"),
-            F.round(F.sum("sv").cast("double"), 4).alias("sum_value"),
+            # round the DECIMAL sum, then cast: exact half-away-from-zero
+            # in both engines (rounding the double instead can split on
+            # x.xxxx5 halfway values — the divergence round4 exists for)
+            F.expr("CAST(ROUND(SUM(sv), 4) AS DOUBLE)").alias("sum_value"),
             F.sum("active_minutes").cast("bigint").alias("active_minutes"),
             F.count(F.lit(1)).cast("bigint").alias("active_hours"),
         )
