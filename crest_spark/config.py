@@ -83,6 +83,7 @@ def load_config(path: str) -> EngineConfig:
             namespace=s.get("namespace"),
             flight_location=s.get("flight"),
             flight_prefix=s.get("flightPrefix"),
+            flight_schema=s.get("flightSchema"),
         )
         for s in raw.get("sources", [])
     ]

@@ -212,7 +212,11 @@ class CrestFlightDataSource(DataSource):
     def schema(self) -> StructType:
         """GetFlightInfo schema fetch (flight_reader.go:119-150): the
         schema of the first listed flight, deserialized then converted
-        to Spark types."""
+        to Spark types. Callers that know the schema up front can skip
+        this roundtrip entirely with ``.schema(ddl)`` on the reader
+        (letting a stream start against a server that has not published
+        its first flight yet); this method only runs when no
+        user-provided schema exists."""
         from pyspark.sql.pandas.types import from_arrow_schema
 
         location = self.options["location"]

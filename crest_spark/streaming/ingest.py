@@ -49,6 +49,11 @@ class SourceSpec:
     namespace: str | None = None
     flight_location: str | None = None  # grpc://host:port
     flight_prefix: str | None = None  # descriptor-path filter (view name)
+    # DDL schema for the flight stream (e.g. "id BIGINT, v DOUBLE"):
+    # lets the service start before the producer publishes its first
+    # flight (otherwise the schema is fetched from the first listed
+    # flight, polling briefly like the reference's 500 ms repoll loop)
+    flight_schema: str | None = None
 
 
 @dataclass
@@ -76,6 +81,12 @@ class IngestConfig:
     # analog): the periodic rewrite doubles as clustering maintenance, so
     # scan-heavy tables stay skippable without a separate job.
     compact_zorder_by: list[str] | None = None
+    # How long start() polls a Flight server that lists no flights yet
+    # before giving up (only used when the source has no flight_schema).
+    # The reference's ingestor tolerates an empty server indefinitely
+    # via its 500 ms repoll (ingestor.go:131-152); a bounded wait keeps
+    # misconfigured locations from hanging startup forever.
+    flight_start_timeout: float = 10.0
 
 
 class IngestionService:
@@ -172,7 +183,28 @@ class IngestionService:
                     )
                 if src.flight_prefix:
                     reader = reader.option("prefix", src.flight_prefix)
-                stream = reader.load()
+                if src.flight_schema:
+                    stream = reader.schema(src.flight_schema).load()
+                else:
+                    # schema comes from the first listed flight: poll an
+                    # empty server briefly (the reference's repoll) so
+                    # startup doesn't race the producer
+                    import time as _time
+
+                    deadline = _time.monotonic() + max(
+                        0.0, self.config.flight_start_timeout
+                    )
+                    while True:
+                        try:
+                            stream = reader.load()
+                            break
+                        except Exception as exc:  # noqa: BLE001
+                            if (
+                                "no flights" not in str(exc)
+                                or _time.monotonic() >= deadline
+                            ):
+                                raise
+                            _time.sleep(0.5)
             else:
                 schema = normalize_ns_timestamps(
                     self.spark.read.parquet(src.path)

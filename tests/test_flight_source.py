@@ -216,6 +216,79 @@ def test_ingestion_service_flight_source(spark, sf_dir, server, tmp_path):
     assert t.read(spark).count() == events.num_rows
 
 
+def test_ingestion_service_tolerates_empty_flight_server(
+    spark, sf_dir, server, tmp_path
+):
+    """Service startup must not race the producer (the reference's
+    ingestor repolls an empty server, ingestor.go:131-152): with a
+    configured DDL schema the service starts against a flightless
+    server immediately; without one, start() polls until the first
+    flight appears within flight_start_timeout."""
+    import threading
+    import time as _time
+
+    from crest_spark.streaming.ingest import (
+        IngestConfig,
+        IngestionService,
+        SourceSpec,
+    )
+
+    # --- configured schema: starts with zero flights listed ---
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh_empty"),
+        checkpoint_root=str(tmp_path / "ckpt_empty"),
+        sources=[
+            SourceSpec(
+                name="v",
+                flight_location=server.location,
+                flight_prefix="v/",
+                flight_schema="a BIGINT",
+            )
+        ],
+    )
+    IngestionService(spark, cfg).run_once()  # empty server: no crash
+    t = pa.table({"a": list(range(10))})
+    server.publish("v/tick-0000", t)
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    assert svc.catalog.table("v").read(spark).count() == 10
+
+    # --- no schema: poll until the producer publishes ---
+    cfg2 = IngestConfig(
+        warehouse=str(tmp_path / "wh_poll"),
+        checkpoint_root=str(tmp_path / "ckpt_poll"),
+        flight_start_timeout=15.0,
+        sources=[
+            SourceSpec(
+                name="w",
+                flight_location=server.location,
+                flight_prefix="w/",
+            )
+        ],
+    )
+    threading.Timer(
+        1.0, lambda: server.publish("w/tick-0000", t)
+    ).start()
+    svc2 = IngestionService(spark, cfg2)
+    svc2.run_once()  # start() polls through the empty window
+    assert svc2.catalog.table("w").read(spark).count() == 10
+
+    # --- no schema, nothing ever published: bounded failure ---
+    cfg3 = IngestConfig(
+        warehouse=str(tmp_path / "wh_never"),
+        checkpoint_root=str(tmp_path / "ckpt_never"),
+        flight_start_timeout=1.0,
+        sources=[
+            SourceSpec(name="x", flight_location=server.location,
+                       flight_prefix="x/")
+        ],
+    )
+    t0 = _time.monotonic()
+    with pytest.raises(Exception, match="no flights"):
+        IngestionService(spark, cfg3).start()
+    assert _time.monotonic() - t0 < 10
+
+
 def test_config_parses_flight_source(tmp_path):
     """YAML config wires a Flight source (the reference's flight.servers
     entry, config.go:29-33) into a SourceSpec; a source with neither
