@@ -24,15 +24,19 @@ from crest_spark.sources.tables import load_table
 SESSION_GAP_S = 28_800  # 8 h: ~2 events/session on the driver fixtures
 GRID_STEP = "15 minutes"
 
-# Gap comparisons run on integer-second epochs in BOTH engines
-# (Spark unix_timestamp vs DuckDB FLOOR(epoch(...))): sub-second
-# precision differs between the engines' nanos/micros handling of the
-# TIMESTAMP(NANOS) fixture, integer seconds do not.
+# Gap comparisons run on integer-second epochs in BOTH engines:
+# Spark's unix_timestamp(ts) is floor(internal_micros / 1e6) — pure
+# integer arithmetic, and empirically invariant across session timezone
+# AND TIMESTAMP/TIMESTAMP_NTZ read types (verified by
+# test_events_epoch_bit_equality). The oracle mirrors it with
+# epoch_us(ts) // 1000000 — also pure integers — rather than
+# FLOOR(epoch(ts)), whose double rounding near second boundaries is
+# build-dependent.
 
 _SESSION_SQL = """
     WITH ordered AS (
         SELECT user_id, event_id,
-               CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+               CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
         FROM events
     ),
     marked AS (

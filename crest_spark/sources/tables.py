@@ -46,8 +46,22 @@ def normalize_ns_timestamps(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> D
 
     for c in cols:
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+            # exact INTEGER floor-division ns -> us. The old
+            # floor(ns / 1000.0) went through a double whose ulp at
+            # ~1.7e18 is ~256 ns — values that close to a boundary
+            # could round up and land a full second off downstream
+            # (unix_timestamp) while an exact engine (DuckDB) floors
+            # truly: a silent one-off hash divergence. `div` truncates
+            # toward zero, so correct the negative-remainder case to
+            # keep true floor semantics for pre-epoch timestamps.
             df = df.withColumn(
-                c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
+                c,
+                F.timestamp_micros(
+                    F.expr(
+                        f"`{c}` div 1000"
+                        f" - CAST(`{c}` % 1000 < 0 AS BIGINT)"
+                    ).cast("long")
+                ),
             )
     return df
 

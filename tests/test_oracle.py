@@ -27,3 +27,44 @@ def test_rows_only_runs(spark, sf_dir, name):
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_events_epoch_bit_equality(spark, duck, sf_dir):
+    """The q33 hash-robustness anchor (VERDICT r3 #1): the integer-second
+    epoch every time-series oracle keys on must be BIT-identical across
+    (a) Spark's unix_timestamp(ts), (b) exact integer floor of the raw
+    parquet microseconds, (c) DuckDB's epoch_us(ts) // 1000000 (the
+    oracle-side expression), and (d) DuckDB's legacy FLOOR(epoch(ts))
+    double path — over EVERY events row, so any engine-build or
+    session-state drift in timestamp handling fails loudly here instead
+    of as an opaque driver hash mismatch."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from crest_spark.sources.tables import load_table, table_path
+
+    sp = {
+        r["event_id"]: r["s"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", F.unix_timestamp("ts").alias("s"))
+        .collect()
+    }
+
+    raw = pq.read_table(table_path(sf_dir, "events"), columns=["event_id", "ts"])
+    unit = raw.schema.field("ts").type.unit
+    div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    ids = raw.column("event_id").to_pylist()
+    exact = [v // div for v in raw.column("ts").cast("int64").to_pylist()]
+
+    duck_rows = duck.execute(
+        "SELECT event_id, CAST(epoch_us(ts) // 1000000 AS BIGINT),"
+        " CAST(FLOOR(epoch(ts)) AS BIGINT) FROM events"
+    ).fetchall()
+
+    assert len(sp) == len(ids) == len(duck_rows)
+    for eid, ex in zip(ids, exact):
+        assert sp[eid] == ex, f"spark != exact for event {eid}"
+    for eid, d_int, d_floor in duck_rows:
+        assert d_int == sp[eid], f"duck epoch_us != spark for event {eid}"
+        assert d_floor == sp[eid], f"duck FLOOR(epoch) != spark for event {eid}"
