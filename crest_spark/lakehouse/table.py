@@ -491,30 +491,47 @@ class LakehouseTable:
         df: DataFrame,
         extra: dict | None = None,
         expected_version: int | None = None,
+        keep_files: list[str] | None = None,
     ) -> int:
-        """Transactional full overwrite: new files + a ``replace`` commit
-        that supersedes all prior data (readers at older versions still
-        see the old snapshot — time travel preserved).
+        """Transactional overwrite: new files + a ``replace`` commit that
+        supersedes all prior data (readers at older versions still see
+        the old snapshot — time travel preserved).
 
         ``expected_version``: when the new contents were DERIVED from a
         snapshot read (merge/compact), pass the version that was read; the
         commit then fails with ``CommitConflict`` if any writer advanced
         the table past it, instead of silently dropping the concurrent
         commit's rows. A plain overwrite (df unrelated to current
-        contents) legitimately replaces whatever is there and passes None."""
+        contents) legitimately replaces whatever is there and passes None.
+
+        ``keep_files``: file paths from the ``expected_version`` snapshot
+        carried into the new snapshot UNCHANGED — file-granular
+        copy-on-write (Iceberg/Delta rewrite semantics). The replace's
+        file list is keep_files + the newly written files; kept files'
+        pruning stats are copied from the base snapshot, so a merge that
+        touches 1% of a 100 TB table commits 99% of it by reference."""
+        if keep_files and expected_version is None:
+            raise ValueError("keep_files requires expected_version")
         txn_dir = os.path.join(self.data_path, f"txn-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(txn_dir)
-        files = sorted(
+        new_files = sorted(
             os.path.join(txn_dir, f)
             for f in os.listdir(txn_dir)
             if f.endswith(".parquet")
         )
+        stats = _footer_stats(new_files)
+        files = list(new_files)
+        if keep_files:
+            base_stats = self._state(upto=expected_version).get("stats", {})
+            for f in keep_files:
+                stats[f] = base_stats.get(f, {})
+            files = list(keep_files) + files
         num_rows = _footer_row_count(files)
         version = self._try_commit(
             {
                 "operation": "replace",
                 "files": files,
-                "stats": _footer_stats(files),
+                "stats": stats,
                 "schema": json.dumps(df.schema.jsonValue()),
                 "commit_ts": time.time(),
                 "num_rows": num_rows,
@@ -555,13 +572,40 @@ class LakehouseTable:
         Read-modify-write is conflict-validated: the replace only commits
         if the table head is still the version that was read; a concurrent
         append triggers an automatic re-read + re-merge (optimistic retry,
-        bounded), so no concurrent commit is ever silently dropped."""
+        bounded), so no concurrent commit is ever silently dropped.
+
+        Copy-on-write at FILE granularity: the per-file min/max stats
+        recorded by every commit prune the rewrite to files whose ``key``
+        range intersects the updates' [min, max] key bounds — all other
+        files provably contain no updated key and move into the new
+        snapshot by reference (Iceberg/Delta rewrite semantics). A CDC
+        micro-batch touching one day of a 100 TB table rewrites that
+        day's files, not the table. Files without recorded key stats are
+        conservatively rewritten (correctness never depends on stats)."""
         from pyspark.sql.window import Window
 
         last_err: Exception | None = None
         for _ in range(self._MERGE_RETRIES):
             base = self.version()
-            current = self.read(spark, version=base)
+            state = self._state(upto=base)
+            stats: dict = state.get("stats", {})
+            bounds = updates.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).first()
+            lo, hi = bounds["lo"], bounds["hi"]
+            keep: list[str] = []
+            touch: list[str] = []
+            for f in state["files"]:
+                fs = stats.get(f) or {}
+                if (
+                    lo is not None
+                    and key in fs
+                    and not _stats_admit(fs, {key: (lo, hi)})
+                ):
+                    keep.append(f)  # key range provably disjoint
+                else:
+                    touch.append(f)
+            current = self._read_files(spark, touch, state["schema"])
             if sequence_col is None:
                 kept = current.join(updates.select(key), on=key, how="left_anti")
                 merged = kept.unionByName(updates.select(*current.columns))
@@ -583,7 +627,9 @@ class LakehouseTable:
                     .drop("__rn", "__is_upd")
                 )
             try:
-                return self.overwrite(merged, expected_version=base)
+                return self.overwrite(
+                    merged, expected_version=base, keep_files=keep
+                )
             except CommitConflict as e:
                 last_err = e
                 continue  # head advanced: re-read and re-derive
@@ -597,11 +643,23 @@ class LakehouseTable:
         spark: SparkSession,
         target_partitions: int = 1,
         zorder_by: list[str] | None = None,
+        small_file_max_rows: int | None = None,
     ) -> int:
         """Small-file compaction: rewrite the current snapshot into
         ``target_partitions`` files and commit a ``replace``. Readers are
         unaffected (same rows); the file count drops from
         O(commits x partitions) to O(target).
+
+        ``small_file_max_rows``: copy-on-write mode — only files at or
+        under this footer row count are rewritten; larger files move into
+        the new snapshot by reference (Delta OPTIMIZE's bin-packing
+        scope). This is what keeps steady-state compaction cost
+        proportional to the small-file backlog, not the table: a 100 TB
+        table with a few thousand fresh micro-batch files compacts those
+        files only. No-op (returns the current version) when fewer than
+        two small files exist. Incompatible with ``zorder_by`` re-
+        clustering of the whole table — z-ordering intentionally rewrites
+        everything it clusters.
 
         ``zorder_by``: cluster the rewrite on a Z-order (Morton) curve
         over the given columns (Delta's OPTIMIZE ZORDER BY analog). Each
@@ -614,10 +672,31 @@ class LakehouseTable:
         Conflict-validated like ``merge``: the replace only commits onto
         the snapshot that was read; a concurrent append restarts the
         rewrite rather than being silently dropped."""
+        if small_file_max_rows is not None and zorder_by:
+            raise ValueError(
+                "small_file_max_rows and zorder_by are mutually exclusive"
+            )
         last_err: Exception | None = None
         for _ in range(self._MERGE_RETRIES):
             base = self.version()
-            df = self.read(spark, version=base)
+            state = self._state(upto=base)
+            keep: list[str] = []
+            if small_file_max_rows is not None:
+                import pyarrow.parquet as pq
+
+                small = [
+                    f
+                    for f in state["files"]
+                    if pq.ParquetFile(f).metadata.num_rows
+                    <= small_file_max_rows
+                ]
+                if len(small) < 2:
+                    return base  # nothing worth binning together
+                small_set = set(small)
+                keep = [f for f in state["files"] if f not in small_set]
+                df = self._read_files(spark, small, state["schema"])
+            else:
+                df = self.read(spark, version=base)
             if zorder_by:
                 z = _zorder_key(df, zorder_by)
                 clustered = (
@@ -632,7 +711,10 @@ class LakehouseTable:
                 # compaction preserves the rowset — tagged so incremental
                 # consumers (read_changes, the crest_table stream) skip it
                 return self.overwrite(
-                    clustered, extra={"compaction": True}, expected_version=base
+                    clustered,
+                    extra={"compaction": True},
+                    expected_version=base,
+                    keep_files=keep,
                 )
             except CommitConflict as e:
                 last_err = e
@@ -802,20 +884,25 @@ class LakehouseTable:
         return expired
 
     # ----------------------------------------------------------------- reads
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Snapshot read: exactly the files committed at ``version`` (or
-        latest). Later/concurrent commits are invisible to this scan."""
-        state = self._state(upto=version)
-        schema = StructType.fromJson(json.loads(state["schema"]))
-        files: list[str] = state["files"]
+    def _read_files(
+        self, spark: SparkSession, files: list[str], schema_json: str
+    ) -> DataFrame:
+        """Read an explicit file subset with the pinned schema (the
+        copy-on-write paths scan only the files they will rewrite)."""
+        schema = StructType.fromJson(json.loads(schema_json))
         if not files:
             return spark.createDataFrame([], schema)
-        # mergeSchema handles pre-evolution files lacking newer columns
         return (
             spark.read.schema(schema)
             .option("mergeSchema", "false")
             .parquet(*files)
         )
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read: exactly the files committed at ``version`` (or
+        latest). Later/concurrent commits are invisible to this scan."""
+        state = self._state(upto=version)
+        return self._read_files(spark, state["files"], state["schema"])
 
     def pruned_files(
         self, predicates: dict[str, tuple], version: int | None = None

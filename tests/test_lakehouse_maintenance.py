@@ -273,3 +273,97 @@ def test_expire_folds_replace_rows_batches_and_tags(spark, sf_dir, tmp_path):
     # (c) the fold-boundary compaction kept its tag: incremental reads
     # from it do not raise and deliver exactly the post-cutoff appends
     assert t.read_changes(spark, after=v_compact2).count() == n
+
+
+def test_merge_copy_on_write_keeps_disjoint_files(spark, sf_dir, tmp_path):
+    """File-granular copy-on-write (VERDICT r3 #2): a merge whose update
+    key range provably misses a file's committed min/max stats must carry
+    that file into the new snapshot BY PATH, rewriting only intersecting
+    files — the difference between a CDC micro-batch costing one file
+    and costing the whole table at 100 TB."""
+    t = _cat(tmp_path).get_or_create_table(
+        "cow", spark.range(0).withColumn("v", F.col("id") * 2).schema
+    )
+    for lo in (0, 100, 200):  # three appends with disjoint key ranges
+        t.append(
+            spark.range(lo, lo + 100).withColumn("v", F.col("id") * 2).coalesce(1)
+        )
+    snaps = t.snapshots()
+    file_of = {lo: snaps[i + 1].files for i, lo in enumerate((0, 100, 200))}
+    assert all(len(fs) == 1 for fs in file_of.values())
+
+    updates = (
+        spark.range(250, 260).withColumn("v", F.lit(999).cast("long")).coalesce(1)
+    )
+    t.merge(spark, updates, key="id")
+
+    live = set(t.snapshots()[-1].files)
+    # files for keys 0-99 and 100-199 survive by reference (same paths)
+    assert set(file_of[0]) <= live and set(file_of[100]) <= live
+    # the intersecting file (200-299) was rewritten
+    assert not set(file_of[200]) & live
+
+    out = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert len(out) == 300
+    assert all(out[k] == 999 for k in range(250, 260))
+    assert all(out[k] == k * 2 for k in range(0, 250))
+
+    # kept files survive snapshot expiry (still referenced by the head)
+    t.expire_snapshots(keep_last=1)
+    assert all(os.path.exists(f) for fs in (file_of[0], file_of[100]) for f in fs)
+    assert t.read(spark).count() == 300
+
+
+def test_merge_copy_on_write_sequence_col(spark, sf_dir, tmp_path):
+    """The sequence-conditioned merge prunes identically: stale updates
+    (lower sequence) still lose inside the rewritten files, and disjoint
+    files are untouched."""
+    schema = (
+        spark.range(0)
+        .withColumn("v", F.col("id"))
+        .withColumn("seq", F.col("id"))
+        .schema
+    )
+    t = _cat(tmp_path).get_or_create_table("cow_seq", schema)
+    for lo in (0, 100):
+        t.append(
+            spark.range(lo, lo + 100)
+            .withColumn("v", F.col("id"))
+            .withColumn("seq", F.lit(5).cast("long"))
+            .coalesce(1)
+        )
+    first_file = set(t.snapshots()[1].files)
+    upd = spark.createDataFrame(
+        [(150, 111, 9), (151, 222, 1)], "id long, v long, seq long"
+    )
+    t.merge(spark, upd, key="id", sequence_col="seq")
+    live = set(t.snapshots()[-1].files)
+    assert first_file <= live  # keys 0-99 untouched by reference
+    out = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert out[150] == 111  # seq 9 > 5: update wins
+    assert out[151] == 151  # seq 1 < 5: current row survives
+    assert len(out) == 200
+
+
+def test_compact_small_files_only(spark, sf_dir, tmp_path):
+    """Partial compaction: only files at/under the row threshold are
+    binned together; big files move by reference. Second call with one
+    remaining small file is a no-op version-wise."""
+    t = _cat(tmp_path).get_or_create_table(
+        "bins", spark.range(0).withColumn("v", F.col("id")).schema
+    )
+    t.append(spark.range(0, 1000).withColumn("v", F.col("id")).coalesce(1))
+    big_file = set(t.snapshots()[-1].files)
+    for lo in (1000, 1010, 1020):
+        t.append(
+            spark.range(lo, lo + 10).withColumn("v", F.col("id")).coalesce(1)
+        )
+    assert t.file_count() == 4
+    v = t.compact(spark, target_partitions=1, small_file_max_rows=100)
+    live = set(t.snapshots()[-1].files)
+    assert big_file <= live  # kept by reference
+    assert t.file_count() == 2  # big + one binned file
+    assert t.read(spark).count() == 1030
+    assert t.row_count() == 1030
+    # the single 30-row bin is the only small file left: no-op
+    assert t.compact(spark, target_partitions=1, small_file_max_rows=100) == v
