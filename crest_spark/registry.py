@@ -147,32 +147,84 @@ def load_all() -> dict[str, QuerySpec]:
     return REGISTRY
 
 
-def ordered_registry() -> dict[str, QuerySpec]:
-    """The registry re-ordered so that ANY prefix spans the operator
-    categories: round-robin one query per defining module, oracle-bearing
-    entries first within each module (registration order otherwise
-    preserved).
+# Queries already driver-checked in earlier rounds (union of the
+# CORRECTNESS_r01..r03 row names) — static rotation memory so that each
+# round's fixed-size driver prefix lands on a fresh slab of the registry
+# instead of re-checking the same representatives every round.
+_DRIVER_CHECKED: frozenset[str] = frozenset(
+    {
+        "ann_brute_topk", "ann_ivf_topk", "ann_lsh_topk",
+        "curation_pack_sequences", "curation_stratified_sample",
+        "curation_train_split", "dedup_components",
+        "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_weighted",
+        "llm_curation_pipeline", "multimodal_binary_meta",
+        "multimodal_features", "multimodal_features_hex",
+        "multimodal_resize", "q01_filter_project", "q02_predicates",
+        "q03_agg_pricing_summary", "q04_distinct_agg",
+        "q04b_approx_distinct", "q05_join_groupby", "q06_join3_topk",
+        "q07_left_outer", "q07b_full_outer", "q08_semi_join",
+        "q08b_anti_join", "q09_broadcast_dim", "q10_range_join",
+        "q10b_theta_join", "q10c_cross_join", "q11_rank_window",
+        "q12_frame_window", "q12b_range_frame", "q13_topk",
+        "q14_intersect", "q14b_except", "q14c_union", "q15_rollup",
+        "q15b_cube", "q15c_grouping_sets", "q15d_pivot", "q16_scalar_zoo",
+        "q16b_datetime_zoo", "q17_json_extract", "q17b_json_schema",
+        "q17c_to_json", "q18_array_access", "q18b_explode",
+        "q18c_array_hof", "q18d_map_functions", "q18e_posexplode",
+        "q19_tumbling_batch", "q20_asof_join", "q21_dedup_groups",
+        "q21b_distinct", "q22_cosine_topk", "q24_scalar_subquery",
+        "q24b_correlated_scalar", "q24c_in_subquery", "q24d_cte",
+        "q27_having", "q28_profit_by_nation_year",
+        "q28b_order_count_distribution", "q28c_volume_shipping",
+        "q33_sessionize", "q34_gapfill", "q34b_gapfill_interpolate",
+        "q35_min_acctbal_supplier", "q36_priority_count",
+        "q37_local_supplier_volume", "q46_multires_rollup",
+        "skew_salted_agg", "skew_salted_join", "stats_minmax_percentile",
+        "stats_moments", "stream_session_window", "stream_sliding_window",
+        "stream_tumbling_window", "text_fingerprint", "text_lang_id",
+        "text_quality", "text_token_stats", "udf_grouped_agg_pandas",
+        "udf_grouped_map_zscore", "udf_scalar_pandas",
+    }
+)
 
-    Why: the correctness driver checks a fixed-size prefix of ``queries()``
-    in iteration order. A module-sequential order front-loads two modules
-    and leaves whole categories (tpch shapes, subqueries, text, stats,
-    similarity, udf, streaming parity) with zero driver-side coverage;
-    interleaving puts ≥3 queries from every category inside the first 50.
+
+def ordered_registry() -> dict[str, QuerySpec]:
+    """The registry re-ordered so the driver's fixed-size prefix is
+    maximally informative: two round-robin passes over the defining
+    modules — first every query NEVER driver-checked in a prior round
+    (``_DRIVER_CHECKED`` rotation memory), then the already-checked
+    rest — with oracle-bearing entries first within each module queue
+    (registration order otherwise preserved).
+
+    Why: the correctness driver checks a fixed-size prefix of
+    ``queries()`` in iteration order. Round-robin keeps any prefix
+    spanning the operator categories; the never-checked-first pass makes
+    each round's prefix a fresh slab of the registry instead of the same
+    representatives every round, so driver-side coverage accumulates
+    across rounds.
     """
     specs = load_all()
-    by_module: dict[str, list[QuerySpec]] = {}
-    for spec in specs.values():
-        by_module.setdefault(spec.module, []).append(spec)
-    for queue in by_module.values():
-        queue.sort(key=lambda s: s.oracle is None)  # stable: oracles first
+
+    def queues_for(wanted: bool) -> list[list[QuerySpec]]:
+        by_module: dict[str, list[QuerySpec]] = {}
+        for spec in specs.values():
+            if (spec.name in _DRIVER_CHECKED) is wanted:
+                by_module.setdefault(spec.module, []).append(spec)
+        for queue in by_module.values():
+            queue.sort(key=lambda s: s.oracle is None)  # oracles first
+        return list(by_module.values())
+
     ordered: dict[str, QuerySpec] = {}
-    queues = list(by_module.values())
-    i = 0
-    while any(queues):
-        for queue in queues:
-            if i < len(queue):
-                ordered[queue[i].name] = queue[i]
-        i += 1
-        if all(i >= len(q) for q in queues):
-            break
+    for queues in (queues_for(False), queues_for(True)):
+        i = 0
+        while True:
+            hit = False
+            for queue in queues:
+                if i < len(queue):
+                    ordered[queue[i].name] = queue[i]
+                    hit = True
+            if not hit:
+                break
+            i += 1
     return ordered
