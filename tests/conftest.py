@@ -7,6 +7,19 @@ from crest_spark.session import get_spark
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
+TABLE_VIEW_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
 
 @pytest.fixture(scope="session")
 def spark():
@@ -30,18 +43,7 @@ def duck():
     import duckdb
 
     con = duckdb.connect()
-    for name in [
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-        "events",
-        "documents",
-        "embeddings",
-    ]:
+    for name in TABLE_VIEW_NAMES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{SF_SMOKE}/{name}.parquet'"
         )
