@@ -132,6 +132,7 @@ def load_all() -> dict[str, QuerySpec]:
     import crest_spark.operators.curation  # noqa: F401
     import crest_spark.operators.dedup  # noqa: F401
     import crest_spark.operators.multimodal  # noqa: F401
+    import crest_spark.operators.multimodal_codec  # noqa: F401
     import crest_spark.operators.relational  # noqa: F401
     import crest_spark.operators.similarity  # noqa: F401
     import crest_spark.operators.skew  # noqa: F401

@@ -1,0 +1,85 @@
+"""Real-codec primitives: BMP/WAV encode-decode roundtrips, padding and
+row-order handling, RIFF chunk walking, nearest-neighbor mapping. These
+are the pytest halves of the closed-form SQL oracles in
+multimodal_codec.py."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from crest_spark.operators.multimodal_codec import (
+    decode_bmp,
+    encode_bmp,
+    encode_wav,
+    parse_wav,
+    resize_nearest,
+)
+
+
+def test_bmp_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    # widths chosen to exercise every padding remainder (3w % 4)
+    for w, h in ((1, 1), (2, 3), (3, 2), (4, 4), (17, 9), (30, 24)):
+        raster = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(raster))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, raster)
+
+
+def test_bmp_rejects_non_bmp():
+    with pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_bmp_row_order_is_top_down():
+    # top row red, bottom row blue: the decoder must undo BMP's
+    # bottom-up storage, not just reshape
+    raster = np.zeros((2, 2, 3), np.uint8)
+    raster[0, :, 2] = 255  # top row: R channel
+    raster[1, :, 0] = 255  # bottom row: B channel
+    out = decode_bmp(encode_bmp(raster))
+    assert out[0, 0, 2] == 255 and out[0, 0, 0] == 0
+    assert out[1, 0, 0] == 255 and out[1, 0, 2] == 0
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    samples = (np.arange(100, dtype=np.int64) * 331 % 65536 - 32768).astype(
+        np.int16
+    )
+    payload = encode_wav(samples, sample_rate=8000)
+    sr, ch, bits, data = parse_wav(payload)
+    assert (sr, ch, bits) == (8000, 1, 16)
+    assert np.array_equal(np.frombuffer(data, np.int16), samples)
+
+    # real encoders emit extra chunks (LIST/INFO) between fmt and data —
+    # the walker must skip them, including odd-size word alignment
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # pad byte
+    riff_body = payload[12:]
+    fmt_chunk = riff_body[: 8 + 16]
+    rest = riff_body[8 + 16 :]
+    patched_body = fmt_chunk + extra + rest
+    patched = (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(patched_body), b"WAVE")
+        + patched_body
+    )
+    sr2, _, _, data2 = parse_wav(patched)
+    assert sr2 == 8000 and np.array_equal(
+        np.frombuffer(data2, np.int16), samples
+    )
+
+
+def test_wav_rejects_non_wav():
+    with pytest.raises(ValueError):
+        parse_wav(b"OggS" + b"\x00" * 64)
+
+
+def test_resize_nearest_known_mapping():
+    # 4x2 -> 2x1: target (tx, ty) samples source (tx*4//2, ty*2//1)
+    src = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    out = resize_nearest(src, 2, 1)
+    assert out.shape == (1, 2, 3)
+    assert np.array_equal(out[0, 0], src[0, 0])
+    assert np.array_equal(out[0, 1], src[0, 2])
