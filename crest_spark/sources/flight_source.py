@@ -71,15 +71,30 @@ def _list_paths(location: str, prefix: str) -> list[str]:
     return sorted(paths)
 
 
-def _endpoints(location: str, path: str) -> list[bytes]:
-    """Ticket bytes for every endpoint of one flight (GetFlightInfo)."""
+def _list_endpoints(location: str, prefix: str) -> dict[str, list[bytes]]:
+    """One ``ListFlights`` pass -> ``{path: [ticket, ...]}`` for every
+    matching flight. The listing's FlightInfo objects already carry each
+    flight's endpoints, so planning needs NO per-flight GetFlightInfo
+    roundtrip — the reference re-fetches info per flight
+    (flight_reader.go:119-150), an O(flights) serial driver loop at tens
+    of thousands of flights. Servers that omit endpoints from listings
+    get an individual resolution over the SAME connection (rare path)."""
     import pyarrow.flight as fl
 
+    out: dict[str, list[bytes]] = {}
     with _connect(location) as client:
-        info = client.get_flight_info(
-            fl.FlightDescriptor.for_path(*path.split("/"))
-        )
-        return [ep.ticket.ticket for ep in info.endpoints]
+        for info in client.list_flights():
+            path = "/".join(p.decode() for p in info.descriptor.path)
+            if not path.startswith(prefix):
+                continue
+            tickets = [ep.ticket.ticket for ep in info.endpoints]
+            if not tickets:
+                full = client.get_flight_info(
+                    fl.FlightDescriptor.for_path(*path.split("/"))
+                )
+                tickets = [ep.ticket.ticket for ep in full.endpoints]
+            out[path] = tickets
+    return out
 
 
 class _TicketPartition(InputPartition):
@@ -164,11 +179,12 @@ class CrestFlightStreamReader(DataSourceStreamReader):
         lo = max(start["last"], self._floor or "")
         parts: list[InputPartition] = []
         if lo < end["last"]:
-            for path in _list_paths(self.location, self.prefix):
+            endpoints = _list_endpoints(self.location, self.prefix)
+            for path in sorted(endpoints):
                 if lo < path <= end["last"]:
                     parts.extend(
                         _TicketPartition(self.location, t)
-                        for t in _endpoints(self.location, path)
+                        for t in endpoints[path]
                     )
         self._floor = max(self._floor or "", start["last"], end["last"])
         parts = parts or [_TicketPartition(self.location, b"")]
@@ -190,12 +206,12 @@ class CrestFlightBatchReader(DataSourceReader):
         self.prefix = options.get("prefix", "")
 
     def partitions(self) -> Sequence[InputPartition]:
-        parts: list[InputPartition] = []
-        for path in _list_paths(self.location, self.prefix):
-            parts.extend(
-                _TicketPartition(self.location, t)
-                for t in _endpoints(self.location, path)
-            )
+        endpoints = _list_endpoints(self.location, self.prefix)
+        parts: list[InputPartition] = [
+            _TicketPartition(self.location, t)
+            for path in sorted(endpoints)
+            for t in endpoints[path]
+        ]
         return parts or [_TicketPartition(self.location, b"")]
 
     def read(self, partition: _TicketPartition) -> Iterator:  # executor-side

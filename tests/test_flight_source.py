@@ -24,6 +24,8 @@ class SliceFlightServer(fl.FlightServerBase):
     def __init__(self):
         super().__init__("grpc://127.0.0.1:0")
         self.tables: dict[str, pa.Table] = {}
+        self.n_list_flights = 0  # RPC counters (in-process server)
+        self.n_get_flight_info = 0
 
     @property
     def location(self) -> str:
@@ -39,10 +41,12 @@ class SliceFlightServer(fl.FlightServerBase):
         return fl.FlightInfo(t.schema, desc, [ep], t.num_rows, t.nbytes)
 
     def list_flights(self, context, criteria):
+        self.n_list_flights += 1
         for name in sorted(self.tables):
             yield self._info(name)
 
     def get_flight_info(self, context, descriptor):
+        self.n_get_flight_info += 1
         name = "/".join(p.decode() for p in descriptor.path)
         if name not in self.tables:
             raise fl.FlightUnavailableError(f"no flight {name}")
@@ -363,6 +367,27 @@ def test_flight_multiple_endpoints_per_flight(spark, sf_dir):
         assert df.rdd.getNumPartitions() == 2
     finally:
         srv.shutdown()
+
+
+def test_flight_endpoint_resolution_is_one_listing_pass(spark, sf_dir, server):
+    """Planning 200 flights must NOT issue 200 serial GetFlightInfo
+    driver RPCs: the listing already carries every flight's endpoints,
+    so a batch read costs one listing pass for planning (plus one
+    GetFlightInfo for the schema fetch)."""
+    t = pa.table({"a": list(range(200))})
+    for i in range(200):
+        server.publish(f"v/tick-{i:04d}", t.slice(i, 1))
+    register_flight_source(spark)
+    server.n_list_flights = server.n_get_flight_info = 0
+    df = (
+        spark.read.format("crest_flight")
+        .option("location", server.location)
+        .option("prefix", "v/")
+        .load()
+    )
+    assert sorted(r["a"] for r in df.collect()) == list(range(200))
+    assert server.n_get_flight_info <= 1  # schema fetch only
+    assert server.n_list_flights <= 3  # schema + plan, never per-flight
 
 
 def test_flight_offset_never_regresses_below_engine_position(server):
