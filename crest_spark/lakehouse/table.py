@@ -168,6 +168,14 @@ class CommitConflict(Exception):
     """Another writer committed this version first (caller should retry)."""
 
 
+def _record_conflict(table: str, op: str) -> None:
+    """Surface optimistic-retry contention to the metrics counters
+    (late import: lakehouse must stay importable without streaming)."""
+    from crest_spark.streaming.metrics import record_commit_conflict
+
+    record_commit_conflict(table, op)
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -632,6 +640,7 @@ class LakehouseTable:
                 )
             except CommitConflict as e:
                 last_err = e
+                _record_conflict(f"{self.namespace}.{self.name}", "merge")
                 continue  # head advanced: re-read and re-derive
         raise CommitConflict(
             f"merge into {self.namespace}.{self.name} lost the commit race "
@@ -718,6 +727,7 @@ class LakehouseTable:
                 )
             except CommitConflict as e:
                 last_err = e
+                _record_conflict(f"{self.namespace}.{self.name}", "compact")
                 continue
         raise CommitConflict(
             f"compact of {self.namespace}.{self.name} lost the commit race "

@@ -562,6 +562,9 @@ _EMB_BLOCK_ROWS = 2048  # rows per packed block; a block pair's GEMM is
 _EMB_SINGLE_BLOCK_ROWS = 8192  # corpora at or under this skip the pair-join
 # machinery entirely (one packed block, one GEMM; 8192^2 f64 scores = 512 MB
 # peak in the single task — a small-corpus-only trade)
+_ANN_ROUTE_ROWS = 1_000_000  # above this the exact O(B²) block-pair plan is
+# ~120k block pairs and growing quadratically — refuse and route callers to
+# the sub-quadratic dedup_embedding_ann instead of silently melting a cluster
 
 
 def embedding_cosine_pairs(
@@ -570,6 +573,7 @@ def embedding_cosine_pairs(
     threshold: float,
     block_rows: int = _EMB_BLOCK_ROWS,
     single_block_rows: int = _EMB_SINGLE_BLOCK_ROWS,
+    ann_route_rows: int = _ANN_ROUTE_ROWS,
 ) -> DataFrame:
     """Exact all-pairs cosine >= ``threshold`` over (vec_id, embedding).
 
@@ -599,6 +603,17 @@ def embedding_cosine_pairs(
     import pandas as pd
 
     n = em.count()  # one scalar aggregate (parquet metadata count)
+    if n > ann_route_rows:
+        # enforced routing (not just a docstring): exact all-pairs past
+        # ~1M vectors is quadratic data movement nobody should pay by
+        # accident; the equal-schema sub-quadratic path is one call away
+        raise ValueError(
+            f"embedding_cosine_pairs is the EXACT O(n²/block) path and was "
+            f"asked for {n} vectors (limit {ann_route_rows}); use "
+            f"dedup_embedding_ann (hyperplane-LSH blocking + exact verify, "
+            f"same output schema) for corpora this large, or raise "
+            f"ann_route_rows explicitly to accept the quadratic cost"
+        )
     # small-corpus fast path: one block, no pair-index join — recovers the
     # fixed pack-shuffle + pair-join + mapInPandas overhead that dominated
     # small runs (pass single_block_rows=0 to force the multi-block plan)

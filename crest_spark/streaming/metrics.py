@@ -59,3 +59,46 @@ def attach(spark: SparkSession, out_path: str) -> JsonlMetricsListener:
     listener = JsonlMetricsListener(out_path)
     spark.streams.addListener(listener)
     return listener
+
+
+# --- commit-contention counters (driver-process-local) -----------------
+#
+# Optimistic lakehouse commits (Table.merge / Table.compact / overwrite)
+# retry on CommitConflict; at scale, sustained contention on a hot table
+# is an operational signal (mis-partitioned writers, too-frequent
+# compaction) that must be observable, not silently absorbed by the
+# retry loop. Counters are keyed by (namespace.table, op); read them via
+# ``commit_conflict_counts()`` or stream them into the same JSONL file.
+
+_COMMIT_CONFLICTS: dict[tuple[str, str], int] = {}
+_CONFLICT_JSONL: str | None = None
+
+
+def record_commit_conflict(table: str, op: str) -> None:
+    """Called by the lakehouse retry loops each time a commit loses the
+    optimistic race and is about to re-read + re-derive."""
+    key = (table, op)
+    _COMMIT_CONFLICTS[key] = _COMMIT_CONFLICTS.get(key, 0) + 1
+    if _CONFLICT_JSONL is not None:
+        with open(_CONFLICT_JSONL, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "event": "commit_conflict",
+                        "table": table,
+                        "op": op,
+                        "total": _COMMIT_CONFLICTS[key],
+                    }
+                )
+                + "\n"
+            )
+
+
+def commit_conflict_counts() -> dict[tuple[str, str], int]:
+    return dict(_COMMIT_CONFLICTS)
+
+
+def stream_commit_conflicts(out_path: str | None) -> None:
+    """Also append each conflict event to ``out_path`` (None disables)."""
+    global _CONFLICT_JSONL
+    _CONFLICT_JSONL = out_path

@@ -311,3 +311,37 @@ def test_concurrent_merges_both_land(spark, catalog, sf_dir):
     assert out[3] == out[4] == "M2"
     assert t.read(spark).count() == src.count()
     src.unpersist()
+
+
+def test_commit_conflict_metrics_counter(spark, catalog, sf_dir):
+    """Merge contention must be observable (VERDICT r3 #8): every lost
+    optimistic race increments the (table, op) conflict counter."""
+    from crest_spark.streaming.metrics import commit_conflict_counts
+
+    src = load_table(spark, sf_dir, "region").cache()
+    src.count()
+    t = catalog.get_or_create_table("region_conflict_metrics", src.schema)
+    t.append(src)
+    before = commit_conflict_counts()
+
+    real_overwrite = t.overwrite
+    injected = {"done": False}
+
+    def racing_overwrite(df, **kw):
+        if not injected["done"]:
+            injected["done"] = True
+            t.append(src.limit(1))  # advance the head behind merge's back
+        return real_overwrite(df, **kw)
+
+    t.overwrite = racing_overwrite
+    try:
+        upd = src.where(F.col("r_regionkey") < 2).withColumn(
+            "r_name", F.lit("M1")
+        )
+        t.merge(spark, upd, key="r_regionkey")
+    finally:
+        t.overwrite = real_overwrite
+
+    key = (f"{t.namespace}.{t.name}", "merge")
+    assert commit_conflict_counts().get(key, 0) == before.get(key, 0) + 1
+    src.unpersist()

@@ -440,3 +440,23 @@ def test_short_docs_gram_guard(spark, sf_dir):
     finally:
         cu._docs = orig_cu
         tx._docs = orig_tx
+
+
+def test_embedding_cosine_routes_big_corpora_to_ann(spark, sf_dir):
+    """The exact all-pairs path must REFUSE corpora past the ANN routing
+    threshold (VERDICT r3 #8): quadratic block pairs at cluster scale
+    should be an explicit caller decision, not a default."""
+    import pytest
+
+    from crest_spark.operators.dedup import _COS_T, embedding_cosine_pairs
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="dedup_embedding_ann"):
+        embedding_cosine_pairs(spark, em, _COS_T, ann_route_rows=10)
+    # explicit override accepts the quadratic cost
+    assert (
+        embedding_cosine_pairs(
+            spark, em, _COS_T, ann_route_rows=10**9
+        ).count()
+        >= 0
+    )
