@@ -361,3 +361,91 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id")
     )
+
+
+# --- PII scrubbing ------------------------------------------------------
+#
+# Patterns are written to the RE2 ∩ java.util.regex common subset (no
+# lookaround, no backreferences; \b and character classes behave
+# identically on ASCII) so the same literal pattern runs JVM-side in
+# Spark and in the DuckDB oracle.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d-]{6,}\d"
+
+
+@register(
+    "curation_pii_scrub",
+    oracle=f"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                        AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(
+                   regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IP}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(
+                   regexp_replace(regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                                  '{_PII_IP}', '<IP>', 'g'),
+                   '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IP}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+        FROM injected
+        ORDER BY doc_id
+    """,
+    tags=("llm", "curation", "pii"),
+)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training-data pipeline
+    runs before anything ships: emails, IPv4 addresses, and phone
+    numbers replaced by typed placeholders, with per-doc match counts
+    for audit sampling.
+
+    The synthetic corpus contains no PII, so the query first injects
+    deterministic doc_id-derived PII into every row IN BOTH ENGINES —
+    the redaction patterns are exercised on every document rather than
+    vacuously matching nothing.
+
+    Scale shape: pure Catalyst `regexp_replace` chain — JVM-side,
+    whole-stage-codegen, zero shuffles, linear in corpus bytes; the scan
+    partitioning IS the parallelism. Counts are computed on the partial
+    scrubs in pattern order (email, then IP, then phone) so overlapping
+    matches are attributed exactly once, matching the replace chain.
+
+    Reference parity: crest has no text operators (its transforms live
+    upstream in RisingWave, `/root/reference/README.md:13`); this is
+    part of the LLM-pipeline extension surface the brief mandates."""
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    d = d.select("doc_id", raw.alias("raw"))
+    no_email = F.regexp_replace("raw", _PII_EMAIL, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, _PII_IP, "<IP>")
+    scrubbed = F.regexp_replace(no_ip, _PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(_PII_EMAIL), 0))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_PII_IP), 0))
+        .cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(no_ip, F.lit(_PII_PHONE), 0))
+        .cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    ).orderBy("doc_id")
