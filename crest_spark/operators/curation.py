@@ -449,3 +449,88 @@ def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_phones"),
         scrubbed.alias("scrubbed"),
     ).orderBy("doc_id")
+
+
+# --- domain mixing (computed rates) -------------------------------------
+
+# target mixture over sources; sources absent from the mix are dropped.
+# All weights go through binary64 in BOTH engines (explicit DOUBLE casts
+# in the oracle — DuckDB would otherwise do DECIMAL arithmetic on the
+# literals and disagree with Spark at the floor() boundary).
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+@register(
+    "curation_domain_mix",
+    oracle=f"""
+        WITH tgt(source, w) AS (
+            VALUES {", ".join(f"('{s}', CAST({w} AS DOUBLE))"
+                              for s, w in _MIX_TARGETS.items())}
+        ),
+        counts AS (
+            SELECT d.source, COUNT(*) AS c
+            FROM documents d JOIN tgt USING (source)
+            GROUP BY d.source
+        ),
+        bottleneck AS (
+            SELECT MIN(CAST(c AS DOUBLE) / w) AS t
+            FROM counts JOIN tgt USING (source)
+        ),
+        rates AS (
+            SELECT counts.source,
+                   (b.t * tgt.w) / CAST(counts.c AS DOUBLE) AS rate
+            FROM counts JOIN tgt USING (source), bottleneck b
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                   AS BIGINT)
+              < CAST(FLOOR(r.rate * 65536) AS BIGINT)
+        ORDER BY d.doc_id
+    """,
+    tags=("llm", "curation", "mixing"),
+)
+def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture sampling with COMPUTED rates: hit a target domain
+    mix (web/books/code/...) exactly at the proportions the corpus can
+    support. The bottleneck source (largest count/target ratio deficit)
+    is kept whole; every other source is down-sampled so the output
+    matches ``_MIX_TARGETS`` — the standard two-pass recipe for
+    assembling a training mix from skewed crawls.
+
+    Scale shape: pass 1 is a per-source COUNT (map-side combined, tiny
+    result); the rate table is a handful of rows, broadcast; pass 2 is a
+    scan with a row-local deterministic md5-threshold filter — no
+    shuffle of the corpus, reproducible across engines, reruns, and
+    cluster sizes (same property as ``curation_train_split``). The
+    bottleneck scalar is a broadcast nested-loop of a 1-row aggregate,
+    not a driver collect."""
+    d = _docs(spark, sf_dir)
+    tgt = spark.createDataFrame(
+        list(_MIX_TARGETS.items()), "source string, w double"
+    )
+    counts = (
+        d.join(F.broadcast(tgt), "source")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rates = counts.join(F.broadcast(tgt), "source")
+    bottleneck = rates.agg(
+        F.min(F.col("c").cast("double") / F.col("w")).alias("t")
+    )
+    rates = rates.crossJoin(F.broadcast(bottleneck)).select(
+        "source",
+        ((F.col("t") * F.col("w")) / F.col("c").cast("double")).alias("rate"),
+    )
+    prefix = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(
+            F.conv(prefix, 16, 10).cast("long")
+            < F.floor(F.col("rate") * 65536).cast("long")
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
