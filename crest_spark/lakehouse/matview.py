@@ -1,0 +1,276 @@
+"""Incremental materialized aggregate views over lakehouse tables.
+
+This is the half of the reference architecture that crest itself does
+NOT implement: crest continuously ships the OUTPUT of RisingWave
+materialized views downstream (`/root/reference/README.md:13` — "reads
+Arrow RecordBatches from materialized views"), delegating view
+maintenance entirely to the upstream engine. Here the view is maintained
+Spark-side, incrementally, over any commit-log table — closing the loop
+so a crest user needs no external MV engine.
+
+Model: ``IncrementalAggView`` = (source table, group-by columns, a dict
+of decomposable aggregates). Maintenance is BATCH-INCREMENTAL:
+
+    refresh():   delta  = source.read_changes(last_maintained, head]
+                 partial = delta.groupBy(keys).agg(partial states)
+                 combined = partial  ⟕ current-state   (delta keys only)
+                 mv.merge(combined, extra={mv_source_version: head})
+
+- The delta aggregation is the only work proportional to NEW data; the
+  combine touches exactly the groups present in the delta, and
+  ``Table.merge``'s stats-pruned copy-on-write rewrites only the state
+  files containing those groups. Steady-state refresh cost is
+  O(delta + touched groups), never O(source) or O(view) — the
+  TimescaleDB continuous-aggregate / RisingWave delta-compute shape.
+- ``mv_source_version`` rides in the SAME commit as the state change,
+  so maintenance is exactly-once: a crash before the commit re-derives
+  the identical delta; after it, the next refresh starts past it.
+- Supported aggregates are the decomposable ones (sum, count, min, max,
+  avg as sum+count) — sound under crest's append-only ingestion.
+  ``read_changes`` raises on a non-compaction replace in the range, so
+  an overwrite/rollback of the source can never silently corrupt
+  min/max; call ``full_refresh()`` after such surgery.
+- Single maintainer per view (the reference's model: one pipeline owns
+  a view). Concurrent refreshes of the SAME view would double-count —
+  the commit-conflict retry in merge protects against racing WRITERS,
+  not racing maintainers computing from the same base state.
+
+Continuous mode: ``maintain_continuously`` tails the source through the
+``crest_table`` streaming source and applies the identical combine in
+``foreachBatch``, with per-batch idempotence recorded in commit extra —
+restart replays of a committed micro-batch are skipped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from crest_spark.lakehouse.catalog import LakehouseCatalog
+from crest_spark.lakehouse.table import LakehouseTable
+
+_KEY_COL = "__mv_key"
+_SUPPORTED = ("sum", "count", "min", "max", "avg")
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One output aggregate: ``kind`` over ``col`` (col ignored for
+    count)."""
+
+    kind: str
+    col: str | None = None
+
+
+def _state_cols(name: str, spec: AggSpec) -> list[str]:
+    if spec.kind == "avg":
+        return [f"{name}__sum", f"{name}__cnt"]
+    return [name]
+
+
+class IncrementalAggView:
+    def __init__(
+        self,
+        catalog: LakehouseCatalog,
+        source: str,
+        name: str,
+        group_by: list[str],
+        aggs: dict[str, AggSpec],
+        namespace: str | None = None,
+    ):
+        for out, spec in aggs.items():
+            if spec.kind not in _SUPPORTED:
+                raise ValueError(
+                    f"aggregate {out}: kind {spec.kind!r} is not decomposable "
+                    f"(supported: {_SUPPORTED})"
+                )
+            if spec.kind != "count" and spec.col is None:
+                raise ValueError(f"aggregate {out}: {spec.kind} needs a column")
+        self.catalog = catalog
+        self.source: LakehouseTable = catalog.table(source, namespace)
+        self.name = name
+        self.namespace = namespace
+        self.group_by = list(group_by)
+        self.aggs = dict(aggs)
+        self.mv: LakehouseTable = catalog.table(name, namespace)
+
+    # ---------------------------------------------------------------- state
+    def maintained_version(self) -> int:
+        """Newest source version folded into the view (0 = nothing)."""
+        if not self.mv.exists():
+            return 0
+        for s in reversed(self.mv.snapshots()):
+            v = s.extra.get("mv_source_version")
+            if v is not None:
+                return int(v)
+        return 0
+
+    def _key_expr(self) -> F.Column:
+        # injective, deterministic composite key: JSON escaping keeps
+        # arbitrary group values (separators, NULLs) unambiguous
+        return F.to_json(F.struct(*[F.col(c) for c in self.group_by]))
+
+    def _partial(self, delta: DataFrame) -> DataFrame:
+        """Per-group partial states of a delta — map-side combinable."""
+        exprs = []
+        for out, spec in self.aggs.items():
+            if spec.kind == "sum":
+                exprs.append(F.sum(spec.col).alias(out))
+            elif spec.kind == "count":
+                exprs.append(F.count(F.lit(1)).cast("long").alias(out))
+            elif spec.kind == "min":
+                exprs.append(F.min(spec.col).alias(out))
+            elif spec.kind == "max":
+                exprs.append(F.max(spec.col).alias(out))
+            else:  # avg -> (sum, count) state pair
+                exprs.append(F.sum(spec.col).alias(f"{out}__sum"))
+                exprs.append(F.count(spec.col).cast("long").alias(f"{out}__cnt"))
+        return (
+            delta.groupBy(*self.group_by)
+            .agg(*exprs)
+            .withColumn(_KEY_COL, self._key_expr())
+        )
+
+    def _combine(self, partial: DataFrame, current: DataFrame) -> DataFrame:
+        """Fold delta partials into existing states for the SAME groups.
+
+        ``current`` may be pre-pruned to the partial's keys; groups new
+        to the view appear only on the partial side (left join)."""
+        cur_cols = []
+        for out, spec in self.aggs.items():
+            cur_cols += _state_cols(out, spec)
+        cur = current.select(
+            _KEY_COL, *[F.col(c).alias(f"__cur_{c}") for c in cur_cols]
+        )
+        joined = partial.join(cur, _KEY_COL, "left")
+        merged = []
+        for out, spec in self.aggs.items():
+            for c in _state_cols(out, spec):
+                new, old = F.col(c), F.col(f"__cur_{c}")
+                if spec.kind == "min":
+                    expr = F.least(new, old)
+                elif spec.kind == "max":
+                    expr = F.greatest(new, old)
+                else:  # sum / count / avg states are additive
+                    expr = new + F.coalesce(old, F.lit(0))
+                # least/greatest ignore NULL only via coalesce fallback
+                merged.append(F.coalesce(expr, new, old).alias(c))
+        return joined.select(*self.group_by, _KEY_COL, *merged)
+
+    # ------------------------------------------------------------- refresh
+    def refresh(self, spark: SparkSession) -> int | None:
+        """Fold all source commits since the last refresh into the view.
+        Returns the new view version, or None when already current."""
+        head = self.source.version()
+        last = self.maintained_version()
+        if head <= last:
+            return None
+        delta = self.source.read_changes(spark, after=last, upto=head)
+        return self._apply_delta(
+            spark, delta, {"mv_source_version": head}
+        )
+
+    def _apply_delta(
+        self, spark: SparkSession, delta: DataFrame, extra: dict
+    ) -> int:
+        partial = self._partial(delta)
+        if not self.mv.exists():
+            schema: StructType = partial.schema
+            self.catalog.get_or_create_table(self.name, schema, self.namespace)
+            self.mv = self.catalog.table(self.name, self.namespace)
+        # prune current state to the delta's groups before the combine:
+        # semi-join on the key, so the fold's shuffle carries only
+        # touched groups (merge's file-level stats pruning then bounds
+        # the rewrite the same way)
+        current = self.mv.read(spark).join(
+            partial.select(_KEY_COL), _KEY_COL, "left_semi"
+        )
+        combined = self._combine(partial, current)
+        return self.mv.merge(spark, combined, key=_KEY_COL, extra=extra)
+
+    def full_refresh(self, spark: SparkSession) -> int:
+        """Recompute the whole view from the current source snapshot —
+        the escape hatch after a source overwrite/rollback breaks the
+        append-only contract ``refresh`` depends on."""
+        head = self.source.version()
+        partial = self._partial(self.source.read(spark))
+        if not self.mv.exists():
+            self.catalog.get_or_create_table(
+                self.name, partial.schema, self.namespace
+            )
+            self.mv = self.catalog.table(self.name, self.namespace)
+        return self.mv.overwrite(partial, extra={"mv_source_version": head})
+
+    # ---------------------------------------------------------------- read
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The view's EXTERNAL schema: group columns + one column per
+        aggregate (avg projected from its sum/count state)."""
+        df = self.mv.read(spark)
+        outs = []
+        for out, spec in self.aggs.items():
+            if spec.kind == "avg":
+                outs.append(
+                    (
+                        F.col(f"{out}__sum")
+                        / F.col(f"{out}__cnt").cast("double")
+                    ).alias(out)
+                )
+            else:
+                outs.append(F.col(out))
+        return df.select(*self.group_by, *outs)
+
+    # ---------------------------------------------------------- continuous
+    def maintain_continuously(
+        self,
+        spark: SparkSession,
+        checkpoint: str,
+        trigger_interval: str = "1 second",
+        available_now: bool = False,
+    ):
+        """Tail the source through the ``crest_table`` stream and fold
+        each micro-batch with the same combine. Exactly-once: the batch
+        id rides in the commit extra; a restart replay of a committed
+        batch is detected and skipped.
+
+        The stream's first batch starts at the view's maintained
+        watermark (``startingVersion``), so pre-stream source commits are
+        caught up by batch 0 with no gap and no separate backfill step.
+        A view is maintained by EITHER batch ``refresh()`` OR one
+        continuous stream — switching from continuous back to batch
+        refresh requires ``full_refresh()`` first (stream folds advance
+        the engine checkpoint, not ``mv_source_version``)."""
+        from crest_spark.sources.table_stream import register_table_stream
+
+        register_table_stream(spark)
+        committed = set()
+        if self.mv.exists():
+            committed = {
+                s.extra["mv_stream_batch"]
+                for s in self.mv.snapshots()
+                if "mv_stream_batch" in s.extra
+            }
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_id in committed or batch_df.isEmpty():
+                return
+            self._apply_delta(spark, batch_df, {"mv_stream_batch": batch_id})
+            committed.add(batch_id)
+
+        reader = (
+            spark.readStream.format("crest_table")
+            .option("warehouse", self.catalog.warehouse)
+            .option("namespace", self.source.namespace)
+            .option("table", self.source.name)
+            .option("startingVersion", str(self.maintained_version()))
+        )
+        writer = reader.load().writeStream.foreachBatch(fold).option(
+            "checkpointLocation", checkpoint
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=trigger_interval)
+        return writer.start()

@@ -563,6 +563,7 @@ class LakehouseTable:
         updates: DataFrame,
         key: str,
         sequence_col: str | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Upsert (MERGE INTO semantics): rows in ``updates`` replace
         current rows with the same key; new keys are inserted. Implemented
@@ -636,7 +637,7 @@ class LakehouseTable:
                 )
             try:
                 return self.overwrite(
-                    merged, expected_version=base, keep_files=keep
+                    merged, extra=extra, expected_version=base, keep_files=keep
                 )
             except CommitConflict as e:
                 last_err = e

@@ -71,11 +71,19 @@ class CrestTableStreamReader(DataSourceStreamReader):
         self.log = _log_path(
             options["warehouse"], options.get("namespace", "default"), options["table"]
         )
+        self.starting_version = options.get("startingversion")
 
     def initialOffset(self) -> dict:
-        # start at the current version: a new stream consumes appends from
-        # now on (use a batch read for the existing snapshot — the same
-        # split Kafka sources make with startingOffsets=latest)
+        # default: start at the current version — a new stream consumes
+        # appends from now on (the split Kafka sources make with
+        # startingOffsets=latest; use a batch read for the snapshot).
+        # option("startingVersion", N) instead begins the FIRST batch at
+        # commit N+1, so consumers with their own watermark (e.g. an
+        # incrementally-maintained view) catch up with no gap between a
+        # batch backfill and the stream start. Checkpointed restarts
+        # ignore it — the engine replans from its own offsets.
+        if self.starting_version is not None:
+            return {"version": int(self.starting_version)}
         vs = _versions(self.log)
         return {"version": vs[-1] if vs else 0}
 
@@ -102,10 +110,21 @@ class CrestTableStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition) -> Iterator:  # executor-side
         if not partition.path or not os.path.exists(partition.path):
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         for batch in pq.ParquetFile(partition.path).iter_batches():
-            yield batch
+            # Spark writes timestamps as INT96 by default; pyarrow decodes
+            # INT96 to timestamp[ns], which the Python data source Arrow
+            # bridge rejects — cast nanos to the micros Spark expects
+            fields = [
+                pa.field(f.name, pa.timestamp("us", f.type.tz))
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+                else f
+                for f in batch.schema
+            ]
+            target = pa.schema(fields)
+            yield batch.cast(target) if target != batch.schema else batch
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the engine checkpoint; nothing to clean

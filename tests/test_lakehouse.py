@@ -244,13 +244,11 @@ def test_merge_retries_past_concurrent_append(spark, catalog, sf_dir):
     real_overwrite = t.overwrite
     injected = {"done": False}
 
-    def racing_overwrite(df, extra_meta=None, expected_version=None, **kw):
+    def racing_overwrite(df, **kw):
         if not injected["done"]:
             injected["done"] = True
             t.append(extra)  # lands AFTER merge read its base snapshot
-        return real_overwrite(
-            df, extra=extra_meta, expected_version=expected_version, **kw
-        )
+        return real_overwrite(df, **kw)
 
     t.overwrite = racing_overwrite
     try:
