@@ -80,7 +80,14 @@ class IncrementalAggView:
         group_by: list[str],
         aggs: dict[str, AggSpec],
         namespace: str | None = None,
+        derived_cols: dict[str, str] | None = None,
     ):
+        """``derived_cols``: SQL expressions evaluated on each delta
+        BEFORE grouping (``{"bucket": "date_trunc('hour', ts)"}``) —
+        group_by may then name them, turning the view into a
+        time-bucketed continuous aggregate (the TimescaleDB/RisingWave
+        hypertable-rollup shape). Row-local expressions only: each delta
+        row must derive them independently of other rows."""
         for out, spec in aggs.items():
             if spec.kind not in _SUPPORTED:
                 raise ValueError(
@@ -95,6 +102,7 @@ class IncrementalAggView:
         self.namespace = namespace
         self.group_by = list(group_by)
         self.aggs = dict(aggs)
+        self.derived_cols = dict(derived_cols or {})
         self.mv: LakehouseTable = catalog.table(name, namespace)
 
     # ---------------------------------------------------------------- state
@@ -115,6 +123,8 @@ class IncrementalAggView:
 
     def _partial(self, delta: DataFrame) -> DataFrame:
         """Per-group partial states of a delta — map-side combinable."""
+        for name, sql in self.derived_cols.items():
+            delta = delta.withColumn(name, F.expr(sql))
         exprs = []
         for out, spec in self.aggs.items():
             if spec.kind == "sum":
