@@ -26,7 +26,10 @@ of decomposable aggregates). Maintenance is BATCH-INCREMENTAL:
   so maintenance is exactly-once: a crash before the commit re-derives
   the identical delta; after it, the next refresh starts past it.
 - Supported aggregates are the decomposable ones (sum, count, min, max,
-  avg as sum+count) — sound under crest's append-only ingestion.
+  avg as sum+count) plus sketch-state ``approx_distinct`` (Datasketches
+  HLL: the state is a mergeable binary sketch, unioned per refresh —
+  how an MV engine maintains a holistic aggregate without re-scanning).
+  All sound under crest's append-only ingestion.
   ``read_changes`` raises on a non-compaction replace in the range, so
   an overwrite/rollback of the source can never silently corrupt
   min/max; call ``full_refresh()`` after such surgery.
@@ -53,7 +56,7 @@ from crest_spark.lakehouse.catalog import LakehouseCatalog
 from crest_spark.lakehouse.table import LakehouseTable
 
 _KEY_COL = "__mv_key"
-_SUPPORTED = ("sum", "count", "min", "max", "avg")
+_SUPPORTED = ("sum", "count", "min", "max", "avg", "approx_distinct")
 
 
 @dataclass(frozen=True)
@@ -68,6 +71,8 @@ class AggSpec:
 def _state_cols(name: str, spec: AggSpec) -> list[str]:
     if spec.kind == "avg":
         return [f"{name}__sum", f"{name}__cnt"]
+    if spec.kind == "approx_distinct":
+        return [f"{name}__hll"]
     return [name]
 
 
@@ -135,6 +140,11 @@ class IncrementalAggView:
                 exprs.append(F.min(spec.col).alias(out))
             elif spec.kind == "max":
                 exprs.append(F.max(spec.col).alias(out))
+            elif spec.kind == "approx_distinct":
+                # Datasketches HLL: the state is a MERGEABLE binary
+                # sketch, so even a holistic aggregate maintains
+                # incrementally — union sketches, never re-scan
+                exprs.append(F.hll_sketch_agg(spec.col).alias(f"{out}__hll"))
             else:  # avg -> (sum, count) state pair
                 exprs.append(F.sum(spec.col).alias(f"{out}__sum"))
                 exprs.append(F.count(spec.col).cast("long").alias(f"{out}__cnt"))
@@ -164,6 +174,10 @@ class IncrementalAggView:
                     expr = F.least(new, old)
                 elif spec.kind == "max":
                     expr = F.greatest(new, old)
+                elif spec.kind == "approx_distinct":
+                    expr = F.when(old.isNull(), new).when(
+                        new.isNull(), old
+                    ).otherwise(F.hll_union(new, old))
                 else:  # sum / count / avg states are additive
                     expr = new + F.coalesce(old, F.lit(0))
                 # least/greatest ignore NULL only via coalesce fallback
@@ -227,6 +241,10 @@ class IncrementalAggView:
                         F.col(f"{out}__sum")
                         / F.col(f"{out}__cnt").cast("double")
                     ).alias(out)
+                )
+            elif spec.kind == "approx_distinct":
+                outs.append(
+                    F.hll_sketch_estimate(F.col(f"{out}__hll")).alias(out)
                 )
             else:
                 outs.append(F.col(out))
