@@ -894,6 +894,48 @@ class LakehouseTable:
                 os.unlink(f)
         return expired
 
+    def vacuum(
+        self, older_than_s: float = 3600.0, now: float | None = None
+    ) -> list[str]:
+        """Delete ORPHANED data files: files under ``data/`` referenced by
+        no snapshot in the log. These are left by writers that staged
+        parquet (data lands before the commit record, by design) and then
+        crashed or lost their optimistic-commit race beyond retries —
+        invisible to readers but real bytes at 100 TB. ``expire_snapshots``
+        can't reach them because it only walks *committed* history.
+
+        ``older_than_s`` is the safety window (Delta's VACUUM retention):
+        a file younger than it may belong to an IN-FLIGHT writer whose
+        commit hasn't landed yet, so it is never touched. Returns the
+        deleted paths. Metadata-only with respect to committed data: no
+        committed snapshot — current or time-travel — changes."""
+        if not os.path.isdir(self.data_path):
+            return []
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            referenced.update(os.path.abspath(f) for f in s.files)
+        cutoff = (time.time() if now is None else now) - older_than_s
+        removed: list[str] = []
+        data_abs = os.path.abspath(self.data_path)
+        for root, dirs, files in os.walk(data_abs, topdown=False):
+            for f in files:
+                full = os.path.abspath(os.path.join(root, f))
+                if full in referenced:
+                    continue
+                try:
+                    if os.stat(full).st_mtime >= cutoff:
+                        continue
+                    os.unlink(full)
+                    removed.append(full)
+                except FileNotFoundError:
+                    continue  # concurrent vacuum won the race
+            if root != data_abs:
+                try:
+                    os.rmdir(root)  # drops txn dirs emptied above
+                except OSError:
+                    pass  # still holds live or retained files
+        return removed
+
     # ----------------------------------------------------------------- reads
     def _read_files(
         self, spark: SparkSession, files: list[str], schema_json: str

@@ -355,3 +355,131 @@ def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("l_returnflag", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+
+_PROFILE_NUM = ("l_quantity", "l_extendedprice", "l_discount")
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        is_num = c in _PROFILE_NUM
+        mean = (
+            round4(
+                f"CAST(SUM(CAST({c} AS DECIMAL(30,8))) AS DOUBLE) / COUNT({c})"
+            )
+            if is_num
+            else "CAST(NULL AS DOUBLE)"
+        )
+        min_num = round4(f"MIN({c})") if is_num else "CAST(NULL AS DOUBLE)"
+        max_num = round4(f"MAX({c})") if is_num else "CAST(NULL AS DOUBLE)"
+        min_str = f"MIN({c})" if not is_num else "CAST(NULL AS VARCHAR)"
+        max_str = f"MAX({c})" if not is_num else "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"""
+            SELECT '{c}' AS col,
+                   COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT({c}) AS n_null,
+                   COUNT(DISTINCT {c}) AS n_distinct,
+                   {min_num} AS min_num, {max_num} AS max_num,
+                   {mean} AS mean,
+                   {min_str} AS min_str, {max_str} AS max_str
+            FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col"
+
+
+@register(
+    "stats_profile",
+    oracle=_profile_oracle(),
+    tags=("aggregation", "stats", "profiling"),
+)
+def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality summary every ingestion
+    pipeline runs): per column — row count, null count, exact distinct
+    count, min/max, mean — in ONE scan of the table. All per-column
+    aggregates live in a single ``agg`` (Catalyst plans the multi
+    COUNT(DISTINCT) via one Expand + partial aggregation, still one pass
+    over the data); the wide single row is then unpivoted row-locally
+    into one row per column. Means go through DECIMAL(30,8) sums so the
+    result is aggregation-order-independent and matches the oracle
+    bitwise. At 100 TB swap the exact distinct for
+    ``approx_count_distinct`` (HLL, one pass, no Expand) — the rest of
+    the plan is unchanged; exact is kept here because the driver gate
+    hash-compares values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        is_num = c in _PROFILE_NUM
+        aggs.extend(
+            [
+                F.count(F.lit(1)).alias(f"{c}__rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+                F.countDistinct(c).alias(f"{c}__ndv"),
+            ]
+        )
+        if is_num:
+            aggs.extend(
+                [
+                    F.expr(round4(f"MIN({c})")).alias(f"{c}__minn"),
+                    F.expr(round4(f"MAX({c})")).alias(f"{c}__maxn"),
+                    F.expr(
+                        round4(
+                            f"CAST(SUM(CAST({c} AS DECIMAL(30,8))) AS DOUBLE)"
+                            f" / COUNT({c})"
+                        )
+                    ).alias(f"{c}__mean"),
+                ]
+            )
+        else:
+            aggs.extend(
+                [
+                    F.min(c).alias(f"{c}__mins"),
+                    F.max(c).alias(f"{c}__maxs"),
+                ]
+            )
+    wide = li.agg(*aggs)
+    entries = []
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        is_num = c in _PROFILE_NUM
+        entries.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                (
+                    F.col(f"{c}__minn")
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"{c}__maxn")
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.col(f"{c}__mean")
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("mean"),
+                (
+                    F.col(f"{c}__mins")
+                    if not is_num
+                    else F.lit(None).cast("string")
+                ).alias("min_str"),
+                (
+                    F.col(f"{c}__maxs")
+                    if not is_num
+                    else F.lit(None).cast("string")
+                ).alias("max_str"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*entries)).alias("p"))
+        .select("p.*")
+        .orderBy("col")
+    )

@@ -367,3 +367,45 @@ def test_compact_small_files_only(spark, sf_dir, tmp_path):
     assert t.row_count() == 1030
     # the single 30-row bin is the only small file left: no-op
     assert t.compact(spark, target_partitions=1, small_file_max_rows=100) == v
+
+
+def test_vacuum_removes_only_aged_orphans(spark, sf_dir, tmp_path):
+    """vacuum(): files staged by crashed/raced writers (present under
+    data/, referenced by no snapshot) are deleted once older than the
+    retention window; committed files — current AND time-travel — and
+    young orphans (possibly in-flight writers) are never touched."""
+    import time
+
+    t = _cat(tmp_path).get_or_create_table(
+        "vac", spark.range(0).withColumn("v", F.col("id")).schema
+    )
+    t.append(spark.range(0, 100).withColumn("v", F.col("id")))
+    t.overwrite(spark.range(0, 50).withColumn("v", F.col("id")))
+    all_committed = {
+        os.path.abspath(f) for s in t.snapshots() for f in s.files
+    }
+    # simulate a crashed writer: staged parquet, no commit record
+    orphan_dir = os.path.join(t.data_path, "txn-crashed")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-0.parquet")
+    spark.range(5).toPandas().to_parquet(orphan)
+    fresh_dir = os.path.join(t.data_path, "txn-inflight")
+    os.makedirs(fresh_dir)
+    fresh = os.path.join(fresh_dir, "part-0.parquet")
+    spark.range(5).toPandas().to_parquet(fresh)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+
+    removed = t.vacuum(older_than_s=3600.0)
+    assert removed == [os.path.abspath(orphan)]
+    assert not os.path.exists(orphan_dir)  # emptied txn dir pruned
+    assert os.path.exists(fresh)  # young: possible in-flight writer
+    for f in all_committed:
+        assert os.path.exists(f)  # committed files untouched
+    # table still reads at head and via time travel
+    assert t.read(spark).count() == 50
+    assert t.read(spark, version=2).count() == 100
+    # second vacuum with the window elapsed removes the in-flight file
+    removed2 = t.vacuum(older_than_s=0.0, now=time.time() + 10)
+    assert os.path.abspath(fresh) in removed2
+    assert t.read(spark).count() == 50
