@@ -17,7 +17,73 @@ from crest_spark.session import get_spark
 from crest_spark.streaming.ingest import IngestionService
 
 
+def maintain(argv: list[str]) -> int:
+    """Table-maintenance one-shots: ``python -m crest_spark.cli maintain
+    --warehouse W --table ns.tbl [--vacuum-hours H] [--compact N]
+    [--expire-keep K] [--export-iceberg]`` — the operational companions
+    (VACUUM / OPTIMIZE / snapshot expiry / Iceberg metadata export) to
+    the ingestion daemon."""
+    parser = argparse.ArgumentParser(
+        prog="crest_spark.cli maintain", description="lakehouse maintenance"
+    )
+    parser.add_argument("--warehouse", required=True)
+    parser.add_argument("--table", required=True, help="namespace.table")
+    parser.add_argument(
+        "--vacuum-hours",
+        type=float,
+        default=None,
+        help="delete orphaned data files older than this many hours",
+    )
+    parser.add_argument(
+        "--compact",
+        type=int,
+        default=None,
+        metavar="N",
+        help="rewrite the current snapshot into N files",
+    )
+    parser.add_argument(
+        "--expire-keep",
+        type=int,
+        default=None,
+        metavar="K",
+        help="expire history, keeping the last K snapshots",
+    )
+    parser.add_argument(
+        "--export-iceberg",
+        action="store_true",
+        help="materialize an Iceberg v2 metadata/ directory",
+    )
+    args = parser.parse_args(argv)
+    namespace, _, name = args.table.partition(".")
+    if not name:
+        parser.error("--table must be namespace.table")
+
+    from crest_spark.lakehouse import LakehouseCatalog
+
+    table = LakehouseCatalog(args.warehouse).table(name, namespace)
+    if args.compact is not None:
+        spark = get_spark("crest-spark-maintain")
+        v = table.compact(spark, target_partitions=args.compact)
+        print(f"compact: committed v{v}", file=sys.stderr)
+    if args.expire_keep is not None:
+        expired = table.expire_snapshots(keep_last=args.expire_keep)
+        print(f"expire: dropped {len(expired)} snapshots", file=sys.stderr)
+    if args.vacuum_hours is not None:
+        removed = table.vacuum(older_than_s=args.vacuum_hours * 3600.0)
+        print(f"vacuum: removed {len(removed)} orphans", file=sys.stderr)
+    if args.export_iceberg:
+        from crest_spark.lakehouse.iceberg_export import export_iceberg_metadata
+
+        out = export_iceberg_metadata(table)
+        print(f"iceberg: exported {out}", file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "maintain":
+        return maintain(argv[1:])
     parser = argparse.ArgumentParser(description="crest_spark ingestion service")
     parser.add_argument("--config", required=True, help="YAML config path")
     parser.add_argument(

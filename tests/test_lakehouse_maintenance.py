@@ -409,3 +409,74 @@ def test_vacuum_removes_only_aged_orphans(spark, sf_dir, tmp_path):
     removed2 = t.vacuum(older_than_s=0.0, now=time.time() + 10)
     assert os.path.abspath(fresh) in removed2
     assert t.read(spark).count() == 50
+
+
+def test_append_cluster_by_tightens_pruning(spark, sf_dir, tmp_path):
+    """Range-clustered appends give each file a narrow contiguous key
+    slice, so a point/range scan() admits only the overlapping files —
+    the write-side partitioning story (vs. unclustered appends where
+    every file spans the whole key range and nothing can prune)."""
+    schema = spark.range(0).withColumn("v", F.col("id")).schema
+    flat = _cat(tmp_path).get_or_create_table("flat", schema)
+    clus = _cat(tmp_path).get_or_create_table("clus", schema)
+    # round-robin repartition: every file sees the whole id range
+    src = spark.range(0, 10_000).withColumn("v", F.col("id"))
+    flat.append(src.repartition(8))
+    clus.append(src.repartition(8), cluster_by=["id"])
+    assert clus.snapshots()[-1].extra["cluster_by"] == ["id"]
+
+    pred = {"id": (100, 120)}
+    flat_files = flat.pruned_files(predicates=pred)
+    clus_files = clus.pruned_files(predicates=pred)
+    assert len(clus_files) < len(flat_files)
+    assert len(clus_files) <= 2  # narrow range -> O(1) files
+    # pruning is an optimization, never a correctness change
+    got = sorted(
+        r["id"]
+        for r in clus.scan(spark, predicates=pred)
+        .where("id BETWEEN 100 AND 120")
+        .collect()
+    )
+    assert got == list(range(100, 121))
+
+
+def test_maintain_cli_runs_all_services(spark, sf_dir, tmp_path):
+    """`cli maintain` drives compact/expire/vacuum/export end-to-end."""
+    import time
+
+    from crest_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    t = LakehouseCatalog(wh).get_or_create_table(
+        "m", spark.range(0).withColumn("v", F.col("id")).schema
+    )
+    for lo in (0, 100, 200):
+        t.append(spark.range(lo, lo + 100).withColumn("v", F.col("id")))
+    orphan_dir = os.path.join(t.data_path, "txn-dead")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "p.parquet")
+    spark.range(1).toPandas().to_parquet(orphan)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+
+    rc = main(
+        [
+            "maintain",
+            "--warehouse",
+            wh,
+            "--table",
+            "default.m",
+            "--compact",
+            "1",
+            "--expire-keep",
+            "1",
+            "--vacuum-hours",
+            "1",
+            "--export-iceberg",
+        ]
+    )
+    assert rc == 0
+    assert not os.path.exists(orphan)
+    assert t.read(spark).count() == 300
+    meta = os.path.join(t.path, "metadata")
+    assert os.path.exists(os.path.join(meta, "version-hint.text"))
