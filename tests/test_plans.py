@@ -182,3 +182,21 @@ def test_q34b_interpolate_single_data_partitioning(spark, sf_dir):
     the buckets and the grid bounds."""
     df = SPECS["q34b_gapfill_interpolate"].fn(spark, sf_dir)
     assert shuffle_count(df) <= 5
+
+
+def test_stats_profile_single_scan(spark, sf_dir):
+    # column profiling must be ONE pass over the table: all per-column
+    # aggregates (incl. the multi COUNT(DISTINCT) via Expand) hang off a
+    # single lineitem scan, and only the profiled columns are read
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["stats_profile"].fn(spark, sf_dir)
+    assert simple_plan(df).count("lineitem.parquet") == 1
+    cols = read_schema_columns(df)
+    assert set(cols) <= {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_linestatus",
+    }

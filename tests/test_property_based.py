@@ -206,3 +206,86 @@ def test_stats_admit_never_raises_and_never_wrongly_prunes(mn, mx, lo, hi):
         return  # incomparable: (a) already proven by the call above
     if intersects:
         assert admitted
+
+
+# --------------------------------------------------------------- avro_io
+_avro_values = st.recursive(
+    st.one_of(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.booleans(),
+        st.text(max_size=20),
+        st.binary(max_size=20),
+        st.floats(allow_nan=False, width=64),
+    ),
+    lambda children: st.lists(children, max_size=4),
+    max_leaves=10,
+)
+
+
+def _schema_for(value):
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, int):
+        return "long"
+    if isinstance(value, float):
+        return "double"
+    if isinstance(value, str):
+        return "string"
+    if isinstance(value, bytes):
+        return "bytes"
+    if isinstance(value, list):
+        inner = _schema_for(value[0]) if value else "long"
+        return {"type": "array", "items": inner}
+    raise AssertionError(type(value))
+
+
+@given(st.lists(_avro_values, min_size=0, max_size=8), st.sampled_from(["null", "deflate"]))
+@settings(max_examples=60, deadline=None)
+def test_avro_container_roundtrips_arbitrary_records(values, codec):
+    """Write/read inverse property for the stdlib Avro implementation:
+    any schema-consistent record batch survives the container format
+    bit-exactly under both codecs (homogeneous lists only: Avro arrays
+    are monomorphic)."""
+    import tempfile
+
+    from crest_spark.lakehouse import avro_io
+
+    # make lists monomorphic at every depth (Avro arrays are single-typed):
+    # keep only elements whose full inferred schema matches the head's
+    def mono(v):
+        if isinstance(v, list):
+            if not v:
+                return []
+            kept = [mono(x) for x in v]
+            head_schema = _schema_for(kept[0])
+            return [x for x in kept if _schema_for(x) == head_schema]
+        return v
+
+    values = [mono(v) for v in values]
+    schema = {
+        "type": "record",
+        "name": "prop",
+        "fields": [
+            {"name": f"f{i}", "type": _schema_for(v)}
+            for i, v in enumerate(values)
+        ],
+    }
+    record = {f"f{i}": v for i, v in enumerate(values)}
+    with tempfile.TemporaryDirectory() as d:
+        import os as _os
+
+        p = _os.path.join(d, "prop.avro")
+        avro_io.write_container(p, schema, [record], codec=codec)
+        rschema, _, out = avro_io.read_container(p)
+        assert rschema == schema
+        assert out == [record]
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_avro_zigzag_varint_roundtrip(n):
+    import io as _io
+
+    from crest_spark.lakehouse.avro_io import _zigzag_decode, _zigzag_encode
+
+    assert _zigzag_decode(_io.BytesIO(_zigzag_encode(n))) == n
