@@ -19,6 +19,7 @@ Example:
       - name: events
         path: /staging/events
         filesPerTrigger: 1
+        clusterBy: [event_id]  # optional: range-cluster committed batches
       - name: views            # Arrow Flight ingress (the reference's
         flight: grpc://host:port   # flight.servers entry, config.go:29-33)
         flightPrefix: events/  # descriptor-path filter (view selection)
@@ -84,6 +85,9 @@ def load_config(path: str) -> EngineConfig:
             flight_location=s.get("flight"),
             flight_prefix=s.get("flightPrefix"),
             flight_schema=s.get("flightSchema"),
+            cluster_by=(
+                [str(c) for c in s["clusterBy"]] if "clusterBy" in s else None
+            ),
         )
         for s in raw.get("sources", [])
     ]

@@ -54,6 +54,10 @@ class SourceSpec:
     # flight (otherwise the schema is fetched from the first listed
     # flight, polling briefly like the reference's 500 ms repoll loop)
     flight_schema: str | None = None
+    # range-cluster each committed batch on these columns (the write-side
+    # partitioning knob: tight per-file min/max stats -> O(1)-file scans
+    # on the cluster key; see LakehouseTable.append(cluster_by=...))
+    cluster_by: list[str] | None = None
 
 
 @dataclass
@@ -156,6 +160,7 @@ class IngestionService:
                 batch_id=batch_id,
                 merge_schema=True,
                 max_rows_per_file=max_rows,
+                cluster_by=source.cluster_by,
             )
 
         return write_batch

@@ -39,3 +39,21 @@ metrics:
     # the metrics listener wrote progress records
     lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
     assert lines and all(json.loads(ln) for ln in lines)
+
+
+def test_config_parses_cluster_by(tmp_path):
+    from crest_spark.config import load_config
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        """
+warehouse: w
+checkpoints: c
+sources:
+  - name: events
+    path: /staging/events
+    clusterBy: [event_id, user_id]
+"""
+    )
+    parsed = load_config(str(cfg))
+    assert parsed.ingest.sources[0].cluster_by == ["event_id", "user_id"]

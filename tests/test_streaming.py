@@ -800,3 +800,37 @@ def test_derived_aggregate_table_cascade(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_ingest_cluster_by_lands_clustered_commits(spark, sf_dir, tmp_path):
+    """A source configured with cluster_by commits range-clustered files:
+    the commit records the clustering, and a key-range scan prunes to a
+    strict subset of the snapshot's files."""
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "orders"), n_slices=2, order_col="o_orderkey"
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "whc"),
+        checkpoint_root=str(tmp_path / "ckptc"),
+        sources=[
+            SourceSpec(
+                name="orders",
+                path=staging,
+                files_per_trigger=1,
+                cluster_by=["o_orderkey"],
+            )
+        ],
+        max_rows_per_batch=5_000,
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    t = svc.catalog.table("orders")
+    appends = [s for s in t.snapshots() if s.operation == "append"]
+    assert appends and all(
+        s.extra.get("cluster_by") == ["o_orderkey"] for s in appends
+    )
+    total = t.file_count()
+    assert total > 1
+    lo = load_table(spark, sf_dir, "orders").agg(F.min("o_orderkey")).first()[0]
+    pruned = t.pruned_files(predicates={"o_orderkey": (lo, lo + 10)})
+    assert len(pruned) < total
