@@ -95,20 +95,128 @@ def _footer_stats(files: list[str]) -> dict[str, dict[str, list]]:
     return out
 
 
+_BLOOM_KEY = "__bloom__"  # reserved per-file stats slot (not a column)
+
+
+def _bloom_canon(value) -> str | None:
+    """Canonical probe/build string so 5, 5.0 and '5' (post-JSON) agree.
+    None -> not bloom-able (bool excluded: 2-value domains never prune)."""
+    if value is None or isinstance(value, bool):
+        return None
+    if isinstance(value, (int, float)):
+        try:
+            f = float(value)
+        except (OverflowError, ValueError):
+            return None
+        if f.is_integer():
+            return str(int(f))
+        return repr(f)
+    if isinstance(value, str):
+        return value
+    return None
+
+
+def _bloom_build(
+    values, bits_per_value: int = 10, k: int = 7, max_bytes: int = 262144
+) -> dict | None:
+    """Split-block-free classic Bloom filter over the distinct values of
+    one file's column: ~1% false-positive rate at 10 bits/value, stored
+    zlib+base64 in the commit record (JSON-safe). False positives only
+    ADMIT a file — pruning stays one-sided-safe by construction."""
+    import base64
+    import hashlib
+    import zlib
+
+    canon = {c for c in (_bloom_canon(v) for v in values) if c is not None}
+    if not canon:
+        return None
+    m = min(max(64, bits_per_value * len(canon)), max_bytes * 8)
+    bits = bytearray((m + 7) // 8)
+    for s in canon:
+        d = hashlib.blake2b(s.encode("utf-8"), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        for i in range(k):
+            idx = (h1 + i * h2) % m
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return {
+        "m": m,
+        "k": k,
+        "b64": base64.b64encode(zlib.compress(bytes(bits), 6)).decode(),
+    }
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    import base64
+    import hashlib
+    import zlib
+
+    probe = _bloom_canon(value)
+    if probe is None:
+        return True
+    try:
+        raw = zlib.decompress(base64.b64decode(bloom["b64"]))
+        m, k = int(bloom["m"]), int(bloom["k"])
+    except (KeyError, ValueError, zlib.error):
+        return True  # unreadable filter: cannot prune
+    d = hashlib.blake2b(probe.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    for i in range(k):
+        idx = (h1 + i * h2) % m
+        if not raw[idx >> 3] & (1 << (idx & 7)):
+            return False
+    return True
+
+
+def _file_blooms(files: list[str], cols: list[str]) -> dict[str, dict]:
+    """Per-file Bloom filters over the DISTINCT values of the requested
+    string/integer columns (pyarrow-unique'd, so cost is O(distinct) not
+    O(rows)). Like ``_footer_stats`` this runs once per commit over the
+    just-written batch — O(batch), never O(table)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for f in files:
+        try:
+            pf = pq.ParquetFile(f)
+            present = [c for c in cols if c in pf.schema_arrow.names]
+            if not present:
+                continue
+            tbl = pq.read_table(f, columns=present)
+        except OSError:
+            continue
+        per: dict[str, dict] = {}
+        for c in present:
+            bloom = _bloom_build(pc.unique(tbl.column(c)).to_pylist())
+            if bloom is not None:
+                per[c] = bloom
+        if per:
+            out[f] = per
+    return out
+
+
 def _stats_admit(fstats: dict[str, list], predicates: dict[str, tuple]) -> bool:
     """True unless the file's recorded [min, max] PROVABLY excludes some
-    requested range. The safety direction is one-sided: a file whose data
+    requested range — or, for point lookups, its Bloom filter proves the
+    value absent. The safety direction is one-sided: a file whose data
     could intersect the range must always be admitted; pruning is only an
     optimization on top of that."""
     for col, (lo, hi) in predicates.items():
-        if col not in fstats:
-            continue  # unknown: cannot prune
-        mn, mx = fstats[col]
-        try:
-            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+        if col == _BLOOM_KEY:
+            continue
+        if col in fstats:
+            mn, mx = fstats[col]
+            try:
+                if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                    return False
+            except TypeError:
+                pass  # bound/stat type mismatch: cannot prove exclusion
+        if lo is not None and hi is not None and lo == hi:
+            bloom = (fstats.get(_BLOOM_KEY) or {}).get(col)
+            if bloom is not None and not _bloom_might_contain(bloom, lo):
                 return False
-        except TypeError:
-            continue  # bound/stat type mismatch: cannot prove exclusion
     return True
 
 
@@ -421,6 +529,7 @@ class LakehouseTable:
         merge_schema: bool = False,
         max_rows_per_file: int | None = None,
         cluster_by: list[str] | None = None,
+        bloom_for: list[str] | None = None,
     ) -> int | None:
         """Transactional append. Returns the committed version, or None if
         this (writer_id, batch_id) was already committed (idempotent
@@ -435,7 +544,17 @@ class LakehouseTable:
         a directory scheme: at 100 TB a point lookup on the cluster key
         touches O(1) files instead of every file in the snapshot. (For
         multi-column locality on the READ-optimized copy, ``compact``'s
-        ``zorder_by`` is the complementary rewrite-side tool.)"""
+        ``zorder_by`` is the complementary rewrite-side tool.)
+
+        ``bloom_for``: additionally record a per-file Bloom filter over
+        each listed string/integer column (~10 bits per distinct value in
+        the commit record). ``scan``/``pruned_files`` consult it for
+        POINT lookups (``{col: (v, v)}``), which is what prunes on a
+        high-cardinality column the table is NOT clustered on — min/max
+        ranges can't exclude anything when every file spans the hash
+        space, but a membership sketch can. Rewrites (compact/merge)
+        drop filters for the files they replace; append-time opt-in
+        keeps the cost O(batch)."""
         if writer_id is not None and batch_id is not None:
             if batch_id in self.committed_batches(writer_id):
                 return None
@@ -504,11 +623,15 @@ class LakehouseTable:
             if f.endswith(".parquet")
         )
         num_rows = _footer_row_count(files)
+        stats = _footer_stats(files)
+        if bloom_for:
+            for f, blooms in _file_blooms(files, bloom_for).items():
+                stats.setdefault(f, {})[_BLOOM_KEY] = blooms
         version = self._try_commit(
             {
                 "operation": "append",
                 "files": files,
-                "stats": _footer_stats(files),
+                "stats": stats,
                 "schema": json.dumps(table_schema.jsonValue()),
                 "commit_ts": time.time(),
                 "num_rows": num_rows,

@@ -480,3 +480,65 @@ def test_maintain_cli_runs_all_services(spark, sf_dir, tmp_path):
     assert t.read(spark).count() == 300
     meta = os.path.join(t.path, "metadata")
     assert os.path.exists(os.path.join(meta, "version-hint.text"))
+
+
+def test_bloom_filter_prunes_point_lookups(spark, sf_dir, tmp_path):
+    """bloom_for: point lookups prune on a high-cardinality column the
+    table is NOT clustered on — every file spans the full id hash space
+    (min/max can't exclude), the Bloom filter can. Range queries ignore
+    the filter; results always equal an unpruned read."""
+    # key is hash-scrambled: EVERY file spans ~the whole key space, so
+    # min/max ranges can never exclude a file — any pruning is the bloom
+    key = (F.col("id") * F.lit(2654435761)) % F.lit(1_000_000)
+    t = _cat(tmp_path).get_or_create_table(
+        "bl", spark.range(0).withColumn("key", key).schema
+    )
+    for lo in (0, 25_000, 50_000, 75_000):
+        t.append(
+            spark.range(lo, lo + 25_000).withColumn("key", key).repartition(2),
+            bloom_for=["key"],
+        )
+    total = t.file_count()
+    assert total == 8
+    probe = 123 * 2654435761 % 1_000_000  # exists in exactly one txn
+    hit = t.pruned_files(predicates={"key": (probe, probe)})
+    assert len(hit) < total  # min/max alone admits all 8
+    rows = t.scan(spark, predicates={"key": (probe, probe)}).collect()
+    assert [r["key"] for r in rows] == [probe]
+    # absent key: bloom proves absence everywhere (modulo FP slack)
+    present = {(i * 2654435761) % 1_000_000 for i in range(100_000)}
+    absent = next(v for v in range(1_000_000) if v not in present)
+    miss = t.pruned_files(predicates={"key": (absent, absent)})
+    assert len(miss) <= 1
+    assert t.scan(spark, predicates={"key": (absent, absent)}).count() == 0
+    # range predicates don't consult the bloom and stay correct
+    got = (
+        t.scan(spark, predicates={"key": (0, 50)})
+        .where("key BETWEEN 0 AND 50")
+        .count()
+    )
+    exact = (
+        t.read(spark).where("key BETWEEN 0 AND 50").count()
+    )
+    assert got == exact
+
+
+def test_bloom_filter_string_column_and_json_roundtrip(spark, sf_dir, tmp_path):
+    """String keys bloom-prune too, and the filter survives the JSON
+    commit log (base64 round-trip through _state)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    t = _cat(tmp_path).get_or_create_table(
+        "bls", StructType([StructField("doc", StringType())])
+    )
+    a = spark.createDataFrame([(f"doc-a-{i}",) for i in range(500)], ["doc"])
+    b = spark.createDataFrame([(f"doc-b-{i}",) for i in range(500)], ["doc"])
+    t.append(a.coalesce(1), bloom_for=["doc"])
+    t.append(b.coalesce(1), bloom_for=["doc"])
+    assert t.file_count() == 2
+    hit = t.pruned_files(predicates={"doc": ("doc-b-7", "doc-b-7")})
+    # min/max on lexicographic ranges would admit both 'doc-*' files for
+    # some keys; the bloom pins the lookup to one
+    assert len(hit) == 1
+    got = t.scan(spark, predicates={"doc": ("doc-b-7", "doc-b-7")}).collect()
+    assert [r["doc"] for r in got] == ["doc-b-7"]
