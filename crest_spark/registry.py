@@ -179,7 +179,11 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "q24b_correlated_scalar", "q24c_in_subquery", "q24d_cte",
         "q27_having", "q28_profit_by_nation_year",
         "q28b_order_count_distribution", "q28c_volume_shipping",
-        "q33_sessionize", "q34_gapfill", "q34b_gapfill_interpolate",
+        # q33_sessionize is deliberately ABSENT: its r3 driver row was red
+        # (hash mismatch, unreproduced in 3 judge replications), so it must
+        # rotate back into the next driver prefix to show the hardened
+        # epoch path green — rotation memory tracks GREEN checks only.
+        "q34_gapfill", "q34b_gapfill_interpolate",
         "q35_min_acctbal_supplier", "q36_priority_count",
         "q37_local_supplier_volume", "q46_multires_rollup",
         "skew_salted_agg", "skew_salted_join", "stats_minmax_percentile",
