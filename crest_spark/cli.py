@@ -53,6 +53,13 @@ def maintain(argv: list[str]) -> int:
         action="store_true",
         help="materialize an Iceberg v2 metadata/ directory",
     )
+    parser.add_argument(
+        "--sync-rest",
+        metavar="ENDPOINT",
+        default=None,
+        help="mirror unseen snapshots into an Iceberg REST catalog "
+        "(implies --export-iceberg)",
+    )
     args = parser.parse_args(argv)
     namespace, _, name = args.table.partition(".")
     if not name:
@@ -76,6 +83,12 @@ def maintain(argv: list[str]) -> int:
 
         out = export_iceberg_metadata(table)
         print(f"iceberg: exported {out}", file=sys.stderr)
+    if args.sync_rest:
+        from crest_spark.lakehouse.iceberg_export import sync_to_rest
+        from crest_spark.lakehouse.rest_catalog import RestCatalogClient
+
+        pushed = sync_to_rest(table, RestCatalogClient(args.sync_rest))
+        print(f"rest: pushed snapshots {pushed}", file=sys.stderr)
     return 0
 
 

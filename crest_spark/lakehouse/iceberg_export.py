@@ -592,6 +592,41 @@ def export_iceberg_metadata(
     return meta_dir
 
 
+# ---------------------------------------------------------------- REST mirror
+def sync_to_rest(table: LakehouseTable, client, *, export: bool = True) -> list[int]:
+    """Mirror the commit log into an Iceberg REST catalog: every local
+    snapshot the catalog hasn't seen is committed through the spec's
+    CommitTableRequest (add-snapshot + set-snapshot-ref main, guarded by
+    assert-ref-snapshot-id), which is the reference's actual commit flow
+    — write parquet, then one conditional catalog transaction per batch
+    (``iceberg_committer.go:122-147``). Idempotent: a re-sync after no
+    new commits pushes nothing. Returns the pushed snapshot ids.
+
+    The local commit log stays the source of truth (same stance as the
+    ingestion service's table registration); the REST side is mirror
+    metadata any external Iceberg reader can follow to the exported
+    manifest lists."""
+    if export:
+        export_iceberg_metadata(table)
+    meta_dir = os.path.join(table.path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    client.get_or_create_table(table.namespace, table.name, table.schema())
+    remote = client.current_snapshot_id(table.namespace, table.name)
+    pushed: list[int] = []
+    parent = remote
+    for snap in meta["snapshots"]:
+        sid = snap["snapshot-id"]
+        if remote is not None and sid <= remote:
+            continue
+        client.commit_snapshot(table.namespace, table.name, snap, parent)
+        parent = sid
+        pushed.append(sid)
+    return pushed
+
+
 # ------------------------------------------------------------------- verifier
 def read_current_snapshot_files(meta_dir: str) -> dict[str, int]:
     """Independent read-side walk of an exported metadata directory:

@@ -153,6 +153,54 @@ class RestCatalogClient:
             return iceberg_to_spark_schema(meta["schema"])
         raise RestCatalogError(500, f"table {namespace}.{name} metadata has no schema")
 
+    def commit_snapshot(
+        self,
+        namespace: str,
+        name: str,
+        snapshot: dict[str, Any],
+        parent_snapshot_id: int | None,
+    ) -> dict[str, Any]:
+        """Commit one snapshot through the Iceberg REST commit protocol
+        (CommitTableRequest: requirements + updates), the transactional
+        hop the reference drives via iceberg-go's ``tx.Commit``
+        (``iceberg_committer.go:122-147``). The ``assert-ref-snapshot-id``
+        requirement makes the commit conditional on ``main`` still
+        pointing at ``parent_snapshot_id`` — a concurrent committer gets
+        a 409 (CommitFailedException), never a silent overwrite."""
+        return self._call(
+            "POST",
+            f"/namespaces/{_ns(namespace)}/tables/{_ident(name)}",
+            {
+                "identifier": {
+                    "namespace": namespace.split("."),
+                    "name": name,
+                },
+                "requirements": [
+                    {
+                        "type": "assert-ref-snapshot-id",
+                        "ref": "main",
+                        "snapshot-id": parent_snapshot_id,
+                    }
+                ],
+                "updates": [
+                    {"action": "add-snapshot", "snapshot": snapshot},
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": "main",
+                        "type": "branch",
+                        "snapshot-id": snapshot["snapshot-id"],
+                    },
+                ],
+            },
+        )
+
+    def current_snapshot_id(self, namespace: str, name: str) -> int | None:
+        meta = self.load_table(namespace, name).get("metadata", {})
+        ref = meta.get("refs", {}).get("main")
+        if ref is not None:
+            return ref.get("snapshot-id")
+        return meta.get("current-snapshot-id")
+
     def get_or_create_table(
         self, namespace: str, name: str, schema: StructType
     ) -> StructType:

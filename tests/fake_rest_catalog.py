@@ -97,6 +97,37 @@ def make_handler(state: FakeCatalogState):
                     },
                 }
                 return self._send(200, state.tables[(ns, name)])
+            if len(parts) == 5 and parts[3] == "tables":
+                # Iceberg REST commit protocol: CommitTableRequest
+                key = (parts[2], parts[4])
+                if key not in state.tables:
+                    return self._send(404, {"error": {"message": "NoSuchTable"}})
+                meta = state.tables[key]["metadata"]
+                for req in body.get("requirements", []):
+                    if req.get("type") == "assert-ref-snapshot-id":
+                        ref = meta.get("refs", {}).get(req.get("ref", "main"))
+                        current = ref.get("snapshot-id") if ref else None
+                        if current != req.get("snapshot-id"):
+                            return self._send(
+                                409,
+                                {
+                                    "error": {
+                                        "message": "CommitFailedException: "
+                                        f"ref at {current}, "
+                                        f"expected {req.get('snapshot-id')}"
+                                    }
+                                },
+                            )
+                for upd in body.get("updates", []):
+                    if upd["action"] == "add-snapshot":
+                        meta.setdefault("snapshots", []).append(upd["snapshot"])
+                    elif upd["action"] == "set-snapshot-ref":
+                        meta.setdefault("refs", {})[upd["ref-name"]] = {
+                            "type": upd.get("type", "branch"),
+                            "snapshot-id": upd["snapshot-id"],
+                        }
+                        meta["current-snapshot-id"] = upd["snapshot-id"]
+                return self._send(200, state.tables[key])
             return self._send(400, {"error": {"message": f"bad path {self.path}"}})
 
     return Handler

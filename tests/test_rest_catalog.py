@@ -182,3 +182,46 @@ def test_identifiers_url_encoded(fake_server):
     wire = [r for r in state.requests if "tables" in r]
     assert wire and all(" a" not in r.split(" ", 1)[1] for r in wire)
     assert all("%2F" in r.split(" ", 1)[1] for r in wire if "v2" in r)
+
+
+def test_commit_snapshot_protocol_and_sync(fake_server, spark, tmp_path):
+    """sync_to_rest mirrors local commits through the Iceberg REST commit
+    protocol: each unseen snapshot lands as one conditional
+    CommitTableRequest; re-sync is a no-op; a stale parent gets a 409."""
+    from pyspark.sql import functions as F
+
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.lakehouse.iceberg_export import sync_to_rest
+    from crest_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogError,
+    )
+
+    url, state = fake_server
+    client = RestCatalogClient(url)
+    t = LakehouseCatalog(str(tmp_path / "wh")).get_or_create_table(
+        "sync", spark.range(0).withColumn("v", F.col("id")).schema
+    )
+    t.append(spark.range(100).withColumn("v", F.col("id")))
+    pushed = sync_to_rest(t, client)
+    assert pushed  # create + first append snapshots
+    remote = client.current_snapshot_id("default", "sync")
+    assert remote == t.version()
+    # idempotent: nothing new -> nothing pushed
+    assert sync_to_rest(t, client) == []
+    # a new local commit pushes exactly one more snapshot
+    t.append(spark.range(100, 200).withColumn("v", F.col("id")))
+    assert sync_to_rest(t, client) == [t.version()]
+    meta = state.tables[("default", "sync")]["metadata"]
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == list(
+        range(1, t.version() + 1)
+    )
+    # conditional commit: wrong parent -> 409 CommitFailedException
+    snap = dict(meta["snapshots"][-1])
+    snap["snapshot-id"] = t.version() + 10
+    try:
+        client.commit_snapshot("default", "sync", snap, parent_snapshot_id=1)
+    except RestCatalogError as e:
+        assert e.status == 409
+    else:
+        raise AssertionError("stale parent must be rejected")
