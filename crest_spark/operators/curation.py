@@ -534,3 +534,69 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (fixed token windows with overlap)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64  # tokens per chunk
+_CHUNK_STRIDE = 48  # start-to-start distance (=> 16-token overlap)
+
+
+@register(
+    "curation_chunk_documents",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, t,
+                   UNNEST(generate_series(1, len(t), {_CHUNK_STRIDE})) AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(len(t[s : LEAST(s + {_CHUNK_SIZE} - 1, len(t))]) AS BIGINT)
+                   AS n_tokens,
+               array_to_string(
+                   t[s : LEAST(s + {_CHUNK_SIZE} - 1, len(t))], ' '
+               ) AS chunk_text
+        FROM starts
+        ORDER BY doc_id, chunk_id
+    """,
+    tags=("llm", "curation", "chunking"),
+)
+def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the doc -> training-sample step: each
+    document's token stream becomes overlapping fixed-size windows
+    (size {_CHUNK_SIZE}, stride {_CHUNK_STRIDE}). Pure Catalyst: token
+    split, ``sequence`` of window starts, one ``explode`` — chunking is
+    embarrassingly row-local, so the operator is a single map stage that
+    scales with the scan (no shuffle at all until a consumer asks for
+    one). Every document yields >= 1 chunk (the token array is never
+    empty); ragged tails are kept, matching what a packing/padding stage
+    downstream expects."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.size(F.col("t")), F.lit(_CHUNK_STRIDE)
+    )
+    return (
+        d.select("doc_id", toks.alias("t"))
+        .select("doc_id", F.col("t"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.floor((F.col("s") - 1) / _CHUNK_STRIDE)
+            .cast("bigint")
+            .alias("chunk_id"),
+            F.size(F.slice(F.col("t"), F.col("s"), _CHUNK_SIZE))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("t"), F.col("s"), _CHUNK_SIZE), " "
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

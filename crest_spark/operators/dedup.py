@@ -800,7 +800,9 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Duplicate clusters: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
-_COMPONENTS_SQL = f"""
+# shared CTE prefix (through `reach`): also the base of dedup_canonical's
+# oracle, which layers survivor selection on the same component fixpoint
+_COMPONENTS_CTE = f"""
     WITH RECURSIVE sh AS (
         SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS s
         FROM documents
@@ -828,6 +830,10 @@ _COMPONENTS_SQL = f"""
         UNION
         SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.v
     )
+"""
+
+_COMPONENTS_SQL = f"""
+    {_COMPONENTS_CTE}
     SELECT v AS doc_id, MIN(r) AS component_id
     FROM reach GROUP BY v ORDER BY doc_id
 """
@@ -940,4 +946,74 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components(pairs)
         .select(F.col("v").alias("vec_id"), F.col("label").alias("cluster_id"))
         .orderBy("vec_id")
+    )
+
+
+_CANONICAL_SQL = f"""
+    {_COMPONENTS_CTE}
+    , comp AS (
+        SELECT v AS doc_id, MIN(r) AS component_id FROM reach GROUP BY v
+    ),
+    members AS (
+        SELECT c.component_id, c.doc_id, LENGTH(d.text) AS n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+        SELECT component_id, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY component_id
+                   ORDER BY n_chars DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY component_id) AS n_members
+        FROM members
+    )
+    SELECT component_id,
+           doc_id AS canonical_doc,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn = 1 ORDER BY component_id
+"""
+
+
+@register(
+    "dedup_canonical",
+    oracle=_CANONICAL_SQL,
+    tags=("llm", "dedup", "graph", "survivorship"),
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the keep-one step that completes a dedup
+    pipeline: for every near-dup cluster, keep the best member
+    (longest text, doc_id tie-break) and record the cluster size. The
+    winner is picked with one ranking window over the cluster membership
+    (components join doc lengths); component ids are cluster-local keys,
+    so the window partitions fan out across the cluster — no global sort,
+    no skew beyond the largest duplicate cluster. Everything upstream
+    (pair mining, component fixpoint) is the already-verified operators
+    this composes."""
+    from pyspark.sql.window import Window
+
+    members = (
+        dedup_components(spark, sf_dir)
+        .join(
+            _docs(spark, sf_dir).select(
+                "doc_id", F.length("text").alias("n_chars")
+            ),
+            "doc_id",
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component_id")),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("component_id")
     )
