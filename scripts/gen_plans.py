@@ -94,6 +94,23 @@ COMMENTARY = {
         "(partkey, suppkey) sums — one fact scan, one fact shuffle; the "
         "SQL CTE spelling would scan lineitem twice."
     ),
+    "stats_profile": (
+        "Column profiling in ONE pruned scan: every per-column aggregate "
+        "(incl. multi COUNT(DISTINCT) via a single Expand) hangs off one "
+        "FileScan reading only the 5 profiled columns; the wide row is "
+        "unpivoted row-locally. At 100 TB swap exact NDV for HLL and the "
+        "Expand disappears."
+    ),
+    "curation_chunk_documents": (
+        "Chunking is embarrassingly row-local: token split, sequence of "
+        "window starts, one explode — a single map stage glued to the "
+        "scan, zero shuffles until a consumer asks for one."
+    ),
+    "dedup_canonical": (
+        "Survivor selection: ranking window partitioned by component id "
+        "(cluster-local keys fan out; skew bounded by the largest "
+        "duplicate cluster), layered on the verified component fixpoint."
+    ),
 }
 
 
