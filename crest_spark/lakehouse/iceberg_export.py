@@ -578,7 +578,15 @@ def export_iceberg_metadata(
         "snapshots": snapshot_records,
         "snapshot-log": snapshot_log,
         "metadata-log": [],
-        "refs": {"main": {"snapshot-id": head.version, "type": "branch"}},
+        "refs": {
+            "main": {"snapshot-id": head.version, "type": "branch"},
+            # Iceberg tag refs: only tags whose snapshot is in the export
+            **{
+                name: {"snapshot-id": v, "type": "tag"}
+                for name, v in sorted(table.tags().items())
+                if any(r["snapshot-id"] == v for r in snapshot_records)
+            },
+        },
     }
     meta_path = os.path.join(meta_dir, f"v{head.version}.metadata.json")
     tmp = meta_path + ".tmp"

@@ -920,6 +920,55 @@ class LakehouseTable:
             spark.read.schema(schema).option("mergeSchema", "false").parquet(*files)
         )
 
+    # ------------------------------------------------------------------ refs
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, "_refs")
+
+    def set_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a named tag to a snapshot (Iceberg tag refs): metadata-only
+        — no new table version. Tagged snapshots are PROTECTED from
+        ``expire_snapshots`` (the expiry horizon clamps to the oldest
+        tag), so a tag is a durable reproducibility point: tag the
+        snapshot a model trained on and `read(tag=...)` replays the exact
+        training input no matter how much history is expired after it."""
+        v = self.version() if version is None else int(version)
+        if v not in self.versions():
+            raise ValueError(f"cannot tag non-existent version {v}")
+        os.makedirs(self._refs_path, exist_ok=True)
+        tmp = os.path.join(self._refs_path, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "created_ts": time.time()}, fh)
+        os.replace(tmp, os.path.join(self._refs_path, f"{name}.json"))
+        return v
+
+    def tags(self) -> dict[str, int]:
+        if not os.path.isdir(self._refs_path):
+            return {}
+        out: dict[str, int] = {}
+        for f in os.listdir(self._refs_path):
+            if not f.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self._refs_path, f)) as fh:
+                    out[f[: -len(".json")]] = int(json.load(fh)["version"])
+            except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                continue  # torn write: tag is being replaced
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.unlink(os.path.join(self._refs_path, f"{name}.json"))
+        except FileNotFoundError:
+            pass
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """Time travel by tag name (``read(version=tags()[name])``)."""
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"no tag {name!r} on {self.namespace}.{self.name}")
+        return self.read(spark, version=tags[name])
+
     def rollback(self, version: int) -> int:
         """Roll the table back to ``version``'s snapshot: commits a NEW
         replace pointing at that version's file set (Iceberg's
@@ -951,6 +1000,14 @@ class LakehouseTable:
         # A 'replace' commit makes prior files unreferenced. Find the last
         # replace at-or-before the horizon: files before it are garbage.
         cutoff = versions[-keep_last]
+        # tagged snapshots are protected (Iceberg tag-retention): the
+        # horizon clamps to the oldest tag so `read_tag` keeps working
+        # after any amount of expiry
+        tagged = self.tags().values()
+        if tagged:
+            cutoff = min(cutoff, min(tagged))
+            if cutoff <= versions[0]:
+                return []
         snaps = self.snapshots()
         by_version = {s.version: s for s in snaps}
         live_files: set[str] = set()

@@ -392,33 +392,36 @@ def _profile_oracle() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY col"
 
 
-@register(
-    "stats_profile",
-    oracle=_profile_oracle(),
-    tags=("aggregation", "stats", "profiling"),
-)
-def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column profiling (the data-quality summary every ingestion
-    pipeline runs): per column — row count, null count, exact distinct
-    count, min/max, mean — in ONE scan of the table. All per-column
-    aggregates live in a single ``agg`` (Catalyst plans the multi
-    COUNT(DISTINCT) via one Expand + partial aggregation, still one pass
-    over the data); the wide single row is then unpivoted row-locally
-    into one row per column. Means go through DECIMAL(30,8) sums so the
-    result is aggregation-order-independent and matches the oracle
-    bitwise. At 100 TB swap the exact distinct for
-    ``approx_count_distinct`` (HLL, one pass, no Expand) — the rest of
-    the plan is unchanged; exact is kept here because the driver gate
-    hash-compares values."""
-    li = load_table(spark, sf_dir, "lineitem")
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: tuple[str, ...] | list[str],
+    string_cols: tuple[str, ...] | list[str] = (),
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Reusable column profiler over ANY DataFrame: per column — row
+    count, null count, distinct count, min/max, mean — in ONE scan. All
+    per-column aggregates live in a single ``agg`` (Catalyst plans the
+    multi COUNT(DISTINCT) via one Expand + partial aggregation, still
+    one pass over the data); the wide single row is then unpivoted
+    row-locally into one row per column. Means go through DECIMAL(30,8)
+    sums so the result is aggregation-order-independent. At 100 TB pass
+    ``approx_distinct=True``: HLL sketches replace exact NDV, the Expand
+    disappears, and the plan is a plain single-pass aggregate."""
+    numeric_cols = tuple(numeric_cols)
+    string_cols = tuple(string_cols)
+    ndv = (
+        (lambda c: F.approx_count_distinct(c, rsd=0.02))
+        if approx_distinct
+        else (lambda c: F.countDistinct(c))
+    )
     aggs = []
-    for c in _PROFILE_NUM + _PROFILE_STR:
-        is_num = c in _PROFILE_NUM
+    for c in numeric_cols + string_cols:
+        is_num = c in numeric_cols
         aggs.extend(
             [
                 F.count(F.lit(1)).alias(f"{c}__rows"),
                 (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
-                F.countDistinct(c).alias(f"{c}__ndv"),
+                ndv(c).alias(f"{c}__ndv"),
             ]
         )
         if is_num:
@@ -441,10 +444,10 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.max(c).alias(f"{c}__maxs"),
                 ]
             )
-    wide = li.agg(*aggs)
+    wide = df.agg(*aggs)
     entries = []
-    for c in _PROFILE_NUM + _PROFILE_STR:
-        is_num = c in _PROFILE_NUM
+    for c in numeric_cols + string_cols:
+        is_num = c in numeric_cols
         entries.append(
             F.struct(
                 F.lit(c).alias("col"),
@@ -482,4 +485,19 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.select(F.explode(F.array(*entries)).alias("p"))
         .select("p.*")
         .orderBy("col")
+    )
+
+
+@register(
+    "stats_profile",
+    oracle=_profile_oracle(),
+    tags=("aggregation", "stats", "profiling"),
+)
+def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling of lineitem via the reusable ``profile_columns``
+    (see its docstring for the one-scan plan shape). Exact NDV is kept
+    here because the driver gate hash-compares values; real 100 TB runs
+    pass ``approx_distinct=True``."""
+    return profile_columns(
+        load_table(spark, sf_dir, "lineitem"), _PROFILE_NUM, _PROFILE_STR
     )

@@ -542,3 +542,39 @@ def test_bloom_filter_string_column_and_json_roundtrip(spark, sf_dir, tmp_path):
     assert len(hit) == 1
     got = t.scan(spark, predicates={"doc": ("doc-b-7", "doc-b-7")}).collect()
     assert [r["doc"] for r in got] == ["doc-b-7"]
+
+
+def test_tags_protect_snapshots_and_export(spark, sf_dir, tmp_path):
+    """Named tags: metadata-only refs that survive expiry (the horizon
+    clamps to the oldest tag) and surface in the Iceberg export."""
+    import json
+
+    from crest_spark.lakehouse.iceberg_export import export_iceberg_metadata
+
+    t = _cat(tmp_path).get_or_create_table(
+        "tg", spark.range(0).withColumn("v", F.col("id")).schema
+    )
+    for lo in (0, 100, 200, 300):
+        t.append(spark.range(lo, lo + 100).withColumn("v", F.col("id")))
+    tagged_v = 3  # second append
+    t.set_tag("train-v1", tagged_v)
+    assert t.tags() == {"train-v1": tagged_v}
+    # expiry wants to keep only the head, but the tag clamps the horizon
+    expired = t.expire_snapshots(keep_last=1)
+    assert all(v < tagged_v for v in expired)
+    assert t.read_tag(spark, "train-v1").count() == 200
+    assert t.read(spark).count() == 400
+    # export carries the tag as an Iceberg tag ref
+    meta_dir = export_iceberg_metadata(t)
+    with open(
+        os.path.join(meta_dir, f"v{t.version()}.metadata.json")
+    ) as fh:
+        meta = json.load(fh)
+    assert meta["refs"]["train-v1"] == {
+        "snapshot-id": tagged_v,
+        "type": "tag",
+    }
+    # dropping the tag re-enables expiry up to keep_last
+    t.delete_tag("train-v1")
+    t.expire_snapshots(keep_last=1)
+    assert t.read(spark).count() == 400

@@ -460,3 +460,30 @@ def test_embedding_cosine_routes_big_corpora_to_ann(spark, sf_dir):
         ).count()
         >= 0
     )
+
+
+def test_profile_columns_generic_and_approx(spark, sf_dir):
+    """profile_columns works on arbitrary DataFrames; approx_distinct
+    swaps exact NDV for HLL within tolerance."""
+    from pyspark.sql import functions as F
+
+    from crest_spark.operators.stats import profile_columns
+
+    df = spark.range(10_000).select(
+        F.col("id").cast("double").alias("x"),
+        F.concat(F.lit("g"), (F.col("id") % 37).cast("string")).alias("g"),
+    )
+    exact = {
+        r["col"]: r for r in profile_columns(df, ["x"], ["g"]).collect()
+    }
+    assert exact["x"]["n_rows"] == 10_000
+    assert exact["x"]["n_null"] == 0
+    assert exact["x"]["n_distinct"] == 10_000
+    assert exact["g"]["n_distinct"] == 37
+    assert exact["g"]["min_str"] == "g0"
+    approx = {
+        r["col"]: r
+        for r in profile_columns(df, ["x"], ["g"], approx_distinct=True).collect()
+    }
+    assert abs(approx["x"]["n_distinct"] - 10_000) / 10_000 < 0.1
+    assert abs(approx["g"]["n_distinct"] - 37) <= 4
