@@ -649,6 +649,7 @@ class LakehouseTable:
         extra: dict | None = None,
         expected_version: int | None = None,
         keep_files: list[str] | None = None,
+        bloom_for: list[str] | None = None,
     ) -> int:
         """Transactional overwrite: new files + a ``replace`` commit that
         supersedes all prior data (readers at older versions still see
@@ -665,8 +666,12 @@ class LakehouseTable:
         carried into the new snapshot UNCHANGED — file-granular
         copy-on-write (Iceberg/Delta rewrite semantics). The replace's
         file list is keep_files + the newly written files; kept files'
-        pruning stats are copied from the base snapshot, so a merge that
-        touches 1% of a 100 TB table commits 99% of it by reference."""
+        pruning stats — INCLUDING any Bloom filters — are copied from the
+        base snapshot, so a merge that touches 1% of a 100 TB table
+        commits 99% of it by reference.
+
+        ``bloom_for``: rebuild point-lookup Bloom filters for the NEWLY
+        written files (kept files keep theirs via the stats copy)."""
         if keep_files and expected_version is None:
             raise ValueError("keep_files requires expected_version")
         txn_dir = os.path.join(self.data_path, f"txn-{uuid.uuid4().hex}")
@@ -677,6 +682,9 @@ class LakehouseTable:
             if f.endswith(".parquet")
         )
         stats = _footer_stats(new_files)
+        if bloom_for:
+            for f, blooms in _file_blooms(new_files, bloom_for).items():
+                stats.setdefault(f, {})[_BLOOM_KEY] = blooms
         files = list(new_files)
         if keep_files:
             base_stats = self._state(upto=expected_version).get("stats", {})
@@ -713,6 +721,7 @@ class LakehouseTable:
         key: str,
         sequence_col: str | None = None,
         extra: dict | None = None,
+        bloom_for: list[str] | None = None,
     ) -> int:
         """Upsert (MERGE INTO semantics): rows in ``updates`` replace
         current rows with the same key; new keys are inserted. Implemented
@@ -786,7 +795,11 @@ class LakehouseTable:
                 )
             try:
                 return self.overwrite(
-                    merged, extra=extra, expected_version=base, keep_files=keep
+                    merged,
+                    extra=extra,
+                    expected_version=base,
+                    keep_files=keep,
+                    bloom_for=bloom_for,
                 )
             except CommitConflict as e:
                 last_err = e
@@ -803,6 +816,7 @@ class LakehouseTable:
         target_partitions: int = 1,
         zorder_by: list[str] | None = None,
         small_file_max_rows: int | None = None,
+        bloom_for: list[str] | None = None,
     ) -> int:
         """Small-file compaction: rewrite the current snapshot into
         ``target_partitions`` files and commit a ``replace``. Readers are
@@ -874,6 +888,7 @@ class LakehouseTable:
                     extra={"compaction": True},
                     expected_version=base,
                     keep_files=keep,
+                    bloom_for=bloom_for,
                 )
             except CommitConflict as e:
                 last_err = e

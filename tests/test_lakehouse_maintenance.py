@@ -578,3 +578,37 @@ def test_tags_protect_snapshots_and_export(spark, sf_dir, tmp_path):
     t.delete_tag("train-v1")
     t.expire_snapshots(keep_last=1)
     assert t.read(spark).count() == 400
+
+
+def test_bloom_survives_merge_and_compact_rebuild(spark, sf_dir, tmp_path):
+    """Copy-on-write merge carries kept files' Bloom filters via the
+    stats copy; compact(bloom_for=...) rebuilds filters for the rewritten
+    files so point-lookup pruning keeps working after maintenance."""
+    from crest_spark.lakehouse.table import _BLOOM_KEY
+
+    key = (F.col("id") * F.lit(2654435761)) % F.lit(1_000_000)
+    t = _cat(tmp_path).get_or_create_table(
+        "blm", spark.range(0).withColumn("key", key).schema
+    )
+    for lo in (0, 10_000):
+        t.append(
+            spark.range(lo, lo + 10_000).withColumn("key", key).repartition(2),
+            bloom_for=["key"],
+        )
+    # CoW merge touching a narrow id slice: untouched files keep blooms
+    upd = spark.range(5).select(
+        F.col("id"), ((F.col("id") * 2654435761) % 1_000_000).alias("key")
+    )
+    t.merge(spark, upd, key="id", bloom_for=["key"])
+    state = t._state()
+    with_bloom = [
+        f for f, fs in state["stats"].items() if _BLOOM_KEY in (fs or {})
+    ]
+    assert len(with_bloom) == len(state["files"])  # kept + rebuilt
+    # compact with bloom rebuild: pruning still works on the single file set
+    t.compact(spark, target_partitions=2, bloom_for=["key"])
+    probe = 7777 * 2654435761 % 1_000_000
+    hit = t.pruned_files(predicates={"key": (probe, probe)})
+    assert len(hit) < t.file_count() or t.file_count() == 1
+    got = t.scan(spark, predicates={"key": (probe, probe)}).collect()
+    assert [r["key"] for r in got] == [probe]
