@@ -529,3 +529,80 @@ def test_flight_max_flights_per_trigger(spark, sf_dir, server, tmp_path):
     assert sum(batches) == 60  # exactly once, nothing lost
     assert len(batches) >= 3  # bounded batches: at most 2 flights each
     assert max(batches) <= 20
+
+
+def test_full_pipeline_flight_to_matview(spark, sf_dir, server, tmp_path):
+    """The complete crest pipeline in one test, Spark-first: a changelog
+    Flight server feeds the exactly-once ingestion service into a
+    lakehouse table, and an incremental materialized view rolls the
+    table up — each wave of flights flows through ingest + refresh and
+    the view must equal a one-shot recompute of the whole table (the
+    RisingWave-MV role downstream of the reference's ingestor)."""
+    from pyspark.sql import functions as F
+
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.lakehouse.matview import AggSpec, IncrementalAggView
+    from crest_spark.streaming.ingest import (
+        IngestConfig,
+        IngestionService,
+        SourceSpec,
+    )
+
+    events = _events_us(sf_dir)
+    slices = _slices(events, 4)
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="events",
+                flight_location=server.location,
+                flight_prefix="events/",
+                files_per_trigger=1,
+            )
+        ],
+        max_rows_per_batch=100_000,
+    )
+    svc = IngestionService(spark, cfg)
+    catalog = LakehouseCatalog(str(tmp_path / "wh"))
+    view = IncrementalAggView(
+        catalog,
+        source="events",
+        name="events_by_user",
+        group_by=["user_id"],
+        aggs={
+            "n": AggSpec("count"),
+            "sum_value": AggSpec("sum", "value"),
+            "max_value": AggSpec("max", "value"),
+        },
+    )
+    total = 0
+    for wave, (i, sl) in zip((2, 4), enumerate([slices[:2], slices[2:]])):
+        for j, s in enumerate(sl):
+            server.publish(f"events/tick-{i * 2 + j:04d}", s)
+            total += s.num_rows
+        svc.run_once()
+        t = catalog.table("events")
+        assert t.read(spark).count() == total
+        view.refresh(spark)
+        got = {
+            r["user_id"]: (r["n"], r["sum_value"], r["max_value"])
+            for r in view.read(spark).collect()
+        }
+        want = {
+            r["user_id"]: (r["n"], r["sum_value"], r["max_value"])
+            for r in t.read(spark)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sum_value"),
+                F.max("value").alias("max_value"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for u in want:
+            assert got[u][0] == want[u][0]
+            assert got[u][2] == want[u][2]
+            assert abs(got[u][1] - want[u][1]) < 1e-6
+    assert total == events.num_rows
