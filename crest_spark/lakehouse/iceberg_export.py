@@ -597,6 +597,27 @@ def export_iceberg_metadata(
     with open(hint + ".tmp", "w") as fh:
         fh.write(str(head.version))
     os.replace(hint + ".tmp", hint)
+
+    # GC stale export artifacts: snapshots expired from the commit log
+    # (or manifests rewritten by a later filtered variant) would otherwise
+    # accumulate in metadata/ forever. Keep exactly what the new
+    # metadata.json references.
+    referenced = {os.path.basename(meta_path), "version-hint.text"}
+    for rec in snapshot_records:
+        referenced.add(os.path.basename(rec["manifest-list"]))
+    for info in manifest_info.values():
+        referenced.add(os.path.basename(info["path"]))
+    for f in os.listdir(meta_dir):
+        if f in referenced or f.endswith(".tmp"):
+            continue
+        if (
+            f.startswith(("manifest-", "snap-"))
+            or (f.startswith("v") and f.endswith(".metadata.json"))
+        ):
+            try:
+                os.unlink(os.path.join(meta_dir, f))
+            except FileNotFoundError:
+                pass
     return meta_dir
 
 

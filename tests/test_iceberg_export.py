@@ -177,7 +177,9 @@ def test_export_matches_commit_log(table):
 def test_export_after_merge_reuses_untouched_manifests(spark, table):
     meta_dir = export_iceberg_metadata(table)
     before = {
-        f for f in os.listdir(meta_dir) if f.startswith("manifest-")
+        f: open(os.path.join(meta_dir, f), "rb").read()
+        for f in os.listdir(meta_dir)
+        if f.startswith("manifest-")
     }
     # copy-on-write merge: update a handful of keys
     upd = spark.range(5).select(
@@ -190,8 +192,39 @@ def test_export_after_merge_reuses_untouched_manifests(spark, table):
     files = read_current_snapshot_files(meta_dir)
     assert files == _live_state(table)
     after = {f for f in os.listdir(meta_dir) if f.startswith("manifest-")}
-    # previously written manifests are still present (reused, not rewritten)
-    assert before <= after
+    # manifests whose file set the merge did NOT touch are reused
+    # byte-identical; a touched one may be replaced by a filtered variant
+    # (and its stale full version GC'd)
+    untouched = before.keys() & after
+    assert untouched
+    for f in untouched:
+        assert open(os.path.join(meta_dir, f), "rb").read() == before[f]
+
+
+def test_export_gc_removes_stale_artifacts(spark, table):
+    """Snapshots expired from the commit log leave their manifest lists
+    and old metadata.json files unreferenced — re-export removes them,
+    keeping exactly what the current metadata references."""
+    meta_dir = export_iceberg_metadata(table)
+    old_meta = f"v{table.version()}.metadata.json"
+    table.append(
+        spark.range(10).select(
+            F.col("id"), (F.col("id") % 7).alias("grp"), F.lit("x").alias("s")
+        )
+    )
+    table.expire_snapshots(keep_last=1)
+    meta_dir = export_iceberg_metadata(table)
+    listing = set(os.listdir(meta_dir))
+    assert old_meta not in listing  # superseded metadata.json dropped
+    import json as _json
+
+    with open(os.path.join(meta_dir, f"v{table.version()}.metadata.json")) as fh:
+        meta = _json.load(fh)
+    referenced = {os.path.basename(s["manifest-list"]) for s in meta["snapshots"]}
+    for f in listing:
+        if f.startswith("snap-"):
+            assert f in referenced  # no orphaned manifest lists
+    assert read_current_snapshot_files(meta_dir) == _live_state(table)
 
 
 def test_export_bounds_enable_pruning(table):
