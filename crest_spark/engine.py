@@ -88,3 +88,19 @@ class Engine:
         """Continuously consume new flights from ``location`` — the
         reference's Flight ingress as a checkpointed streaming source."""
         return self._flight_reader(self.spark.readStream, location, prefix)
+
+    def profile(
+        self,
+        name: str,
+        numeric_cols: list[str],
+        string_cols: list[str] = (),
+        approx_distinct: bool = False,
+    ) -> DataFrame:
+        """Column-profile a registered table in one scan (see
+        ``operators.stats.profile_columns``); pass
+        ``approx_distinct=True`` at scale for HLL NDV."""
+        from crest_spark.operators.stats import profile_columns
+
+        return profile_columns(
+            self.table(name), numeric_cols, string_cols, approx_distinct
+        )

@@ -68,3 +68,19 @@ def test_engine_flight_table(spark, sf_dir):
         assert eng.stream_flight(srv.location, prefix="v/").isStreaming
     finally:
         srv.shutdown()
+
+
+def test_engine_profile(spark, sf_dir):
+    from crest_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    prof = {
+        r["col"]: r
+        for r in eng.profile(
+            "orders", ["o_totalprice"], ["o_orderstatus"]
+        ).collect()
+    }
+    n = eng.table("orders").count()
+    assert prof["o_totalprice"]["n_rows"] == n
+    assert prof["o_orderstatus"]["n_distinct"] == 3
+    assert prof["o_totalprice"]["mean"] is not None
