@@ -60,6 +60,13 @@ def maintain(argv: list[str]) -> int:
         help="mirror unseen snapshots into an Iceberg REST catalog "
         "(implies --export-iceberg)",
     )
+    parser.add_argument(
+        "--set-tag",
+        metavar="NAME",
+        default=None,
+        help="pin a named tag to the current snapshot "
+        "(expiry-protected reproducibility point)",
+    )
     args = parser.parse_args(argv)
     namespace, _, name = args.table.partition(".")
     if not name:
@@ -68,6 +75,9 @@ def maintain(argv: list[str]) -> int:
     from crest_spark.lakehouse import LakehouseCatalog
 
     table = LakehouseCatalog(args.warehouse).table(name, namespace)
+    if args.set_tag:
+        v = table.set_tag(args.set_tag)
+        print(f"tag: {args.set_tag} -> v{v}", file=sys.stderr)
     if args.compact is not None:
         spark = get_spark("crest-spark-maintain")
         v = table.compact(spark, target_partitions=args.compact)

@@ -20,6 +20,7 @@ Example:
         path: /staging/events
         filesPerTrigger: 1
         clusterBy: [event_id]  # optional: range-cluster committed batches
+        bloomFor: [user_id]    # optional: per-file point-lookup Bloom filters
       - name: views            # Arrow Flight ingress (the reference's
         flight: grpc://host:port   # flight.servers entry, config.go:29-33)
         flightPrefix: events/  # descriptor-path filter (view selection)
@@ -87,6 +88,9 @@ def load_config(path: str) -> EngineConfig:
             flight_schema=s.get("flightSchema"),
             cluster_by=(
                 [str(c) for c in s["clusterBy"]] if "clusterBy" in s else None
+            ),
+            bloom_for=(
+                [str(c) for c in s["bloomFor"]] if "bloomFor" in s else None
             ),
         )
         for s in raw.get("sources", [])

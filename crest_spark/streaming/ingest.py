@@ -58,6 +58,10 @@ class SourceSpec:
     # partitioning knob: tight per-file min/max stats -> O(1)-file scans
     # on the cluster key; see LakehouseTable.append(cluster_by=...))
     cluster_by: list[str] | None = None
+    # record per-file Bloom filters over these columns on every committed
+    # batch (point-lookup skipping on non-clustered high-cardinality
+    # columns; see LakehouseTable.append(bloom_for=...))
+    bloom_for: list[str] | None = None
 
 
 @dataclass
@@ -161,6 +165,7 @@ class IngestionService:
                 merge_schema=True,
                 max_rows_per_file=max_rows,
                 cluster_by=source.cluster_by,
+                bloom_for=source.bloom_for,
             )
 
         return write_batch

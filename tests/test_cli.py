@@ -57,3 +57,20 @@ sources:
     )
     parsed = load_config(str(cfg))
     assert parsed.ingest.sources[0].cluster_by == ["event_id", "user_id"]
+
+
+def test_config_parses_bloom_for(tmp_path):
+    from crest_spark.config import load_config
+
+    cfg = tmp_path / "b.yaml"
+    cfg.write_text(
+        """
+warehouse: w
+checkpoints: c
+sources:
+  - name: events
+    path: /staging/events
+    bloomFor: [user_id]
+"""
+    )
+    assert load_config(str(cfg)).ingest.sources[0].bloom_for == ["user_id"]
