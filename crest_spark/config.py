@@ -21,6 +21,11 @@ Example:
         filesPerTrigger: 1
         clusterBy: [event_id]  # optional: range-cluster committed batches
         bloomFor: [user_id]    # optional: per-file point-lookup Bloom filters
+      - name: user_latest      # CDC upsert target: one row per key,
+        path: /staging/users   # latest change wins (sequence-conditioned
+        mode: upsert           # merge; convergent under replay)
+        key: user_id
+        sequenceCol: event_id
       - name: views            # Arrow Flight ingress (the reference's
         flight: grpc://host:port   # flight.servers entry, config.go:29-33)
         flightPrefix: events/  # descriptor-path filter (view selection)
@@ -92,12 +97,22 @@ def load_config(path: str) -> EngineConfig:
             bloom_for=(
                 [str(c) for c in s["bloomFor"]] if "bloomFor" in s else None
             ),
+            mode=s.get("mode", "append"),
+            key=s.get("key"),
+            sequence_col=s.get("sequenceCol"),
         )
         for s in raw.get("sources", [])
     ]
     for s in sources:
         if s.path is None and s.flight_location is None:
             raise ValueError(f"source {s.name}: needs either 'path' or 'flight'")
+        if s.mode not in ("append", "upsert"):
+            raise ValueError(f"source {s.name}: unknown mode {s.mode!r}")
+        if s.mode == "upsert" and (s.key is None or s.sequence_col is None):
+            raise ValueError(
+                f"source {s.name}: mode 'upsert' requires 'key' and "
+                "'sequenceCol' (CDC ordering column)"
+            )
 
     compaction = raw.get("compaction", {})
     ingest = IngestConfig(

@@ -62,6 +62,15 @@ class SourceSpec:
     # batch (point-lookup skipping on non-clustered high-cardinality
     # columns; see LakehouseTable.append(bloom_for=...))
     bloom_for: list[str] | None = None
+    # CDC ingestion mode: 'append' (default, the reference's changelog
+    # semantics) or 'upsert' — each micro-batch MERGEs into the target by
+    # ``key``, ordered by ``sequence_col`` (both required for upsert).
+    # The table converges to one row per key with the latest change;
+    # re-delivered batches are state-idempotent because the merge is
+    # sequence-conditioned (an old change can never regress a key).
+    mode: str = "append"
+    key: str | None = None
+    sequence_col: str | None = None
 
 
 @dataclass
@@ -154,6 +163,39 @@ class IngestionService:
                     table.compact(
                         df.sparkSession, compact_target, zorder_by=compact_zorder
                     )
+            if source.mode == "upsert":
+                # CDC upsert: reduce the batch to its per-key winner
+                # (highest sequence), then sequence-conditioned MERGE —
+                # convergent under replay and out-of-order delivery
+                # (test_merge_sequence_out_of_order_converges)
+                from pyspark.sql import functions as F
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy(source.key).orderBy(
+                    F.desc(source.sequence_col)
+                )
+                latest = (
+                    df.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+                if table.row_count() == 0:
+                    table.append(
+                        latest,
+                        writer_id=writer_id,
+                        batch_id=batch_id,
+                        merge_schema=True,
+                        bloom_for=source.bloom_for,
+                    )
+                else:
+                    table.merge(
+                        df.sparkSession,
+                        latest,
+                        key=source.key,
+                        sequence_col=source.sequence_col,
+                        bloom_for=source.bloom_for,
+                    )
+                return
             # merge_schema: a widened source schema evolves the table in
             # place (the README-promised evolution, README.md:24);
             # max_rows_per_file enforces batching.maxRows — dead config in

@@ -74,3 +74,42 @@ sources:
 """
     )
     assert load_config(str(cfg)).ingest.sources[0].bloom_for == ["user_id"]
+
+
+def test_config_validates_upsert_mode(tmp_path):
+    import pytest
+
+    from crest_spark.config import load_config
+
+    good = tmp_path / "u.yaml"
+    good.write_text(
+        """
+warehouse: w
+checkpoints: c
+sources:
+  - name: u
+    path: /staging/u
+    mode: upsert
+    key: user_id
+    sequenceCol: event_id
+"""
+    )
+    src = load_config(str(good)).ingest.sources[0]
+    assert (src.mode, src.key, src.sequence_col) == (
+        "upsert",
+        "user_id",
+        "event_id",
+    )
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(
+        """
+warehouse: w
+checkpoints: c
+sources:
+  - name: u
+    path: /staging/u
+    mode: upsert
+"""
+    )
+    with pytest.raises(ValueError, match="sequenceCol"):
+        load_config(str(bad))

@@ -834,3 +834,57 @@ def test_ingest_cluster_by_lands_clustered_commits(spark, sf_dir, tmp_path):
     lo = load_table(spark, sf_dir, "orders").agg(F.min("o_orderkey")).first()[0]
     pruned = t.pruned_files(predicates={"o_orderkey": (lo, lo + 10)})
     assert len(pruned) < total
+
+
+def test_ingest_upsert_mode_converges_to_latest(spark, sf_dir, tmp_path):
+    """mode: upsert — the ingestion service MERGEs each micro-batch by
+    key instead of appending, so the target converges to one row per
+    user with the highest-sequence event, equal to a batch recompute
+    over everything ingested."""
+    from pyspark.sql.window import Window
+
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=4, order_col="event_id"
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "whu"),
+        checkpoint_root=str(tmp_path / "ckptu"),
+        sources=[
+            SourceSpec(
+                name="user_latest",
+                path=staging,
+                files_per_trigger=1,
+                mode="upsert",
+                key="user_id",
+                sequence_col="event_id",
+            )
+        ],
+        max_rows_per_batch=100_000,
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    t = svc.catalog.table("user_latest")
+    got = {
+        r["user_id"]: r["event_id"] for r in t.read(spark).collect()
+    }
+    src = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in src.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .collect()
+    }
+    assert got == want  # one row per user, latest event wins
+    assert t.read(spark).count() == len(want)
+    # re-running the drained stream is a no-op state-wise
+    svc2 = IngestionService(spark, cfg)
+    svc2.run_once()
+    got2 = {
+        r["user_id"]: r["event_id"] for r in t.read(spark).collect()
+    }
+    assert got2 == want
