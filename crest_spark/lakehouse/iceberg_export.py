@@ -656,6 +656,65 @@ def sync_to_rest(table: LakehouseTable, client, *, export: bool = True) -> list[
     return pushed
 
 
+# -------------------------------------------------------------------- reader
+def read_iceberg(
+    spark,
+    table_dir: str,
+    *,
+    snapshot_id: int | None = None,
+    tag: str | None = None,
+):
+    """Read a table THROUGH its exported Iceberg metadata, never touching
+    the commit log: version-hint -> metadata.json -> snapshot (current,
+    explicit ``snapshot_id``, or a named ``tag`` ref) -> manifest list ->
+    manifests -> parquet file set, with the schema taken from the
+    snapshot's registered schema-id. This is what any external Iceberg
+    reader does with the same directory; having it in-engine makes the
+    export a verified interchange path (write side: commit log; read
+    side: pure spec metadata) and gives metadata-level time travel/tag
+    reads to consumers that only see the exported directory."""
+    from crest_spark.functions.schema_convert import iceberg_to_spark_schema
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    if tag is not None:
+        ref = meta.get("refs", {}).get(tag)
+        if ref is None:
+            raise ValueError(f"no ref {tag!r} in {meta_dir}")
+        snapshot_id = ref["snapshot-id"]
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snapshot_id} not in {meta_dir}")
+    schemas = {s["schema-id"]: s for s in meta["schemas"]}
+    schema = iceberg_to_spark_schema(
+        schemas[snap.get("schema-id", meta["current-schema-id"])]
+    )
+    _, _, list_entries = avro_io.read_container(snap["manifest-list"])
+    files: list[str] = []
+    for entry in list_entries:
+        _, _, records = avro_io.read_container(entry["manifest_path"])
+        files.extend(
+            rec["data_file"]["file_path"]
+            for rec in records
+            if rec["status"] in (0, 1)  # EXISTING or ADDED
+        )
+    if not files:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .option("mergeSchema", "false")
+        .parquet(*sorted(files))
+    )
+
+
 # ------------------------------------------------------------------- verifier
 def read_current_snapshot_files(meta_dir: str) -> dict[str, int]:
     """Independent read-side walk of an exported metadata directory:

@@ -296,3 +296,29 @@ def test_export_bounded_history(table):
     assert len(meta["snapshots"]) == 1
     assert meta["snapshots"][0]["snapshot-id"] == v
     assert read_current_snapshot_files(meta_dir) == _live_state(table)
+
+
+def test_read_iceberg_through_metadata_only(spark, table):
+    """read_iceberg consumes ONLY the exported metadata directory (the
+    external-reader path): current read equals the commit-log read, tag
+    refs resolve, and explicit snapshot ids time-travel."""
+    from crest_spark.lakehouse.iceberg_export import read_iceberg
+
+    v_first_data = 1  # fixture appends directly; v1 = first 100 rows
+    table.set_tag("train", v_first_data)
+    export_iceberg_metadata(table)
+
+    cur = read_iceberg(spark, table.path)
+    assert sorted(map(tuple, cur.collect())) == sorted(
+        map(tuple, table.read(spark).collect())
+    )
+    tagged = read_iceberg(spark, table.path, tag="train")
+    assert sorted(map(tuple, tagged.collect())) == sorted(
+        map(tuple, table.read(spark, version=v_first_data).collect())
+    )
+    old = read_iceberg(spark, table.path, snapshot_id=v_first_data)
+    assert old.count() == 100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no ref"):
+        read_iceberg(spark, table.path, tag="nope")
