@@ -643,6 +643,31 @@ def sync_to_rest(table: LakehouseTable, client, *, export: bool = True) -> list[
     with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
         meta = json.load(fh)
     client.get_or_create_table(table.namespace, table.name, table.schema())
+    # schema evolution mirror: if the catalog's current schema is missing
+    # columns the table has (merge_schema widened it after registration),
+    # push an add-schema + set-current-schema commit first
+    local_schema = meta["schemas"][
+        [s["schema-id"] for s in meta["schemas"]].index(
+            meta["current-schema-id"]
+        )
+    ]
+    remote_meta = client.load_table(table.namespace, table.name).get(
+        "metadata", {}
+    )
+    remote_schemas = {
+        s.get("schema-id", 0): s for s in remote_meta.get("schemas", [])
+    }
+    remote_cur = remote_schemas.get(remote_meta.get("current-schema-id", 0), {})
+    local_fields = [(f["name"], f["type"]) for f in local_schema["fields"]]
+    remote_fields = [
+        (f["name"], f["type"]) for f in remote_cur.get("fields", [])
+    ]
+    if local_fields != remote_fields:
+        evolved = dict(local_schema)
+        evolved["schema-id"] = (
+            max(remote_schemas, default=0) + 1 if remote_schemas else 0
+        )
+        client.update_schema(table.namespace, table.name, evolved)
     remote = client.current_snapshot_id(table.namespace, table.name)
     pushed: list[int] = []
     parent = remote

@@ -194,6 +194,31 @@ class RestCatalogClient:
             },
         )
 
+    def update_schema(
+        self, namespace: str, name: str, schema: dict[str, Any]
+    ) -> dict[str, Any]:
+        """Evolve the catalog's schema (CommitTableRequest add-schema +
+        set-current-schema) — the mirror of the engine's merge_schema
+        append path, so the REST side tracks widened tables."""
+        return self._call(
+            "POST",
+            f"/namespaces/{_ns(namespace)}/tables/{_ident(name)}",
+            {
+                "identifier": {
+                    "namespace": namespace.split("."),
+                    "name": name,
+                },
+                "requirements": [],
+                "updates": [
+                    {"action": "add-schema", "schema": schema},
+                    {
+                        "action": "set-current-schema",
+                        "schema-id": schema.get("schema-id", -1),
+                    },
+                ],
+            },
+        )
+
     def current_snapshot_id(self, namespace: str, name: str) -> int | None:
         meta = self.load_table(namespace, name).get("metadata", {})
         ref = meta.get("refs", {}).get("main")

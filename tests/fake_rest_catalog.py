@@ -121,6 +121,13 @@ def make_handler(state: FakeCatalogState):
                 for upd in body.get("updates", []):
                     if upd["action"] == "add-snapshot":
                         meta.setdefault("snapshots", []).append(upd["snapshot"])
+                    elif upd["action"] == "add-schema":
+                        meta.setdefault("schemas", []).append(upd["schema"])
+                    elif upd["action"] == "set-current-schema":
+                        sid = upd["schema-id"]
+                        if sid == -1:  # spec: -1 = the schema just added
+                            sid = meta["schemas"][-1].get("schema-id", 0)
+                        meta["current-schema-id"] = sid
                     elif upd["action"] == "set-snapshot-ref":
                         meta.setdefault("refs", {})[upd["ref-name"]] = {
                             "type": upd.get("type", "branch"),

@@ -225,3 +225,45 @@ def test_commit_snapshot_protocol_and_sync(fake_server, spark, tmp_path):
         assert e.status == 409
     else:
         raise AssertionError("stale parent must be rejected")
+
+
+def test_sync_mirrors_schema_evolution(fake_server, spark, tmp_path):
+    """A merge_schema-widened table pushes an add-schema +
+    set-current-schema commit on the next sync, so the catalog's schema
+    tracks the engine's."""
+    from pyspark.sql import functions as F
+
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.lakehouse.iceberg_export import sync_to_rest
+    from crest_spark.lakehouse.rest_catalog import RestCatalogClient
+
+    url, state = fake_server
+    client = RestCatalogClient(url)
+    t = LakehouseCatalog(str(tmp_path / "wh")).get_or_create_table(
+        "evo", spark.range(0).withColumn("v", F.col("id")).schema
+    )
+    t.append(spark.range(10).withColumn("v", F.col("id")))
+    sync_to_rest(t, client)
+    before = client.load_table("default", "evo")["metadata"]
+    assert len(before["schemas"]) == 1
+
+    t.append(
+        spark.range(5)
+        .withColumn("v", F.col("id"))
+        .withColumn("extra", F.lit(1.5)),
+        merge_schema=True,
+    )
+    sync_to_rest(t, client)
+    after = client.load_table("default", "evo")["metadata"]
+    assert len(after["schemas"]) == 2
+    cur = next(
+        s
+        for s in after["schemas"]
+        if s.get("schema-id", 0) == after["current-schema-id"]
+    )
+    assert any(f["name"] == "extra" for f in cur["fields"])
+    # idempotent: same schema -> no third registration
+    sync_to_rest(t, client)
+    assert len(
+        client.load_table("default", "evo")["metadata"]["schemas"]
+    ) == 2
