@@ -343,3 +343,91 @@ def test_commit_conflict_metrics_counter(spark, catalog, sf_dir):
     key = (f"{t.namespace}.{t.name}", "merge")
     assert commit_conflict_counts().get(key, 0) == before.get(key, 0) + 1
     src.unpersist()
+
+
+def test_concurrent_mixed_workload_stress(spark, sf_dir, tmp_path):
+    """Transactional stress: concurrent appenders, a sequence-conditioned
+    merger, a compactor, and a vacuum all race on one table. Invariants:
+    no exception besides bounded CommitConflict retries handled inside
+    merge/compact, no lost appends (every appended key present at the
+    end), merge keys converge to their final sequence values, and the
+    log stays readable at every surviving version."""
+    import threading
+
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.lakehouse.table import CommitConflict
+
+    cat = LakehouseCatalog(str(tmp_path / "wh_stress"))
+    schema = (
+        spark.range(0)
+        .selectExpr("id", "CAST(0 AS LONG) AS seq", "'w' AS src")
+        .schema
+    )
+    t = cat.get_or_create_table("stress", schema)
+    errors: list[Exception] = []
+
+    def appender(wid: int):
+        try:
+            for b in range(3):
+                lo = wid * 10_000 + b * 1_000
+                df = spark.range(lo, lo + 1_000).selectExpr(
+                    "id", "CAST(0 AS LONG) AS seq", f"'a{wid}' AS src"
+                )
+                t.append(df, writer_id=f"w{wid}", batch_id=b)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def merger():
+        try:
+            for s in range(1, 4):
+                upd = spark.range(0, 500).selectExpr(
+                    "id", f"CAST({s} AS LONG) AS seq", "'m' AS src"
+                )
+                t.merge(spark, upd, key="id", sequence_col="seq")
+        except CommitConflict as e:
+            errors.append(e)  # exhausted retries = real failure
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def compactor():
+        try:
+            t.compact(spark, target_partitions=4)
+        except CommitConflict:
+            pass  # losing the race repeatedly under stress is acceptable
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def vacuumer():
+        try:
+            t.vacuum(older_than_s=3600)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = (
+        [threading.Thread(target=appender, args=(w,)) for w in range(3)]
+        + [threading.Thread(target=merger)]
+        + [threading.Thread(target=compactor), threading.Thread(target=vacuumer)]
+    )
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+
+    rows = {r["id"]: (r["seq"], r["src"]) for r in t.read(spark).collect()}
+    # every appended key survived every race
+    for wid in range(3):
+        for b in range(3):
+            lo = wid * 10_000 + b * 1_000
+            assert all(lo + i in rows for i in (0, 500, 999))
+    # merged keys converged to the highest sequence
+    for k in range(0, 500):
+        assert rows[k] == (3, "m"), (k, rows[k])
+    # replayed appender batches are still no-ops (idempotence intact)
+    df = spark.range(0, 1_000).selectExpr(
+        "id", "CAST(0 AS LONG) AS seq", "'a0' AS src"
+    )
+    assert t.append(df, writer_id="w0", batch_id=0) is None
+    # the log is readable at every surviving version
+    for v in t.versions():
+        assert t.read(spark, version=v).count() >= 0
