@@ -810,6 +810,63 @@ class LakehouseTable:
             f"{self._MERGE_RETRIES} times"
         ) from last_err
 
+    def delete(
+        self,
+        spark: SparkSession,
+        predicates: dict[str, tuple],
+    ) -> int:
+        """Row-level DELETE (the GDPR/retention verb the maintenance
+        surface lacked): remove every row matching ALL ``{col: (lo,
+        hi)}`` range predicates (either bound may be None; ``(v, v)`` is
+        an equality — Bloom filters prune those too). Copy-on-write at
+        file granularity like ``merge``: files whose stats prove they
+        hold no matching row move into the new snapshot by reference;
+        only intersecting files are read and rewritten without their
+        matching rows. One conflict-validated ``replace`` commit; time
+        travel before it still sees the deleted rows (use
+        ``expire_snapshots`` + ``vacuum`` to physically reclaim them).
+        Returns the committed version. At 100 TB a delete of one user or
+        one retention day rewrites the files that COULD contain it, not
+        the table — and a clustered/bloomed layout makes that O(1)
+        files."""
+        last_err: Exception | None = None
+        for _ in range(self._MERGE_RETRIES):
+            base = self.version()
+            state = self._state(upto=base)
+            stats: dict = state.get("stats", {})
+            keep: list[str] = []
+            touch: list[str] = []
+            for f in state["files"]:
+                if _stats_admit(stats.get(f) or {}, predicates):
+                    touch.append(f)  # may hold matching rows: rewrite
+                else:
+                    keep.append(f)  # provably no matching row
+            current = self._read_files(spark, touch, state["schema"])
+            cond = F.lit(True)
+            for col, (lo, hi) in predicates.items():
+                if lo is not None:
+                    cond = cond & (F.col(col) >= lo)
+                if hi is not None:
+                    cond = cond & (F.col(col) <= hi)
+            # NULL in a predicate column = not matched = KEPT (~null is
+            # null and would silently drop the row without the coalesce)
+            remaining = current.where(~F.coalesce(cond, F.lit(False)))
+            try:
+                return self.overwrite(
+                    remaining,
+                    extra={"delete": {c: list(b) for c, b in predicates.items()}},
+                    expected_version=base,
+                    keep_files=keep,
+                )
+            except CommitConflict as e:
+                last_err = e
+                _record_conflict(f"{self.namespace}.{self.name}", "delete")
+                continue
+        raise CommitConflict(
+            f"delete from {self.namespace}.{self.name} lost the commit race "
+            f"{self._MERGE_RETRIES} times"
+        ) from last_err
+
     def compact(
         self,
         spark: SparkSession,
