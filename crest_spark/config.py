@@ -26,6 +26,7 @@ Example:
         mode: upsert           # merge; convergent under replay)
         key: user_id
         sequenceCol: event_id
+        deleteCol: op_delete   # optional: Debezium-style tombstones
       - name: views            # Arrow Flight ingress (the reference's
         flight: grpc://host:port   # flight.servers entry, config.go:29-33)
         flightPrefix: events/  # descriptor-path filter (view selection)
@@ -100,6 +101,7 @@ def load_config(path: str) -> EngineConfig:
             mode=s.get("mode", "append"),
             key=s.get("key"),
             sequence_col=s.get("sequenceCol"),
+            delete_col=s.get("deleteCol"),
         )
         for s in raw.get("sources", [])
     ]

@@ -722,6 +722,7 @@ class LakehouseTable:
         sequence_col: str | None = None,
         extra: dict | None = None,
         bloom_for: list[str] | None = None,
+        delete_col: str | None = None,
     ) -> int:
         """Upsert (MERGE INTO semantics): rows in ``updates`` replace
         current rows with the same key; new keys are inserted. Implemented
@@ -748,8 +749,21 @@ class LakehouseTable:
         snapshot by reference (Iceberg/Delta rewrite semantics). A CDC
         micro-batch touching one day of a 100 TB table rewrites that
         day's files, not the table. Files without recorded key stats are
-        conservatively rewritten (correctness never depends on stats)."""
+        conservatively rewritten (correctness never depends on stats).
+
+        ``delete_col``: CDC tombstones (Debezium-style) — a boolean-ish
+        column on ``updates`` marking the change as a DELETE of its key.
+        A tombstone that wins (by sequence, or unconditionally without
+        one) removes the key from the table instead of replacing it;
+        a tombstone that loses to a newer update is a no-op. The column
+        is CDC metadata, not data: it never lands in the table."""
         from pyspark.sql.window import Window
+
+        if delete_col is not None:
+            updates = updates.withColumn(
+                "__del",
+                F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False)),
+            ).drop(delete_col)
 
         last_err: Exception | None = None
         for _ in range(self._MERGE_RETRIES):
@@ -775,23 +789,31 @@ class LakehouseTable:
             current = self._read_files(spark, touch, state["schema"])
             if sequence_col is None:
                 kept = current.join(updates.select(key), on=key, how="left_anti")
-                merged = kept.unionByName(updates.select(*current.columns))
+                upd_rows = updates
+                if delete_col is not None:
+                    upd_rows = upd_rows.where(~F.col("__del"))
+                merged = kept.unionByName(upd_rows.select(*current.columns))
             else:
                 # union both sides, keep the per-key winner by (sequence
                 # desc, update-flag desc) — one shuffle on key, fully
                 # JVM-side; ties prefer the update (idempotent replay)
-                cur = current.withColumn("__is_upd", F.lit(0))
-                upd = updates.select(*current.columns).withColumn(
-                    "__is_upd", F.lit(1)
+                cur = current.withColumn("__is_upd", F.lit(0)).withColumn(
+                    "__del", F.lit(False)
                 )
+                upd = updates.select(
+                    *current.columns,
+                    *(["__del"] if delete_col is not None else []),
+                ).withColumn("__is_upd", F.lit(1))
+                if delete_col is None:
+                    upd = upd.withColumn("__del", F.lit(False))
                 w = Window.partitionBy(key).orderBy(
                     F.desc(sequence_col), F.desc("__is_upd")
                 )
                 merged = (
                     cur.unionByName(upd)
                     .withColumn("__rn", F.row_number().over(w))
-                    .where(F.col("__rn") == 1)
-                    .drop("__rn", "__is_upd")
+                    .where((F.col("__rn") == 1) & ~F.col("__del"))
+                    .drop("__rn", "__is_upd", "__del")
                 )
             try:
                 return self.overwrite(

@@ -71,6 +71,9 @@ class SourceSpec:
     mode: str = "append"
     key: str | None = None
     sequence_col: str | None = None
+    # CDC tombstones: boolean-ish column marking a change as a DELETE of
+    # its key (Debezium op='d'). Metadata only — never lands in the table.
+    delete_col: str | None = None
 
 
 @dataclass
@@ -151,9 +154,15 @@ class IngestionService:
 
         def write_batch(df, batch_id: int) -> None:
             # auto-create on first batch: schema taken off the batch, the
-            # reference's pin-at-first-write (batch_writer.go:61-83)
-            table = catalog.get_or_create_table(source.name, df.schema, ns)
-            self._register_metadata(ns, source.name, df.schema)
+            # reference's pin-at-first-write (batch_writer.go:61-83).
+            # A CDC tombstone column is batch metadata, not table schema.
+            pin_schema = (
+                df.drop(source.delete_col).schema
+                if source.delete_col is not None
+                else df.schema
+            )
+            table = catalog.get_or_create_table(source.name, pin_schema, ns)
+            self._register_metadata(ns, source.name, pin_schema)
             # Compact BEFORE appending (not after): the foreachBatch hook
             # runs serially per source, so this replace commit can never
             # race this writer's own appends, and checking first keeps the
@@ -180,8 +189,18 @@ class IngestionService:
                     .drop("_rn")
                 )
                 if table.row_count() == 0:
+                    first = latest
+                    if source.delete_col is not None:
+                        # tombstones against an empty table are no-ops;
+                        # the flag column is CDC metadata, never data
+                        first = first.where(
+                            ~F.coalesce(
+                                F.col(source.delete_col).cast("boolean"),
+                                F.lit(False),
+                            )
+                        ).drop(source.delete_col)
                     table.append(
-                        latest,
+                        first,
                         writer_id=writer_id,
                         batch_id=batch_id,
                         merge_schema=True,
@@ -194,6 +213,7 @@ class IngestionService:
                         key=source.key,
                         sequence_col=source.sequence_col,
                         bloom_for=source.bloom_for,
+                        delete_col=source.delete_col,
                     )
                 return
             # merge_schema: a widened source schema evolves the table in

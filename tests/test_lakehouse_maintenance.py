@@ -658,3 +658,54 @@ def test_delete_rows_copy_on_write(spark, sf_dir, tmp_path):
     # deleting an empty range is a no-op data-wise
     t.delete(spark, predicates={"id": (10**9, 10**9 + 1)})
     assert t.read(spark).count() == 2001 - 100
+
+
+def test_merge_cdc_tombstones(spark, sf_dir, tmp_path):
+    """delete_col: a winning tombstone removes its key; a tombstone that
+    loses to a newer update is a no-op; the flag never lands in the
+    table."""
+    t = _cat(tmp_path).get_or_create_table(
+        "tomb", spark.range(0).withColumn("v", F.col("id")).schema
+    )
+    t.append(spark.range(10).withColumn("v", F.col("id")))
+    upd = spark.createDataFrame(
+        [
+            (1, 100, 5, False),  # plain update, wins
+            (2, 0, 5, True),  # tombstone, wins -> key 2 gone
+            (3, 0, -1, True),  # stale tombstone (seq below current 0)...
+        ],
+        "id long, v long, seq long, is_deleted boolean",
+    )
+    # current rows have no seq column; stage it as 0 on the table side by
+    # merging on a table that DOES have seq
+    t2 = _cat(tmp_path).get_or_create_table(
+        "tomb2",
+        spark.range(0)
+        .selectExpr("id", "id AS v", "CAST(0 AS LONG) AS seq")
+        .schema,
+    )
+    t2.append(spark.range(10).selectExpr("id", "id AS v", "CAST(0 AS LONG) AS seq"))
+    t2.merge(
+        spark,
+        upd.selectExpr("id", "v", "seq", "is_deleted"),
+        key="id",
+        sequence_col="seq",
+        delete_col="is_deleted",
+    )
+    rows = {r["id"]: r["v"] for r in t2.read(spark).collect()}
+    assert "is_deleted" not in t2.read(spark).columns
+    assert rows[1] == 100  # updated
+    assert 2 not in rows  # tombstoned
+    assert rows[3] == 3  # stale tombstone lost: row survives
+    assert len(rows) == 9
+    # unconditional (no sequence) path: tombstone always removes
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(5, 0, True), (6, 66, False)], "id long, v long, is_deleted boolean"
+        ),
+        key="id",
+        delete_col="is_deleted",
+    )
+    rows = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert 5 not in rows and rows[6] == 66 and len(rows) == 9

@@ -888,3 +888,52 @@ def test_ingest_upsert_mode_converges_to_latest(spark, sf_dir, tmp_path):
         r["user_id"]: r["event_id"] for r in t.read(spark).collect()
     }
     assert got2 == want
+
+
+def test_ingest_upsert_with_tombstones(spark, sf_dir, tmp_path):
+    """deleteCol: CDC batches carrying delete markers remove their keys
+    through the ingestion service; the marker never lands in the table."""
+    import os
+
+    import pandas as pd
+
+    staging = str(tmp_path / "cdc_staging")
+    os.makedirs(staging)
+    pd.DataFrame(
+        {
+            "user_id": [1, 2, 3],
+            "seq": [1, 1, 1],
+            "v": [10, 20, 30],
+            "op_delete": [False, False, False],
+        }
+    ).to_parquet(os.path.join(staging, "b1.parquet"))
+    pd.DataFrame(
+        {
+            "user_id": [2, 3, 4],
+            "seq": [2, 0, 2],
+            "v": [0, 99, 40],
+            "op_delete": [True, True, False],
+        }
+    ).to_parquet(os.path.join(staging, "b2.parquet"))
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "whcdc"),
+        checkpoint_root=str(tmp_path / "ckptcdc"),
+        sources=[
+            SourceSpec(
+                name="users",
+                path=staging,
+                files_per_trigger=1,
+                mode="upsert",
+                key="user_id",
+                sequence_col="seq",
+                delete_col="op_delete",
+            )
+        ],
+    )
+    from crest_spark.lakehouse import LakehouseCatalog
+
+    IngestionService(spark, cfg).run_once()
+    t = LakehouseCatalog(str(tmp_path / "whcdc")).table("users")
+    rows = {r["user_id"]: r["v"] for r in t.read(spark).collect()}
+    assert "op_delete" not in t.read(spark).columns
+    assert rows == {1: 10, 3: 30, 4: 40}  # 2 deleted; 3's stale delete lost
