@@ -1017,3 +1017,107 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (window-hash form)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 12  # tokens per window; spans shorter than this are not flagged
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        wins AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(t[i : i + {_SPAN_W} - 1], ' ')) AS wkey
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(t) - {_SPAN_W} + 1)) AS i)
+            WHERE len(t) >= {_SPAN_W}
+        ),
+        dup AS (SELECT wkey FROM wins GROUP BY wkey HAVING COUNT(*) >= 2),
+        d AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wkey)),
+        isl AS (SELECT doc_id, pos,
+                       pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM d)
+        SELECT doc_id,
+               MIN(pos) AS span_start,
+               MAX(pos) + {_SPAN_W} - 1 AS span_end,
+               COUNT(*) AS n_windows
+        FROM isl
+        GROUP BY doc_id, g
+        ORDER BY doc_id, span_start
+    """,
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans: maximal runs of {_SPAN_W}-token
+    windows whose content appears (anywhere) at least twice in the corpus
+    — the window-hash formulation of exact-substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022), whose
+    suffix-array construction has no distributed equivalent but whose
+    output contract (per-doc [span_start, span_end] token ranges to cut)
+    does.  1-based token positions, spans inclusive.
+
+    Plan (three exchanges, all map-side combinable or width-bounded):
+      1. each doc emits its (pos, window-hash) pairs from ONE
+         transform() over the token array — windows never materialize
+         as strings outside the hash call, and docs shorter than the
+         window emit nothing (sequence() DESCENDS for k < 1, so the
+         short-doc case is guarded with CASE .. ELSE array());
+      2. duplicate windows are found with a COUNT() OVER (PARTITION BY
+         wkey) window — one shuffle on the window hash, no
+         self-join, so the signature subtree is computed once (a
+         groupBy+join formulation re-scans it twice);
+      3. gaps-and-islands on (doc_id ORDER BY pos): a run of
+         consecutive duplicated positions has pos - row_number()
+         constant; the final groupBy(doc_id, island) needs no fourth
+         exchange because HashPartitioning(doc_id) from the window
+         already satisfies the ClusteredDistribution of a superset
+         grouping key.
+
+    At 100 TB the wkey shuffle is the dominant cost (one row per token
+    of corpus); it is unavoidable in the exact formulation — that IS
+    the global duplicate lookup — but each row is (hash, doc, pos) and
+    partial aggregation combines map-side.  md5 here keeps the key
+    identical to the DuckDB oracle; at real scale swap in two
+    independent xxhash64 calls (16 bytes, no hex string) — 64 bits
+    alone collides at ~1e12 windows.
+    """
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    w = _SPAN_W
+    toks = "split(text, ' ')"
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({toks}) >= {w} THEN "
+                f"transform(sequence(1, size({toks}) - {w - 1}),"
+                f" i -> struct(i AS pos,"
+                f" md5(cast(concat_ws(' ', slice({toks}, i, {w})) AS binary)) AS wkey))"
+                f" ELSE array() END"
+            )
+        ).alias("win"),
+    ).select("doc_id", F.col("win.pos").alias("pos"), F.col("win.wkey").alias("wkey"))
+    dup = wins.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("wkey"))
+    ).where(F.col("cnt") >= 2)
+    isl = dup.withColumn(
+        "g",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    return (
+        isl.groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + w - 1).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )

@@ -487,3 +487,40 @@ def test_profile_columns_generic_and_approx(spark, sf_dir):
     }
     assert abs(approx["x"]["n_distinct"] - 10_000) / 10_000 < 0.1
     assert abs(approx["g"]["n_distinct"] - 37) <= 4
+
+
+def test_substring_spans_short_docs_and_span_shape(spark, tmp_path):
+    """Docs shorter than the window emit nothing (the sequence()-descends
+    guard), duplicated runs merge into one maximal span, and a doc with
+    no duplicated window is absent."""
+    shared = " ".join(f"w{i}" for i in range(20))  # 20 tokens, > window
+    rows = [
+        (1, shared + " uniqA uniqB uniqC"),
+        (2, "prefixX prefixY " + shared),
+        (3, "totally different tokens here only once ever seen q r s t u v"),
+        (4, "tiny doc"),  # < window tokens: must not crash, must not appear
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    staged = str(tmp_path / "span_docs")
+    df.write.parquet(staged)
+
+    import crest_spark.operators.dedup as dd
+
+    orig = dd._docs
+    try:
+        dd._docs = lambda s, _sf: s.read.parquet(staged).repartition(2, "doc_id")
+        out = SPECS["dedup_substring_spans"].fn(spark, "unused").collect()
+    finally:
+        dd._docs = orig
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    # doc 1: shared block starts at token 1; 20-token block, W=12 -> 9
+    # windows, one maximal span [1, 20]
+    (s1,) = by_doc[1]
+    assert (s1.span_start, s1.span_end, s1.n_windows) == (1, 20, 9)
+    # doc 2: same block offset by the 2-token prefix -> [3, 22]
+    (s2,) = by_doc[2]
+    assert (s2.span_start, s2.span_end, s2.n_windows) == (3, 22, 9)
