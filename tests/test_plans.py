@@ -200,3 +200,12 @@ def test_stats_profile_single_scan(spark, sf_dir):
         "l_returnflag",
         "l_linestatus",
     }
+
+
+def test_substring_spans_bounded_exchanges(spark, sf_dir):
+    """dedup_substring_spans must stay the single-pass plan: doc spread +
+    wkey window + doc_id window + final sort — and the island aggregate
+    must NOT add a fourth data exchange (HashPartitioning(doc_id) already
+    satisfies the (doc_id, island) grouping)."""
+    df = SPECS["dedup_substring_spans"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 4
