@@ -27,6 +27,14 @@ Example:
         key: user_id
         sequenceCol: event_id
         deleteCol: op_delete   # optional: Debezium-style tombstones
+      - name: corpus           # streaming exact-dedup: derived columns
+        path: /staging/docs    # (generated at ingest) feed the merge key,
+        mode: upsert           # so the table keeps one row per content
+        derive:                # hash — first-seen doc wins
+          content_hash: "md5(cast(text AS binary))"
+          first_seen: "-doc_id"
+        key: content_hash
+        sequenceCol: first_seen
       - name: views            # Arrow Flight ingress (the reference's
         flight: grpc://host:port   # flight.servers entry, config.go:29-33)
         flightPrefix: events/  # descriptor-path filter (view selection)
@@ -102,6 +110,11 @@ def load_config(path: str) -> EngineConfig:
             key=s.get("key"),
             sequence_col=s.get("sequenceCol"),
             delete_col=s.get("deleteCol"),
+            derive=(
+                {str(c): str(e) for c, e in s["derive"].items()}
+                if "derive" in s
+                else None
+            ),
         )
         for s in raw.get("sources", [])
     ]

@@ -74,6 +74,14 @@ class SourceSpec:
     # CDC tombstones: boolean-ish column marking a change as a DELETE of
     # its key (Debezium op='d'). Metadata only — never lands in the table.
     delete_col: str | None = None
+    # Derived columns, computed per micro-batch BEFORE schema pinning and
+    # mode handling: {column: Spark SQL expression}, applied in order so
+    # later expressions may reference earlier ones. This is the ingest-time
+    # transform hook (generated columns): upsert ``key``/``sequence_col``
+    # may name a derived column, which makes e.g. streaming exact-dedup a
+    # pure config recipe (key: a content hash, sequenceCol: a first-seen
+    # priority) with no custom sink code.
+    derive: dict[str, str] | None = None
 
 
 @dataclass
@@ -153,6 +161,13 @@ class IngestionService:
         compact_zorder = self.config.compact_zorder_by
 
         def write_batch(df, batch_id: int) -> None:
+            if source.derive:
+                from pyspark.sql import functions as F
+
+                # ingest-time generated columns; dict order is declaration
+                # order, so expressions may build on one another
+                for col, expr in source.derive.items():
+                    df = df.withColumn(col, F.expr(expr))
             # auto-create on first batch: schema taken off the batch, the
             # reference's pin-at-first-write (batch_writer.go:61-83).
             # A CDC tombstone column is batch metadata, not table schema.

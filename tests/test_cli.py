@@ -113,3 +113,32 @@ sources:
     )
     with pytest.raises(ValueError, match="sequenceCol"):
         load_config(str(bad))
+
+
+def test_config_parses_derive(tmp_path):
+    from crest_spark.config import load_config
+
+    cfg = tmp_path / "d.yaml"
+    cfg.write_text(
+        """
+warehouse: w
+checkpoints: c
+sources:
+  - name: corpus
+    path: /staging/docs
+    mode: upsert
+    derive:
+      content_hash: "md5(cast(text AS binary))"
+      first_seen: "-doc_id"
+    key: content_hash
+    sequenceCol: first_seen
+"""
+    )
+    src = load_config(str(cfg)).ingest.sources[0]
+    assert src.derive == {
+        "content_hash": "md5(cast(text AS binary))",
+        "first_seen": "-doc_id",
+    }
+    assert (src.mode, src.key, src.sequence_col) == (
+        "upsert", "content_hash", "first_seen"
+    )

@@ -937,3 +937,62 @@ def test_ingest_upsert_with_tombstones(spark, sf_dir, tmp_path):
     rows = {r["user_id"]: r["v"] for r in t.read(spark).collect()}
     assert "op_delete" not in t.read(spark).columns
     assert rows == {1: 10, 3: 30, 4: 40}  # 2 deleted; 3's stale delete lost
+
+
+def test_ingest_derive_streaming_corpus_dedup(spark, sf_dir, tmp_path):
+    """derive: ingest-time generated columns feeding the upsert key — the
+    streaming exact-dedup recipe. Documents stream in slices (each slice
+    duplicated, copies=2); the service derives a content hash and a
+    first-seen priority per batch and MERGEs on the hash, so the table
+    converges to one row per distinct text with the LOWEST doc_id — equal
+    to the batch dedup_exact contract over the same corpus."""
+    # corpus with every text exactly duplicated under a higher doc_id
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    combined = str(tmp_path / "dup_corpus")
+    docs.unionByName(dup).write.parquet(combined)
+    staging, _ = stage_slices(
+        spark, combined, n_slices=3, order_col="doc_id"
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "whd"),
+        checkpoint_root=str(tmp_path / "ckptd"),
+        sources=[
+            SourceSpec(
+                name="corpus_unique",
+                path=staging,
+                files_per_trigger=2,
+                mode="upsert",
+                derive={
+                    "content_hash": "md5(cast(text AS binary))",
+                    "first_seen": "-doc_id",
+                },
+                key="content_hash",
+                sequence_col="first_seen",
+            )
+        ],
+        max_rows_per_batch=100_000,
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    t = svc.catalog.table("corpus_unique")
+    got = {
+        r["content_hash"]: r["doc_id"] for r in t.read(spark).collect()
+    }
+    src = load_table(spark, sf_dir, "documents")
+    want = {
+        r["content_hash"]: r["keep_id"]
+        for r in src.groupBy(
+            F.md5(F.col("text").cast("binary")).alias("content_hash")
+        )
+        .agg(F.min("doc_id").alias("keep_id"))
+        .collect()
+    }
+    assert got == want  # one row per distinct text, first-seen doc kept
+    # replaying the drained stream changes nothing (exactly-once + merge
+    # convergence compose with derived keys)
+    IngestionService(spark, cfg).run_once()
+    got2 = {
+        r["content_hash"]: r["doc_id"] for r in t.read(spark).collect()
+    }
+    assert got2 == want
