@@ -380,3 +380,63 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_unigram_nll",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, w
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> ''
+        ),
+        freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+        tot AS (SELECT SUM(c) AS t FROM freq)
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               {avg4("-LN(CAST(c AS DOUBLE) / t)")} AS nll
+        FROM words JOIN freq USING (w) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM negative log-likelihood per document — the perplexity-
+    filtering quality signal (CCNet / RedPajama style) with the corpus
+    itself as the language model: nll(doc) = -avg ln p(w), p(w) =
+    corpus_count(w) / corpus_tokens.  High nll = rare-token soup
+    (boilerplate, garbled text); low = stereotypical text.  Real
+    pipelines swap in a pretrained KenLM via the same column contract;
+    the self-corpus unigram model keeps the operator closed over its
+    inputs and SQL-expressible for the oracle gate.
+
+    Plan: ONE explode of the corpus feeds both sides — the vocabulary
+    count (groupBy w, map-side combinable) and the per-doc score (join
+    tokens back to frequencies, then groupBy doc_id).  The frequency
+    table is vocabulary-sized (Heaps' law: ~10^6-10^7 for natural
+    corpora), so the token->freq join is a BROADCAST at any corpus
+    scale; the corpus-total is the broadcast-scalar crossJoin pattern.
+    Only shuffles: the vocab groupBy and the doc groupBy — both on
+    fine-grained keys.  Per-token ln routes through DECIMAL(30,8)
+    before summing (avg4), so engines' 1-ulp ln differences cannot
+    reorder the aggregate.
+    """
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    return (
+        words.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(avg4("-LN(CAST(c AS DOUBLE) / t)")).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )
