@@ -26,9 +26,12 @@ of decomposable aggregates). Maintenance is BATCH-INCREMENTAL:
   so maintenance is exactly-once: a crash before the commit re-derives
   the identical delta; after it, the next refresh starts past it.
 - Supported aggregates are the decomposable ones (sum, count, min, max,
-  avg as sum+count) plus sketch-state ``approx_distinct`` (Datasketches
-  HLL: the state is a mergeable binary sketch, unioned per refresh —
-  how an MV engine maintains a holistic aggregate without re-scanning).
+  avg as sum+count) plus two sketch-state holistic aggregates:
+  ``approx_distinct`` (Datasketches HLL — mergeable binary sketch,
+  unioned per refresh) and ``approx_percentile`` (fixed-range histogram
+  vector — merged by element-wise addition, quantile read off the
+  cumulative counts at read time). Both show how an MV engine maintains
+  a holistic aggregate without ever re-scanning history.
   All sound under crest's append-only ingestion.
   ``read_changes`` raises on a non-compaction replace in the range, so
   an overwrite/rollback of the source can never silently corrupt
@@ -56,16 +59,34 @@ from crest_spark.lakehouse.catalog import LakehouseCatalog
 from crest_spark.lakehouse.table import LakehouseTable
 
 _KEY_COL = "__mv_key"
-_SUPPORTED = ("sum", "count", "min", "max", "avg", "approx_distinct")
+_SUPPORTED = (
+    "sum", "count", "min", "max", "avg", "approx_distinct",
+    "approx_percentile",
+)
 
 
 @dataclass(frozen=True)
 class AggSpec:
     """One output aggregate: ``kind`` over ``col`` (col ignored for
-    count)."""
+    count).
+
+    ``approx_percentile`` maintains a fixed-range histogram state
+    (``buckets`` counts over [``lo``, ``hi``)) — mergeable by
+    element-wise addition, so a holistic quantile maintains
+    incrementally the same way HLL maintains distinct counts. The
+    read-time estimate is nearest-rank with linear interpolation
+    inside the hit bucket: error is bounded by one bucket width
+    (hi - lo) / buckets; values outside the configured range clamp to
+    the edge buckets (their mass is counted, their position saturates).
+    Pick [lo, hi) from domain knowledge — the contract every
+    fixed-range sketch (Prometheus histograms, HdrHistogram) makes."""
 
     kind: str
     col: str | None = None
+    p: float = 0.5
+    lo: float = 0.0
+    hi: float = 1.0
+    buckets: int = 64
 
 
 def _state_cols(name: str, spec: AggSpec) -> list[str]:
@@ -73,6 +94,8 @@ def _state_cols(name: str, spec: AggSpec) -> list[str]:
         return [f"{name}__sum", f"{name}__cnt"]
     if spec.kind == "approx_distinct":
         return [f"{name}__hll"]
+    if spec.kind == "approx_percentile":
+        return [f"{name}__hist"]
     return [name]
 
 
@@ -101,6 +124,13 @@ class IncrementalAggView:
                 )
             if spec.kind != "count" and spec.col is None:
                 raise ValueError(f"aggregate {out}: {spec.kind} needs a column")
+            if spec.kind == "approx_percentile":
+                if not (0.0 <= spec.p <= 1.0):
+                    raise ValueError(f"aggregate {out}: p must be in [0, 1]")
+                if spec.hi <= spec.lo:
+                    raise ValueError(f"aggregate {out}: needs hi > lo")
+                if spec.buckets < 2:
+                    raise ValueError(f"aggregate {out}: needs buckets >= 2")
         self.catalog = catalog
         self.source: LakehouseTable = catalog.table(source, namespace)
         self.name = name
@@ -145,14 +175,40 @@ class IncrementalAggView:
                 # sketch, so even a holistic aggregate maintains
                 # incrementally — union sketches, never re-scan
                 exprs.append(F.hll_sketch_agg(spec.col).alias(f"{out}__hll"))
+            elif spec.kind == "approx_percentile":
+                # fixed-range histogram state: one conditional SUM per
+                # bucket (whole-stage codegen, the simhash-vote pattern),
+                # assembled into an array column after the agg so the
+                # state stays a single mergeable vector
+                width = (spec.hi - spec.lo) / spec.buckets
+                idx = F.least(
+                    F.lit(spec.buckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col(spec.col) - spec.lo) / width),
+                    ),
+                ).cast("int")
+                for i in range(spec.buckets):
+                    exprs.append(
+                        F.sum(
+                            F.when(
+                                F.col(spec.col).isNotNull() & (idx == i), 1
+                            ).otherwise(0)
+                        )
+                        .cast("long")
+                        .alias(f"{out}__h{i}")
+                    )
             else:  # avg -> (sum, count) state pair
                 exprs.append(F.sum(spec.col).alias(f"{out}__sum"))
                 exprs.append(F.count(spec.col).cast("long").alias(f"{out}__cnt"))
-        return (
-            delta.groupBy(*self.group_by)
-            .agg(*exprs)
-            .withColumn(_KEY_COL, self._key_expr())
-        )
+        df = delta.groupBy(*self.group_by).agg(*exprs)
+        for out, spec in self.aggs.items():
+            if spec.kind == "approx_percentile":
+                pieces = [f"{out}__h{i}" for i in range(spec.buckets)]
+                df = df.withColumn(
+                    f"{out}__hist", F.array(*[F.col(c) for c in pieces])
+                ).drop(*pieces)
+        return df.withColumn(_KEY_COL, self._key_expr())
 
     def _combine(self, partial: DataFrame, current: DataFrame) -> DataFrame:
         """Fold delta partials into existing states for the SAME groups.
@@ -178,6 +234,11 @@ class IncrementalAggView:
                     expr = F.when(old.isNull(), new).when(
                         new.isNull(), old
                     ).otherwise(F.hll_union(new, old))
+                elif spec.kind == "approx_percentile":
+                    # histogram vectors add element-wise
+                    expr = F.when(old.isNull(), new).otherwise(
+                        F.zip_with(new, old, lambda a, b: a + b)
+                    )
                 else:  # sum / count / avg states are additive
                     expr = new + F.coalesce(old, F.lit(0))
                 # least/greatest ignore NULL only via coalesce fallback
@@ -246,9 +307,47 @@ class IncrementalAggView:
                 outs.append(
                     F.hll_sketch_estimate(F.col(f"{out}__hll")).alias(out)
                 )
+            elif spec.kind == "approx_percentile":
+                outs.append(self._percentile_expr(out, spec).alias(out))
             else:
                 outs.append(F.col(out))
         return df.select(*self.group_by, *outs)
+
+    @staticmethod
+    def _percentile_expr(out: str, spec: AggSpec) -> F.Column:
+        """Nearest-rank percentile from the histogram state, linearly
+        interpolated inside the hit bucket. One aggregate() HOF over a
+        ``buckets``-long array per OUTPUT row — read-time cost, O(groups),
+        never touches source rows."""
+        hist = f"{out}__hist"
+        width = (spec.hi - spec.lo) / spec.buckets
+        # target rank: ceil(p * N), floored at 1 so p=0 yields the min edge
+        return F.expr(
+            f"""
+            CASE WHEN aggregate({hist}, 0L, (a, x) -> a + x) = 0 THEN NULL
+            ELSE aggregate(
+              {hist},
+              named_struct(
+                'cum', 0L,
+                'tgt', greatest(1L, CAST(ceil({spec.p!r} *
+                        aggregate({hist}, 0L, (a, x) -> a + x)) AS BIGINT)),
+                'i', 0,
+                'est', CAST(NULL AS DOUBLE)),
+              (acc, x) -> named_struct(
+                'cum', acc.cum + x,
+                'tgt', acc.tgt,
+                'i', acc.i + 1,
+                'est', CASE
+                  WHEN acc.est IS NOT NULL THEN acc.est
+                  WHEN x > 0 AND acc.cum + x >= acc.tgt THEN
+                    {spec.lo!r} + (CAST(acc.i AS DOUBLE) +
+                      (CAST(acc.tgt - acc.cum AS DOUBLE) / CAST(x AS DOUBLE)))
+                      * {width!r}
+                  ELSE CAST(NULL AS DOUBLE) END),
+              acc -> acc.est)
+            END
+            """
+        )
 
     # ---------------------------------------------------------- continuous
     def maintain_continuously(

@@ -195,3 +195,69 @@ def test_approx_distinct_sketch_state(spark, catalog, sf_dir):
     assert set(got) == set(exact)
     for k, e in exact.items():
         assert abs(got[k] - e) / e < 0.05, (k, got[k], e)
+
+
+def test_approx_percentile_histogram_state(spark, catalog, sf_dir):
+    """Fixed-range histogram state maintains a holistic quantile
+    incrementally: after two refreshes the p50/p90 estimates are within
+    one bucket width of the exact percentiles over the full source, and
+    the incrementally-maintained state equals a full_refresh recompute
+    exactly (merge is element-wise addition, order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    src = catalog.get_or_create_table("li", li.schema)
+    lo, hi, buckets = 900.0, 105000.0, 208
+    width = (hi - lo) / buckets
+
+    def make(name):
+        return IncrementalAggView(
+            catalog,
+            source="li",
+            name=name,
+            group_by=["l_returnflag"],
+            aggs={
+                "p50_price": AggSpec(
+                    "approx_percentile", "l_extendedprice",
+                    p=0.5, lo=lo, hi=hi, buckets=buckets,
+                ),
+                "p90_price": AggSpec(
+                    "approx_percentile", "l_extendedprice",
+                    p=0.9, lo=lo, hi=hi, buckets=buckets,
+                ),
+            },
+        )
+
+    view = make("li_pct")
+    src.append(li.where(F.col("l_orderkey") % 2 == 0))
+    view.refresh(spark)
+    src.append(li.where(F.col("l_orderkey") % 2 == 1))
+    view.refresh(spark)
+
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in src.read(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    got = {
+        r["l_returnflag"]: (r["p50_price"], r["p90_price"])
+        for r in view.read(spark).collect()
+    }
+    assert set(got) == set(exact)
+    for k, (e50, e90) in exact.items():
+        g50, g90 = got[k]
+        assert abs(g50 - e50) <= width, (k, g50, e50)
+        assert abs(g90 - e90) <= width, (k, g90, e90)
+
+    # incremental == one-shot recompute, bit-identical state
+    ref = make("li_pct_full")
+    ref.full_refresh(spark)
+    inc = {r["l_returnflag"]: r for r in view.read(spark).collect()}
+    ful = {r["l_returnflag"]: r for r in ref.read(spark).collect()}
+    assert inc.keys() == ful.keys()
+    for k in inc:
+        assert inc[k]["p50_price"] == ful[k]["p50_price"]
+        assert inc[k]["p90_price"] == ful[k]["p90_price"]
