@@ -85,3 +85,99 @@ def mv_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_s")
     )
+
+
+_P_LO, _P_HI, _P_BUCKETS = 0.0, 500.0, 100  # events.value spans [0.01, 490x]
+_P_W = (_P_HI - _P_LO) / _P_BUCKETS
+
+
+def _duck_pct(p: float) -> str:
+    """DuckDB replica of the view's histogram estimator for one p:
+    same bucketing, same nearest-rank target, same in-bucket linear
+    interpolation, same double arithmetic order — bit-identical."""
+    return f"""
+        SELECT flag, {_P_LO!r} + (CAST(i AS DOUBLE) +
+                   CAST(tgt - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE))
+                   * {_P_W!r} AS est
+        FROM (
+            SELECT flag, i, c, cum, tgt,
+                   ROW_NUMBER() OVER (PARTITION BY flag ORDER BY i) AS rn
+            FROM (
+                SELECT flag, i, c,
+                       SUM(c) OVER (PARTITION BY flag ORDER BY i) AS cum,
+                       GREATEST(1, CAST(CEIL({p!r} *
+                           SUM(c) OVER (PARTITION BY flag)) AS BIGINT)) AS tgt
+                FROM (
+                    SELECT event_type AS flag,
+                           LEAST({_P_BUCKETS - 1}, GREATEST(0,
+                               CAST(FLOOR((value - {_P_LO!r}) / {_P_W!r}) AS INT)))
+                               AS i,
+                           COUNT(*) AS c
+                    FROM events
+                    GROUP BY 1, 2
+                )
+            )
+            WHERE cum >= tgt
+        )
+        WHERE rn = 1
+    """
+
+
+@register(
+    "mv_percentile_rollup",
+    oracle=f"""
+        WITH p50 AS ({_duck_pct(0.5)}), p90 AS ({_duck_pct(0.9)})
+        SELECT p50.flag AS event_type,
+               CAST(ROUND(CAST(p50.est AS DECIMAL(30,8)), 4) AS DOUBLE) AS p50_value,
+               CAST(ROUND(CAST(p90.est AS DECIMAL(30,8)), 4) AS DOUBLE) AS p90_value
+        FROM p50 JOIN p90 ON p50.flag = p90.flag
+        ORDER BY event_type
+    """,
+    tags=("lakehouse", "matview", "sketch"),
+)
+def mv_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile continuous aggregate maintained INCREMENTALLY as
+    fixed-range histogram state over three ingestion waves; the oracle
+    recomputes the identical estimator one-shot in SQL, so the
+    rows/schema/hash gate certifies both the sketch algebra (vector
+    addition across refreshes must lose nothing) and the read-time
+    estimator. Deterministic by construction — unlike t-digest, a
+    histogram sketch has no merge-order dependence, which is what makes
+    a HASH-gated incremental quantile possible at all."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_mvp_"))
+    src = cat.get_or_create_table("events_psrc", events.schema)
+    view = IncrementalAggView(
+        cat,
+        source="events_psrc",
+        name="events_pct",
+        group_by=["event_type"],
+        aggs={
+            "p50_value": AggSpec(
+                "approx_percentile", "value",
+                p=0.5, lo=_P_LO, hi=_P_HI, buckets=_P_BUCKETS,
+            ),
+            "p90_value": AggSpec(
+                "approx_percentile", "value",
+                p=0.9, lo=_P_LO, hi=_P_HI, buckets=_P_BUCKETS,
+            ),
+        },
+    )
+    for wave in range(3):
+        src.append(events.where(F.col("event_id") % 3 == wave))
+        view.refresh(spark)
+    return (
+        view.read(spark)
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(ROUND(CAST(p50_value AS DECIMAL(30,8)), 4) AS DOUBLE)"
+            ).alias("p50_value"),
+            F.expr(
+                "CAST(ROUND(CAST(p90_value AS DECIMAL(30,8)), 4) AS DOUBLE)"
+            ).alias("p90_value"),
+        )
+        .orderBy("event_type")
+    )
