@@ -27,6 +27,8 @@ Example:
         key: user_id
         sequenceCol: event_id
         deleteCol: op_delete   # optional: Debezium-style tombstones
+        changeFeed: true       # optional: stage row-level change sets so
+                               # incremental views fold the upserts
       - name: corpus           # streaming exact-dedup: derived columns
         path: /staging/docs    # (generated at ingest) feed the merge key,
         mode: upsert           # so the table keeps one row per content
@@ -110,6 +112,7 @@ def load_config(path: str) -> EngineConfig:
             key=s.get("key"),
             sequence_col=s.get("sequenceCol"),
             delete_col=s.get("deleteCol"),
+            change_feed=bool(s.get("changeFeed", False)),
             derive=(
                 {str(c): str(e) for c, e in s["derive"].items()}
                 if "derive" in s

@@ -156,16 +156,45 @@ class IncrementalAggView:
         # arbitrary group values (separators, NULLs) unambiguous
         return F.to_json(F.struct(*[F.col(c) for c in self.group_by]))
 
-    def _partial(self, delta: DataFrame) -> DataFrame:
-        """Per-group partial states of a delta — map-side combinable."""
+    def _retractable(self) -> bool:
+        """True when every aggregate's state is a signed sum — the class
+        that folds a change feed (retractions subtract). min/max/HLL are
+        not: a retraction would need the full history to recompute."""
+        return all(
+            spec.kind in ("sum", "count", "avg", "approx_percentile")
+            for spec in self.aggs.values()
+        )
+
+    def _partial(self, delta: DataFrame, signed: bool = False) -> DataFrame:
+        """Per-group partial states of a delta — map-side combinable.
+
+        ``signed``: the delta is a change feed (``_change_type``
+        column); additions (insert/update_postimage) contribute +1 and
+        retractions (delete/update_preimage) -1, so folding the feed is
+        the differential-dataflow update rule. Requires every agg to be
+        retractable."""
+        if signed:
+            sign = F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        else:
+            sign = F.lit(1)
         for name, sql in self.derived_cols.items():
             delta = delta.withColumn(name, F.expr(sql))
+
+        def signed_val(col: str) -> F.Column:
+            # negation (not multiplication) keeps the exact input type —
+            # DECIMAL(30,8) * INT would widen the state column and break
+            # schema pinning between signed and unsigned refreshes
+            return F.when(sign >= 0, F.col(col)).otherwise(-F.col(col))
+
         exprs = []
         for out, spec in self.aggs.items():
             if spec.kind == "sum":
-                exprs.append(F.sum(spec.col).alias(out))
+                exprs.append(F.sum(signed_val(spec.col)).alias(out))
             elif spec.kind == "count":
-                exprs.append(F.count(F.lit(1)).cast("long").alias(out))
+                exprs.append(F.sum(sign).cast("long").alias(out))
             elif spec.kind == "min":
                 exprs.append(F.min(spec.col).alias(out))
             elif spec.kind == "max":
@@ -192,15 +221,21 @@ class IncrementalAggView:
                     exprs.append(
                         F.sum(
                             F.when(
-                                F.col(spec.col).isNotNull() & (idx == i), 1
+                                F.col(spec.col).isNotNull() & (idx == i), sign
                             ).otherwise(0)
                         )
                         .cast("long")
                         .alias(f"{out}__h{i}")
                     )
             else:  # avg -> (sum, count) state pair
-                exprs.append(F.sum(spec.col).alias(f"{out}__sum"))
-                exprs.append(F.count(spec.col).cast("long").alias(f"{out}__cnt"))
+                exprs.append(F.sum(signed_val(spec.col)).alias(f"{out}__sum"))
+                exprs.append(
+                    F.sum(
+                        F.when(F.col(spec.col).isNotNull(), sign).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias(f"{out}__cnt")
+                )
         df = delta.groupBy(*self.group_by).agg(*exprs)
         for out, spec in self.aggs.items():
             if spec.kind == "approx_percentile":
@@ -248,20 +283,38 @@ class IncrementalAggView:
     # ------------------------------------------------------------- refresh
     def refresh(self, spark: SparkSession) -> int | None:
         """Fold all source commits since the last refresh into the view.
-        Returns the new view version, or None when already current."""
+        Returns the new view version, or None when already current.
+
+        When every aggregate is retractable (a signed sum: sum / count /
+        avg / approx_percentile histogram), the delta is read as a
+        CHANGE FEED and folded with signs — so the view also maintains
+        incrementally over a source that upserts (``merge(...,
+        change_feed=True)``) or deletes (``delete(...,
+        change_feed=True)``), the differential-dataflow role the
+        reference delegates to RisingWave. Views holding min/max/HLL
+        read the plain append delta (retraction would need history) and
+        raise on replace commits — ``full_refresh`` is their escape
+        hatch."""
         head = self.source.version()
         last = self.maintained_version()
         if head <= last:
             return None
-        delta = self.source.read_changes(spark, after=last, upto=head)
+        signed = self._retractable()
+        delta = self.source.read_changes(
+            spark, after=last, upto=head, cdf=signed
+        )
         return self._apply_delta(
-            spark, delta, {"mv_source_version": head}
+            spark, delta, {"mv_source_version": head}, signed=signed
         )
 
     def _apply_delta(
-        self, spark: SparkSession, delta: DataFrame, extra: dict
+        self,
+        spark: SparkSession,
+        delta: DataFrame,
+        extra: dict,
+        signed: bool = False,
     ) -> int:
-        partial = self._partial(delta)
+        partial = self._partial(delta, signed=signed)
         if not self.mv.exists():
             schema: StructType = partial.schema
             self.catalog.get_or_create_table(self.name, schema, self.namespace)

@@ -714,6 +714,57 @@ class LakehouseTable:
 
     _MERGE_RETRIES = 5
 
+    @property
+    def changes_path(self) -> str:
+        return os.path.join(self.path, "changes")
+
+    def _stage_changes(
+        self, old_df: DataFrame, new_df: DataFrame, key: str
+    ) -> list[str]:
+        """Stage the CDF rows for a copy-on-write rewrite: the multiset
+        diff of the touched region, classified Delta-CDF style by key
+        presence on the other side (update_preimage/update_postimage
+        vs delete/insert). Computed as a diff of old-vs-new rather than
+        fused into the merge window: provably consistent with the
+        observable rowset under every edge case (sequence losers,
+        tombstones, duplicate-key collapse), at the cost of a second
+        pass over the touched region — the same O(touched files) class
+        as the rewrite itself. Unchanged rows never appear in the feed."""
+        cols = old_df.columns
+        old = old_df.select(*cols)
+        new = new_df.select(*cols)
+        pre = old.exceptAll(new)
+        post = new.exceptAll(old)
+        pre_keys = pre.select(key).distinct()
+        post_keys = post.select(key).distinct()
+        ct = "_change_type"
+        changes = (
+            pre.join(post_keys, key, "left_semi")
+            .withColumn(ct, F.lit("update_preimage"))
+            .unionByName(
+                pre.join(post_keys, key, "left_anti").withColumn(
+                    ct, F.lit("delete")
+                )
+            )
+            .unionByName(
+                post.join(pre_keys, key, "left_semi").withColumn(
+                    ct, F.lit("update_postimage")
+                )
+            )
+            .unionByName(
+                post.join(pre_keys, key, "left_anti").withColumn(
+                    ct, F.lit("insert")
+                )
+            )
+        )
+        txn_dir = os.path.join(self.changes_path, f"txn-{uuid.uuid4().hex}")
+        changes.write.mode("overwrite").parquet(txn_dir)
+        return sorted(
+            os.path.join(txn_dir, f)
+            for f in os.listdir(txn_dir)
+            if f.endswith(".parquet")
+        )
+
     def merge(
         self,
         spark: SparkSession,
@@ -723,6 +774,7 @@ class LakehouseTable:
         extra: dict | None = None,
         bloom_for: list[str] | None = None,
         delete_col: str | None = None,
+        change_feed: bool = False,
     ) -> int:
         """Upsert (MERGE INTO semantics): rows in ``updates`` replace
         current rows with the same key; new keys are inserted. Implemented
@@ -756,7 +808,15 @@ class LakehouseTable:
         A tombstone that wins (by sequence, or unconditionally without
         one) removes the key from the table instead of replacing it;
         a tombstone that loses to a newer update is a no-op. The column
-        is CDC metadata, not data: it never lands in the table."""
+        is CDC metadata, not data: it never lands in the table.
+
+        ``change_feed``: additionally stage the row-level change set of
+        this commit (Delta CDF semantics: _change_type in insert /
+        update_preimage / update_postimage / delete) under ``changes/``
+        and record it in the commit — ``read_changes(cdf=True)`` can
+        then express the table's history as retractions + additions
+        across merges, which is what lets downstream incremental views
+        refresh over an upsert table without re-scanning it."""
         from pyspark.sql.window import Window
 
         if delete_col is not None:
@@ -815,10 +875,18 @@ class LakehouseTable:
                     .where((F.col("__rn") == 1) & ~F.col("__del"))
                     .drop("__rn", "__is_upd", "__del")
                 )
+            commit_extra = extra
+            if change_feed:
+                # staged before the commit attempt; a lost race leaves the
+                # files orphaned under changes/ where vacuum reclaims them
+                commit_extra = dict(extra or {})
+                commit_extra["change_files"] = self._stage_changes(
+                    current, merged, key
+                )
             try:
                 return self.overwrite(
                     merged,
-                    extra=extra,
+                    extra=commit_extra,
                     expected_version=base,
                     keep_files=keep,
                     bloom_for=bloom_for,
@@ -836,6 +904,7 @@ class LakehouseTable:
         self,
         spark: SparkSession,
         predicates: dict[str, tuple],
+        change_feed: bool = False,
     ) -> int:
         """Row-level DELETE (the GDPR/retention verb the maintenance
         surface lacked): remove every row matching ALL ``{col: (lo,
@@ -873,10 +942,27 @@ class LakehouseTable:
             # NULL in a predicate column = not matched = KEPT (~null is
             # null and would silently drop the row without the coalesce)
             remaining = current.where(~F.coalesce(cond, F.lit(False)))
+            del_extra: dict = {
+                "delete": {c: list(b) for c, b in predicates.items()}
+            }
+            if change_feed:
+                # every removed row is a 'delete' change; no diff needed
+                removed = current.where(
+                    F.coalesce(cond, F.lit(False))
+                ).withColumn("_change_type", F.lit("delete"))
+                txn_dir = os.path.join(
+                    self.changes_path, f"txn-{uuid.uuid4().hex}"
+                )
+                removed.write.mode("overwrite").parquet(txn_dir)
+                del_extra["change_files"] = sorted(
+                    os.path.join(txn_dir, f)
+                    for f in os.listdir(txn_dir)
+                    if f.endswith(".parquet")
+                )
             try:
                 return self.overwrite(
                     remaining,
-                    extra={"delete": {c: list(b) for c, b in predicates.items()}},
+                    extra=del_extra,
                     expected_version=base,
                     keep_files=keep,
                 )
@@ -979,7 +1065,11 @@ class LakehouseTable:
         ) from last_err
 
     def read_changes(
-        self, spark: SparkSession, after: int, upto: int | None = None
+        self,
+        spark: SparkSession,
+        after: int,
+        upto: int | None = None,
+        cdf: bool = False,
     ) -> DataFrame:
         """Incremental scan (Iceberg's incremental read): exactly the rows
         appended by commits in ``(after, upto]``. Downstream consumers
@@ -991,28 +1081,70 @@ class LakehouseTable:
         already delivered by the original appends). Any other ``replace``
         (overwrite/rollback) raises: rewritten history is no longer
         expressible as a file delta — the same contract Iceberg's
-        incremental scan enforces."""
+        incremental scan enforces.
+
+        ``cdf=True``: change-data-feed form (Delta's
+        ``readChangeFeed``). Output carries a ``_change_type`` column;
+        appended rows surface as ``insert`` and a merge/delete commit
+        made with ``change_feed=True`` contributes its staged
+        retractions + additions (update_preimage/update_postimage/
+        delete) instead of raising — history over an upsert table
+        becomes a signed row delta, which is what an incremental view
+        folds. Replaces without a staged change set still raise."""
         versions = [v for v in self.versions() if v > after]
         if upto is not None:
             versions = [v for v in versions if v <= upto]
         files: list[str] = []
+        change_files: list[str] = []
         for v in versions:
             with open(self._version_file(v)) as fh:
                 d = json.load(fh)
             if d.get("operation") == "replace":
-                if d.get("extra", {}).get("compaction"):
+                dextra = d.get("extra", {})
+                if dextra.get("compaction"):
                     continue  # rowset-preserving: empty delta
+                if cdf and dextra.get("change_files") is not None:
+                    change_files.extend(dextra["change_files"])
+                    continue
                 raise ValueError(
                     f"incremental read across a replace commit (version {v}); "
                     "re-read the full snapshot instead"
                 )
             files.extend(d["files"])
         schema = self.schema(upto)
-        if not files:
-            return spark.createDataFrame([], schema)
-        return (
-            spark.read.schema(schema).option("mergeSchema", "false").parquet(*files)
+        if not cdf:
+            if not files:
+                return spark.createDataFrame([], schema)
+            return (
+                spark.read.schema(schema)
+                .option("mergeSchema", "false")
+                .parquet(*files)
+            )
+        from pyspark.sql.types import StringType
+
+        cdf_schema = StructType(
+            schema.fields + [StructField("_change_type", StringType())]
         )
+        parts = []
+        if files:
+            parts.append(
+                spark.read.schema(schema)
+                .option("mergeSchema", "false")
+                .parquet(*files)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        if change_files:
+            parts.append(
+                spark.read.schema(cdf_schema)
+                .option("mergeSchema", "false")
+                .parquet(*change_files)
+            )
+        if not parts:
+            return spark.createDataFrame([], cdf_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ------------------------------------------------------------------ refs
     @property
@@ -1132,6 +1264,10 @@ class LakehouseTable:
             else:
                 base_files.extend(s.files)
                 base_rows += max(s.num_rows, 0)
+            # an expired commit's staged change set lies below the fold
+            # boundary, where incremental reads can no longer reach it
+            for cf in s.extra.get("change_files", []) or []:
+                removable.add(cf)
             if s.writer_id is not None and s.batch_id is not None:
                 folded_committed.setdefault(s.writer_id, []).append(s.batch_id)
             # an expired commit may itself be a previous fold boundary
@@ -1209,31 +1345,38 @@ class LakehouseTable:
         commit hasn't landed yet, so it is never touched. Returns the
         deleted paths. Metadata-only with respect to committed data: no
         committed snapshot — current or time-travel — changes."""
-        if not os.path.isdir(self.data_path):
-            return []
         referenced: set[str] = set()
         for s in self.snapshots():
             referenced.update(os.path.abspath(f) for f in s.files)
+            # staged change-feed files are commit-referenced too (a lost
+            # merge race leaves orphans under changes/ for us)
+            referenced.update(
+                os.path.abspath(f)
+                for f in (s.extra.get("change_files") or [])
+            )
         cutoff = (time.time() if now is None else now) - older_than_s
         removed: list[str] = []
-        data_abs = os.path.abspath(self.data_path)
-        for root, dirs, files in os.walk(data_abs, topdown=False):
-            for f in files:
-                full = os.path.abspath(os.path.join(root, f))
-                if full in referenced:
-                    continue
-                try:
-                    if os.stat(full).st_mtime >= cutoff:
+        for base_dir in (self.data_path, self.changes_path):
+            base_abs = os.path.abspath(base_dir)
+            if not os.path.isdir(base_abs):
+                continue
+            for root, dirs, files in os.walk(base_abs, topdown=False):
+                for f in files:
+                    full = os.path.abspath(os.path.join(root, f))
+                    if full in referenced:
                         continue
-                    os.unlink(full)
-                    removed.append(full)
-                except FileNotFoundError:
-                    continue  # concurrent vacuum won the race
-            if root != data_abs:
-                try:
-                    os.rmdir(root)  # drops txn dirs emptied above
-                except OSError:
-                    pass  # still holds live or retained files
+                    try:
+                        if os.stat(full).st_mtime >= cutoff:
+                            continue
+                        os.unlink(full)
+                        removed.append(full)
+                    except FileNotFoundError:
+                        continue  # concurrent vacuum won the race
+                if root != base_abs:
+                    try:
+                        os.rmdir(root)  # drops txn dirs emptied above
+                    except OSError:
+                        pass  # still holds live or retained files
         return removed
 
     # ----------------------------------------------------------------- reads

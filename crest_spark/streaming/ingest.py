@@ -82,6 +82,10 @@ class SourceSpec:
     # pure config recipe (key: a content hash, sequenceCol: a first-seen
     # priority) with no custom sink code.
     derive: dict[str, str] | None = None
+    # upsert mode only: stage each merge's row-level change set (Delta
+    # CDF) so downstream incremental views keep maintaining over this
+    # table's upserts instead of requiring full refreshes.
+    change_feed: bool = False
 
 
 @dataclass
@@ -229,6 +233,7 @@ class IngestionService:
                         sequence_col=source.sequence_col,
                         bloom_for=source.bloom_for,
                         delete_col=source.delete_col,
+                        change_feed=source.change_feed,
                     )
                 return
             # merge_schema: a widened source schema evolves the table in

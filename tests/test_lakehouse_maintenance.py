@@ -709,3 +709,108 @@ def test_merge_cdc_tombstones(spark, sf_dir, tmp_path):
     )
     rows = {r["id"]: r["v"] for r in t.read(spark).collect()}
     assert 5 not in rows and rows[6] == 66 and len(rows) == 9
+
+
+def test_merge_change_feed_stages_row_level_changes(spark, sf_dir, tmp_path):
+    """change_feed=True: a merge records its exact row-level change set
+    (insert/update_preimage/update_postimage/delete) and
+    read_changes(cdf=True) expresses the table's history as a signed
+    delta across append AND merge commits; unchanged rows never appear."""
+    src = load_table(spark, sf_dir, "region")
+    t = _cat(tmp_path).get_or_create_table("regioncdf", src.schema)
+    v0 = t.version()
+    t.append(src)  # 5 rows
+    updates = (
+        src.where(F.col("r_regionkey") < 2)
+        .withColumn("r_name", F.lower(F.col("r_name")))
+        .withColumn("__del", F.lit(False))
+    )
+    new_row = spark.createDataFrame([(99, "newland")], src.schema).withColumn(
+        "__del", F.lit(False)
+    )
+    tomb = spark.createDataFrame([(4, "x")], src.schema).withColumn(
+        "__del", F.lit(True)
+    )
+    t.merge(
+        spark,
+        updates.unionByName(new_row).unionByName(tomb),
+        key="r_regionkey",
+        delete_col="__del",
+        change_feed=True,
+    )
+    feed = t.read_changes(spark, after=v0, cdf=True).collect()
+    by_type: dict[str, set] = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], set()).add(r["r_regionkey"])
+    assert by_type["insert"] == {0, 1, 2, 3, 4, 99}  # 5 appended + 1 merged
+    assert by_type["update_preimage"] == {0, 1}
+    assert by_type["update_postimage"] == {0, 1}
+    assert by_type["delete"] == {4}
+    # postimages carry the new values
+    posts = {
+        r["r_regionkey"]: r["r_name"]
+        for r in feed
+        if r["_change_type"] == "update_postimage"
+    }
+    assert all(v == v.lower() for v in posts.values())
+    # folding the feed reproduces the snapshot: inserts+posts minus
+    # pres+deletes == current rowset
+    sign = {"insert": 1, "update_postimage": 1, "update_preimage": -1, "delete": -1}
+    net: dict[tuple, int] = {}
+    for r in feed:
+        k = (r["r_regionkey"], r["r_name"])
+        net[k] = net.get(k, 0) + sign[r["_change_type"]]
+    folded = {k for k, c in net.items() if c == 1}
+    assert not [c for c in net.values() if c not in (0, 1)]
+    current = {
+        (r["r_regionkey"], r["r_name"]) for r in t.read(spark).collect()
+    }
+    assert folded == current
+    # plain incremental read still refuses the merge commit
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read_changes(spark, after=v0)
+
+
+def test_delete_change_feed_and_gc(spark, sf_dir, tmp_path):
+    """delete(change_feed=True) stages its removed rows as 'delete'
+    changes; vacuum keeps commit-referenced change files and reclaims
+    orphans; expire_snapshots drops change files below the fold."""
+    import os as _os
+
+    src = load_table(spark, sf_dir, "region")
+    t = _cat(tmp_path).get_or_create_table("regiondel", src.schema)
+    v0 = t.version()
+    t.append(src)
+    t.delete(spark, {"r_regionkey": (3, None)}, change_feed=True)
+    feed = t.read_changes(spark, after=v0, cdf=True)
+    dels = {
+        r["r_regionkey"]
+        for r in feed.where(F.col("_change_type") == "delete").collect()
+    }
+    assert dels == {3, 4}
+    # vacuum must not touch the referenced change files (the _SUCCESS /
+    # .crc writer markers are fair game, as in data/)
+    removed = t.vacuum(older_than_s=0.0)
+    assert not [p for p in removed if p.endswith(".parquet")]
+    assert feed.where(F.col("_change_type") == "delete").count() == 2
+    # an orphaned change dir (lost commit race) is reclaimed
+    orphan_dir = _os.path.join(t.changes_path, "txn-orphan")
+    _os.makedirs(orphan_dir)
+    orphan = _os.path.join(orphan_dir, "part-0.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+    _os.utime(orphan, (0, 0))
+    removed = t.vacuum(older_than_s=0.0, now=1e12)
+    assert [p for p in removed if "txn-orphan" in p]
+    # expiring history past the delete commit reclaims its change files
+    t.append(src.withColumn("r_regionkey", F.col("r_regionkey") + 100))
+    change_files = [
+        f
+        for s in t.snapshots()
+        for f in (s.extra.get("change_files") or [])
+    ]
+    assert change_files
+    t.expire_snapshots(keep_last=1)
+    assert not any(_os.path.exists(f) for f in change_files)

@@ -261,3 +261,99 @@ def test_approx_percentile_histogram_state(spark, catalog, sf_dir):
     for k in inc:
         assert inc[k]["p50_price"] == ful[k]["p50_price"]
         assert inc[k]["p90_price"] == ful[k]["p90_price"]
+
+
+def test_view_maintains_over_upsert_source_via_change_feed(
+    spark, catalog, sf_dir
+):
+    """The differential-dataflow case: a view whose aggregates are all
+    retractable (sum/count/avg/histogram-percentile) keeps maintaining
+    incrementally while the SOURCE is upserted and row-deleted — the
+    change feed folds with signs, and after every wave the view equals a
+    from-scratch recompute over the current source snapshot."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    ).withColumn(
+        "rid",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+    )
+    src = catalog.get_or_create_table("li_cdc", li.schema)
+    view = IncrementalAggView(
+        catalog,
+        source="li_cdc",
+        name="li_cdc_agg",
+        group_by=["l_returnflag"],
+        aggs={
+            "sum_qty": AggSpec("sum", "l_quantity"),
+            "n_rows": AggSpec("count"),
+            "avg_qty": AggSpec("avg", "l_quantity"),
+        },
+    )
+
+    def check():
+        exp = {
+            r["l_returnflag"]: (r["s"], r["n"])
+            for r in src.read(spark)
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum("l_quantity").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+        got = {
+            r["l_returnflag"]: (r["sum_qty"], r["n_rows"], r["avg_qty"])
+            for r in view.read(spark).collect()
+        }
+        live = {k: v for k, v in exp.items() if v[1] > 0}
+        for k, (s, n) in live.items():
+            gs, gn, ga = got[k]
+            assert gn == n, (k, gn, n)
+            assert abs(gs - s) < 1e-6, (k, gs, s)
+            assert abs(ga - s / n) < 1e-6, (k, ga)
+        # fully-retracted groups may linger with zeroed state
+        for k in set(got) - set(live):
+            assert got[k][1] == 0
+
+    # wave 1: plain append
+    src.append(li.where(F.col("l_orderkey") % 2 == 0))
+    view.refresh(spark)
+    check()
+    # wave 2: upsert — half the existing rows change quantity, new rows
+    # arrive (odd orderkeys)
+    updates = (
+        li.where(F.col("l_orderkey") % 4 == 0)
+        .withColumn("l_quantity", F.col("l_quantity") + 1000.0)
+        .unionByName(li.where(F.col("l_orderkey") % 2 == 1))
+    )
+    src.merge(spark, updates, key="rid", change_feed=True)
+    view.refresh(spark)
+    check()
+    # wave 3: row-level delete of one flag's rows
+    src.delete(spark, {"l_orderkey": (None, 500)}, change_feed=True)
+    view.refresh(spark)
+    check()
+    # a view with a non-retractable agg refuses the merge delta
+    minview = IncrementalAggView(
+        catalog,
+        source="li_cdc",
+        name="li_cdc_min",
+        group_by=["l_returnflag"],
+        aggs={"min_qty": AggSpec("min", "l_quantity")},
+    )
+    with pytest.raises(ValueError):
+        minview.refresh(spark)
+    # ... and full_refresh remains its escape hatch
+    minview.full_refresh(spark)
+    exp_min = {
+        r["l_returnflag"]: r["m"]
+        for r in src.read(spark)
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("m"))
+        .collect()
+    }
+    got_min = {
+        r["l_returnflag"]: r["min_qty"]
+        for r in minview.read(spark).collect()
+    }
+    assert got_min == exp_min

@@ -996,3 +996,62 @@ def test_ingest_derive_streaming_corpus_dedup(spark, sf_dir, tmp_path):
         r["content_hash"]: r["doc_id"] for r in t.read(spark).collect()
     }
     assert got2 == want
+
+
+def test_ingest_upsert_change_feed_feeds_incremental_view(
+    spark, sf_dir, tmp_path
+):
+    """changeFeed: the config-first CDC pipeline end to end — upsert
+    ingestion stages each merge's change set, and a downstream
+    incremental aggregate view refreshes over the upserted table (signed
+    fold) to exactly the batch recompute."""
+    from crest_spark.lakehouse.matview import AggSpec, IncrementalAggView
+
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=4, order_col="event_id"
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "whcf"),
+        checkpoint_root=str(tmp_path / "ckptcf"),
+        sources=[
+            SourceSpec(
+                name="user_latest_cf",
+                path=staging,
+                files_per_trigger=1,
+                mode="upsert",
+                key="user_id",
+                sequence_col="event_id",
+                change_feed=True,
+            )
+        ],
+        max_rows_per_batch=100_000,
+    )
+    svc = IngestionService(spark, cfg)
+    view = IncrementalAggView(
+        svc.catalog,
+        source="user_latest_cf",
+        name="type_counts",
+        group_by=["event_type"],
+        aggs={
+            "n_users": AggSpec("count"),
+            "sum_value": AggSpec("sum", "value"),
+        },
+    )
+    svc.run_once()  # several merge commits land
+    view.refresh(spark)
+    t = svc.catalog.table("user_latest_cf")
+    exp = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in t.read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    got = {
+        r["event_type"]: (r["n_users"], r["sum_value"])
+        for r in view.read(spark).collect()
+    }
+    assert set(k for k, v in got.items() if v[0] > 0) == set(exp)
+    for k, (n, s) in exp.items():
+        assert got[k][0] == n, (k, got[k], n)
+        assert abs(got[k][1] - s) < 1e-6
