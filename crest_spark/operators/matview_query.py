@@ -181,3 +181,69 @@ def mv_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "mv_cdc_fold",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(CAST(value + 5.0 AS DECIMAL(30,8))), 4)
+                    AS DOUBLE) AS sum_value
+        FROM events
+        WHERE event_id > 100
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("lakehouse", "matview", "cdc"),
+)
+def mv_cdc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed view maintenance under the hash gate: a source
+    table is appended (half the rows), UPSERTED (every row re-arrives
+    with value+5 — updates for the existing half, inserts for the rest),
+    then row-DELETED (event_id <= 100), with an incremental aggregate
+    view refreshed after each commit. The view folds the staged change
+    feed with signs (retractions subtract), and must hash-equal the
+    one-shot SQL aggregate over the FINAL state — certifying preimage/
+    postimage bookkeeping end to end, since any miscounted retraction
+    shifts a group's count or decimal sum. Sum state rides DECIMAL so
+    the three-wave fold is bit-identical to single-pass."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_cdc_"))
+    src = cat.get_or_create_table("events_cdc", events.schema)
+    view = IncrementalAggView(
+        cat,
+        source="events_cdc",
+        name="events_cdc_agg",
+        group_by=["event_type"],
+        aggs={
+            "n_events": AggSpec("count"),
+            "sum_value_dec": AggSpec("sum", "value_dec"),
+        },
+        derived_cols={"value_dec": "CAST(value AS DECIMAL(30,8))"},
+    )
+    src.append(events.where(F.col("event_id") % 2 == 0))
+    view.refresh(spark)
+    src.merge(
+        spark,
+        events.withColumn("value", F.col("value") + 5.0),
+        key="event_id",
+        change_feed=True,
+    )
+    view.refresh(spark)
+    src.delete(spark, {"event_id": (None, 100)}, change_feed=True)
+    view.refresh(spark)
+    return (
+        view.read(spark)
+        .where(F.col("n_events") > 0)  # fully-retracted groups zero out
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.expr("CAST(ROUND(sum_value_dec, 4) AS DOUBLE)").alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
