@@ -432,11 +432,16 @@ class IncrementalAggView:
                 for s in self.mv.snapshots()
                 if "mv_stream_batch" in s.extra
             }
+        # retractable views tail the CHANGE FEED so the continuous fold
+        # also survives source upserts/deletes (signed, like refresh())
+        signed = self._retractable()
 
         def fold(batch_df: DataFrame, batch_id: int) -> None:
             if batch_id in committed or batch_df.isEmpty():
                 return
-            self._apply_delta(spark, batch_df, {"mv_stream_batch": batch_id})
+            self._apply_delta(
+                spark, batch_df, {"mv_stream_batch": batch_id}, signed=signed
+            )
             committed.add(batch_id)
 
         reader = (
@@ -446,6 +451,8 @@ class IncrementalAggView:
             .option("table", self.source.name)
             .option("startingVersion", str(self.maintained_version()))
         )
+        if signed:
+            reader = reader.option("readChangeFeed", "true")
         writer = reader.load().writeStream.foreachBatch(fold).option(
             "checkpointLocation", checkpoint
         )

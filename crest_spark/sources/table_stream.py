@@ -16,7 +16,12 @@ Mechanics (public Python Data Source API, SPARK-44076):
   straight from the parquet file — no row-by-row Python;
 - rowset-preserving compactions are skipped (their delta is empty);
   a true overwrite in the range fails the stream, matching
-  ``LakehouseTable.read_changes``' contract.
+  ``LakehouseTable.read_changes``' contract;
+- ``option("readChangeFeed", "true")`` streams the CHANGE FEED instead
+  (Delta's streaming CDF): appended rows arrive as
+  ``_change_type='insert'`` and merge/delete commits made with
+  ``change_feed=True`` contribute their staged retractions/additions
+  instead of failing the stream.
 
 Process model constraint: the data-source class is UNPICKLED in
 dedicated Python processes (a driver-side source runner for offsets, a
@@ -62,16 +67,26 @@ def _commit(log: str, version: int) -> dict:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, kind: str = "ins"):
         self.path = path
+        # "ins": appended data file (rows surface as _change_type=insert
+        # under readChangeFeed); "chg": staged change file (rows already
+        # carry their _change_type)
+        self.kind = kind
 
 
 class CrestTableStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: StructType | None = None):
         self.log = _log_path(
             options["warehouse"], options.get("namespace", "default"), options["table"]
         )
         self.starting_version = options.get("startingversion")
+        self.cdf = str(options.get("readchangefeed", "")).lower() == "true"
+        # declared output column order: the Arrow bridge maps batches to
+        # the schema BY POSITION, and files from different commits can
+        # disagree on order (a merge's anti-join rotates the key column
+        # to the front) — every batch is therefore re-selected by NAME
+        self.names = [f.name for f in schema.fields] if schema else None
 
     def initialOffset(self) -> dict:
         # default: start at the current version — a new stream consumes
@@ -92,20 +107,26 @@ class CrestTableStreamReader(DataSourceStreamReader):
         return {"version": vs[-1] if vs else 0}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        files: list[str] = []
+        parts: list[_FilePartition] = []
         for v in _versions(self.log):
             if not (start["version"] < v <= end["version"]):
                 continue
             d = _commit(self.log, v)
             if d.get("operation") == "replace":
-                if d.get("extra", {}).get("compaction"):
+                dextra = d.get("extra", {})
+                if dextra.get("compaction"):
                     continue  # rowset-preserving: empty delta
+                if self.cdf and dextra.get("change_files") is not None:
+                    parts.extend(
+                        _FilePartition(f, "chg") for f in dextra["change_files"]
+                    )
+                    continue
                 raise ValueError(
                     f"crest_table stream hit a non-compaction replace at "
                     f"version {v}; restart the stream from a full read"
                 )
-            files.extend(d["files"])
-        return [_FilePartition(f) for f in files] or [_FilePartition("")]
+            parts.extend(_FilePartition(f) for f in d["files"])
+        return parts or [_FilePartition("")]
 
     def read(self, partition: _FilePartition) -> Iterator:  # executor-side
         if not partition.path or not os.path.exists(partition.path):
@@ -113,7 +134,22 @@ class CrestTableStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        is_chg = getattr(partition, "kind", "ins") == "chg"
+        data_names = None
+        if self.names is not None:
+            data_names = [n for n in self.names if n != "_change_type"]
+            if is_chg:
+                data_names.append("_change_type")
         for batch in pq.ParquetFile(partition.path).iter_batches():
+            if data_names is not None:
+                missing = [n for n in data_names if n not in batch.schema.names]
+                if missing:
+                    raise ValueError(
+                        f"{partition.path} lacks columns {missing}; restart "
+                        "the stream to pick up the evolved schema"
+                    )
+                if batch.schema.names != data_names:
+                    batch = batch.select(data_names)
             # Spark writes timestamps as INT96 by default; pyarrow decodes
             # INT96 to timestamp[ns], which the Python data source Arrow
             # bridge rejects — cast nanos to the micros Spark expects
@@ -124,7 +160,19 @@ class CrestTableStreamReader(DataSourceStreamReader):
                 for f in batch.schema
             ]
             target = pa.schema(fields)
-            yield batch.cast(target) if target != batch.schema else batch
+            if target != batch.schema:
+                batch = batch.cast(target)
+            if self.cdf and not is_chg:
+                # appended rows surface as inserts; change files already
+                # carry their _change_type
+                batch = pa.RecordBatch.from_arrays(
+                    list(batch.columns)
+                    + [pa.array(["insert"] * batch.num_rows, pa.string())],
+                    schema=batch.schema.append(
+                        pa.field("_change_type", pa.string())
+                    ),
+                )
+            yield batch
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the engine checkpoint; nothing to clean
@@ -145,10 +193,17 @@ class CrestTableDataSource(DataSource):
         if not vs:
             raise FileNotFoundError(f"no commit log at {log}")
         # every commit carries the full (possibly evolved) schema
-        return StructType.fromJson(json.loads(_commit(log, vs[-1])["schema"]))
+        schema = StructType.fromJson(json.loads(_commit(log, vs[-1])["schema"]))
+        if str(self.options.get("readchangefeed", "")).lower() == "true":
+            from pyspark.sql.types import StringType, StructField
+
+            schema = StructType(
+                schema.fields + [StructField("_change_type", StringType())]
+            )
+        return schema
 
     def streamReader(self, schema: StructType) -> CrestTableStreamReader:
-        return CrestTableStreamReader(self.options)
+        return CrestTableStreamReader(self.options, schema)
 
 
 def register_table_stream(spark) -> None:

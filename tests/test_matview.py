@@ -357,3 +357,78 @@ def test_view_maintains_over_upsert_source_via_change_feed(
         for r in minview.read(spark).collect()
     }
     assert got_min == exp_min
+
+
+def test_continuous_maintenance_over_upsert_source(
+    spark, catalog, sf_dir, tmp_path
+):
+    """Continuous (availableNow) maintenance tails the CHANGE FEED when
+    the view is retractable: appends, an upsert, and a row-delete on the
+    source all fold through one stream, and the view equals a batch
+    recompute after each drain — including across a checkpoint restart."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .limit(2000)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .withColumn("rid", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cache()
+    )
+    li.count()
+    src = catalog.get_or_create_table("li_ccdc", li.schema)
+    view = IncrementalAggView(
+        catalog,
+        source="li_ccdc",
+        name="li_ccdc_agg",
+        group_by=["l_returnflag"],
+        aggs={
+            "sum_qty": AggSpec("sum", "l_quantity"),
+            "n_rows": AggSpec("count"),
+        },
+    )
+
+    def check():
+        exp = {
+            r["l_returnflag"]: (r["s"], r["n"])
+            for r in src.read(spark)
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n")
+            )
+            .collect()
+        }
+        got = {
+            r["l_returnflag"]: (r["sum_qty"], r["n_rows"])
+            for r in view.read(spark).collect()
+            if r["n_rows"] > 0
+        }
+        assert set(got) == set(exp)
+        for k, (s, n) in exp.items():
+            assert got[k][1] == n
+            assert abs(got[k][0] - s) < 1e-6
+
+    src.append(li.where(F.col("l_orderkey") % 2 == 0))
+    src.merge(
+        spark,
+        li.withColumn("l_quantity", F.col("l_quantity") + 7.0),
+        key="rid",
+        change_feed=True,
+    )
+    ckpt = str(tmp_path / "ckpt_cdc")
+    q = view.maintain_continuously(spark, ckpt, available_now=True)
+    q.awaitTermination(120)
+    check()
+    # new waves after the drain: delete + another upsert, then restart
+    # from the same checkpoint
+    src.delete(spark, {"l_orderkey": (None, 300)}, change_feed=True)
+    src.merge(
+        spark,
+        li.where(F.col("l_orderkey") > 500).withColumn(
+            "l_quantity", F.col("l_quantity") + 100.0
+        ),
+        key="rid",
+        change_feed=True,
+    )
+    q = view.maintain_continuously(spark, ckpt, available_now=True)
+    q.awaitTermination(120)
+    check()
+    li.unpersist()
