@@ -600,3 +600,65 @@ def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@register(
+    "curation_shuffle_order",
+    oracle="""
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '#42'), doc_id
+               ) AS BIGINT) AS shuffle_pos
+        FROM documents
+        ORDER BY shuffle_pos
+    """,
+    tags=("llm", "curation", "shuffle"),
+)
+def curation_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a stable pseudo-random position from the md5 of its id plus a seed —
+    reproducible across runs/engines (seeded hash, not rand()), which is
+    what makes a training data order auditable. Changing the seed
+    re-shuffles; re-running doesn't.
+
+    The global ROW_NUMBER over the hash order is the same shape as
+    pack_sequences' prefix sum, and runs as the same scalable two-level
+    pattern: range-partition on the shuffle key, per-partition local
+    rank, per-partition COUNTS prefix-summed (one row per partition,
+    broadcast back) as offsets — no single-task global window. At 100 TB
+    you'd write the range-sorted output to sequentially-named shards;
+    the explicit position column is what makes the contract
+    oracle-checkable."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    shuffle_key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit("#42"))
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    keyed = d.withColumn("_sk", shuffle_key)
+    parts = keyed.repartitionByRange(n_parts, "_sk", "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_sk", "doc_id")
+    local = parts.withColumn("_local_rn", F.row_number().over(w_local))
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_pcnt"))
+        .withColumn("_offset", F.sum("_pcnt").over(w_off) - F.col("_pcnt"))
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id",
+            (F.col("_offset") + F.col("_local_rn"))
+            .cast("bigint")
+            .alias("shuffle_pos"),
+        )
+        .orderBy("shuffle_pos")
+    )
