@@ -432,3 +432,107 @@ def test_continuous_maintenance_over_upsert_source(
     q.awaitTermination(120)
     check()
     li.unpersist()
+
+
+def test_cdc_fold_random_op_sequences(spark, catalog):
+    """Fuzz the differential fold: random sequences of append / upsert /
+    tombstone-merge / range-delete against a small keyed table, with a
+    view refresh and a view==recompute check after EVERY commit. Any
+    sign error, missed preimage, or double-counted change surfaces as a
+    drift that then compounds."""
+    import random
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("grp", StringType()),
+            StructField("val", DoubleType()),
+            StructField("seq", LongType()),
+        ]
+    )
+
+    def rows(rng, n, seq):
+        return [
+            (
+                rng.randrange(0, 40),
+                rng.choice(["a", "b", "c"]),
+                round(rng.uniform(-5, 5), 3),
+                seq,
+            )
+            for _ in range(n)
+        ]
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        name = f"fuzz_{seed}"
+        src = catalog.get_or_create_table(name, schema)
+        view = IncrementalAggView(
+            catalog,
+            source=name,
+            name=f"{name}_agg",
+            group_by=["grp"],
+            aggs={
+                "n": AggSpec("count"),
+                "s": AggSpec("sum", "val"),
+                "a": AggSpec("avg", "val"),
+            },
+        )
+        # seed data, then a random op mix
+        seq = 0
+        src.append(spark.createDataFrame(rows(rng, 30, seq), schema))
+        for step in range(4):
+            seq += 1
+            op = rng.choice(["append", "upsert", "tombstone", "delete"])
+            if op == "append":
+                # fresh keys only (appending an existing key would create
+                # a duplicate the merge contract later collapses)
+                fresh = [
+                    (k + 1000 * seq, g, v, s)
+                    for (k, g, v, s) in rows(rng, 10, seq)
+                ]
+                src.append(spark.createDataFrame(fresh, schema))
+            elif op == "upsert":
+                src.merge(
+                    spark,
+                    spark.createDataFrame(rows(rng, 15, seq), schema),
+                    key="k",
+                    sequence_col="seq",
+                    change_feed=True,
+                )
+            elif op == "tombstone":
+                tomb = spark.createDataFrame(
+                    rows(rng, 8, seq), schema
+                ).withColumn("_del", F.lit(True))
+                src.merge(
+                    spark,
+                    tomb,
+                    key="k",
+                    sequence_col="seq",
+                    delete_col="_del",
+                    change_feed=True,
+                )
+            else:
+                lo = rng.randrange(0, 30)
+                src.delete(spark, {"k": (lo, lo + 5)}, change_feed=True)
+            view.refresh(spark)
+            exp = {
+                r["grp"]: (r["n"], round(r["s"], 6))
+                for r in src.read(spark)
+                .groupBy("grp")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+                .collect()
+            }
+            got = {
+                r["grp"]: (r["n"], round(r["s"], 6))
+                for r in view.read(spark).collect()
+                if r["n"] > 0
+            }
+            assert got == exp, (seed, step, op, got, exp)
