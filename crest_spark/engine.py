@@ -53,21 +53,61 @@ class Engine:
 
         return formatted_plan(self.sql(query))
 
-    def stream_table(self, name: str, namespace: str = "default") -> DataFrame:
+    def stream_table(
+        self,
+        name: str,
+        namespace: str = "default",
+        change_feed: bool = False,
+    ) -> DataFrame:
         """Tail a lakehouse table as a stream (crest_table data source):
         commit versions are the offsets, each micro-batch delivers the
-        newly appended files. Requires a warehouse-backed engine."""
+        newly appended files. ``change_feed=True`` streams the CDF form
+        instead (rows carry ``_change_type``; merges/deletes made with
+        ``change_feed=True`` contribute retractions rather than failing
+        the stream). Requires a warehouse-backed engine."""
         if self.catalog is None:
             raise ValueError("stream_table requires an engine with a warehouse")
         from crest_spark.sources.table_stream import register_table_stream
 
         register_table_stream(self.spark)
-        return (
+        reader = (
             self.spark.readStream.format("crest_table")
             .option("warehouse", self.catalog.warehouse)
             .option("namespace", namespace)
             .option("table", name)
-            .load()
+        )
+        if change_feed:
+            reader = reader.option("readChangeFeed", "true")
+        return reader.load()
+
+    def incremental_view(
+        self,
+        source: str,
+        name: str,
+        group_by: list[str],
+        aggs: dict,
+        namespace: str | None = None,
+        derived_cols: dict[str, str] | None = None,
+    ):
+        """An incrementally-maintained aggregate view over a lakehouse
+        table (``lakehouse.matview.IncrementalAggView``): ``refresh()``
+        folds only new commits; retractable views (sum/count/avg/
+        histogram-percentile) also fold upserts/deletes through the
+        change feed. Requires a warehouse-backed engine."""
+        if self.catalog is None:
+            raise ValueError(
+                "incremental_view requires an engine with a warehouse"
+            )
+        from crest_spark.lakehouse.matview import IncrementalAggView
+
+        return IncrementalAggView(
+            self.catalog,
+            source=source,
+            name=name,
+            group_by=group_by,
+            aggs=aggs,
+            namespace=namespace,
+            derived_cols=derived_cols,
         )
 
     def _flight_reader(self, reader, location: str, prefix: str):

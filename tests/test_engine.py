@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from crest_spark.engine import Engine
 
 
@@ -84,3 +86,27 @@ def test_engine_profile(spark, sf_dir):
     assert prof["o_totalprice"]["n_rows"] == n
     assert prof["o_orderstatus"]["n_distinct"] == 3
     assert prof["o_totalprice"]["mean"] is not None
+
+
+def test_engine_incremental_view(spark, sf_dir, tmp_path):
+    from crest_spark.lakehouse.matview import AggSpec
+
+    eng = Engine(spark, sf_dir=sf_dir, warehouse=str(tmp_path / "wh"))
+    nat = eng.table("nation")
+    src = eng.catalog.get_or_create_table("nat", nat.schema)
+    src.append(nat)
+    view = eng.incremental_view(
+        "nat", "nat_agg", ["n_regionkey"], {"n": AggSpec("count")}
+    )
+    view.refresh(spark)
+    got = {r["n_regionkey"]: r["n"] for r in view.read(spark).collect()}
+    assert sum(got.values()) == nat.count()
+    # the engine's CDF stream surface composes with a merged source
+    src.merge(
+        spark,
+        nat.withColumn("n_name", F.lower(F.col("n_name"))),
+        key="n_nationkey",
+        change_feed=True,
+    )
+    feed = eng.stream_table("nat", change_feed=True)
+    assert "_change_type" in feed.schema.names
