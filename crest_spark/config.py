@@ -109,7 +109,11 @@ def load_config(path: str) -> EngineConfig:
                 [str(c) for c in s["bloomFor"]] if "bloomFor" in s else None
             ),
             mode=s.get("mode", "append"),
-            key=s.get("key"),
+            key=(
+                [str(k) for k in s["key"]]
+                if isinstance(s.get("key"), list)
+                else s.get("key")
+            ),
             sequence_col=s.get("sequenceCol"),
             delete_col=s.get("deleteCol"),
             change_feed=bool(s.get("changeFeed", False)),

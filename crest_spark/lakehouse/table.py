@@ -719,7 +719,7 @@ class LakehouseTable:
         return os.path.join(self.path, "changes")
 
     def _stage_changes(
-        self, old_df: DataFrame, new_df: DataFrame, key: str
+        self, old_df: DataFrame, new_df: DataFrame, keys: list[str]
     ) -> list[str]:
         """Stage the CDF rows for a copy-on-write rewrite: the multiset
         diff of the touched region, classified Delta-CDF style by key
@@ -735,24 +735,24 @@ class LakehouseTable:
         new = new_df.select(*cols)
         pre = old.exceptAll(new)
         post = new.exceptAll(old)
-        pre_keys = pre.select(key).distinct()
-        post_keys = post.select(key).distinct()
+        pre_keys = pre.select(*keys).distinct()
+        post_keys = post.select(*keys).distinct()
         ct = "_change_type"
         changes = (
-            pre.join(post_keys, key, "left_semi")
+            pre.join(post_keys, keys, "left_semi")
             .withColumn(ct, F.lit("update_preimage"))
             .unionByName(
-                pre.join(post_keys, key, "left_anti").withColumn(
+                pre.join(post_keys, keys, "left_anti").withColumn(
                     ct, F.lit("delete")
                 )
             )
             .unionByName(
-                post.join(pre_keys, key, "left_semi").withColumn(
+                post.join(pre_keys, keys, "left_semi").withColumn(
                     ct, F.lit("update_postimage")
                 )
             )
             .unionByName(
-                post.join(pre_keys, key, "left_anti").withColumn(
+                post.join(pre_keys, keys, "left_anti").withColumn(
                     ct, F.lit("insert")
                 )
             )
@@ -769,7 +769,7 @@ class LakehouseTable:
         self,
         spark: SparkSession,
         updates: DataFrame,
-        key: str,
+        key: str | list[str],
         sequence_col: str | None = None,
         extra: dict | None = None,
         bloom_for: list[str] | None = None,
@@ -780,6 +780,11 @@ class LakehouseTable:
         current rows with the same key; new keys are inserted. Implemented
         as read-current -> per-key winner -> replace commit — one atomic
         version, snapshot-isolated from concurrent readers.
+
+        ``key`` may be a single column or a LIST of columns (composite
+        CDC primary keys); file pruning then intersects every key
+        column's [min, max] range — a file provably disjoint on ANY key
+        column cannot hold a matched row.
 
         ``sequence_col``: conditional-merge ordering (Delta's ``WHEN
         MATCHED AND s.seq > t.seq`` / Flink CDC's event-time dedup). A
@@ -825,30 +830,44 @@ class LakehouseTable:
                 F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False)),
             ).drop(delete_col)
 
+        keys = [key] if isinstance(key, str) else list(key)
         last_err: Exception | None = None
         for _ in range(self._MERGE_RETRIES):
             base = self.version()
             state = self._state(upto=base)
             stats: dict = state.get("stats", {})
             bounds = updates.agg(
-                F.min(key).alias("lo"), F.max(key).alias("hi")
+                *[
+                    c
+                    for k in keys
+                    for c in (
+                        F.min(k).alias(f"lo_{k}"),
+                        F.max(k).alias(f"hi_{k}"),
+                    )
+                ]
             ).first()
-            lo, hi = bounds["lo"], bounds["hi"]
+            key_bounds = {
+                k: (bounds[f"lo_{k}"], bounds[f"hi_{k}"]) for k in keys
+            }
             keep: list[str] = []
             touch: list[str] = []
             for f in state["files"]:
                 fs = stats.get(f) or {}
-                if (
-                    lo is not None
-                    and key in fs
-                    and not _stats_admit(fs, {key: (lo, hi)})
-                ):
-                    keep.append(f)  # key range provably disjoint
+                disjoint = any(
+                    key_bounds[k][0] is not None
+                    and k in fs
+                    and not _stats_admit(fs, {k: key_bounds[k]})
+                    for k in keys
+                )
+                if disjoint:
+                    keep.append(f)  # some key range provably disjoint
                 else:
                     touch.append(f)
             current = self._read_files(spark, touch, state["schema"])
             if sequence_col is None:
-                kept = current.join(updates.select(key), on=key, how="left_anti")
+                kept = current.join(
+                    updates.select(*keys), on=keys, how="left_anti"
+                )
                 upd_rows = updates
                 if delete_col is not None:
                     upd_rows = upd_rows.where(~F.col("__del"))
@@ -866,7 +885,7 @@ class LakehouseTable:
                 ).withColumn("__is_upd", F.lit(1))
                 if delete_col is None:
                     upd = upd.withColumn("__del", F.lit(False))
-                w = Window.partitionBy(key).orderBy(
+                w = Window.partitionBy(*keys).orderBy(
                     F.desc(sequence_col), F.desc("__is_upd")
                 )
                 merged = (
@@ -881,7 +900,7 @@ class LakehouseTable:
                 # files orphaned under changes/ where vacuum reclaims them
                 commit_extra = dict(extra or {})
                 commit_extra["change_files"] = self._stage_changes(
-                    current, merged, key
+                    current, merged, keys
                 )
             try:
                 return self.overwrite(

@@ -69,7 +69,7 @@ class SourceSpec:
     # re-delivered batches are state-idempotent because the merge is
     # sequence-conditioned (an old change can never regress a key).
     mode: str = "append"
-    key: str | None = None
+    key: str | list[str] | None = None  # upsert merge key (composite OK)
     sequence_col: str | None = None
     # CDC tombstones: boolean-ish column marking a change as a DELETE of
     # its key (Debezium op='d'). Metadata only — never lands in the table.

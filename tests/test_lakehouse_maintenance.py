@@ -814,3 +814,60 @@ def test_delete_change_feed_and_gc(spark, sf_dir, tmp_path):
     assert change_files
     t.expire_snapshots(keep_last=1)
     assert not any(_os.path.exists(f) for f in change_files)
+
+
+def test_merge_composite_key_with_change_feed(spark, sf_dir, tmp_path):
+    """Composite merge keys: upsert on (l_orderkey, l_linenumber) without
+    a derived surrogate column — per-key winners, file pruning on every
+    key column's range, and the change feed classify on the full key."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .dropDuplicates(["l_orderkey", "l_linenumber"])  # fixture pairs repeat
+        .limit(400)
+        .cache()
+    )
+    li.count()
+    t = _cat(tmp_path).get_or_create_table("li_ck", li.schema)
+    t.append(li)
+    updates = li.where(F.col("l_orderkey") % 3 == 0).withColumn(
+        "l_quantity", F.col("l_quantity") + 500.0
+    )
+    t.merge(
+        spark,
+        updates,
+        key=["l_orderkey", "l_linenumber"],
+        change_feed=True,
+    )
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): r["l_quantity"]
+        for r in t.read(spark).collect()
+    }
+    exp = {
+        (r["l_orderkey"], r["l_linenumber"]): (
+            r["l_quantity"] + 500.0
+            if r["l_orderkey"] % 3 == 0
+            else r["l_quantity"]
+        )
+        for r in li.collect()
+    }
+    assert got == exp
+    feed = t.read_changes(spark, after=1, cdf=True)
+    pres = feed.where(F.col("_change_type") == "update_preimage").count()
+    posts = feed.where(F.col("_change_type") == "update_postimage").count()
+    n_upd = updates.count()
+    assert pres == posts == n_upd
+    # sequenced composite merge converges too
+    seq_upd = (
+        li.withColumn("l_quantity", F.col("l_quantity") + 1.0)
+    )
+    t2 = _cat(tmp_path).get_or_create_table("li_ck2", li.schema)
+    t2.append(li)
+    t2.merge(
+        spark,
+        seq_upd,
+        key=["l_orderkey", "l_linenumber"],
+        sequence_col="l_quantity",
+    )
+    assert t2.read(spark).count() == li.count()
+    li.unpersist()
