@@ -228,3 +228,49 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined, f"ss_join_{abs(hash(sf_dir)) % 10**8}", output_mode="append"
     )
     return result.orderBy("p_id", "s_id")
+
+
+@register(
+    "stream_static_join",
+    oracle=f"""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n,
+               {sum4("e.value")} AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the events stream joins a
+    static customer dimension per micro-batch (the standard ingest-time
+    enrichment pattern), then aggregates by segment; the streamed result
+    must equal the batch join exactly.
+
+    Scale posture: the static side is broadcast — each micro-batch's
+    join is map-side, no stream-side shuffle for the join itself, and
+    the dimension is re-resolvable per batch (Spark re-plans the static
+    side per micro-batch, so a slowly-changing dim picks up changes on
+    the next trigger). The only stateful shuffle is the windowless
+    global aggregate, whose state is one row per (segment)."""
+    src = table_path(sf_dir, "events")
+    staging, schema = stage_slices(spark, src, n_slices=6, order_col="event_id")
+    stream = read_stream(spark, staging, schema)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.expr(sum4("value")).alias("sum_value")
+    )
+    result = run_to_memory(
+        agg,
+        f"s6_static_join_{abs(hash(sf_dir)) % 10**8}",
+        output_mode="complete",
+    )
+    return result.select("c_mktsegment", "n", "sum_value").orderBy(
+        "c_mktsegment"
+    )
