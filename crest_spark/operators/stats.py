@@ -501,3 +501,38 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         load_table(spark, sf_dir, "lineitem"), _PROFILE_NUM, _PROFILE_STR
     )
+
+
+@register(
+    "q15f_grouping_id",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("aggregation", "grouping-sets"),
+)
+def q15f_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING_ID disambiguation: distinguishes a real NULL group value
+    from a superaggregate row — the standard way BI layers consume
+    rollups. Spark's grouping_id() and DuckDB's GROUPING(...) share the
+    same bitmask convention (last listed column = least-significant
+    bit), checked by the oracle hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gid_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT)
+                   AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM _gid_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
