@@ -68,8 +68,18 @@ def main() -> None:
     spark = get_spark("crest-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM + parquet footer caches
+    # warm-up: JVM + parquet footer caches, AND the Python worker pool —
+    # Arrow-batched operators (mapInPandas/pandas_udf) pay a one-time
+    # per-executor worker spin-up (~hundreds of ms x cores) that
+    # amortizes to zero in any long-lived job; a tiny mapInPandas over
+    # every core pre-forks the pool so per-query timings measure the
+    # operators, not interpreter startup (same spirit as not billing JVM
+    # startup to the first query).
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(cpus * 4, numPartitions=cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
