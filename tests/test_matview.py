@@ -546,3 +546,49 @@ def test_cdc_fold_random_op_sequences(spark, catalog):
                 if r["n"] > 0
             }
             assert got == exp, (seed, step, op, got, exp)
+
+
+def test_view_refresh_across_source_schema_evolution(spark, catalog, sf_dir):
+    """A source that EVOLVES (new column) mid-history keeps feeding its
+    view: change files staged before the evolution read with NULLs for
+    the new column, and a view aggregating the new column counts only
+    rows that actually carry it."""
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    src = catalog.get_or_create_table("nat_ev", nat.schema)
+    src.append(nat)
+    # a CDF merge BEFORE evolution
+    src.merge(
+        spark,
+        nat.withColumn("n_regionkey", F.col("n_regionkey") + 10),
+        key="n_nationkey",
+        change_feed=True,
+    )
+    # evolve: new column arrives (append with merge_schema)
+    evolved = nat.withColumn("n_regionkey", F.col("n_regionkey") + 10).withColumn(
+        "bonus", F.lit(2.5)
+    ).withColumn("n_nationkey", F.col("n_nationkey") + 100)
+    src.append(evolved, merge_schema=True)
+    view = IncrementalAggView(
+        catalog,
+        source="nat_ev",
+        name="nat_ev_agg",
+        group_by=["n_regionkey"],
+        aggs={
+            "n": AggSpec("count"),
+            "sum_bonus": AggSpec("sum", "bonus"),
+        },
+    )
+    view.refresh(spark)
+    exp = {
+        r["n_regionkey"]: (r["n"], r["s"])
+        for r in src.read(spark)
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bonus").alias("s"))
+        .collect()
+    }
+    got = {
+        r["n_regionkey"]: (r["n"], r["sum_bonus"])
+        for r in view.read(spark).collect()
+        if r["n"] > 0
+    }
+    assert got == exp
