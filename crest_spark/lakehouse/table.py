@@ -75,27 +75,67 @@ def _footer_stats(files: list[str]) -> dict[str, dict[str, list]]:
         md = pq.ParquetFile(f).metadata
         names = md.schema.names
         cols: dict[str, list] = {}
+        nulls: dict[str, int] = {}
         for i, name in enumerate(names):
             mn = mx = None
             ok = True
+            nc = 0
+            nc_ok = True
             for g in range(md.num_row_groups):
                 st = md.row_group(g).column(i).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
+                if st is None:
+                    ok = nc_ok = False
                     break
+                if st.null_count is None:
+                    nc_ok = False
+                else:
+                    nc += st.null_count
+                if not st.has_min_max:
+                    ok = False
+                    continue
                 gmn, gmx = st.min, st.max
                 if not isinstance(gmn, (int, float, str, bool)):
                     ok = False
-                    break
+                    continue
                 mn = gmn if mn is None else min(mn, gmn)
                 mx = gmx if mx is None else max(mx, gmx)
             if ok and mn is not None:
                 cols[name] = [mn, mx]
+            if nc_ok:
+                nulls[name] = nc
+        if nulls:
+            # reserved slot (like __bloom__): per-column null counts,
+            # what ALL-match proofs need (min/max never witness NULLs)
+            cols[_NULLS_KEY] = nulls
         out[f] = cols
     return out
 
 
 _BLOOM_KEY = "__bloom__"  # reserved per-file stats slot (not a column)
+_NULLS_KEY = "__nulls__"  # reserved per-file stats slot: column null counts
+
+
+def _stats_all_match(fstats: dict, predicates: dict[str, tuple]) -> bool:
+    """True when the file's stats PROVE every row matches every range
+    predicate — [min, max] inside [lo, hi] and zero NULLs in the column
+    (NULL never matches a range, and min/max can't witness NULLs, so
+    missing null counts mean no proof). The opposite one-sided direction
+    from ``_stats_admit``: used to DROP whole files metadata-only."""
+    nulls = fstats.get(_NULLS_KEY) or {}
+    for col, (lo, hi) in predicates.items():
+        if col not in fstats or col == _BLOOM_KEY:
+            return False
+        if nulls.get(col) != 0:
+            return False  # has NULLs, or null count unknown
+        mn, mx = fstats[col]
+        try:
+            if lo is not None and mn < lo:
+                return False
+            if hi is not None and mx > hi:
+                return False
+        except TypeError:
+            return False
+    return True
 
 
 def _bloom_canon(value) -> str | None:
@@ -931,8 +971,13 @@ class LakehouseTable:
         an equality — Bloom filters prune those too). Copy-on-write at
         file granularity like ``merge``: files whose stats prove they
         hold no matching row move into the new snapshot by reference;
-        only intersecting files are read and rewritten without their
-        matching rows. One conflict-validated ``replace`` commit; time
+        files whose stats prove EVERY row matches (bounds inside the
+        range, zero recorded NULLs) are DROPPED from the snapshot
+        without being read at all — on a range-clustered table a
+        retention delete is metadata-only (the Iceberg partition-drop
+        shape; commit extra records ``dropped_files``); only genuinely
+        partial files are read and rewritten without their matching
+        rows. One conflict-validated ``replace`` commit; time
         travel before it still sees the deleted rows (use
         ``expire_snapshots`` + ``vacuum`` to physically reclaim them).
         Returns the committed version. At 100 TB a delete of one user or
@@ -946,11 +991,19 @@ class LakehouseTable:
             stats: dict = state.get("stats", {})
             keep: list[str] = []
             touch: list[str] = []
+            drop: list[str] = []
             for f in state["files"]:
-                if _stats_admit(stats.get(f) or {}, predicates):
-                    touch.append(f)  # may hold matching rows: rewrite
-                else:
+                fs = stats.get(f) or {}
+                if not _stats_admit(fs, predicates):
                     keep.append(f)  # provably no matching row
+                elif _stats_all_match(fs, predicates):
+                    # provably EVERY row matches: the file leaves the
+                    # snapshot without being read or rewritten — a
+                    # retention delete on a clustered table is
+                    # metadata-only (the Iceberg partition-drop shape)
+                    drop.append(f)
+                else:
+                    touch.append(f)  # may hold matching rows: rewrite
             current = self._read_files(spark, touch, state["schema"])
             cond = F.lit(True)
             for col, (lo, hi) in predicates.items():
@@ -962,13 +1015,21 @@ class LakehouseTable:
             # null and would silently drop the row without the coalesce)
             remaining = current.where(~F.coalesce(cond, F.lit(False)))
             del_extra: dict = {
-                "delete": {c: list(b) for c, b in predicates.items()}
+                "delete": {c: list(b) for c, b in predicates.items()},
+                **({"dropped_files": len(drop)} if drop else {}),
             }
             if change_feed:
-                # every removed row is a 'delete' change; no diff needed
-                removed = current.where(
-                    F.coalesce(cond, F.lit(False))
-                ).withColumn("_change_type", F.lit("delete"))
+                # every removed row is a 'delete' change; no diff needed.
+                # CDF must enumerate dropped files' rows too — the one
+                # case that reads them (metadata-only otherwise).
+                removed = current.where(F.coalesce(cond, F.lit(False)))
+                if drop:
+                    removed = removed.unionByName(
+                        self._read_files(spark, drop, state["schema"])
+                    )
+                removed = removed.withColumn(
+                    "_change_type", F.lit("delete")
+                )
                 txn_dir = os.path.join(
                     self.changes_path, f"txn-{uuid.uuid4().hex}"
                 )

@@ -929,3 +929,40 @@ def test_update_copy_on_write_and_change_feed(spark, sf_dir, tmp_path):
         == n_changed
     )
     li.unpersist()
+
+
+def test_delete_drops_fully_matching_files_metadata_only(
+    spark, sf_dir, tmp_path
+):
+    """A retention delete on a range-clustered table drops whole files
+    from the snapshot without reading them: stats prove every row
+    matches (bounds inside the range, zero nulls). Partial files still
+    rewrite; time travel before the delete still sees everything."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = _cat(tmp_path).get_or_create_table("ev_ret", ev.schema)
+    n_src = ev.count()
+    per_file = max(50, n_src // 10)
+    t.append(ev, cluster_by=["event_id"], max_rows_per_file=per_file)
+    snap_before = t.snapshots()[-1]
+    files_before = list(snap_before.files)
+    assert len(files_before) >= 4
+    v_before = t.version()
+    n_total = t.row_count()
+    # retention: drop everything below the cutoff (covers several whole
+    # clustered files plus one partial one; ids are 0..n-1 dense)
+    cutoff = int(n_src * 0.35)
+    t.delete(spark, {"event_id": (None, cutoff)})
+    snap = t.snapshots()[-1]
+    assert snap.extra.get("dropped_files", 0) >= 1
+    # dropped files left the snapshot but were NOT rewritten (their
+    # bytes still exist for time travel)
+    gone = set(files_before) - set(snap.files)
+    assert gone
+    import os as _os
+
+    assert all(_os.path.exists(f) for f in gone)
+    # correctness: exactly the matching rows are gone
+    assert t.read(spark).where(F.col("event_id") <= cutoff).count() == 0
+    assert t.row_count() == n_total - (cutoff + 1)
+    # time travel still sees the full table
+    assert t.read(spark, version=v_before).count() == n_total
