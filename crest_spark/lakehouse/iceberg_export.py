@@ -178,6 +178,12 @@ _DATA_FILE_SCHEMA = {
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
         {
+            "name": "null_value_counts",
+            "type": _opt(_id_map_schema("k121_v122", 121, 122, "long")),
+            "field-id": 110,
+            "default": None,
+        },
+        {
             "name": "lower_bounds",
             "type": _opt(_id_map_schema("k126_v127", 126, 127, "bytes")),
             "field-id": 125,
@@ -386,7 +392,11 @@ def export_iceberg_metadata(
             total_rows += nrows
             lower = []
             upper = []
+            nulls = []
+            fnulls = (stats.get(f) or {}).get("__nulls__") or {}
             for col, (fid, itype) in ids.items():
+                if col in fnulls:
+                    nulls.append({"key": fid, "value": int(fnulls[col])})
                 mnmx = (stats.get(f) or {}).get(col)
                 if not mnmx:
                     continue
@@ -408,6 +418,7 @@ def export_iceberg_metadata(
                         "partition": {},
                         "record_count": nrows,
                         "file_size_in_bytes": fsize,
+                        "null_value_counts": nulls or None,
                         "lower_bounds": lower or None,
                         "upper_bounds": upper or None,
                     },
