@@ -178,6 +178,12 @@ _DATA_FILE_SCHEMA = {
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
         {
+            "name": "value_counts",
+            "type": _opt(_id_map_schema("k119_v120", 119, 120, "long")),
+            "field-id": 109,
+            "default": None,
+        },
+        {
             "name": "null_value_counts",
             "type": _opt(_id_map_schema("k121_v122", 121, 122, "long")),
             "field-id": 110,
@@ -393,10 +399,14 @@ def export_iceberg_metadata(
             lower = []
             upper = []
             nulls = []
+            vcounts = []
             fnulls = (stats.get(f) or {}).get("__nulls__") or {}
             for col, (fid, itype) in ids.items():
                 if col in fnulls:
                     nulls.append({"key": fid, "value": int(fnulls[col])})
+                    # spec value_counts = total values incl. nulls =
+                    # the file's record count for a flat column
+                    vcounts.append({"key": fid, "value": nrows})
                 mnmx = (stats.get(f) or {}).get(col)
                 if not mnmx:
                     continue
@@ -418,6 +428,7 @@ def export_iceberg_metadata(
                         "partition": {},
                         "record_count": nrows,
                         "file_size_in_bytes": fsize,
+                        "value_counts": vcounts or None,
                         "null_value_counts": nulls or None,
                         "lower_bounds": lower or None,
                         "upper_bounds": upper or None,

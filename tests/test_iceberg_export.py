@@ -90,6 +90,7 @@ def test_avro_manifest_schema_roundtrip():
             "partition": {},
             "record_count": 123,
             "file_size_in_bytes": 4567,
+            "value_counts": [{"key": 1, "value": 123}],
             "null_value_counts": [{"key": 1, "value": 7}],
             "lower_bounds": [{"key": 1, "value": b"\x01\x00\x00\x00"}],
             "upper_bounds": None,
