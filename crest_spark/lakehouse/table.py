@@ -1258,18 +1258,23 @@ class LakehouseTable:
         incremental scan enforces.
 
         ``cdf=True``: change-data-feed form (Delta's
-        ``readChangeFeed``). Output carries a ``_change_type`` column;
-        appended rows surface as ``insert`` and a merge/delete commit
-        made with ``change_feed=True`` contributes its staged
-        retractions + additions (update_preimage/update_postimage/
-        delete) instead of raising — history over an upsert table
-        becomes a signed row delta, which is what an incremental view
-        folds. Replaces without a staged change set still raise."""
+        ``readChangeFeed``). Output carries ``_change_type`` and
+        ``_commit_version`` columns; appended rows surface as
+        ``insert`` and a merge/delete/update commit made with
+        ``change_feed=True`` contributes its staged retractions +
+        additions (update_preimage/update_postimage/delete) instead of
+        raising — history over an upsert table becomes a signed row
+        delta, which is what an incremental view folds. The version
+        column comes from a broadcast file->version map joined on
+        ``input_file_name`` (one scan regardless of how many commits
+        the window spans). Replaces without a staged change set still
+        raise."""
         versions = [v for v in self.versions() if v > after]
         if upto is not None:
             versions = [v for v in versions if v <= upto]
         files: list[str] = []
         change_files: list[str] = []
+        ver_of: dict[str, int] = {}
         for v in versions:
             with open(self._version_file(v)) as fh:
                 d = json.load(fh)
@@ -1279,12 +1284,16 @@ class LakehouseTable:
                     continue  # rowset-preserving: empty delta
                 if cdf and dextra.get("change_files") is not None:
                     change_files.extend(dextra["change_files"])
+                    for f in dextra["change_files"]:
+                        ver_of[os.path.abspath(f)] = v
                     continue
                 raise ValueError(
                     f"incremental read across a replace commit (version {v}); "
                     "re-read the full snapshot instead"
                 )
             files.extend(d["files"])
+            for f in d["files"]:
+                ver_of[os.path.abspath(f)] = v
         schema = self.schema(upto)
         if not cdf:
             if not files:
@@ -1294,10 +1303,13 @@ class LakehouseTable:
                 .option("mergeSchema", "false")
                 .parquet(*files)
             )
-        from pyspark.sql.types import StringType
+        from pyspark.sql.types import LongType, StringType
 
         cdf_schema = StructType(
             schema.fields + [StructField("_change_type", StringType())]
+        )
+        out_schema = StructType(
+            cdf_schema.fields + [StructField("_commit_version", LongType())]
         )
         parts = []
         if files:
@@ -1314,11 +1326,19 @@ class LakehouseTable:
                 .parquet(*change_files)
             )
         if not parts:
-            return spark.createDataFrame([], cdf_schema)
+            return spark.createDataFrame([], out_schema)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        vmap = spark.createDataFrame(
+            [(f"file://{p}", v) for p, v in ver_of.items()],
+            "_cdf_path string, _commit_version long",
+        )
+        return (
+            out.withColumn("_cdf_path", F.input_file_name())
+            .join(F.broadcast(vmap), "_cdf_path", "left")
+            .drop("_cdf_path")
+        )
 
     # ------------------------------------------------------------------ refs
     @property

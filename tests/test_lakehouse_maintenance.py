@@ -966,3 +966,34 @@ def test_delete_drops_fully_matching_files_metadata_only(
     assert t.row_count() == n_total - (cutoff + 1)
     # time travel still sees the full table
     assert t.read(spark, version=v_before).count() == n_total
+
+
+def test_cdf_commit_version_attribution(spark, sf_dir, tmp_path):
+    """read_changes(cdf=True) stamps every change row with the commit
+    version it came from (Delta's _commit_version), via one scan + a
+    broadcast file->version map."""
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = _cat(tmp_path).get_or_create_table("nat_ver", nat.schema)
+    v_a = t.append(nat.where(F.col("n_nationkey") < 10))
+    v_b = t.append(nat.where(F.col("n_nationkey") >= 10))
+    t.merge(
+        spark,
+        nat.where(F.col("n_nationkey") < 5).withColumn(
+            "n_name", F.lower(F.col("n_name"))
+        ),
+        key="n_nationkey",
+        change_feed=True,
+    )
+    v_m = t.version()
+    feed = t.read_changes(spark, after=0, cdf=True)
+    by = {
+        (r["_commit_version"], r["_change_type"]): r["count"]
+        for r in feed.groupBy("_commit_version", "_change_type")
+        .count()
+        .collect()
+    }
+    assert by[(v_a, "insert")] == 10
+    assert by[(v_b, "insert")] == 15
+    assert by[(v_m, "update_preimage")] == 5
+    assert by[(v_m, "update_postimage")] == 5
+    assert feed.where(F.col("_commit_version").isNull()).count() == 0
