@@ -67,12 +67,13 @@ def _commit(log: str, version: int) -> dict:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, kind: str = "ins"):
+    def __init__(self, path: str, kind: str = "ins", version: int = 0):
         self.path = path
         # "ins": appended data file (rows surface as _change_type=insert
         # under readChangeFeed); "chg": staged change file (rows already
         # carry their _change_type)
         self.kind = kind
+        self.version = version  # commit version (readChangeFeed column)
 
 
 class CrestTableStreamReader(DataSourceStreamReader):
@@ -118,14 +119,15 @@ class CrestTableStreamReader(DataSourceStreamReader):
                     continue  # rowset-preserving: empty delta
                 if self.cdf and dextra.get("change_files") is not None:
                     parts.extend(
-                        _FilePartition(f, "chg") for f in dextra["change_files"]
+                        _FilePartition(f, "chg", v)
+                        for f in dextra["change_files"]
                     )
                     continue
                 raise ValueError(
                     f"crest_table stream hit a non-compaction replace at "
                     f"version {v}; restart the stream from a full read"
                 )
-            parts.extend(_FilePartition(f) for f in d["files"])
+            parts.extend(_FilePartition(f, "ins", v) for f in d["files"])
         return parts or [_FilePartition("")]
 
     def read(self, partition: _FilePartition) -> Iterator:  # executor-side
@@ -137,7 +139,11 @@ class CrestTableStreamReader(DataSourceStreamReader):
         is_chg = getattr(partition, "kind", "ins") == "chg"
         data_names = None
         if self.names is not None:
-            data_names = [n for n in self.names if n != "_change_type"]
+            data_names = [
+                n
+                for n in self.names
+                if n not in ("_change_type", "_commit_version")
+            ]
             if is_chg:
                 data_names.append("_change_type")
         for batch in pq.ParquetFile(partition.path).iter_batches():
@@ -162,16 +168,22 @@ class CrestTableStreamReader(DataSourceStreamReader):
             target = pa.schema(fields)
             if target != batch.schema:
                 batch = batch.cast(target)
-            if self.cdf and not is_chg:
-                # appended rows surface as inserts; change files already
-                # carry their _change_type
-                batch = pa.RecordBatch.from_arrays(
-                    list(batch.columns)
-                    + [pa.array(["insert"] * batch.num_rows, pa.string())],
-                    schema=batch.schema.append(
-                        pa.field("_change_type", pa.string())
-                    ),
+            if self.cdf:
+                cols = list(batch.columns)
+                sch = batch.schema
+                if not is_chg:
+                    # appended rows surface as inserts; change files
+                    # already carry their _change_type
+                    cols.append(
+                        pa.array(["insert"] * batch.num_rows, pa.string())
+                    )
+                    sch = sch.append(pa.field("_change_type", pa.string()))
+                ver = getattr(partition, "version", 0)
+                cols.append(
+                    pa.array([ver] * batch.num_rows, pa.int64())
                 )
+                sch = sch.append(pa.field("_commit_version", pa.int64()))
+                batch = pa.RecordBatch.from_arrays(cols, schema=sch)
             yield batch
 
     def commit(self, end: dict) -> None:
@@ -195,10 +207,14 @@ class CrestTableDataSource(DataSource):
         # every commit carries the full (possibly evolved) schema
         schema = StructType.fromJson(json.loads(_commit(log, vs[-1])["schema"]))
         if str(self.options.get("readchangefeed", "")).lower() == "true":
-            from pyspark.sql.types import StringType, StructField
+            from pyspark.sql.types import LongType, StringType, StructField
 
             schema = StructType(
-                schema.fields + [StructField("_change_type", StringType())]
+                schema.fields
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
             )
         return schema
 
