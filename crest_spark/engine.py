@@ -80,6 +80,25 @@ class Engine:
             reader = reader.option("readChangeFeed", "true")
         return reader.load()
 
+    def read_changes(
+        self,
+        name: str,
+        after: int,
+        upto: int | None = None,
+        namespace: str | None = None,
+        cdf: bool = False,
+    ) -> DataFrame:
+        """Incremental read of a lakehouse table's commits in
+        ``(after, upto]``; ``cdf=True`` returns the change-data-feed
+        form (``_change_type`` + ``_commit_version`` columns, merges/
+        deletes staged with ``change_feed=True`` included as
+        retractions). Requires a warehouse-backed engine."""
+        if self.catalog is None:
+            raise ValueError("read_changes requires an engine with a warehouse")
+        return self.catalog.table(name, namespace).read_changes(
+            self.spark, after=after, upto=upto, cdf=cdf
+        )
+
     def incremental_view(
         self,
         source: str,

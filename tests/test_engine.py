@@ -110,3 +110,20 @@ def test_engine_incremental_view(spark, sf_dir, tmp_path):
     )
     feed = eng.stream_table("nat", change_feed=True)
     assert "_change_type" in feed.schema.names
+
+
+def test_engine_read_changes(spark, sf_dir, tmp_path):
+    eng = Engine(spark, sf_dir=sf_dir, warehouse=str(tmp_path / "whrc"))
+    nat = eng.table("nation")
+    src = eng.catalog.get_or_create_table("natrc", nat.schema)
+    v1 = src.append(nat)
+    src.merge(
+        spark,
+        nat.withColumn("n_name", F.upper(F.col("n_name"))),
+        key="n_nationkey",
+        change_feed=True,
+    )
+    plain = eng.read_changes("natrc", after=0, upto=v1)
+    assert plain.count() == nat.count()
+    feed = eng.read_changes("natrc", after=0, cdf=True)
+    assert {"_change_type", "_commit_version"} <= set(feed.columns)

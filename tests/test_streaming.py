@@ -1055,3 +1055,30 @@ def test_ingest_upsert_change_feed_feeds_incremental_view(
     for k, (n, s) in exp.items():
         assert got[k][0] == n, (k, got[k], n)
         assert abs(got[k][1] - s) < 1e-6
+
+
+def test_ingest_derive_append_mode(spark, sf_dir, tmp_path):
+    """derive also applies in plain append mode: computed columns become
+    part of the pinned table schema on first write."""
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "region"), n_slices=2
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "whda"),
+        checkpoint_root=str(tmp_path / "ckptda"),
+        sources=[
+            SourceSpec(
+                name="region_tagged",
+                path=staging,
+                files_per_trigger=2,
+                derive={"name_len": "length(r_name)"},
+            )
+        ],
+        max_rows_per_batch=100_000,
+    )
+    IngestionService(spark, cfg).run_once()
+    from crest_spark.lakehouse import LakehouseCatalog
+
+    t = LakehouseCatalog(cfg.warehouse).table("region_tagged")
+    rows = {r["r_name"]: r["name_len"] for r in t.read(spark).collect()}
+    assert rows and all(v == len(k) for k, v in rows.items())
