@@ -431,3 +431,51 @@ def test_concurrent_mixed_workload_stress(spark, sf_dir, tmp_path):
     # the log is readable at every surviving version
     for v in t.versions():
         assert t.read(spark, version=v).count() >= 0
+
+
+def test_concurrent_cdf_merges_feed_folds_to_final_state(
+    spark, catalog, sf_dir
+):
+    """Two concurrent change-feed merges on different keys: the loser's
+    retry must RE-STAGE its change set from the re-read base (staging
+    happens inside the retry loop), so folding the full feed reproduces
+    the final snapshot exactly — a stale staged diff would double-count
+    or resurrect the winner's rows."""
+    src = load_table(spark, sf_dir, "region").cache()
+    src.count()
+    t = catalog.get_or_create_table("region_cdfrace", src.schema)
+    v0 = t.version()
+    t.append(src)
+    errors: list[Exception] = []
+
+    def merge_marked(keys, marker):
+        try:
+            upd = src.where(F.col("r_regionkey").isin(keys)).withColumn(
+                "r_name", F.lit(marker)
+            )
+            t.merge(spark, upd, key="r_regionkey", change_feed=True)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    th1 = threading.Thread(target=merge_marked, args=([0, 1], "M1"))
+    th2 = threading.Thread(target=merge_marked, args=([3, 4], "M2"))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errors
+    feed = t.read_changes(spark, after=v0, cdf=True).collect()
+    sign = {
+        "insert": 1,
+        "update_postimage": 1,
+        "update_preimage": -1,
+        "delete": -1,
+    }
+    net: dict[tuple, int] = {}
+    for r in feed:
+        k = (r["r_regionkey"], r["r_name"])
+        net[k] = net.get(k, 0) + sign[r["_change_type"]]
+    folded = {k for k, c in net.items() if c == 1}
+    assert not [c for c in net.values() if c not in (0, 1)]
+    current = {
+        (r["r_regionkey"], r["r_name"]) for r in t.read(spark).collect()
+    }
+    assert folded == current
+    src.unpersist()
