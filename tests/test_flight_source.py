@@ -606,3 +606,87 @@ def test_full_pipeline_flight_to_matview(spark, sf_dir, server, tmp_path):
             assert got[u][2] == want[u][2]
             assert abs(got[u][1] - want[u][1]) < 1e-6
     assert total == events.num_rows
+
+
+def test_full_pipeline_flight_upsert_cdf_to_matview(
+    spark, sf_dir, server, tmp_path
+):
+    """The CDC-shaped pipeline end to end: a Flight server publishes
+    out-of-order change waves, the ingestion service upserts them by key
+    (sequence-conditioned, change sets staged), and a downstream
+    incremental view folds the change feed — after every wave the view
+    equals a recompute over the upserted table."""
+    from pyspark.sql import functions as F
+
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.lakehouse.matview import AggSpec, IncrementalAggView
+    from crest_spark.streaming.ingest import (
+        IngestConfig,
+        IngestionService,
+        SourceSpec,
+    )
+
+    events = _events_us(sf_dir)
+    # wave 1: even event_ids; wave 2: ALL rows with bumped values (an
+    # update for every even key, an insert for every odd one)
+    import pyarrow.compute as pc
+
+    w1 = events.filter(pc.equal(pc.bit_wise_and(events["event_id"], 1), 0))
+    w2 = events.set_column(
+        events.schema.get_field_index("value"),
+        "value",
+        pc.add(events["value"], 100.0),
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "whf"),
+        checkpoint_root=str(tmp_path / "ckptf"),
+        sources=[
+            SourceSpec(
+                name="ev_latest",
+                flight_location=server.location,
+                flight_prefix="ev/",
+                files_per_trigger=4,
+                mode="upsert",
+                key="event_id",
+                sequence_col="ts",
+                change_feed=True,
+            )
+        ],
+        max_rows_per_batch=100_000,
+    )
+    catalog = LakehouseCatalog(str(tmp_path / "whf"))
+    view = IncrementalAggView(
+        catalog,
+        source="ev_latest",
+        name="ev_latest_agg",
+        group_by=["event_type"],
+        aggs={"n": AggSpec("count"), "s": AggSpec("sum", "value")},
+    )
+
+    def check(t):
+        want = {
+            r["event_type"]: (r["n"], round(r["s"], 6))
+            for r in t.read(spark)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        got = {
+            r["event_type"]: (r["n"], round(r["s"], 6))
+            for r in view.read(spark).collect()
+            if r["n"] > 0
+        }
+        assert got == want
+
+    server.publish("ev/tick-0000", w1)
+    IngestionService(spark, cfg).run_once()
+    view.refresh(spark)
+    check(catalog.table("ev_latest"))
+
+    server.publish("ev/tick-0001", w2)
+    IngestionService(spark, cfg).run_once()
+    t = catalog.table("ev_latest")
+    # table converged: one row per event, updated values won by sequence
+    assert t.read(spark).count() == events.num_rows
+    view.refresh(spark)
+    check(t)
