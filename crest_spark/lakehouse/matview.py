@@ -61,7 +61,7 @@ from crest_spark.lakehouse.table import LakehouseTable
 _KEY_COL = "__mv_key"
 _SUPPORTED = (
     "sum", "count", "min", "max", "avg", "approx_distinct",
-    "approx_percentile",
+    "approx_percentile", "approx_top_k",
 )
 
 
@@ -79,7 +79,18 @@ class AggSpec:
     (hi - lo) / buckets; values outside the configured range clamp to
     the edge buckets (their mass is counted, their position saturates).
     Pick [lo, hi) from domain knowledge — the contract every
-    fixed-range sketch (Prometheus histograms, HdrHistogram) makes."""
+    fixed-range sketch (Prometheus histograms, HdrHistogram) makes.
+
+    ``approx_top_k`` maintains a Misra-Gries counter summary (at most
+    ``top_k`` (token, count) entries) — the MERGEABLE heavy-hitters
+    sketch (Agarwal et al., "Mergeable Summaries"): two summaries
+    combine by adding shared counters, then subtracting the
+    (top_k+1)-th largest combined count and dropping non-positives.
+    Estimates undercount by at most N/(top_k+1) (N = total values
+    folded, tracked in a companion counter), and every token with true
+    count above that bound is guaranteed present. Like HLL (and unlike
+    the histogram), the summary is lossy-append-only: views holding one
+    are NOT retractable and read the plain append delta."""
 
     kind: str
     col: str | None = None
@@ -87,6 +98,7 @@ class AggSpec:
     lo: float = 0.0
     hi: float = 1.0
     buckets: int = 64
+    top_k: int = 32
 
 
 def _state_cols(name: str, spec: AggSpec) -> list[str]:
@@ -96,6 +108,8 @@ def _state_cols(name: str, spec: AggSpec) -> list[str]:
         return [f"{name}__hll"]
     if spec.kind == "approx_percentile":
         return [f"{name}__hist"]
+    if spec.kind == "approx_top_k":
+        return [f"{name}__mg", f"{name}__mgn"]
     return [name]
 
 
@@ -227,6 +241,8 @@ class IncrementalAggView:
                         .cast("long")
                         .alias(f"{out}__h{i}")
                     )
+            elif spec.kind == "approx_top_k":
+                continue  # built by _mg_partial and joined on the key
             else:  # avg -> (sum, count) state pair
                 exprs.append(F.sum(signed_val(spec.col)).alias(f"{out}__sum"))
                 exprs.append(
@@ -236,14 +252,104 @@ class IncrementalAggView:
                     .cast("long")
                     .alias(f"{out}__cnt")
                 )
-        df = delta.groupBy(*self.group_by).agg(*exprs)
+        mg_specs = {
+            out: spec
+            for out, spec in self.aggs.items()
+            if spec.kind == "approx_top_k"
+        }
+        if exprs:
+            df = delta.groupBy(*self.group_by).agg(*exprs)
+        else:  # only approx_top_k aggs: group rows come from distinct
+            df = delta.select(*self.group_by).distinct()
         for out, spec in self.aggs.items():
             if spec.kind == "approx_percentile":
                 pieces = [f"{out}__h{i}" for i in range(spec.buckets)]
                 df = df.withColumn(
                     f"{out}__hist", F.array(*[F.col(c) for c in pieces])
                 ).drop(*pieces)
-        return df.withColumn(_KEY_COL, self._key_expr())
+        df = df.withColumn(_KEY_COL, self._key_expr())
+        for out, spec in mg_specs.items():
+            df = df.join(self._mg_partial(delta, out, spec), _KEY_COL, "left")
+        return df
+
+    def _mg_partial(self, delta: DataFrame, out: str, spec: AggSpec) -> DataFrame:
+        """Misra-Gries summary of one delta, per group: exact (group,
+        token) counts -> top-K with the (K+1)-th count subtracted — a
+        valid MG summary of the delta (undercount <= delta_N/(K+1)),
+        plus the delta's total token mass for the error bound. All work
+        is proportional to the delta; the only wide state is K structs
+        per group."""
+        from pyspark.sql.window import Window
+
+        K = spec.top_k
+        keyed = delta.withColumn(_KEY_COL, self._key_expr())
+        tok = F.col(spec.col).cast("string")
+        exact = (
+            keyed.where(tok.isNotNull())
+            .groupBy(_KEY_COL, tok.alias("__tok"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = Window.partitionBy(_KEY_COL).orderBy(
+            F.desc("__c"), F.asc("__tok")
+        )
+        ranked = exact.withColumn("__rn", F.row_number().over(w))
+        kth = ranked.where(F.col("__rn") == K + 1).select(
+            _KEY_COL, F.col("__c").alias("__kth")
+        )
+        top = (
+            ranked.where(F.col("__rn") <= K)
+            .join(kth, _KEY_COL, "left")
+            .withColumn("__cp", F.col("__c") - F.coalesce("__kth", F.lit(0)))
+            .where(F.col("__cp") > 0)
+        )
+        summary = top.groupBy(_KEY_COL).agg(
+            F.expr(
+                "array_sort(collect_list(named_struct('k', __tok, 'c', __cp)),"
+                " (l, r) -> CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1"
+                " WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1 ELSE 0 END)"
+            ).alias(f"{out}__mg")
+        )
+        totals = exact.groupBy(_KEY_COL).agg(
+            F.sum("__c").cast("long").alias(f"{out}__mgn")
+        )
+        # a group can have mass but NO surviving counters (uniform tail:
+        # every count cancels against the (K+1)-th) — that's an EMPTY
+        # summary, not a missing one
+        return totals.join(summary, _KEY_COL, "left").withColumn(
+            f"{out}__mg",
+            F.coalesce(
+                F.col(f"{out}__mg"),
+                F.expr("CAST(array() AS array<struct<k:string,c:bigint>>)"),
+            ),
+        )
+
+    @staticmethod
+    def _mg_merge_expr(new: str, old: str, k: int) -> str:
+        """SQL merging two MG summaries (arrays of (k, c) structs):
+        combine counts per key, subtract the (K+1)-th largest combined
+        count, drop non-positives — the mergeable-summaries rule. All
+        HOFs over <= 2K entries per group row."""
+        allv = f"concat({new}, {old})"
+        summed = (
+            f"transform(array_distinct(transform({allv}, x -> x.k)),"
+            f" kk -> named_struct('k', kk,"
+            f" 'c', aggregate(filter({allv}, x -> x.k = kk), 0L,"
+            f" (a, x) -> a + x.c)))"
+        )
+        srt = (
+            f"array_sort({summed},"
+            f" (l, r) -> CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1"
+            f" WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1 ELSE 0 END)"
+        )
+        return (
+            f"CASE WHEN {old} IS NULL THEN {new}"
+            f" WHEN {new} IS NULL THEN {old}"
+            f" ELSE filter(transform(slice({srt}, 1, {k}),"
+            f" s -> named_struct('k', s.k,"
+            f" 'c', s.c - CASE WHEN size({srt}) > {k}"
+            f" THEN element_at({srt}, {k + 1}).c ELSE 0L END)),"
+            f" x -> x.c > 0) END"
+        )
 
     def _combine(self, partial: DataFrame, current: DataFrame) -> DataFrame:
         """Fold delta partials into existing states for the SAME groups.
@@ -274,7 +380,11 @@ class IncrementalAggView:
                     expr = F.when(old.isNull(), new).otherwise(
                         F.zip_with(new, old, lambda a, b: a + b)
                     )
-                else:  # sum / count / avg states are additive
+                elif spec.kind == "approx_top_k" and c.endswith("__mg"):
+                    expr = F.expr(
+                        self._mg_merge_expr(c, f"__cur_{c}", spec.top_k)
+                    )
+                else:  # sum / count / avg / mg-total states are additive
                     expr = new + F.coalesce(old, F.lit(0))
                 # least/greatest ignore NULL only via coalesce fallback
                 merged.append(F.coalesce(expr, new, old).alias(c))
@@ -362,6 +472,16 @@ class IncrementalAggView:
                 )
             elif spec.kind == "approx_percentile":
                 outs.append(self._percentile_expr(out, spec).alias(out))
+            elif spec.kind == "approx_top_k":
+                # count-descending (token, count) structs + the sketch's
+                # max undercount (N / (K+1)) so consumers can threshold
+                outs.append(F.col(f"{out}__mg").alias(out))
+                outs.append(
+                    (
+                        F.col(f"{out}__mgn")
+                        / F.lit(float(spec.top_k + 1))
+                    ).alias(f"{out}_err")
+                )
             else:
                 outs.append(F.col(out))
         return df.select(*self.group_by, *outs)

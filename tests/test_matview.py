@@ -592,3 +592,51 @@ def test_view_refresh_across_source_schema_evolution(spark, catalog, sf_dir):
         if r["n"] > 0
     }
     assert got == exp
+
+
+def test_approx_top_k_misra_gries_state(spark, catalog):
+    """Mergeable heavy-hitters state: a skewed token stream folded over
+    two refreshes must keep every true heavy token (count > N/(K+1))
+    with an estimate in [true - N/(K+1), true], per group."""
+    import collections
+
+    K = 16
+    rows = []
+    for i in range(6000):
+        grp = "g%d" % (i % 2)
+        # 7 heavy tokens (~n/14 hits each) over a long singleton tail
+        tok = "hot%d" % (i % 7) if i % 2 == 0 else "cold%d" % i
+        rows.append((i, grp, tok))
+    df = spark.createDataFrame(rows, ["id", "grp", "tok"])
+    src = catalog.get_or_create_table("mgsrc", df.schema)
+    view = IncrementalAggView(
+        catalog,
+        source="mgsrc",
+        name="mgview",
+        group_by=["grp"],
+        aggs={"top_toks": AggSpec("approx_top_k", "tok", top_k=K)},
+    )
+    src.append(df.where(F.col("id") < 3000))
+    view.refresh(spark)
+    src.append(df.where(F.col("id") >= 3000))
+    view.refresh(spark)
+
+    true_counts: dict[str, collections.Counter] = {}
+    n_per_group: dict[str, int] = {}
+    for _, grp, tok in rows:
+        true_counts.setdefault(grp, collections.Counter())[tok] += 1
+        n_per_group[grp] = n_per_group.get(grp, 0) + 1
+
+    out = {r["grp"]: r for r in view.read(spark).collect()}
+    assert set(out) == set(true_counts)
+    for grp, r in out.items():
+        assert len(r["top_toks"]) <= K
+        bound = n_per_group[grp] / (K + 1)
+        assert abs(r["top_toks_err"] - bound) < 1e-9
+        est = {e["k"]: e["c"] for e in r["top_toks"]}
+        for tok, true_c in true_counts[grp].items():
+            if true_c > bound:  # guaranteed present
+                assert tok in est, (grp, tok, true_c, bound)
+            if tok in est:
+                assert est[tok] <= true_c
+                assert true_c - est[tok] <= bound + 1e-9
