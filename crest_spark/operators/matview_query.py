@@ -247,3 +247,93 @@ def mv_cdc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_MG_K = 8
+
+
+def _duck_mg_wave(pred: str) -> str:
+    """DuckDB MG summary of one ingestion wave: exact (group, token)
+    counts -> top-K by (count desc, token) with the (K+1)-th count
+    subtracted, positives kept — exactly IncrementalAggView's
+    _mg_partial."""
+    return f"""
+        SELECT r.g, r.t, r.c - COALESCE(k1.kth, 0) AS c
+        FROM (
+            SELECT g, t, c,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, t) AS rn
+            FROM (SELECT event_type AS g, CAST(user_id AS VARCHAR) AS t,
+                         COUNT(*) AS c
+                  FROM events WHERE {pred} GROUP BY 1, 2)
+        ) r
+        LEFT JOIN (
+            SELECT g, c AS kth
+            FROM (
+                SELECT g, c,
+                       ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, t)
+                           AS rn
+                FROM (SELECT event_type AS g, CAST(user_id AS VARCHAR) AS t,
+                             COUNT(*) AS c
+                      FROM events WHERE {pred} GROUP BY 1, 2)
+            ) WHERE rn = {_MG_K + 1}
+        ) k1 ON r.g = k1.g
+        WHERE r.rn <= {_MG_K} AND r.c - COALESCE(k1.kth, 0) > 0
+    """
+
+
+@register(
+    "mv_topk_rollup",
+    oracle=f"""
+        WITH s1 AS ({_duck_mg_wave("event_id % 2 = 0")}),
+        s2 AS ({_duck_mg_wave("event_id % 2 = 1")}),
+        m AS (
+            SELECT COALESCE(s1.g, s2.g) AS g, COALESCE(s1.t, s2.t) AS t,
+                   COALESCE(s1.c, 0) + COALESCE(s2.c, 0) AS c
+            FROM s1 FULL JOIN s2 ON s1.g = s2.g AND s1.t = s2.t
+        ),
+        r AS (
+            SELECT g, t, c,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, t) AS rn
+            FROM m
+        ),
+        kth AS (SELECT g, c AS kc FROM r WHERE rn = {_MG_K + 1})
+        SELECT r.g AS event_type, r.t AS token,
+               CAST(r.c - COALESCE(kth.kc, 0) AS BIGINT) AS est
+        FROM r LEFT JOIN kth ON r.g = kth.g
+        WHERE r.rn <= {_MG_K} AND r.c - COALESCE(kth.kc, 0) > 0
+        ORDER BY event_type, token
+    """,
+    tags=("lakehouse", "matview", "sketch"),
+)
+def mv_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter continuous aggregate maintained INCREMENTALLY as
+    Misra-Gries counter state over two ingestion waves; the oracle
+    replays the identical summarize-then-merge algebra in SQL, so the
+    hash gate certifies the sketch merge rule end to end. Deterministic
+    because every rank and merge step tie-breaks on (count desc,
+    token asc) in both engines."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_mg_"))
+    src = cat.get_or_create_table("events_mg", events.schema)
+    view = IncrementalAggView(
+        cat,
+        source="events_mg",
+        name="events_topk",
+        group_by=["event_type"],
+        aggs={"top_users": AggSpec("approx_top_k", "user_id", top_k=_MG_K)},
+    )
+    for wave in range(2):
+        src.append(events.where(F.col("event_id") % 2 == wave))
+        view.refresh(spark)
+    return (
+        view.read(spark)
+        .select("event_type", F.explode("top_users").alias("e"))
+        .select(
+            "event_type",
+            F.col("e.k").alias("token"),
+            F.col("e.c").cast("long").alias("est"),
+        )
+        .orderBy("event_type", "token")
+    )
