@@ -337,3 +337,58 @@ def mv_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "token")
     )
+
+
+@register(
+    "lake_retention_delete",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(event_id) AS BIGINT) AS min_id,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        WHERE event_id > CAST((SELECT 0.4 * COUNT(*) FROM events) AS BIGINT)
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("lakehouse", "delete", "retention"),
+)
+def lake_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention delete under the hash gate: events land range-clustered
+    (many small files with tight event_id bounds), a retention cutoff
+    deletes the oldest 40%, and the surviving table must hash-equal the
+    SQL filter. The clustered layout makes most of the delete
+    METADATA-ONLY — files whose stats prove every row matches are
+    dropped unread (asserted here: at least one file must take that
+    path, so the driver gate also certifies the all-match proof logic,
+    null counts included)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n = events.count()
+    cutoff = int(0.4 * n)  # event_ids are 0..n-1 dense in the fixture
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_ret_"))
+    src = cat.get_or_create_table("events_ret", events.schema)
+    src.append(
+        events, cluster_by=["event_id"], max_rows_per_file=max(50, n // 10)
+    )
+    src.delete(spark, {"event_id": (None, cutoff)})
+    dropped = src.snapshots()[-1].extra.get("dropped_files", 0)
+    if dropped < 1:  # the scale contract IS the point of this query
+        raise AssertionError(
+            f"retention delete dropped {dropped} files; expected the "
+            "clustered layout to make part of it metadata-only"
+        )
+    return (
+        src.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("event_id").cast("long").alias("min_id"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
