@@ -1121,3 +1121,71 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "span_start", "span_end", "n_windows")
         .orderBy("doc_id", "span_start")
     )
+
+
+@register(
+    "dedup_remove_spans",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        wins AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(t[i : i + {_SPAN_W} - 1], ' ')) AS wkey
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(t) - {_SPAN_W} + 1)) AS i)
+            WHERE len(t) >= {_SPAN_W}
+        ),
+        dup AS (SELECT wkey FROM wins GROUP BY wkey HAVING COUNT(*) >= 2),
+        d AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wkey)),
+        isl AS (SELECT doc_id, pos,
+                       pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM d),
+        spans AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + {_SPAN_W} - 1 AS b
+                  FROM isl GROUP BY doc_id, g),
+        sp AS (SELECT doc_id, list(struct_pack(a := a, b := b)) AS ss
+               FROM spans GROUP BY doc_id)
+        SELECT tk.doc_id,
+               COALESCE(array_to_string(
+                 list_filter(tk.t, (x, i) ->
+                   len(list_filter(sp.ss, s -> s.a <= i AND i <= s.b)) = 0),
+                 ' '), '') AS cleaned_text,
+               CAST(len(tk.t) - len(list_filter(tk.t, (x, i) ->
+                   len(list_filter(sp.ss, s -> s.a <= i AND i <= s.b)) = 0))
+                   AS BIGINT) AS n_removed
+        FROM toks tk JOIN sp ON tk.doc_id = sp.doc_id
+        ORDER BY tk.doc_id
+    """,
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION to substring-span detection: rewrite each affected
+    document with its duplicated spans cut out (the Lee et al. 2022
+    removal step), returning (doc_id, cleaned_text, n_removed) for docs
+    that changed. Detection reuses ``dedup_substring_spans``'s plan;
+    removal is a broadcast-friendly join of span lists back onto the
+    token arrays plus one row-local filter-by-position — the spans side
+    is tiny (only duplicated regions), so at 100 TB this is a map-side
+    join over one corpus scan."""
+    spans = dedup_substring_spans(spark, sf_dir)
+    sp = spans.groupBy("doc_id").agg(
+        F.expr(
+            "collect_list(named_struct('a', span_start, 'b', span_end))"
+        ).alias("ss")
+    )
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    joined = toks.join(sp, "doc_id")
+    kept = (
+        "filter(t, (x, i) -> "
+        "NOT exists(ss, s -> s.a <= i + 1 AND i + 1 <= s.b))"
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.expr(f"array_join({kept}, ' ')").alias("cleaned_text"),
+            F.expr(f"CAST(size(t) - size({kept}) AS BIGINT)").alias(
+                "n_removed"
+            ),
+        )
+        .orderBy("doc_id")
+    )
