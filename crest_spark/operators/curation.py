@@ -662,3 +662,65 @@ def curation_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shuffle_pos")
     )
+
+
+@register(
+    "curation_oversample",
+    oracle="""
+        WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        mx AS (SELECT MAX(n) AS m FROM c),
+        r AS (SELECT lang, CAST(m AS DOUBLE) / n AS rate FROM c CROSS JOIN mx),
+        d AS (
+            SELECT d0.doc_id, d0.lang,
+                   CAST(FLOOR(rate) AS BIGINT) +
+                   CASE WHEN substring(md5(CAST(d0.doc_id AS VARCHAR)), 1, 4) <
+                        lower(lpad(to_hex(CAST(FLOOR((rate - FLOOR(rate))
+                            * 65536) AS BIGINT)), 4, '0'))
+                   THEN 1 ELSE 0 END AS copies
+            FROM documents d0 JOIN r USING (lang)
+        )
+        SELECT doc_id, lang, CAST(copy_id AS BIGINT) AS copy_id
+        FROM d, LATERAL (SELECT unnest(generate_series(1, copies)) AS copy_id)
+        ORDER BY doc_id, copy_id
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def curation_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UPsampling toward the largest stratum — the
+    complement of domain-mix down-sampling: every language is replicated
+    to match the biggest one's count in expectation. Each doc gets
+    floor(rate) copies plus one more iff its md5 fraction falls under
+    the fractional part — reproducible across engines/reruns (seeded
+    hash, not rand()), so epochs see a stable corpus.
+
+    Plan: rates are a two-pass count -> broadcast (one tiny dim), the
+    copy decision is row-local, and replication is one explode — output
+    rows scale with the TARGET corpus size, the inherent cost of
+    materialized oversampling. (Real pipelines often keep (doc, weight)
+    instead; the explode form is what a packing/shuffle stage consumes.)
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mx = counts.agg(F.max("n").alias("m"))
+    rates = counts.crossJoin(F.broadcast(mx)).select(
+        "lang", (F.col("m").cast("double") / F.col("n")).alias("rate")
+    )
+    joined = d.join(F.broadcast(rates), "lang")
+    frac_hex = (
+        "lower(lpad(hex(CAST(FLOOR((rate - FLOOR(rate)) * 65536) AS BIGINT))"
+        ", 4, '0'))"
+    )
+    copies = F.expr(
+        f"CAST(FLOOR(rate) AS BIGINT) + CASE WHEN "
+        f"substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 4)"
+        f" < {frac_hex} THEN 1 ELSE 0 END"
+    )
+    return (
+        joined.withColumn("copies", copies)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr("sequence(1L, copies)")).alias("copy_id"),
+        )
+        .orderBy("doc_id", "copy_id")
+    )
