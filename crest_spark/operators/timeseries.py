@@ -48,10 +48,14 @@ _SESSION_SQL = """
     ),
     sess AS (
         SELECT user_id, event_id, ts_s,
-               SUM(new_sess) OVER (
+               -- CAST: DuckDB types a window SUM over integers as HUGEINT
+               -- (int128), which Arrow/pandas render as decimal128/float64 —
+               -- numerically equal to Spark's int64 but serialized-hash
+               -- different. BIGINT keeps both engines on int64.
+               CAST(SUM(new_sess) OVER (
                    PARTITION BY user_id ORDER BY ts_s, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM marked
     )
     SELECT user_id, session_id,

@@ -462,8 +462,8 @@ _HIGH = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
         SELECT CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'fast'
                     WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'medium'
                     ELSE 'slow' END AS ship_class,
-               SUM(CASE WHEN {_HIGH} THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN {_HIGH} THEN 0 ELSE 1 END) AS low_line_count
+               CAST(SUM(CASE WHEN {_HIGH} THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN {_HIGH} THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         GROUP BY 1
         ORDER BY ship_class

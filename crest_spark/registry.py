@@ -150,11 +150,34 @@ def load_all() -> dict[str, QuerySpec]:
 
 
 # Queries already driver-checked in earlier rounds (union of the
-# CORRECTNESS_r01..r03 row names) — static rotation memory so that each
+# CORRECTNESS_r01..r04 row names) — static rotation memory so that each
 # round's fixed-size driver prefix lands on a fresh slab of the registry
 # instead of re-checking the same representatives every round.
 _DRIVER_CHECKED: frozenset[str] = frozenset(
     {
+        # --- round 4 (CORRECTNESS_r04.json: 47 oracle-green + 2 rows-only
+        # by design; q33_sessionize deliberately ABSENT again — its r4 row
+        # was hash-red from the now-fixed HUGEINT oracle cast, so it must
+        # rotate back into the r5 prefix to show green) ---
+        "curation_chunk_documents", "curation_decontaminate",
+        "curation_domain_mix", "curation_pii_scrub", "curation_shuffle_order",
+        "dedup_canonical", "dedup_embedding_ann", "dedup_embedding_components",
+        "dedup_remove_spans", "dedup_substring_spans", "lake_retention_delete",
+        "multimodal_audio_chunks", "multimodal_audio_chunks_real",
+        "multimodal_audio_decode", "multimodal_image_decode",
+        "multimodal_image_resize", "mv_cdc_fold", "mv_hourly_rollup",
+        "mv_percentile_rollup", "mv_topk_rollup", "q05b_shuffle_hash_join",
+        "q11b_window_zoo", "q14d_intersect_all", "q14e_except_all",
+        "q15e_unpivot", "q16d_null_zoo", "q24e_correlated_max",
+        "q25_deterministic_sample", "q26_misc_aggs", "q26b_string_agg",
+        "q26c_filtered_aggs", "q28d_top_supplier", "q28e_big_orders",
+        "q28f_promo_share", "q29_lateral_topk", "q38_revenue_forecast",
+        "q39_market_share", "q40_returned_items", "q41_important_parts",
+        "stats_histogram", "stats_percentiles", "stream_dedup_counts",
+        "stream_static_join", "stream_stream_join", "text_heavy_hitters",
+        "text_repetition", "text_unigram_nll", "text_word_counts",
+        "udtf_ngrams",
+        # --- rounds 1-3 ---
         "ann_brute_topk", "ann_ivf_topk", "ann_lsh_topk",
         "curation_pack_sequences", "curation_stratified_sample",
         "curation_train_split", "dedup_components",
@@ -179,10 +202,6 @@ _DRIVER_CHECKED: frozenset[str] = frozenset(
         "q24b_correlated_scalar", "q24c_in_subquery", "q24d_cte",
         "q27_having", "q28_profit_by_nation_year",
         "q28b_order_count_distribution", "q28c_volume_shipping",
-        # q33_sessionize is deliberately ABSENT: its r3 driver row was red
-        # (hash mismatch, unreproduced in 3 judge replications), so it must
-        # rotate back into the next driver prefix to show the hardened
-        # epoch path green — rotation memory tracks GREEN checks only.
         "q34_gapfill", "q34b_gapfill_interpolate",
         "q35_min_acctbal_supplier", "q36_priority_count",
         "q37_local_supplier_volume", "q46_multires_rollup",

@@ -55,6 +55,35 @@ def test_rows_only_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_type_hygiene(duck, name):
+    """No oracle may emit HUGEINT/UHUGEINT or an un-Spark-representable
+    DECIMAL column (VERDICT r4 #2): DuckDB types integer window/CASE SUMs
+    as HUGEINT (int128), which Arrow/pandas render as decimal128/float64 —
+    numerically equal to Spark's int64 but serialized-hash DIFFERENT, so
+    the driver's hash gate goes red while row comparison stays green (the
+    q33/q42 incident). ``LIMIT 0`` type inspection catches it statically
+    for every registered oracle, present and future."""
+    spec = SPECS[name]
+    rel = duck.sql(f"SELECT * FROM ({spec.oracle}) LIMIT 0")
+    banned = {"HUGEINT", "UHUGEINT"}
+    for col, typ in zip(rel.columns, map(str, rel.types)):
+        assert typ not in banned, (
+            f"{name}: oracle column {col!r} is {typ} — wrap it in "
+            f"CAST(... AS BIGINT) so the driver hash matches Spark's int64"
+        )
+        if typ.startswith("DECIMAL"):
+            # DECIMAL is fine only when the Spark side emits decimal too
+            # (matching scale); flag wide sums that Spark would emit as
+            # int64/double. Precision >38 can't exist in Spark at all.
+            import re
+
+            m = re.match(r"DECIMAL\((\d+),(\d+)\)", typ)
+            assert m and int(m.group(1)) <= 38, (
+                f"{name}: oracle column {col!r} is {typ}, not Spark-representable"
+            )
+
+
 def test_events_epoch_bit_equality(spark, duck, sf_dir):
     """The q33 hash-robustness anchor (VERDICT r3 #1): the integer-second
     epoch every time-series oracle keys on must be BIT-identical across
