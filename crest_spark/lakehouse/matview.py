@@ -145,6 +145,10 @@ class IncrementalAggView:
                     raise ValueError(f"aggregate {out}: needs hi > lo")
                 if spec.buckets < 2:
                     raise ValueError(f"aggregate {out}: needs buckets >= 2")
+            if spec.kind == "approx_top_k" and spec.top_k < 1:
+                # top_k=0 would make _mg_partial subtract the rank-1 count
+                # from everything: a permanently empty summary, silently
+                raise ValueError(f"aggregate {out}: needs top_k >= 1")
         self.catalog = catalog
         self.source: LakehouseTable = catalog.table(source, namespace)
         self.name = name

@@ -128,6 +128,13 @@ def _stats_all_match(fstats: dict, predicates: dict[str, tuple]) -> bool:
         if nulls.get(col) != 0:
             return False  # has NULLs, or null count unknown
         mn, mx = fstats[col]
+        if isinstance(mn, float) or isinstance(mx, float):
+            # Float/double column: parquet writers skip NaN when computing
+            # min/max (PARQUET-1222), so stats can "prove" [min,max] ⊆
+            # [lo,hi] while NaN rows are present — and in Spark semantics
+            # NaN sorts above everything and fails col <= hi. Without
+            # per-file NaN counts there is no all-match proof; refuse it.
+            return False
         try:
             if lo is not None and mn < lo:
                 return False
@@ -248,8 +255,17 @@ def _stats_admit(fstats: dict[str, list], predicates: dict[str, tuple]) -> bool:
             continue
         if col in fstats:
             mn, mx = fstats[col]
+            # NaN safety (same PARQUET-1222 skew as _stats_all_match): a
+            # float column's max skips NaN, and Spark's NaN sorts ABOVE all
+            # values — so "mx < lo" cannot prove exclusion for a
+            # lower-bound-only predicate (a hidden NaN row satisfies
+            # col >= lo). With an upper bound present the NaN row fails
+            # col <= hi anyway, and "mn > hi" is NaN-safe in all cases.
+            lo_proof_ok = hi is not None or not isinstance(mx, float)
             try:
-                if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                if (lo is not None and lo_proof_ok and mx < lo) or (
+                    hi is not None and mn > hi
+                ):
                     return False
             except TypeError:
                 pass  # bound/stat type mismatch: cannot prove exclusion
@@ -936,6 +952,14 @@ class LakehouseTable:
                 )
             commit_extra = extra
             if change_feed:
+                # Pin the merged rowset before it is read twice (once by
+                # _stage_changes, once by overwrite): a non-deterministic
+                # updates plan (rand()/uuid()/re-read external source)
+                # would otherwise produce a staged feed that diverges from
+                # the committed rows. localCheckpoint materializes the
+                # touched region once — same O(touched files) class as the
+                # rewrite itself, and only on the change-feed path.
+                merged = merged.localCheckpoint(eager=True)
                 # staged before the commit attempt; a lost race leaves the
                 # files orphaned under changes/ where vacuum reclaims them
                 commit_extra = dict(extra or {})
@@ -1334,8 +1358,17 @@ class LakehouseTable:
             [(f"file://{p}", v) for p, v in ver_of.items()],
             "_cdf_path string, _commit_version long",
         )
+        # input_file_name() returns a percent-encoded URI (space -> %20,
+        # non-ASCII -> UTF-8 escapes); the map side holds raw paths, so
+        # decode the Spark side before joining or any warehouse path with
+        # such characters silently leaves _commit_version NULL. url_decode
+        # is form-decoding ('+' -> space), so shield literal '+' first —
+        # Java's URI encoder never emits a bare '+' for anything else.
+        decoded = F.url_decode(
+            F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+        )
         return (
-            out.withColumn("_cdf_path", F.input_file_name())
+            out.withColumn("_cdf_path", decoded)
             .join(F.broadcast(vmap), "_cdf_path", "left")
             .drop("_cdf_path")
         )

@@ -348,7 +348,7 @@ def mv_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)
                    AS sum_value
         FROM events
-        WHERE event_id > CAST((SELECT 0.4 * COUNT(*) FROM events) AS BIGINT)
+        WHERE event_id > CAST((SELECT (4 * COUNT(*)) // 10 FROM events) AS BIGINT)
         GROUP BY event_type
         ORDER BY event_type
     """,
@@ -367,7 +367,9 @@ def lake_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     n = events.count()
-    cutoff = int(0.4 * n)  # event_ids are 0..n-1 dense in the fixture
+    # exact integer math, mirrored by the oracle's (4*COUNT(*))//10 —
+    # float 0.4*n can floor one off from DECIMAL math near multiples of 5
+    cutoff = (4 * n) // 10  # event_ids are 0..n-1 dense in the fixture
     cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_ret_"))
     src = cat.get_or_create_table("events_ret", events.schema)
     src.append(

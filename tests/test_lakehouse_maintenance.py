@@ -4,6 +4,7 @@ append-only committer lacks."""
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import functions as F
@@ -997,3 +998,114 @@ def test_cdf_commit_version_attribution(spark, sf_dir, tmp_path):
     assert by[(v_m, "update_preimage")] == 5
     assert by[(v_m, "update_postimage")] == 5
     assert feed.where(F.col("_commit_version").isNull()).count() == 0
+
+
+def test_stats_proofs_are_nan_safe_unit():
+    """Parquet min/max stats are unreliable for float columns with NaN
+    (PARQUET-1222: some writers skip NaN, parquet-mr puts NaN IN the
+    max) while Spark sorts NaN above everything — so neither the
+    all-match drop proof nor the lower-bound-only exclusion proof may
+    fire on float stats."""
+    from crest_spark.lakehouse.table import _stats_admit, _stats_all_match
+
+    # skipped-NaN writer shape: recorded max 44.0, hidden NaN rows.
+    fstats = {"v": [0.0, 44.0], "__nulls__": {"v": 0}}
+    # all-match: [0, 44] inside (None, 1e9] — but a NaN row fails
+    # v <= 1e9, so the proof must be refused for float stats
+    assert not _stats_all_match(fstats, {"v": (None, 1e9)})
+    # admit: max 44 < lo 50, but a hidden NaN row satisfies v >= 50
+    # (NaN sorts above all values) — no exclusion without an upper bound
+    assert _stats_admit(fstats, {"v": (50.0, None)})
+    # with an upper bound the NaN row fails v <= hi anyway: exclusion ok
+    assert not _stats_admit(fstats, {"v": (50.0, 60.0)})
+    # upper-direction proof (min > hi) is NaN-safe in all cases
+    assert not _stats_admit(fstats, {"v": (None, -1.0)})
+    # integer stats keep the full proof power
+    istats = {"k": [0, 44], "__nulls__": {"k": 0}}
+    assert _stats_all_match(istats, {"k": (0, 100)})
+    assert not _stats_admit(istats, {"k": (50, None)})
+
+
+def test_delete_keeps_nan_rows_on_float_predicates(spark, tmp_path):
+    """End-to-end ADVICE r4 regression: a range delete on a double
+    column must not metadata-drop files that contain NaN rows — NaN
+    fails v <= hi under Spark semantics, so those rows survive the
+    delete even when the file's recorded [min, max] sits inside the
+    range."""
+    rows = [(i, float(i)) for i in range(95)] + [
+        (95 + j, float("nan")) for j in range(5)
+    ]
+    df = spark.createDataFrame(rows, "id int, v double")
+    t = _cat(tmp_path).get_or_create_table("nan_ret", df.schema)
+    t.append(df, cluster_by=["v"], max_rows_per_file=25)
+    t.delete(spark, {"v": (None, 1e9)})
+    # no metadata-only drop is provable on a float predicate column
+    assert t.snapshots()[-1].extra.get("dropped_files", 0) == 0
+    out = t.read(spark).collect()
+    assert len(out) == 5
+    assert all(math.isnan(r["v"]) for r in out)
+    # and a lower-bound-only delete must REMOVE the NaN rows (NaN >= lo)
+    t2 = _cat(tmp_path).get_or_create_table("nan_lo", df.schema)
+    t2.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(45)]
+            + [(45 + j, float("nan")) for j in range(5)],
+            "id int, v double",
+        )
+    )
+    t2.delete(spark, {"v": (50.0, None)})
+    rem = t2.read(spark).collect()
+    assert len(rem) == 45
+    assert not any(math.isnan(r["v"]) for r in rem)
+
+
+def test_merge_change_feed_consistent_with_nondeterministic_updates(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r4 regression: merge(change_feed=True) evaluates the
+    merged plan for staging AND for the commit — with a
+    non-deterministic updates plan (rand()) the staged postimages must
+    still equal the committed rows exactly (the plan is pinned via
+    localCheckpoint before either read)."""
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .withColumn("score", F.lit(0.0))
+    )
+    t = _cat(tmp_path).get_or_create_table("nat_rand", nat.schema)
+    t.append(nat)
+    updates = (
+        nat.where(F.col("n_nationkey") < 10)
+        .withColumn("score", F.rand(seed=None))  # fresh randomness per eval
+    )
+    t.merge(spark, updates, key="n_nationkey", change_feed=True)
+    post = {
+        r["n_nationkey"]: r["score"]
+        for r in t.read_changes(spark, after=t.version() - 1, cdf=True)
+        .where(F.col("_change_type") == "update_postimage")
+        .collect()
+    }
+    committed = {
+        r["n_nationkey"]: r["score"]
+        for r in t.read(spark).where(F.col("n_nationkey") < 10).collect()
+    }
+    assert post == committed
+
+
+def test_cdf_version_attribution_with_space_in_path(spark, sf_dir, tmp_path):
+    """ADVICE r4 regression: input_file_name() returns a percent-encoded
+    URI, so a warehouse path containing spaces (or non-ASCII) must still
+    join against the file->version map instead of leaving
+    _commit_version NULL."""
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cat = LakehouseCatalog(str(tmp_path / "ware house é" / "wh"))
+    t = cat.get_or_create_table("nat sp", nat.schema)
+    v1 = t.append(nat.where(F.col("n_nationkey") < 10))
+    v2 = t.append(nat.where(F.col("n_nationkey") >= 10))
+    feed = t.read_changes(spark, after=0, cdf=True)
+    assert feed.where(F.col("_commit_version").isNull()).count() == 0
+    got = {
+        r["_commit_version"]: r["count"]
+        for r in feed.groupBy("_commit_version").count().collect()
+    }
+    assert got == {v1: 10, v2: 15}

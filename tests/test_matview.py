@@ -640,3 +640,18 @@ def test_approx_top_k_misra_gries_state(spark, catalog):
             if tok in est:
                 assert est[tok] <= true_c
                 assert true_c - est[tok] <= bound + 1e-9
+
+
+def test_approx_top_k_rejects_nonpositive_k(catalog):
+    """ADVICE r4 regression: top_k=0 would make the Misra-Gries partial
+    subtract the rank-1 count from everything — a permanently empty
+    summary with no error. Reject at construction like the percentile
+    param validation."""
+    with pytest.raises(ValueError, match="top_k"):
+        IncrementalAggView(
+            catalog,
+            source="li",
+            name="bad_topk",
+            group_by=["l_returnflag"],
+            aggs={"toks": AggSpec("approx_top_k", "l_linestatus", top_k=0)},
+        )
