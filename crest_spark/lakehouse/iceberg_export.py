@@ -342,6 +342,15 @@ def export_iceberg_metadata(
         raise FileNotFoundError(
             f"table {table.namespace}.{table.name} does not exist"
         )
+    if any(s.extra.get("deletes") for s in snaps):
+        # pending (or historical) merge-on-read deletes need Iceberg v2
+        # delete manifests, which this exporter does not emit — a
+        # data-files-only export would resurrect deleted rows
+        raise ValueError(
+            f"table {table.namespace}.{table.name} has merge-on-read "
+            "delete commits; compact() + expire_snapshots() to fold them "
+            "before exporting Iceberg metadata"
+        )
     meta_dir = os.path.join(table.path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 

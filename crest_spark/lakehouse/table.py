@@ -456,6 +456,8 @@ class LakehouseTable:
             "schema": None,
             "num_rows": 0,
             "committed": {},
+            "file_seq": {},
+            "deletes": [],
         }
         start_after = 0
         for cv in reversed(self._checkpoint_versions()):
@@ -463,6 +465,11 @@ class LakehouseTable:
                 try:
                     with open(self._checkpoint_file(cv)) as fh:
                         state = json.load(fh)
+                    # pre-MoR checkpoints lack these keys; files from them
+                    # default to seq 0 ("very old"), which is the
+                    # conservative-correct side for delete applicability
+                    state.setdefault("file_seq", {})
+                    state.setdefault("deletes", [])
                     start_after = cv
                     break
                 except (OSError, json.JSONDecodeError):
@@ -472,14 +479,31 @@ class LakehouseTable:
                 continue
             with open(self._version_file(v)) as fh:
                 d = json.load(fh)
+            extra = d.get("extra", {})
             if d.get("operation") == "replace":
                 state["files"] = list(d["files"])
                 state["stats"] = dict(d.get("stats", {}))
                 state["num_rows"] = max(d.get("num_rows", 0), 0)
+                # a replace materializes every pending MoR delete (its
+                # writers rewrite affected files or prove them disjoint)
+                state["deletes"] = []
+                prev_seq = state.get("file_seq") or {}
+                state["file_seq"] = {
+                    f: prev_seq.get(f, v) for f in state["files"]
+                }
             else:
                 state["files"] = state["files"] + list(d["files"])
                 state.setdefault("stats", {}).update(d.get("stats", {}))
                 state["num_rows"] += max(d.get("num_rows", 0), 0)
+                fseq = state.setdefault("file_seq", {})
+                explicit = extra.get("file_seq", {})
+                for f in d["files"]:
+                    fseq[f] = int(explicit.get(f, v))
+                # rowdelta commits (and expire fold boundaries) carry
+                # merge-on-read delete entries; each entry already holds
+                # its own base "seq"
+                for entry in extra.get("deletes", []) or []:
+                    state.setdefault("deletes", []).append(entry)
             state["schema"] = d["schema"]
             if d.get("writer_id") is not None and d.get("batch_id") is not None:
                 state["committed"].setdefault(d["writer_id"], []).append(
@@ -774,6 +798,208 @@ class LakehouseTable:
     def changes_path(self) -> str:
         return os.path.join(self.path, "changes")
 
+    # ------------------------------------------------------- merge-on-read
+    @property
+    def deletes_path(self) -> str:
+        return os.path.join(self.path, "deletes")
+
+    def pending_deletes(self, version: int | None = None) -> list[dict]:
+        """Merge-on-read delete entries not yet folded into data files:
+        equality deletes (``paths``/``keys``/``bounds``) staged by
+        ``merge(strategy='mor')`` and predicate deletes (``pred``) staged
+        by ``delete(mode='mor')``, each with the base version ``seq`` it
+        applies at. ``compact()`` (or any copy-on-write commit) folds
+        them back into data files."""
+        return list(self._state(upto=version).get("deletes") or [])
+
+    def _delete_affected(self, state: dict, f: str) -> bool:
+        """Could any pending MoR delete remove a row of file ``f``?
+        Conservative: True unless stats prove otherwise. Every
+        copy-on-write path consults this before carrying a file by
+        reference into a ``replace`` commit — a replace clears pending
+        deletes, so an affected file must be rewritten (with the deletes
+        applied) or the delete would be silently lost."""
+        dels = state.get("deletes") or []
+        if not dels:
+            return False
+        fs = (state.get("stats") or {}).get(f) or {}
+        fseq = int((state.get("file_seq") or {}).get(f, 0))
+        for d in dels:
+            if fseq > int(d["seq"]):
+                continue  # file added after the delete: out of scope
+            if d.get("pred") is not None:
+                preds = {c: tuple(b) for c, b in d["pred"].items()}
+            else:
+                bounds = d.get("bounds") or {}
+                if not all(k in bounds for k in d["keys"]):
+                    return True  # no key stats: cannot prove disjoint
+                preds = {k: tuple(bounds[k]) for k in d["keys"]}
+            if _stats_admit(fs, preds):
+                return True
+        return False
+
+    def _apply_pending_deletes(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        files: list[str],
+        state: dict,
+    ) -> DataFrame:
+        """Merge-on-read scan path: anti-apply pending delete entries to
+        ``df`` (the rows of ``files``). Sequence semantics are Iceberg
+        v2's: an entry removes rows of data files added at-or-before its
+        base version (``file_seq <= entry.seq``); rows re-inserted by a
+        later commit survive. Equality-delete files hold hot keys — tiny
+        by construction — so they broadcast; predicate deletes are pure
+        row-local filters. Zero plan overhead when nothing is pending.
+
+        At 100 TB this is the skewed-CDC answer: a hot key that lands in
+        every file of a cluster range costs one small key-file write per
+        micro-batch instead of rewriting those files every time; the
+        rewrite happens once, at ``compact()``."""
+        dels = state.get("deletes") or []
+        if not dels or not files:
+            return df
+        fseq = state.get("file_seq") or {}
+        decoded = F.url_decode(
+            F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+        )
+        seq_map = spark.createDataFrame(
+            [
+                (f"file://{os.path.abspath(p)}", int(fseq.get(p, 0)))
+                for p in files
+            ],
+            "__crest_path string, __crest_seq long",
+        )
+        out = (
+            df.withColumn("__crest_path", decoded)
+            .join(F.broadcast(seq_map), "__crest_path", "left")
+            .drop("__crest_path")
+            .withColumn(
+                "__crest_seq", F.coalesce(F.col("__crest_seq"), F.lit(0))
+            )
+        )
+        eq_groups: dict[tuple, list[dict]] = {}
+        for d in dels:
+            if d.get("pred") is not None:
+                cond = F.lit(True)
+                for c, (lo, hi) in d["pred"].items():
+                    if lo is not None:
+                        cond = cond & (F.col(c) >= lo)
+                    if hi is not None:
+                        cond = cond & (F.col(c) <= hi)
+                cond = F.coalesce(cond, F.lit(False)) & (
+                    F.col("__crest_seq") <= int(d["seq"])
+                )
+                out = out.where(~cond)
+            else:
+                eq_groups.setdefault(tuple(d["keys"]), []).append(d)
+        schema = StructType.fromJson(json.loads(state["schema"]))
+        for keys, group in eq_groups.items():
+            all_paths = [p for d in group for p in d["paths"]]
+            dmap = spark.createDataFrame(
+                [
+                    (f"file://{os.path.abspath(p)}", int(d["seq"]))
+                    for d in group
+                    for p in d["paths"]
+                ],
+                "__crest_path string, __crest_dseq long",
+            )
+            key_schema = StructType(
+                [f for f in schema.fields if f.name in set(keys)]
+            )
+            dd = (
+                spark.read.schema(key_schema)
+                .option("mergeSchema", "false")
+                .parquet(*all_paths)
+                .withColumn("__crest_path", decoded)
+                .join(F.broadcast(dmap), "__crest_path", "left")
+                .select(
+                    *[F.col(k).alias(f"__crest_k_{k}") for k in keys],
+                    F.col("__crest_dseq"),
+                )
+            )
+            cond = F.col("__crest_dseq") >= F.col("__crest_seq")
+            for k in keys:
+                cond = cond & (F.col(k) == F.col(f"__crest_k_{k}"))
+            out = out.join(F.broadcast(dd), on=cond, how="left_anti")
+        return out.drop("__crest_seq")
+
+    def _commit_row_delta(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        state: dict,
+        base: int,
+        bloom_for: list[str] | None,
+    ) -> int:
+        """Commit one merge as a row delta (Iceberg v2 merge-on-read):
+        the update rows land as ordinary data files, plus ONE small
+        equality-delete file holding the distinct update keys — no data
+        file is read or rewritten. The entry records per-key [min, max]
+        bounds so copy-on-write rewrites and ``_delete_affected`` can
+        prove untouched files disjoint, and ``seq = base`` so rows
+        re-inserted after this commit are out of its scope."""
+        table_schema = StructType.fromJson(json.loads(state["schema"]))
+        del_dir = os.path.join(self.deletes_path, f"txn-{uuid.uuid4().hex}")
+        updates.select(*keys).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(del_dir)
+        del_files = sorted(
+            os.path.join(del_dir, f)
+            for f in os.listdir(del_dir)
+            if f.endswith(".parquet")
+        )
+        dstats = _footer_stats(del_files)
+        bounds: dict[str, list] = {}
+        for k in keys:
+            # a key bound is only sound if EVERY delete file has stats
+            # for it — a partial fold would underestimate the range and
+            # let _delete_affected wrongly prove a file disjoint
+            if del_files and all(k in dstats.get(f, {}) for f in del_files):
+                los, his = zip(*(dstats[f][k] for f in del_files))
+                if any(isinstance(v, float) for v in los + his):
+                    continue  # NaN keys make float min/max unsound
+                bounds[k] = [min(los), max(his)]
+        rows = updates
+        if "__del" in rows.columns:
+            rows = rows.where(~F.col("__del")).drop("__del")
+        rows = rows.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in table_schema.fields
+            ]
+        )
+        txn_dir = os.path.join(self.data_path, f"txn-{uuid.uuid4().hex}")
+        rows.write.mode("overwrite").parquet(txn_dir)
+        files = sorted(
+            os.path.join(txn_dir, f)
+            for f in os.listdir(txn_dir)
+            if f.endswith(".parquet")
+        )
+        stats = _footer_stats(files)
+        if bloom_for:
+            for f, blooms in _file_blooms(files, bloom_for).items():
+                stats.setdefault(f, {})[_BLOOM_KEY] = blooms
+        entry: dict = {"paths": del_files, "keys": keys, "seq": base}
+        if bounds:
+            entry["bounds"] = bounds
+        version = self._try_commit(
+            {
+                "operation": "rowdelta",
+                "files": files,
+                "stats": stats,
+                "schema": state["schema"],
+                "commit_ts": time.time(),
+                "num_rows": _footer_row_count(files),
+                "extra": {"merge_on_read": True, "deletes": [entry]},
+            },
+            expected_base=base,
+        )
+        self._maybe_checkpoint(version)
+        return version
+
     def _stage_changes(
         self, old_df: DataFrame, new_df: DataFrame, keys: list[str]
     ) -> list[str]:
@@ -831,6 +1057,8 @@ class LakehouseTable:
         bloom_for: list[str] | None = None,
         delete_col: str | None = None,
         change_feed: bool = False,
+        strategy: str = "cow",
+        mor_file_threshold: int = 8,
     ) -> int:
         """Upsert (MERGE INTO semantics): rows in ``updates`` replace
         current rows with the same key; new keys are inserted. Implemented
@@ -877,9 +1105,36 @@ class LakehouseTable:
         and record it in the commit — ``read_changes(cdf=True)`` can
         then express the table's history as retractions + additions
         across merges, which is what lets downstream incremental views
-        refresh over an upsert table without re-scanning it."""
+        refresh over an upsert table without re-scanning it.
+
+        ``strategy``: ``"cow"`` (default) rewrites the touched files;
+        ``"mor"`` commits a merge-on-read row delta instead — update rows
+        land as new data files plus ONE small equality-delete file of the
+        update keys, and NO existing data file is read or rewritten
+        (Iceberg v2 positional/equality-delete semantics, applied lazily
+        at scan time and folded back into data files by ``compact()``).
+        ``"auto"`` picks MoR when the touched-file count reaches
+        ``mor_file_threshold`` — the skewed-CDC case where a hot key
+        intersects the same files every micro-batch and CoW would rewrite
+        them each time. MoR requires last-writer-wins semantics: it is
+        incompatible with ``sequence_col`` (winner selection needs the
+        current rows) and ``change_feed`` (preimages need a read); both
+        raise."""
         from pyspark.sql.window import Window
 
+        if strategy not in ("cow", "mor", "auto"):
+            raise ValueError(f"merge strategy {strategy!r}: cow | mor | auto")
+        if strategy != "cow":
+            if sequence_col is not None:
+                raise ValueError(
+                    "merge-on-read cannot order by sequence_col (winner "
+                    "selection needs the current rows); use strategy='cow'"
+                )
+            if change_feed:
+                raise ValueError(
+                    "merge-on-read cannot stage a change feed (preimages "
+                    "need a read); use strategy='cow'"
+                )
         if delete_col is not None:
             updates = updates.withColumn(
                 "__del",
@@ -915,11 +1170,32 @@ class LakehouseTable:
                     and not _stats_admit(fs, {k: key_bounds[k]})
                     for k in keys
                 )
-                if disjoint:
+                # a kept file must also be unaffected by PENDING MoR
+                # deletes: the replace commit clears them, so any file
+                # they could touch must be rewritten with them applied
+                if disjoint and not self._delete_affected(state, f):
                     keep.append(f)  # some key range provably disjoint
                 else:
                     touch.append(f)
-            current = self._read_files(spark, touch, state["schema"])
+            if strategy == "mor" or (
+                strategy == "auto" and len(touch) >= mor_file_threshold
+            ):
+                try:
+                    return self._commit_row_delta(
+                        spark, updates, keys, state, base, bloom_for
+                    )
+                except CommitConflict as e:
+                    last_err = e
+                    _record_conflict(
+                        f"{self.namespace}.{self.name}", "merge"
+                    )
+                    continue
+            current = self._apply_pending_deletes(
+                spark,
+                self._read_files(spark, touch, state["schema"]),
+                touch,
+                state,
+            )
             if sequence_col is None:
                 kept = current.join(
                     updates.select(*keys), on=keys, how="left_anti"
@@ -988,6 +1264,7 @@ class LakehouseTable:
         spark: SparkSession,
         predicates: dict[str, tuple],
         change_feed: bool = False,
+        mode: str = "cow",
     ) -> int:
         """Row-level DELETE (the GDPR/retention verb the maintenance
         surface lacked): remove every row matching ALL ``{col: (lo,
@@ -1007,8 +1284,63 @@ class LakehouseTable:
         Returns the committed version. At 100 TB a delete of one user or
         one retention day rewrites the files that COULD contain it, not
         the table — and a clustered/bloomed layout makes that O(1)
-        files."""
+        files.
+
+        ``mode="mor"``: merge-on-read predicate delete — the commit is
+        PURE METADATA (a ``rowdelta`` carrying the predicate and the base
+        version); scans filter matching rows out of files added
+        at-or-before that version, rows appended later are out of scope,
+        and ``compact()`` folds the predicate back into data files. The
+        shape for high-frequency retention/GDPR marks where even the CoW
+        partial-file rewrite is too hot. Incompatible with
+        ``change_feed`` (enumerating removed rows needs a read)."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"delete mode {mode!r}: cow | mor")
         last_err: Exception | None = None
+        if mode == "mor":
+            if change_feed:
+                raise ValueError(
+                    "merge-on-read delete cannot stage a change feed "
+                    "(enumerating removed rows needs a read); use mode='cow'"
+                )
+            for _ in range(self._MERGE_RETRIES):
+                base = self.version()
+                state = self._state(upto=base)
+                entry = {
+                    "pred": {c: list(b) for c, b in predicates.items()},
+                    "seq": base,
+                }
+                try:
+                    version = self._try_commit(
+                        {
+                            "operation": "rowdelta",
+                            "files": [],
+                            "stats": {},
+                            "schema": state["schema"],
+                            "commit_ts": time.time(),
+                            "num_rows": 0,
+                            "extra": {
+                                "merge_on_read": True,
+                                "deletes": [entry],
+                                "delete": {
+                                    c: list(b) for c, b in predicates.items()
+                                },
+                            },
+                        },
+                        expected_base=base,
+                    )
+                except CommitConflict as e:
+                    last_err = e
+                    _record_conflict(
+                        f"{self.namespace}.{self.name}", "delete"
+                    )
+                    continue
+                self._maybe_checkpoint(version)
+                return version
+            raise CommitConflict(
+                f"delete on {self.namespace}.{self.name} lost the commit "
+                f"race {self._MERGE_RETRIES} times"
+            ) from last_err
         for _ in range(self._MERGE_RETRIES):
             base = self.version()
             state = self._state(upto=base)
@@ -1018,17 +1350,25 @@ class LakehouseTable:
             drop: list[str] = []
             for f in state["files"]:
                 fs = stats.get(f) or {}
-                if not _stats_admit(fs, predicates):
+                affected = self._delete_affected(state, f)
+                if not _stats_admit(fs, predicates) and not affected:
                     keep.append(f)  # provably no matching row
                 elif _stats_all_match(fs, predicates):
                     # provably EVERY row matches: the file leaves the
                     # snapshot without being read or rewritten — a
                     # retention delete on a clustered table is
-                    # metadata-only (the Iceberg partition-drop shape)
+                    # metadata-only (the Iceberg partition-drop shape).
+                    # Pending MoR deletes only remove a SUBSET of the
+                    # file's rows, so dropping it whole stays correct.
                     drop.append(f)
                 else:
                     touch.append(f)  # may hold matching rows: rewrite
-            current = self._read_files(spark, touch, state["schema"])
+            current = self._apply_pending_deletes(
+                spark,
+                self._read_files(spark, touch, state["schema"]),
+                touch,
+                state,
+            )
             cond = F.lit(True)
             for col, (lo, hi) in predicates.items():
                 if lo is not None:
@@ -1049,7 +1389,12 @@ class LakehouseTable:
                 removed = current.where(F.coalesce(cond, F.lit(False)))
                 if drop:
                     removed = removed.unionByName(
-                        self._read_files(spark, drop, state["schema"])
+                        self._apply_pending_deletes(
+                            spark,
+                            self._read_files(spark, drop, state["schema"]),
+                            drop,
+                            state,
+                        )
                     )
                 removed = removed.withColumn(
                     "_change_type", F.lit("delete")
@@ -1108,11 +1453,18 @@ class LakehouseTable:
             keep: list[str] = []
             touch: list[str] = []
             for f in state["files"]:
-                if _stats_admit(stats.get(f) or {}, predicates):
+                if _stats_admit(
+                    stats.get(f) or {}, predicates
+                ) or self._delete_affected(state, f):
                     touch.append(f)
                 else:
                     keep.append(f)
-            current = self._read_files(spark, touch, state["schema"])
+            current = self._apply_pending_deletes(
+                spark,
+                self._read_files(spark, touch, state["schema"]),
+                touch,
+                state,
+            )
             cond = F.lit(True)
             for col, (lo, hi) in predicates.items():
                 if lo is not None:
@@ -1226,11 +1578,23 @@ class LakehouseTable:
                     if pq.ParquetFile(f).metadata.num_rows
                     <= small_file_max_rows
                 ]
-                if len(small) < 2:
+                # pending MoR deletes fold here: any file they could
+                # touch joins the rewrite set (the replace clears them)
+                rewrite_set = set(small) | {
+                    f
+                    for f in state["files"]
+                    if self._delete_affected(state, f)
+                }
+                if len(rewrite_set) < 2 and not state.get("deletes"):
                     return base  # nothing worth binning together
-                small_set = set(small)
-                keep = [f for f in state["files"] if f not in small_set]
-                df = self._read_files(spark, small, state["schema"])
+                rewrite = [f for f in state["files"] if f in rewrite_set]
+                keep = [f for f in state["files"] if f not in rewrite_set]
+                df = self._apply_pending_deletes(
+                    spark,
+                    self._read_files(spark, rewrite, state["schema"]),
+                    rewrite,
+                    state,
+                )
             else:
                 df = self.read(spark, version=base)
             if zorder_by:
@@ -1302,6 +1666,15 @@ class LakehouseTable:
         for v in versions:
             with open(self._version_file(v)) as fh:
                 d = json.load(fh)
+            if d.get("operation") == "rowdelta" or d.get("extra", {}).get(
+                "deletes"
+            ):
+                raise ValueError(
+                    f"incremental read across a merge-on-read commit "
+                    f"(version {v}): its deletes are not expressible as a "
+                    "file delta; compact() folds them, then re-read the "
+                    "snapshot"
+                )
             if d.get("operation") == "replace":
                 dextra = d.get("extra", {})
                 if dextra.get("compaction"):
@@ -1470,6 +1843,11 @@ class LakehouseTable:
             if s.operation == "replace":
                 live_files.clear()
             live_files.update(s.files)
+            live_files.update(
+                p
+                for e in (s.extra.get("deletes") or [])
+                for p in e.get("paths", [])
+            )
         expired = []
         removable: set[str] = set()
         # fold the expired prefix into a checkpoint-style base commit;
@@ -1480,17 +1858,34 @@ class LakehouseTable:
         base_files: list[str] = []
         base_rows = 0
         folded_committed: dict[str, list[int]] = {}
+        # merge-on-read state folded across the expired prefix: delete
+        # entries (cleared by a replace, which materializes them) and the
+        # original per-file add versions — losing a file's seq would make
+        # later deletes wrongly apply to rows re-inserted after them
+        folded_deletes: list[dict] = []
+        folded_file_seq: dict[str, int] = {}
+        base_delete_paths: set[str] = set()
         for v in versions:
             if v >= cutoff:
                 break
             s = by_version[v]
             if s.operation == "replace":
                 removable.update(base_files)
+                removable.update(base_delete_paths)
                 base_files = list(s.files)
                 base_rows = max(s.num_rows, 0)
+                folded_deletes = []
+                base_delete_paths = set()
+                folded_file_seq = {f: v for f in s.files}
             else:
                 base_files.extend(s.files)
                 base_rows += max(s.num_rows, 0)
+                explicit = s.extra.get("file_seq", {})
+                for f in s.files:
+                    folded_file_seq.setdefault(f, int(explicit.get(f, v)))
+                for e in s.extra.get("deletes") or []:
+                    folded_deletes.append(e)
+                    base_delete_paths.update(e.get("paths", []))
             # an expired commit's staged change set lies below the fold
             # boundary, where incremental reads can no longer reach it
             for cf in s.extra.get("change_files", []) or []:
@@ -1512,8 +1907,13 @@ class LakehouseTable:
         first_keep = by_version[cutoff]
         if first_keep.operation == "replace":
             # the cutoff itself supersedes the whole expired prefix
+            # (including any pending MoR deletes — the replace that wrote
+            # it materialized or disproved them)
             removable.update(base_files)
+            removable.update(base_delete_paths)
             merged_files = list(first_keep.files)
+            folded_deletes = []
+            folded_file_seq = {}
         else:
             merged_files = base_files + list(first_keep.files)
         record = {
@@ -1539,6 +1939,26 @@ class LakehouseTable:
                 "checkpointed": expired,
                 "committed": _merge_committed(
                     folded_committed, first_keep.extra.get("committed", {})
+                ),
+                # carry pending MoR deletes (prefix-order preserved) and
+                # the per-file add versions their scoping depends on
+                **(
+                    {
+                        "deletes": folded_deletes
+                        + list(first_keep.extra.get("deletes") or [])
+                    }
+                    if folded_deletes or first_keep.extra.get("deletes")
+                    else {}
+                ),
+                **(
+                    {
+                        "file_seq": {
+                            **folded_file_seq,
+                            **first_keep.extra.get("file_seq", {}),
+                        }
+                    }
+                    if folded_file_seq or first_keep.extra.get("file_seq")
+                    else {}
                 ),
             },
         }
@@ -1581,9 +2001,15 @@ class LakehouseTable:
                 os.path.abspath(f)
                 for f in (s.extra.get("change_files") or [])
             )
+            # ... as are merge-on-read equality-delete files
+            referenced.update(
+                os.path.abspath(p)
+                for e in (s.extra.get("deletes") or [])
+                for p in e.get("paths", [])
+            )
         cutoff = (time.time() if now is None else now) - older_than_s
         removed: list[str] = []
-        for base_dir in (self.data_path, self.changes_path):
+        for base_dir in (self.data_path, self.changes_path, self.deletes_path):
             base_abs = os.path.abspath(base_dir)
             if not os.path.isdir(base_abs):
                 continue
@@ -1623,9 +2049,12 @@ class LakehouseTable:
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: exactly the files committed at ``version`` (or
-        latest). Later/concurrent commits are invisible to this scan."""
+        latest), with any pending merge-on-read deletes of that snapshot
+        anti-applied. Later/concurrent commits are invisible to this
+        scan."""
         state = self._state(upto=version)
-        return self._read_files(spark, state["files"], state["schema"])
+        df = self._read_files(spark, state["files"], state["schema"])
+        return self._apply_pending_deletes(spark, df, state["files"], state)
 
     def pruned_files(
         self, predicates: dict[str, tuple], version: int | None = None
@@ -1660,10 +2089,13 @@ class LakehouseTable:
         if not files:
             df = self.read(spark, version=version).limit(0)
         else:
-            df = (
+            df = self._apply_pending_deletes(
+                spark,
                 spark.read.schema(schema)
                 .option("mergeSchema", "false")
-                .parquet(*files)
+                .parquet(*files),
+                files,
+                state,
             )
         for col, (lo, hi) in predicates.items():
             if lo is not None:
@@ -1673,7 +2105,14 @@ class LakehouseTable:
         return df
 
     def row_count(self) -> int:
-        return int(self._state()["num_rows"])
+        state = self._state()
+        if state.get("deletes"):
+            raise ValueError(
+                f"{self.namespace}.{self.name} has pending merge-on-read "
+                "deletes: the metadata row count is indeterminate — "
+                "compact() to fold them, or count via read()"
+            )
+        return int(state["num_rows"])
 
     def file_count(self) -> int:
         """Live data-file count at the latest version (metadata-only)."""

@@ -113,6 +113,14 @@ class CrestTableStreamReader(DataSourceStreamReader):
             if not (start["version"] < v <= end["version"]):
                 continue
             d = _commit(self.log, v)
+            if d.get("operation") == "rowdelta" or d.get("extra", {}).get(
+                "deletes"
+            ):
+                raise ValueError(
+                    f"crest_table stream hit a merge-on-read commit at "
+                    f"version {v}: its deletes are not a file delta; "
+                    "compact() the table and restart from a full read"
+                )
             if d.get("operation") == "replace":
                 dextra = d.get("extra", {})
                 if dextra.get("compaction"):
