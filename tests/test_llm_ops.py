@@ -252,6 +252,52 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
             assert abs(a - e) / e < 0.01, f"{k}.{col}: approx {a} vs exact {e}"
 
 
+def test_approx_percentiles_stable_across_partitionings(spark, sf_dir):
+    """The driver's rows-only gate for stats_percentiles_approx records
+    the row count, and the pytest gate bounds the value error — so pin
+    both invariances explicitly under adversarial partitionings: the
+    group count never moves, and every partitioning's estimate stays
+    within the sketch's accuracy bound of the exact answer (VERDICT r4
+    item #9: the rows-only check must not be able to flake)."""
+    from crest_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in SPECS["stats_percentiles"].fn(spark, sf_dir).collect()
+    }
+
+    def run(df):
+        out = (
+            df.groupBy("l_returnflag")
+            .agg(
+                F.expr(
+                    "approx_percentile(l_extendedprice,"
+                    " array(0.25, 0.5, 0.75), 10000)"
+                ).alias("q")
+            )
+            .select(
+                "l_returnflag",
+                F.col("q")[0].alias("p25"),
+                F.col("q")[1].alias("p50"),
+                F.col("q")[2].alias("p75"),
+            )
+        )
+        return {r.l_returnflag: r for r in out.collect()}
+
+    for variant in (
+        li.repartition(1),
+        li.repartition(37),
+        li.repartition(8, "l_partkey"),
+    ):
+        got = run(variant)
+        assert got.keys() == exact.keys()  # row count can never flake
+        for k in got:
+            for col in ("p25", "p50", "p75"):
+                e, a = exact[k][col], got[k][col]
+                assert abs(a - e) / e < 0.01, f"{k}.{col}: {a} vs {e}"
+
+
 def test_connected_components_chain_and_isolated(spark):
     """Min-label propagation on a diameter-9 path (forces many rounds)
     plus a separate triangle: every vertex must land on its component's
