@@ -1,0 +1,484 @@
+"""Spec-conformance fixtures for the Iceberg export path (VERDICT r4 #7).
+
+`test_iceberg_export.py` round-trips the repo's own writer through the
+repo's own reader — which cannot catch self-consistent-but-WRONG Avro.
+This module re-implements the Avro 1.11 binary encoding INDEPENDENTLY
+(different code, written from the public spec's wire rules: zigzag as
+2n / -2n-1 arithmetic, explicit little-endian 7-bit varints, map/array
+block framing) and uses it both ways:
+
+  - golden READ: hand-assembled container bytes -> avro_io.read_container
+    must decode the exact values (catches reader bugs the round-trip
+    masks);
+  - independent DECODE of avro_io.write_container output (catches writer
+    bugs — this is what an external Iceberg reader would hit);
+  - a golden, hand-assembled Iceberg v2 ``metadata/`` directory that
+    read_iceberg / read_current_snapshot_files must walk end-to-end;
+  - hypothesis fuzz of values through both codec pairings.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crest_spark.lakehouse import avro_io
+
+# --------------------------------------------------------------------------
+# Independent Avro binary codec (from the Avro 1.11 spec, NOT avro_io)
+# --------------------------------------------------------------------------
+
+
+def _varint(u: int) -> bytes:
+    out = bytearray()
+    while u >= 0x80:
+        out.append((u & 0x7F) | 0x80)
+        u >>= 7
+    out.append(u)
+    return bytes(out)
+
+
+def _zig(n: int) -> bytes:
+    return _varint(2 * n if n >= 0 else -2 * n - 1)
+
+
+def _string(x: str) -> bytes:
+    b = x.encode("utf-8")
+    return _zig(len(b)) + b
+
+
+def _enc(schema, v) -> bytes:
+    t = schema if isinstance(schema, str) else (
+        "union" if isinstance(schema, list) else schema["type"]
+    )
+    if t == "null":
+        return b""
+    if t == "boolean":
+        return b"\x01" if v else b"\x00"
+    if t in ("int", "long"):
+        return _zig(v)
+    if t == "float":
+        return struct.pack("<f", v)
+    if t == "double":
+        return struct.pack("<d", v)
+    if t == "bytes":
+        return _zig(len(v)) + bytes(v)
+    if t == "string":
+        return _string(v)
+    if t == "fixed":
+        return bytes(v)
+    if t == "union":
+        for i, br in enumerate(schema):
+            brt = br if isinstance(br, str) else br["type"]
+            if (v is None) == (brt == "null"):
+                return _zig(i) + _enc(br, v)
+        raise AssertionError
+    if t == "record":
+        return b"".join(_enc(f["type"], v[f["name"]]) for f in schema["fields"])
+    if t == "array":
+        if not v:
+            return _zig(0)
+        return (
+            _zig(len(v))
+            + b"".join(_enc(schema["items"], x) for x in v)
+            + _zig(0)
+        )
+    if t == "map":
+        if not v:
+            return _zig(0)
+        return (
+            _zig(len(v))
+            + b"".join(
+                _string(k) + _enc(schema["values"], x) for k, x in v.items()
+            )
+            + _zig(0)
+        )
+    raise AssertionError(t)
+
+
+def _read_varint(buf: io.BytesIO) -> int:
+    u, shift = 0, 0
+    while True:
+        b = buf.read(1)[0]
+        u |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return u
+        shift += 7
+
+
+def _read_zig(buf: io.BytesIO) -> int:
+    u = _read_varint(buf)
+    return u // 2 if u % 2 == 0 else -(u + 1) // 2
+
+
+def _read_string(buf: io.BytesIO) -> str:
+    n = _read_zig(buf)
+    return buf.read(n).decode("utf-8")
+
+
+def _dec(schema, buf: io.BytesIO):
+    t = schema if isinstance(schema, str) else (
+        "union" if isinstance(schema, list) else schema["type"]
+    )
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return _read_zig(buf)
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return buf.read(_read_zig(buf))
+    if t == "string":
+        return _read_string(buf)
+    if t == "fixed":
+        return buf.read(schema["size"])
+    if t == "union":
+        return _dec(schema[_read_zig(buf)], buf)
+    if t == "record":
+        return {f["name"]: _dec(f["type"], buf) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = _read_zig(buf)
+            if n == 0:
+                return out
+            if n < 0:  # negative count: byte size follows (spec-legal)
+                _read_zig(buf)
+                n = -n
+            out.extend(_dec(schema["items"], buf) for _ in range(n))
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_zig(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                _read_zig(buf)
+                n = -n
+            for _ in range(n):
+                k = _read_string(buf)  # key MUST be read before the value
+                out[k] = _dec(schema["values"], buf)
+    raise AssertionError(t)
+
+
+_SYNC = bytes(range(16))
+
+
+def _container(schema: dict, records: list, extra_meta=None) -> bytes:
+    """Hand-assemble an Avro object container file (codec null)."""
+    meta = {"avro.schema": json.dumps(schema), "avro.codec": "null"}
+    meta.update(extra_meta or {})
+    out = bytearray(b"Obj\x01")
+    out += _zig(len(meta))
+    for k, v in meta.items():
+        out += _string(k)
+        vb = v.encode("utf-8")
+        out += _zig(len(vb)) + vb
+    out += _zig(0)
+    out += _SYNC
+    payload = b"".join(_enc(schema, r) for r in records)
+    out += _zig(len(records)) + _zig(len(payload)) + payload + _SYNC
+    return bytes(out)
+
+
+def _decode_container(data: bytes):
+    """Independent container decode (for avro_io.write_container output)."""
+    buf = io.BytesIO(data)
+    assert buf.read(4) == b"Obj\x01"
+    meta = {}
+    while True:
+        n = _read_zig(buf)
+        if n == 0:
+            break
+        if n < 0:
+            _read_zig(buf)
+            n = -n
+        for _ in range(n):
+            k = _read_string(buf)
+            vn = _read_zig(buf)
+            meta[k] = buf.read(vn)
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = buf.read(16)
+    records = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, 1)
+        count = _read_zig(buf)
+        size = _read_zig(buf)
+        block = buf.read(size)
+        if codec == "deflate":
+            import zlib
+
+            block = zlib.decompress(block, -15)
+        bb = io.BytesIO(block)
+        records.extend(_dec(schema, bb) for _ in range(count))
+        assert buf.read(16) == sync
+    return schema, meta, records
+
+
+# --------------------------------------------------------------------------
+# Fixtures
+# --------------------------------------------------------------------------
+
+_RICH_SCHEMA = {
+    "type": "record",
+    "name": "golden",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "opt", "type": ["null", "long"]},
+        {"name": "flag", "type": "boolean"},
+        {"name": "score", "type": "double"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "nested",
+            "type": {
+                "type": "record",
+                "name": "inner",
+                "fields": [{"name": "x", "type": "int"}],
+            },
+        },
+    ],
+}
+
+_RICH_ROWS = [
+    {
+        "id": -1,
+        "name": "héllo",
+        "opt": None,
+        "flag": True,
+        "score": 2.5,
+        "raw": b"\x00\xff",
+        "tags": ["a", "b"],
+        "props": {"k": 9},
+        "nested": {"x": -64},
+    },
+    {
+        "id": 2**40,
+        "name": "",
+        "opt": 7,
+        "flag": False,
+        "score": -0.0,
+        "raw": b"",
+        "tags": [],
+        "props": {},
+        "nested": {"x": 0},
+    },
+]
+
+
+def test_avro_reader_decodes_independent_golden_bytes(tmp_path):
+    p = str(tmp_path / "golden.avro")
+    with open(p, "wb") as fh:
+        fh.write(_container(_RICH_SCHEMA, _RICH_ROWS, {"custom-key": "v"}))
+    schema, meta, records = avro_io.read_container(p)
+    assert schema == _RICH_SCHEMA
+    assert meta["custom-key"] == "v"
+    assert records == _RICH_ROWS
+
+
+def test_avro_writer_output_decodes_independently(tmp_path):
+    p = str(tmp_path / "written.avro")
+    avro_io.write_container(
+        p, _RICH_SCHEMA, _RICH_ROWS, metadata={"format-version": "2"}
+    )
+    with open(p, "rb") as fh:
+        schema, meta, records = _decode_container(fh.read())
+    assert schema == _RICH_SCHEMA
+    assert meta["format-version"] == b"2"
+    assert records == _RICH_ROWS
+
+
+def test_golden_iceberg_metadata_dir_reads_end_to_end(spark, tmp_path):
+    """A metadata/ directory assembled BY HAND per the Iceberg v2 spec
+    (no repo writer involved) must be walkable by read_iceberg and
+    read_current_snapshot_files — the same walk an external reader
+    does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crest_spark.lakehouse.iceberg_export import (
+        read_current_snapshot_files,
+        read_iceberg,
+    )
+
+    table_dir = str(tmp_path / "golden_table")
+    meta_dir = os.path.join(table_dir, "metadata")
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(meta_dir)
+    os.makedirs(data_dir)
+    data_path = os.path.join(data_dir, "d0.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "name": pa.array(["a", "b", "c"])}),
+        data_path,
+    )
+
+    manifest_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "file_path", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    manifest_path = os.path.join(meta_dir, "manifest-golden.avro")
+    with open(manifest_path, "wb") as fh:
+        fh.write(
+            _container(
+                manifest_schema,
+                [{"status": 1,
+                  "data_file": {"file_path": data_path, "record_count": 3}}],
+                {"format-version": "2"},
+            )
+        )
+    list_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [{"name": "manifest_path", "type": "string"}],
+    }
+    list_path = os.path.join(meta_dir, "snap-golden.avro")
+    with open(list_path, "wb") as fh:
+        fh.write(
+            _container(
+                list_schema,
+                [{"manifest_path": manifest_path}],
+                {"format-version": "2"},
+            )
+        )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": table_dir,
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"},
+                    {"id": 2, "name": "name", "required": False,
+                     "type": "string"},
+                ],
+            }
+        ],
+        "current-snapshot-id": 77,
+        "refs": {"main": {"snapshot-id": 77, "type": "branch"}},
+        "snapshots": [
+            {
+                "snapshot-id": 77,
+                "sequence-number": 1,
+                "timestamp-ms": 0,
+                "manifest-list": list_path,
+                "schema-id": 0,
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    assert read_current_snapshot_files(meta_dir) == {data_path: 3}
+    rows = sorted(tuple(r) for r in read_iceberg(spark, table_dir).collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_repo_export_decodes_with_independent_reader(spark, sf_dir, tmp_path):
+    """The exporter's actual manifest/manifest-list bytes must parse with
+    the independent decoder — what pyiceberg/iceberg-java would see."""
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.lakehouse.iceberg_export import export_iceberg_metadata
+    from crest_spark.sources.tables import load_table
+
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = LakehouseCatalog(str(tmp_path / "wh")).get_or_create_table(
+        "nat", nat.schema
+    )
+    t.append(nat)
+    meta_dir = export_iceberg_metadata(t)
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, lmeta, entries = _decode_container(fh.read())
+    assert entries, "manifest list must reference at least one manifest"
+    total = 0
+    for e in entries:
+        with open(e["manifest_path"], "rb") as fh:
+            _, mmeta, records = _decode_container(fh.read())
+        assert mmeta["format-version"] == b"2"
+        for rec in records:
+            if rec["status"] in (0, 1):
+                assert os.path.exists(rec["data_file"]["file_path"])
+                total += rec["data_file"]["record_count"]
+    assert total == nat.count()
+
+
+_VALUES = st.fixed_dictionaries(
+    {
+        "id": st.integers(min_value=-(2**62), max_value=2**62),
+        "name": st.text(max_size=40),
+        "opt": st.one_of(st.none(), st.integers(-(2**31), 2**31)),
+        "flag": st.booleans(),
+        "score": st.floats(allow_nan=False, width=64),
+        "raw": st.binary(max_size=24),
+        "tags": st.lists(st.text(max_size=8), max_size=4),
+        "props": st.dictionaries(
+            st.text(max_size=6), st.integers(-(2**40), 2**40), max_size=4
+        ),
+        "nested": st.fixed_dictionaries(
+            {"x": st.integers(-(2**31), 2**31 - 1)}
+        ),
+    }
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=st.lists(_VALUES, max_size=6))
+def test_fuzz_cross_codec_roundtrip(rows, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fuzz")
+    p1 = str(tmp / "a.avro")
+    avro_io.write_container(p1, _RICH_SCHEMA, rows)
+    with open(p1, "rb") as fh:
+        _, _, via_independent = _decode_container(fh.read())
+    assert via_independent == rows
+    p2 = str(tmp / "b.avro")
+    with open(p2, "wb") as fh:
+        fh.write(_container(_RICH_SCHEMA, rows))
+    _, _, via_repo = avro_io.read_container(p2)
+    assert via_repo == rows
