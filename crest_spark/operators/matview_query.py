@@ -394,3 +394,85 @@ def lake_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "lake_mor_upsert",
+    oracle="""
+        WITH c AS (SELECT (7 * COUNT(*)) // 10 AS cut FROM events),
+        base AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 97 = 0 THEN 'upd'
+                        ELSE event_type END AS event_type,
+                   CASE WHEN event_id % 97 = 0
+                        THEN value + 3000.0
+                        ELSE value END AS value
+            FROM events
+        )
+        SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+        FROM base WHERE event_id <= (SELECT cut FROM c)
+        UNION ALL
+        SELECT event_id + 10000000 AS event_id,
+               'new' AS event_type,
+               CAST(-1.0 AS DOUBLE) AS value
+        FROM events WHERE event_id % 503 = 0
+        ORDER BY event_id
+    """,
+    tags=("lakehouse", "merge-on-read", "cdc", "upsert"),
+)
+def lake_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read CDC under the driver hash gate: the events table
+    lands range-clustered on event_id, then three waves of hot-key
+    updates (event_id % 97 — keys spanning EVERY clustered file, the
+    exact shape where copy-on-write would rewrite the whole table each
+    wave) commit as MoR row deltas, a retention delete of the top 30%
+    commits as a pure-metadata predicate delta, and a post-delete merge
+    inserts brand-new keys (provably out of the earlier delete's
+    sequence scope). The query asserts the scale contract — no original
+    data file is rewritten by any delta commit — then compact() folds
+    all pending deletes and the final rowset must hash-equal the
+    one-shot SQL reconstruction. Last-writer-wins across the waves,
+    sequence scoping, the fold, and file-level non-rewriting are all
+    oracle-certified in one query.
+
+    Reference stake: crest's continuous commit loop
+    (``/root/reference/pkg/ingestor/ingestor.go:131-152``) at skewed
+    CDC rates; Iceberg v2 equality/positional-delete semantics."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n = events.count()
+    cutoff = (7 * n) // 10  # exact integer math, mirrored by the oracle
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_mor_"))
+    t = cat.get_or_create_table("events_mor", events.schema)
+    t.append(
+        events, cluster_by=["event_id"], max_rows_per_file=max(50, n // 10)
+    )
+    original_files = set(t._state()["files"])
+    for i in (1, 2, 3):
+        wave = events.where(F.col("event_id") % 97 == 0).select(
+            "event_id",
+            F.lit("upd").alias("event_type"),
+            (F.col("value") + F.lit(1000.0 * i)).alias("value"),
+        )
+        t.merge(spark, wave, key="event_id", strategy="mor")
+    t.delete(spark, {"event_id": (cutoff + 1, None)}, mode="mor")
+    fresh = events.where(F.col("event_id") % 503 == 0).select(
+        (F.col("event_id") + F.lit(10_000_000)).cast("long").alias("event_id"),
+        F.lit("new").alias("event_type"),
+        F.lit(-1.0).alias("value"),
+    )
+    t.merge(spark, fresh, key="event_id", strategy="mor")
+    state = t._state()
+    if not set(state["files"]) >= original_files:  # the scale contract
+        raise AssertionError(
+            "merge-on-read commits must not rewrite existing data files"
+        )
+    if len(state["deletes"]) != 5:
+        raise AssertionError(
+            f"expected 5 pending delta entries, found {len(state['deletes'])}"
+        )
+    t.compact(spark, target_partitions=4)
+    if t._state()["deletes"]:
+        raise AssertionError("compact must fold all pending deletes")
+    return t.read(spark).orderBy("event_id")

@@ -877,6 +877,76 @@ def q20_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q20b_asof_forward_tolerance",
+    oracle="""
+        SELECT p.event_id,
+               p.user_id,
+               n.next_click_epoch
+        FROM (SELECT event_id, user_id,
+                     CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
+              FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN LATERAL (
+            SELECT MIN(CAST(epoch_us(e2.ts) // 1000000 AS BIGINT))
+                       AS next_click_epoch
+            FROM events e2
+            WHERE e2.user_id = p.user_id
+              AND e2.event_type = 'click'
+              AND CAST(epoch_us(e2.ts) // 1000000 AS BIGINT) >= p.ts_s
+              AND CAST(epoch_us(e2.ts) // 1000000 AS BIGINT) <= p.ts_s + 3600
+        ) n ON TRUE
+        ORDER BY p.event_id
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def q20b_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance band (pandas merge_asof
+    direction='forward'): for each purchase, the user's NEXT click
+    within one hour, else NULL. Same single-shuffle discipline as the
+    backward q20: union both sides tagged, one window partitioned on
+    user_id ordered ascending, and a running MIN over the FOLLOWING
+    frame carries the next click's epoch back to the purchase row; the
+    tolerance is a row-local post-filter. No range join, no per-row
+    subquery — one exchange total, skew split by AQE. Integer-second
+    epochs on both engines (the q33 bit-equality anchor)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.lit(None).cast("long").alias("click_s"),
+        F.lit(1).alias("is_q"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.unix_timestamp("ts").alias("click_s"),
+        F.lit(2).alias("is_q"),
+    )
+    # at identical ts the click must be inside the purchase row's
+    # following-frame (>=), so the purchase (is_q=1) sorts first
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "is_q")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        purchases.unionByName(clicks)
+        .withColumn("next_click", F.min("click_s").over(w))
+        .where(F.col("is_q") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(
+                F.col("next_click") <= F.col("ts_s") + 3600,
+                F.col("next_click"),
+            ).alias("next_click_epoch"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup (exact, SQL-expressible forms; near-dup lives in operators/dedup.py)
 # ---------------------------------------------------------------------------

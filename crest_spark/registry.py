@@ -131,6 +131,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so registrations run, then return REGISTRY."""
     import crest_spark.operators.curation  # noqa: F401
     import crest_spark.operators.dedup  # noqa: F401
+    import crest_spark.operators.hierarchy  # noqa: F401
     import crest_spark.operators.matview_query  # noqa: F401
     import crest_spark.operators.multimodal  # noqa: F401
     import crest_spark.operators.multimodal_codec  # noqa: F401
