@@ -29,6 +29,10 @@ Example:
         deleteCol: op_delete   # optional: Debezium-style tombstones
         changeFeed: true       # optional: stage row-level change sets so
                                # incremental views fold the upserts
+        mergeStrategy: cow     # optional: cow (default) | mor | auto —
+                               # mor commits merge-on-read row deltas
+                               # (hot-key CDC never rewrites data files;
+                               # fold with compact / cli maintain)
       - name: corpus           # streaming exact-dedup: derived columns
         path: /staging/docs    # (generated at ingest) feed the merge key,
         mode: upsert           # so the table keeps one row per content
@@ -117,6 +121,7 @@ def load_config(path: str) -> EngineConfig:
             sequence_col=s.get("sequenceCol"),
             delete_col=s.get("deleteCol"),
             change_feed=bool(s.get("changeFeed", False)),
+            merge_strategy=s.get("mergeStrategy", "cow"),
             derive=(
                 {str(c): str(e) for c, e in s["derive"].items()}
                 if "derive" in s
@@ -134,6 +139,16 @@ def load_config(path: str) -> EngineConfig:
             raise ValueError(
                 f"source {s.name}: mode 'upsert' requires 'key' and "
                 "'sequenceCol' (CDC ordering column)"
+            )
+        if s.merge_strategy not in ("cow", "mor", "auto"):
+            raise ValueError(
+                f"source {s.name}: mergeStrategy {s.merge_strategy!r} "
+                "(cow | mor | auto)"
+            )
+        if s.merge_strategy != "cow" and s.change_feed:
+            raise ValueError(
+                f"source {s.name}: changeFeed requires mergeStrategy 'cow' "
+                "(merge-on-read stages no row-level change set)"
             )
 
     compaction = raw.get("compaction", {})

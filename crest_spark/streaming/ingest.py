@@ -86,6 +86,16 @@ class SourceSpec:
     # CDF) so downstream incremental views keep maintaining over this
     # table's upserts instead of requiring full refreshes.
     change_feed: bool = False
+    # upsert mode only: 'cow' (default) rewrites touched files per
+    # micro-batch; 'mor' commits merge-on-read row deltas (no data file
+    # rewritten — the hot-key CDC shape; fold with `cli maintain`/
+    # compact); 'auto' switches to MoR past the touched-file threshold.
+    # Cross-batch ordering comes from commit order (micro-batches are
+    # ordered), sequence_col still picks the per-key winner INSIDE each
+    # batch; replayed batches converge because each delta's equality
+    # delete supersedes the previous replay's rows. Incompatible with
+    # change_feed (MoR stages no row-level change set).
+    merge_strategy: str = "cow"
 
 
 @dataclass
@@ -207,7 +217,9 @@ class IngestionService:
                     .where(F.col("_rn") == 1)
                     .drop("_rn")
                 )
-                if table.row_count() == 0:
+                # file_count, not row_count: metadata-only AND defined
+                # while merge-on-read deletes are pending
+                if table.file_count() == 0:
                     first = latest
                     if source.delete_col is not None:
                         # tombstones against an empty table are no-ops;
@@ -225,7 +237,7 @@ class IngestionService:
                         merge_schema=True,
                         bloom_for=source.bloom_for,
                     )
-                else:
+                elif source.merge_strategy == "cow":
                     table.merge(
                         df.sparkSession,
                         latest,
@@ -234,6 +246,18 @@ class IngestionService:
                         bloom_for=source.bloom_for,
                         delete_col=source.delete_col,
                         change_feed=source.change_feed,
+                    )
+                else:
+                    # MoR/auto: last-writer-wins across batches (commit
+                    # order IS the ordering); sequence_col already picked
+                    # the per-key winner within this batch above
+                    table.merge(
+                        df.sparkSession,
+                        latest,
+                        key=source.key,
+                        bloom_for=source.bloom_for,
+                        delete_col=source.delete_col,
+                        strategy=source.merge_strategy,
                     )
                 return
             # merge_schema: a widened source schema evolves the table in

@@ -1082,3 +1082,87 @@ def test_ingest_derive_append_mode(spark, sf_dir, tmp_path):
     t = LakehouseCatalog(cfg.warehouse).table("region_tagged")
     rows = {r["r_name"]: r["name_len"] for r in t.read(spark).collect()}
     assert rows and all(v == len(k) for k, v in rows.items())
+
+
+def test_ingest_upsert_mor_strategy_leaves_files_and_converges(
+    spark, sf_dir, tmp_path
+):
+    """mergeStrategy: mor — the ingestion service commits each upsert
+    micro-batch as a merge-on-read row delta: after the first batch, no
+    existing data file is ever rewritten, yet the readable state
+    converges to the same per-key winners as CoW; compact() folds the
+    accumulated deltas without changing the rowset."""
+    from pyspark.sql.window import Window
+
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=4, order_col="event_id"
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "whm"),
+        checkpoint_root=str(tmp_path / "ckptm"),
+        sources=[
+            SourceSpec(
+                name="user_latest_mor",
+                path=staging,
+                files_per_trigger=1,
+                mode="upsert",
+                key="user_id",
+                sequence_col="event_id",
+                merge_strategy="mor",
+            )
+        ],
+        max_rows_per_batch=100_000,
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    t = svc.catalog.table("user_latest_mor")
+    # every non-replace commit after the bootstrap append must be a
+    # merge-on-read rowdelta; the bootstrap files are never rewritten
+    snaps = t.snapshots()
+    assert snaps[-1].version > 1
+    first_files = set(snaps[0].files) or set(snaps[1].files)
+    assert first_files <= set(t._state()["files"])
+    assert any(s.extra.get("merge_on_read") for s in snaps)
+    got = {r["user_id"]: r["event_id"] for r in t.read(spark).collect()}
+    src = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in src.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .collect()
+    }
+    assert got == want
+    t.compact(spark, target_partitions=2)
+    assert not t._state()["deletes"]
+    assert {
+        r["user_id"]: r["event_id"] for r in t.read(spark).collect()
+    } == want
+
+
+def test_config_rejects_mor_with_change_feed(tmp_path):
+    import pytest as _pytest
+
+    from crest_spark.config import load_config
+
+    cfg = tmp_path / "bad.yaml"
+    cfg.write_text(
+        """
+warehouse: w
+checkpoints: c
+sources:
+  - name: t
+    path: p
+    mode: upsert
+    key: k
+    sequenceCol: s
+    mergeStrategy: mor
+    changeFeed: true
+"""
+    )
+    with _pytest.raises(ValueError, match="changeFeed requires"):
+        load_config(str(cfg))
