@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from crest_spark.functions.stable import round4
 from crest_spark.registry import register
@@ -536,3 +537,155 @@ def q15f_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
     )
+
+
+@register(
+    "q48_mode",
+    oracle="""
+        WITH counts AS (
+            SELECT l_returnflag, l_quantity, COUNT(*) AS c
+            FROM lineitem GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT l_returnflag, l_quantity, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY c DESC, l_quantity ASC
+                   ) AS rn
+            FROM counts
+        )
+        SELECT l_returnflag,
+               l_quantity AS mode_qty,
+               CAST(c AS BIGINT) AS mode_count
+        FROM ranked WHERE rn = 1
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "mode", "stats"),
+)
+def q48_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group (most frequent l_quantity; ties
+    broken by smallest value — the built-in ``mode()`` in both engines
+    picks an ARBITRARY tie winner, so the deterministic form is the only
+    hash-gateable one). Two-phase: the (group, value) count aggregate is
+    map-side combinable, the ranking window then runs over the tiny
+    distinct-value relation, not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("c"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("c").cast("long").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q49_ntile_buckets",
+    oracle=f"""
+        WITH binned AS (
+            SELECT l_returnflag,
+                   NTILE(10) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ) AS decile,
+                   l_extendedprice
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(decile AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {round4("MIN(l_extendedprice)")} AS lo,
+               {round4("MAX(l_extendedprice)")} AS hi
+        FROM binned
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("window", "ntile", "binning"),
+)
+def q49_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE feature binning (equi-depth deciles per group), summarized
+    per bucket. The sort key is extended to (price, orderkey, lineno) so
+    remaining ties are FULLY identical rows — interchangeable under any
+    engine's tie placement, making the per-bucket summary hash-stable.
+    One shuffle on the group key; the window and the bucket aggregate
+    share it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("l_returnflag", F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(round4("MIN(l_extendedprice)")).alias("lo"),
+            F.expr(round4("MAX(l_extendedprice)")).alias("hi"),
+        )
+        .orderBy("l_returnflag", "decile")
+    )
+
+
+@register(
+    "stats_correlation",
+    oracle=f"""
+        WITH sums AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(30,8)))
+                        AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+                        AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity * l_quantity
+                                 AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                                 AS DECIMAL(30,8))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity * l_extendedprice
+                                 AS DECIMAL(30,8))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag,
+               {round4("(n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))")}
+                   AS corr_qty_price
+        FROM sums
+        ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "stats", "correlation"),
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from order-free sums (not the
+    engines' own corr(), whose Welford update order differs by
+    partitioning): each per-row product is ONE deterministic IEEE
+    multiply, immediately pinned to DECIMAL(30,8); the decimal sums are
+    exact and associative, and the final combine is one identical
+    expression in both engines — bit-stable under any partitioning at
+    any scale, map-side combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dsum(expr: str, alias: str) -> F.Column:
+        return F.expr(
+            f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+        ).alias(alias)
+
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sx"),
+        dsum("l_extendedprice", "sy"),
+        dsum("l_quantity * l_quantity", "sxx"),
+        dsum("l_extendedprice * l_extendedprice", "syy"),
+        dsum("l_quantity * l_extendedprice", "sxy"),
+    )
+    corr = round4(
+        "(n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))"
+    )
+    return sums.select(
+        "l_returnflag", F.expr(corr).alias("corr_qty_price")
+    ).orderBy("l_returnflag")

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from crest_spark.functions.stable import avg4, round4
 from crest_spark.registry import register
@@ -439,4 +440,74 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(avg4("-LN(CAST(c AS DOUBLE) / t)")).alias("nll"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.w,
+                   {round4("tf * " + round4("LN(CAST((SELECT n_docs FROM n) AS DOUBLE) / df)"))}
+                       AS tfidf
+            FROM tf JOIN df ON tf.w = df.w
+        ),
+        ranked AS (
+            SELECT doc_id, w, tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, w ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT doc_id, w AS term, tfidf
+        FROM ranked WHERE rn <= 3
+        ORDER BY doc_id, rn
+    """,
+    tags=("text", "tfidf", "ranking"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Classic two-aggregate shape:
+    term frequencies shuffle once on (doc, term), document frequencies
+    once on term; the tiny per-term IDF relation broadcasts back onto
+    the tf side, and the per-doc ranking window reuses the doc_id
+    partitioning. IDF's ln() is pinned to 4 dp through DECIMAL before
+    the tf multiply (then the product is pinned again), so 1-ulp libm
+    differences between engines can't reach the hash. Deterministic
+    tie-break (score desc, term asc)."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    idf = (
+        words.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .select(
+            "w",
+            F.expr(
+                round4(f"LN(CAST({n_docs} AS DOUBLE) / df)")
+            ).alias("idf"),
+        )
+    )
+    scored = tf.join(F.broadcast(idf), "w").select(
+        "doc_id", "w", F.expr(round4("tf * idf")).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
     )
