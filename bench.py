@@ -89,18 +89,30 @@ def main() -> None:
     # min is the steady-state number the 100 TB comparison cares about.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         spec = specs[name]
-        best, n = float("inf"), 0
+        times, n = [], 0
         for _ in range(runs):
             t0 = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        timings[name] = round(times[0], 3)
+        medians[name] = round(times[len(times) // 2], 3)
+        all_runs[name] = [round(t, 3) for t in times]
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Methodology (recorded so cross-round BENCH deltas compare honestly;
+    # VERDICT r5 "what's wrong" #2): `queries` (and `value`) are
+    # MIN-of-`runs_per_query` per query — the steady-state number, the
+    # policy since r5 commit dac8c16; rounds r1-r4 were single-shot
+    # (equivalent to runs_per_query=1, min == that one sample). `median`
+    # and `runs` expose the non-min distribution; the session-level
+    # warm-up (parquet footer + Python worker pool) is never billed.
     print(
         json.dumps(
             {
@@ -109,6 +121,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "runs_per_query": runs,
+                "timing_policy": "min_of_runs; sorted per-query runs in"
+                " 'runs'; session warmup excluded (r1-r4 were"
+                " single-shot)",
+                "median": medians,
+                "median_total": round(sum(medians.values()), 3),
+                "runs": all_runs,
             }
         )
     )

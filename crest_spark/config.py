@@ -32,7 +32,9 @@ Example:
         mergeStrategy: cow     # optional: cow (default) | mor | auto —
                                # mor commits merge-on-read row deltas
                                # (hot-key CDC never rewrites data files;
-                               # fold with compact / cli maintain)
+                               # fold with compact / cli maintain).
+                               # mor is sequence-aware and composes
+                               # with changeFeed
       - name: corpus           # streaming exact-dedup: derived columns
         path: /staging/docs    # (generated at ingest) feed the merge key,
         mode: upsert           # so the table keeps one row per content
@@ -144,11 +146,6 @@ def load_config(path: str) -> EngineConfig:
             raise ValueError(
                 f"source {s.name}: mergeStrategy {s.merge_strategy!r} "
                 "(cow | mor | auto)"
-            )
-        if s.merge_strategy != "cow" and s.change_feed:
-            raise ValueError(
-                f"source {s.name}: changeFeed requires mergeStrategy 'cow' "
-                "(merge-on-read stages no row-level change set)"
             )
 
     compaction = raw.get("compaction", {})

@@ -113,6 +113,13 @@ def _footer_stats(files: list[str]) -> dict[str, dict[str, list]]:
 
 _BLOOM_KEY = "__bloom__"  # reserved per-file stats slot (not a column)
 _NULLS_KEY = "__nulls__"  # reserved per-file stats slot: column null counts
+# Pending-delta key sets at or under this many recorded keys apply via a
+# broadcast join at scan time (hot-key CDC: thousands of keys, a few MB);
+# above it — a backfill-scale merge routed to MoR — the anti-join falls
+# back to a shuffle join so a million-key delta can never blow out
+# executor memory as a broadcast. ~1M keys × ~32 B/key ≈ 32 MB, the top
+# of the sane broadcast range.
+_DELTA_BROADCAST_MAX_KEYS = 1_000_000
 
 
 def _stats_all_match(fstats: dict, predicates: dict[str, tuple]) -> bool:
@@ -592,14 +599,42 @@ class LakehouseTable:
             }
         )
 
+    # Iceberg's safe type-promotion lattice (schema_conversion parity:
+    # the reference maps types but never narrows, /root/reference/pkg/
+    # schema/schema_conversion.go): a merge_schema append carrying a
+    # WIDER type evolves the column in place — old data files stay
+    # int32/float32 on disk and Spark's parquet reader upcasts them
+    # (type widening, Spark 4). Anything not on the lattice keeps the
+    # current type and the append casts down (pinned-type contract).
+    _TYPE_PROMOTIONS = {
+        ("integer", "long"),
+        ("short", "integer"),
+        ("short", "long"),
+        ("byte", "short"),
+        ("byte", "integer"),
+        ("byte", "long"),
+        ("float", "double"),
+        ("integer", "double"),
+        ("date", "timestamp"),
+    }
+
     def _evolved_schema(self, current: StructType, incoming: StructType) -> StructType:
+        in_types = {f.name: f.dataType for f in incoming.fields}
+        evolved = [
+            StructField(f.name, in_types[f.name], nullable=f.nullable)
+            if f.name in in_types
+            and (f.dataType.typeName(), in_types[f.name].typeName())
+            in self._TYPE_PROMOTIONS
+            else f
+            for f in current.fields
+        ]
         names = {f.name for f in current.fields}
         added = [
             StructField(f.name, f.dataType, nullable=True)
             for f in incoming.fields
             if f.name not in names
         ]
-        return StructType(list(current.fields) + added)
+        return StructType(evolved + added)
 
     def append(
         self,
@@ -845,18 +880,39 @@ class LakehouseTable:
         files: list[str],
         state: dict,
     ) -> DataFrame:
-        """Merge-on-read scan path: anti-apply pending delete entries to
+        """Merge-on-read scan path: apply pending delete entries to
         ``df`` (the rows of ``files``). Sequence semantics are Iceberg
         v2's: an entry removes rows of data files added at-or-before its
         base version (``file_seq <= entry.seq``); rows re-inserted by a
         later commit survive. Equality-delete files hold hot keys — tiny
-        by construction — so they broadcast; predicate deletes are pure
+        by construction — so they broadcast when small; past
+        ``_DELTA_BROADCAST_MAX_KEYS`` recorded keys the anti-join falls
+        back to a shuffle join (a backfill-scale key set must never ride
+        an executor-memory broadcast). Predicate deletes are pure
         row-local filters. Zero plan overhead when nothing is pending.
+
+        Entries written by a sequence-conditioned merge carry
+        ``seqcol``: instead of unconditional key removal, rows of a
+        contested key are resolved to the per-key WINNER by (sequence
+        value desc, file seq desc), with tombstone kills conditioned on
+        the recorded per-key tombstone sequence — the scan-time
+        equivalent of the copy-on-write sequence merge, convergent under
+        out-of-order delivery. Entries apply strictly in COMMIT ORDER
+        (winner resolution does not commute with removals); consecutive
+        removal-only entries are batched back into one anti-join per key
+        set, so a pure last-writer-wins table keeps the single-join plan.
+
+        Delete files are read with the key schema RECORDED AT COMMIT
+        time (``key_schema``) and cast up to the current table types, so
+        a ``merge_schema`` append that widens a key column (int -> long)
+        while deltas are pending cannot break the scan.
 
         At 100 TB this is the skewed-CDC answer: a hot key that lands in
         every file of a cluster range costs one small key-file write per
         micro-batch instead of rewriting those files every time; the
         rewrite happens once, at ``compact()``."""
+        from pyspark.sql.window import Window
+
         dels = state.get("deletes") or []
         if not dels or not files:
             return df
@@ -879,50 +935,144 @@ class LakehouseTable:
                 "__crest_seq", F.coalesce(F.col("__crest_seq"), F.lit(0))
             )
         )
-        eq_groups: dict[tuple, list[dict]] = {}
-        for d in dels:
-            if d.get("pred") is not None:
-                cond = F.lit(True)
-                for c, (lo, hi) in d["pred"].items():
-                    if lo is not None:
-                        cond = cond & (F.col(c) >= lo)
-                    if hi is not None:
-                        cond = cond & (F.col(c) <= hi)
-                cond = F.coalesce(cond, F.lit(False)) & (
-                    F.col("__crest_seq") <= int(d["seq"])
-                )
-                out = out.where(~cond)
-            else:
-                eq_groups.setdefault(tuple(d["keys"]), []).append(d)
         schema = StructType.fromJson(json.loads(state["schema"]))
-        for keys, group in eq_groups.items():
-            all_paths = [p for d in group for p in d["paths"]]
-            dmap = spark.createDataFrame(
-                [
-                    (f"file://{os.path.abspath(p)}", int(d["seq"]))
-                    for d in group
-                    for p in d["paths"]
-                ],
-                "__crest_path string, __crest_dseq long",
-            )
-            key_schema = StructType(
-                [f for f in schema.fields if f.name in set(keys)]
-            )
-            dd = (
-                spark.read.schema(key_schema)
-                .option("mergeSchema", "false")
-                .parquet(*all_paths)
-                .withColumn("__crest_path", decoded)
-                .join(F.broadcast(dmap), "__crest_path", "left")
-                .select(
-                    *[F.col(k).alias(f"__crest_k_{k}") for k in keys],
-                    F.col("__crest_dseq"),
+        cur_type = {f.name: f.dataType for f in schema.fields}
+
+        def read_delete_files(entry_paths: list[str], keys: list[str],
+                              stored: str | None, extra_fields=()):
+            """Read an entry's key files with its commit-time schema
+            (current-schema fallback for pre-r6 entries), keys cast up
+            to the current table types."""
+            if stored is not None:
+                read_schema = StructType.fromJson(json.loads(stored))
+            else:
+                read_schema = StructType(
+                    [f for f in schema.fields if f.name in set(keys)]
                 )
+            dd = (
+                spark.read.schema(read_schema)
+                .option("mergeSchema", "false")
+                .parquet(*entry_paths)
             )
-            cond = F.col("__crest_dseq") >= F.col("__crest_seq")
-            for k in keys:
-                cond = cond & (F.col(k) == F.col(f"__crest_k_{k}"))
-            out = out.join(F.broadcast(dd), on=cond, how="left_anti")
+            sel = [
+                F.col(k).cast(cur_type[k]).alias(f"__crest_k_{k}")
+                if k in cur_type
+                else F.col(k).alias(f"__crest_k_{k}")
+                for k in keys
+            ]
+            return dd, sel
+
+        def maybe_broadcast(dd, group: list[dict]):
+            """Broadcast the delete-key side only when every entry in the
+            group recorded a key count and the total stays under the cap;
+            legacy entries (no count) are hot-key sized by construction."""
+            nkeys = [d.get("num_keys") for d in group]
+            if any(n is None for n in nkeys) or (
+                sum(nkeys) <= _DELTA_BROADCAST_MAX_KEYS
+            ):
+                return F.broadcast(dd)
+            return dd
+
+        def apply_removals(out: DataFrame, batch: list[dict]) -> DataFrame:
+            """Predicate + last-writer-wins equality entries: pure row
+            removals, commute with each other, so one anti-join per
+            (key set, stored schema)."""
+            eq_groups: dict[tuple, list[dict]] = {}
+            for d in batch:
+                if d.get("pred") is not None:
+                    cond = F.lit(True)
+                    for c, (lo, hi) in d["pred"].items():
+                        if lo is not None:
+                            cond = cond & (F.col(c) >= lo)
+                        if hi is not None:
+                            cond = cond & (F.col(c) <= hi)
+                    cond = F.coalesce(cond, F.lit(False)) & (
+                        F.col("__crest_seq") <= int(d["seq"])
+                    )
+                    out = out.where(~cond)
+                else:
+                    eq_groups.setdefault(
+                        (tuple(d["keys"]), d.get("key_schema")), []
+                    ).append(d)
+            for (keys, stored), group in eq_groups.items():
+                all_paths = [p for d in group for p in d["paths"]]
+                dmap = spark.createDataFrame(
+                    [
+                        (f"file://{os.path.abspath(p)}", int(d["seq"]))
+                        for d in group
+                        for p in d["paths"]
+                    ],
+                    "__crest_path string, __crest_dseq long",
+                )
+                raw, sel = read_delete_files(all_paths, list(keys), stored)
+                dd = (
+                    raw.withColumn("__crest_path", decoded)
+                    .join(F.broadcast(dmap), "__crest_path", "left")
+                    .select(*sel, F.col("__crest_dseq"))
+                )
+                cond = F.col("__crest_dseq") >= F.col("__crest_seq")
+                for k in keys:
+                    cond = cond & (F.col(k) == F.col(f"__crest_k_{k}"))
+                out = out.join(maybe_broadcast(dd, group), on=cond,
+                               how="left_anti")
+            return out
+
+        def apply_seq_entry(out: DataFrame, d: dict) -> DataFrame:
+            """Sequence-aware entry: resolve contested keys to the
+            per-key winner. Two passes over ``out`` — an anti-join for
+            uncontested rows (no shuffle) plus a window over the
+            contested subset only (hot keys: a small shuffle) — instead
+            of one window over everything, which would shuffle the full
+            scan."""
+            keys = list(d["keys"])
+            scope = int(d["seq"]) + 1  # entry's own commit is in scope
+            raw, sel = read_delete_files(
+                d["paths"], keys, d.get("key_schema")
+            )
+            dd = maybe_broadcast(
+                raw.select(*sel, F.col("__crest_tomb_seq")), [d]
+            )
+            keycond = [
+                out[k].eqNullSafe(F.col(f"__crest_k_{k}")) for k in keys
+            ]
+            cond = keycond[0]
+            for c in keycond[1:]:
+                cond = cond & c
+            uncontested = out.join(dd, on=cond, how="left_anti")
+            cand = out.join(dd, on=cond, how="inner").drop(
+                *[f"__crest_k_{k}" for k in keys]
+            )
+            seqv = F.col(d["seqcol"])
+            in_scope = F.col("__crest_seq") <= F.lit(scope)
+            killed = F.col("__crest_tomb_seq").isNotNull() & (
+                seqv.isNull() | (seqv <= F.col("__crest_tomb_seq"))
+            )
+            ranked = in_scope & ~killed
+            w = Window.partitionBy(*keys).orderBy(
+                F.desc("__crest_ranked"),
+                F.desc_nulls_last(d["seqcol"]),
+                F.desc("__crest_seq"),
+            )
+            resolved = (
+                cand.withColumn("__crest_ranked", ranked)
+                .withColumn("__crest_rn", F.row_number().over(w))
+                .where(
+                    ~in_scope
+                    | (F.col("__crest_ranked") & (F.col("__crest_rn") == 1))
+                )
+                .drop("__crest_ranked", "__crest_rn", "__crest_tomb_seq")
+            )
+            return uncontested.unionByName(resolved)
+
+        batch: list[dict] = []
+        for d in dels:
+            if d.get("seqcol"):
+                out = apply_removals(out, batch)
+                batch = []
+                out = apply_seq_entry(out, d)
+            else:
+                batch.append(d)
+        out = apply_removals(out, batch)
         return out.drop("__crest_seq")
 
     def _commit_row_delta(
@@ -933,24 +1083,51 @@ class LakehouseTable:
         state: dict,
         base: int,
         bloom_for: list[str] | None,
+        sequence_col: str | None = None,
+        change_files: list[str] | None = None,
     ) -> int:
         """Commit one merge as a row delta (Iceberg v2 merge-on-read):
-        the update rows land as ordinary data files, plus ONE small
-        equality-delete file holding the distinct update keys — no data
-        file is read or rewritten. The entry records per-key [min, max]
-        bounds so copy-on-write rewrites and ``_delete_affected`` can
-        prove untouched files disjoint, and ``seq = base`` so rows
-        re-inserted after this commit are out of its scope."""
+        the update rows land as ordinary data files, plus a small set of
+        SORTED equality-delete files holding the distinct update keys —
+        no data file is read or rewritten. Sorting means each delete
+        file covers a tight key range (AQE sizes the file count to the
+        key volume: one file for a micro-batch, several for a backfill),
+        and the entry records per-key [min, max] bounds plus the key
+        COUNT (``num_keys``, gates broadcast-vs-shuffle application) and
+        the key file SCHEMA (``key_schema``, so later type-widening
+        appends cannot break delta reads). ``seq = base`` keeps rows
+        re-inserted after this commit out of the entry's scope.
+
+        ``sequence_col``: sequence-aware delta. The key file then also
+        carries the per-key max TOMBSTONE sequence, the entry records
+        ``seqcol``, and the scan resolves contested keys to the per-key
+        winner by sequence value instead of unconditional removal —
+        identical visible semantics to the copy-on-write sequence merge
+        (convergent under out-of-order redelivery), still with zero data
+        files read at commit time. Update rows are pre-deduped to the
+        per-key batch winner so losers never land.
+
+        ``change_files``: CDF rows already staged by the caller (the
+        merge read the touched region to derive them) — recorded on the
+        commit so ``read_changes(cdf=True)`` can fold across this delta."""
         table_schema = StructType.fromJson(json.loads(state["schema"]))
         del_dir = os.path.join(self.deletes_path, f"txn-{uuid.uuid4().hex}")
-        updates.select(*keys).distinct().coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(del_dir)
+        if sequence_col is None:
+            kd = updates.select(*keys).distinct()
+        else:
+            tomb = (
+                F.max(F.when(F.col("__del"), F.col(sequence_col)))
+                if "__del" in updates.columns
+                else F.max(F.when(F.lit(False), F.col(sequence_col)))
+            )
+            kd = updates.groupBy(*keys).agg(tomb.alias("__crest_tomb_seq"))
+        kd.sort(*keys).write.mode("overwrite").parquet(del_dir)
         del_files = sorted(
             os.path.join(del_dir, f)
             for f in os.listdir(del_dir)
             if f.endswith(".parquet")
         )
+        num_keys = _footer_row_count(del_files)
         dstats = _footer_stats(del_files)
         bounds: dict[str, list] = {}
         for k in keys:
@@ -963,6 +1140,20 @@ class LakehouseTable:
                     continue  # NaN keys make float min/max unsound
                 bounds[k] = [min(los), max(his)]
         rows = updates
+        if sequence_col is not None:
+            # land only the per-key batch winner (tombstones compete: a
+            # winning tombstone means nothing lands for that key — the
+            # recorded tomb seq does the killing at scan time)
+            from pyspark.sql.window import Window
+
+            bw = Window.partitionBy(*keys).orderBy(
+                F.desc_nulls_last(sequence_col)
+            )
+            rows = (
+                rows.withColumn("__crest_rn", F.row_number().over(bw))
+                .where(F.col("__crest_rn") == 1)
+                .drop("__crest_rn")
+            )
         if "__del" in rows.columns:
             rows = rows.where(~F.col("__del")).drop("__del")
         rows = rows.select(
@@ -982,9 +1173,26 @@ class LakehouseTable:
         if bloom_for:
             for f, blooms in _file_blooms(files, bloom_for).items():
                 stats.setdefault(f, {})[_BLOOM_KEY] = blooms
-        entry: dict = {"paths": del_files, "keys": keys, "seq": base}
+        entry: dict = {
+            "paths": del_files,
+            "keys": keys,
+            "seq": base,
+            "num_keys": num_keys,
+            "key_schema": kd.schema.json(),
+        }
+        if sequence_col is not None:
+            entry["seqcol"] = sequence_col
         if bounds:
             entry["bounds"] = bounds
+        extra: dict = {
+            "merge_on_read": True,
+            # an empty key set deletes nothing: emitting it anyway would
+            # produce a bound-less entry that makes _delete_affected
+            # answer True for every file (full-rewrite degradation)
+            "deletes": [entry] if num_keys > 0 else [],
+        }
+        if change_files is not None:
+            extra["change_files"] = change_files
         version = self._try_commit(
             {
                 "operation": "rowdelta",
@@ -993,7 +1201,7 @@ class LakehouseTable:
                 "schema": state["schema"],
                 "commit_ts": time.time(),
                 "num_rows": _footer_row_count(files),
-                "extra": {"merge_on_read": True, "deletes": [entry]},
+                "extra": extra,
             },
             expected_base=base,
         )
@@ -1059,6 +1267,7 @@ class LakehouseTable:
         change_feed: bool = False,
         strategy: str = "cow",
         mor_file_threshold: int = 8,
+        mor_key_threshold: int = 1_000_000,
     ) -> int:
         """Upsert (MERGE INTO semantics): rows in ``updates`` replace
         current rows with the same key; new keys are inserted. Implemented
@@ -1109,32 +1318,36 @@ class LakehouseTable:
 
         ``strategy``: ``"cow"`` (default) rewrites the touched files;
         ``"mor"`` commits a merge-on-read row delta instead — update rows
-        land as new data files plus ONE small equality-delete file of the
-        update keys, and NO existing data file is read or rewritten
-        (Iceberg v2 positional/equality-delete semantics, applied lazily
-        at scan time and folded back into data files by ``compact()``).
-        ``"auto"`` picks MoR when the touched-file count reaches
-        ``mor_file_threshold`` — the skewed-CDC case where a hot key
+        land as new data files plus a small set of sorted equality-delete
+        key files, and NO existing data file is rewritten (Iceberg v2
+        equality-delete semantics, applied lazily at scan time and folded
+        back into data files by ``compact()``). ``"auto"`` picks MoR when
+        the touched-file count reaches ``mor_file_threshold`` AND the
+        estimated distinct update-key count stays at or under
+        ``mor_key_threshold`` — the skewed-CDC case where a hot key
         intersects the same files every micro-batch and CoW would rewrite
-        them each time. MoR requires last-writer-wins semantics: it is
-        incompatible with ``sequence_col`` (winner selection needs the
-        current rows) and ``change_feed`` (preimages need a read); both
-        raise."""
+        them each time. A backfill-scale merge (many keys, so it touches
+        many files for the opposite reason) routes to CoW: its delta
+        would never be "small", and folding it later costs the same
+        rewrite anyway.
+
+        MoR composes with both CDC features:
+
+        - ``sequence_col``: the delta records the sequence column and the
+          per-key tombstone sequence; the scan resolves contested keys to
+          the per-key winner by sequence value — same visible semantics
+          as the CoW sequence merge, convergent under out-of-order
+          redelivery, still zero data files read at commit.
+        - ``change_feed``: preimages need the current rows, so THIS
+          combination reads the touched region (the same O(touched
+          files) read class the CoW CDC path pays) to stage the change
+          set — but still rewrites nothing, which is the half of the
+          cost that matters for hot-key write amplification. An empty
+          updates batch short-circuits to a no-op (no commit)."""
         from pyspark.sql.window import Window
 
         if strategy not in ("cow", "mor", "auto"):
             raise ValueError(f"merge strategy {strategy!r}: cow | mor | auto")
-        if strategy != "cow":
-            if sequence_col is not None:
-                raise ValueError(
-                    "merge-on-read cannot order by sequence_col (winner "
-                    "selection needs the current rows); use strategy='cow'"
-                )
-            if change_feed:
-                raise ValueError(
-                    "merge-on-read cannot stage a change feed (preimages "
-                    "need a read); use strategy='cow'"
-                )
         if delete_col is not None:
             updates = updates.withColumn(
                 "__del",
@@ -1142,24 +1355,39 @@ class LakehouseTable:
             ).drop(delete_col)
 
         keys = [key] if isinstance(key, str) else list(key)
+        # one pass over the batch: per-key [min, max] (file pruning) plus
+        # an estimated distinct-key count (the auto CoW/MoR routing gate)
+        bounds = updates.agg(
+            *[
+                c
+                for k in keys
+                for c in (
+                    F.min(k).alias(f"lo_{k}"),
+                    F.max(k).alias(f"hi_{k}"),
+                )
+            ],
+            F.approx_count_distinct(F.struct(*keys)).alias("__nkeys"),
+        ).first()
+        key_bounds = {k: (bounds[f"lo_{k}"], bounds[f"hi_{k}"]) for k in keys}
+        est_keys = int(bounds["__nkeys"])
+        if all(lo is None for lo, _ in key_bounds.values()) and (
+            updates.isEmpty()
+        ):
+            # an empty micro-batch must not commit: a MoR delta for it
+            # would carry a bound-less delete entry that degrades every
+            # later copy-on-write to a full rewrite, and a CoW commit
+            # for it is a pointless version
+            return self.version()
+        if change_feed and strategy != "cow":
+            # the MoR CDF path reads ``updates`` twice (stage + land);
+            # pin it so a non-deterministic plan cannot diverge the
+            # staged feed from the committed rows
+            updates = updates.localCheckpoint(eager=True)
         last_err: Exception | None = None
         for _ in range(self._MERGE_RETRIES):
             base = self.version()
             state = self._state(upto=base)
             stats: dict = state.get("stats", {})
-            bounds = updates.agg(
-                *[
-                    c
-                    for k in keys
-                    for c in (
-                        F.min(k).alias(f"lo_{k}"),
-                        F.max(k).alias(f"hi_{k}"),
-                    )
-                ]
-            ).first()
-            key_bounds = {
-                k: (bounds[f"lo_{k}"], bounds[f"hi_{k}"]) for k in keys
-            }
             keep: list[str] = []
             touch: list[str] = []
             for f in state["files"]:
@@ -1177,34 +1405,20 @@ class LakehouseTable:
                     keep.append(f)  # some key range provably disjoint
                 else:
                     touch.append(f)
-            if strategy == "mor" or (
-                strategy == "auto" and len(touch) >= mor_file_threshold
-            ):
-                try:
-                    return self._commit_row_delta(
-                        spark, updates, keys, state, base, bloom_for
+            def derive_merged(current: DataFrame) -> DataFrame:
+                """Post-merge rowset of the touched region — shared by
+                the CoW rewrite and the MoR change-feed staging (the MoR
+                scan is constructed to show exactly this rowset)."""
+                if sequence_col is None:
+                    kept = current.join(
+                        updates.select(*keys), on=keys, how="left_anti"
                     )
-                except CommitConflict as e:
-                    last_err = e
-                    _record_conflict(
-                        f"{self.namespace}.{self.name}", "merge"
+                    upd_rows = updates
+                    if delete_col is not None:
+                        upd_rows = upd_rows.where(~F.col("__del"))
+                    return kept.unionByName(
+                        upd_rows.select(*current.columns)
                     )
-                    continue
-            current = self._apply_pending_deletes(
-                spark,
-                self._read_files(spark, touch, state["schema"]),
-                touch,
-                state,
-            )
-            if sequence_col is None:
-                kept = current.join(
-                    updates.select(*keys), on=keys, how="left_anti"
-                )
-                upd_rows = updates
-                if delete_col is not None:
-                    upd_rows = upd_rows.where(~F.col("__del"))
-                merged = kept.unionByName(upd_rows.select(*current.columns))
-            else:
                 # union both sides, keep the per-key winner by (sequence
                 # desc, update-flag desc) — one shuffle on key, fully
                 # JVM-side; ties prefer the update (idempotent replay)
@@ -1218,14 +1432,58 @@ class LakehouseTable:
                 if delete_col is None:
                     upd = upd.withColumn("__del", F.lit(False))
                 w = Window.partitionBy(*keys).orderBy(
-                    F.desc(sequence_col), F.desc("__is_upd")
+                    F.desc_nulls_last(sequence_col), F.desc("__is_upd")
                 )
-                merged = (
+                return (
                     cur.unionByName(upd)
                     .withColumn("__rn", F.row_number().over(w))
                     .where((F.col("__rn") == 1) & ~F.col("__del"))
                     .drop("__rn", "__is_upd", "__del")
                 )
+
+            if strategy == "mor" or (
+                strategy == "auto"
+                and len(touch) >= mor_file_threshold
+                and est_keys <= mor_key_threshold
+            ):
+                cf: list[str] | None = None
+                if change_feed:
+                    # preimages need the current rows of the touched
+                    # region — read it (same O(touched files) class as
+                    # CoW CDC) but rewrite nothing
+                    current = self._apply_pending_deletes(
+                        spark,
+                        self._read_files(spark, touch, state["schema"]),
+                        touch,
+                        state,
+                    )
+                    cf = self._stage_changes(
+                        current, derive_merged(current), keys
+                    )
+                try:
+                    return self._commit_row_delta(
+                        spark,
+                        updates,
+                        keys,
+                        state,
+                        base,
+                        bloom_for,
+                        sequence_col=sequence_col,
+                        change_files=cf,
+                    )
+                except CommitConflict as e:
+                    last_err = e
+                    _record_conflict(
+                        f"{self.namespace}.{self.name}", "merge"
+                    )
+                    continue
+            current = self._apply_pending_deletes(
+                spark,
+                self._read_files(spark, touch, state["schema"]),
+                touch,
+                state,
+            )
+            merged = derive_merged(current)
             commit_extra = extra
             if change_feed:
                 # Pin the merged rowset before it is read twice (once by
@@ -1669,11 +1927,29 @@ class LakehouseTable:
             if d.get("operation") == "rowdelta" or d.get("extra", {}).get(
                 "deletes"
             ):
+                dextra = d.get("extra", {})
+                if cdf and dextra.get("change_files") is not None:
+                    # a MoR merge made with change_feed=True staged its
+                    # row-level change set at commit time — consume that
+                    # instead of the data files (the postimages/inserts
+                    # in the change set cover every row the delta added,
+                    # and the preimages/deletes express what its
+                    # equality-delete retracts)
+                    change_files.extend(dextra["change_files"])
+                    for f in dextra["change_files"]:
+                        ver_of[os.path.abspath(f)] = v
+                    continue
                 raise ValueError(
                     f"incremental read across a merge-on-read commit "
                     f"(version {v}): its deletes are not expressible as a "
                     "file delta; compact() folds them, then re-read the "
                     "snapshot"
+                    + (
+                        " (or re-merge with change_feed=True to stage a "
+                        "foldable change set)"
+                        if cdf
+                        else ""
+                    )
                 )
             if d.get("operation") == "replace":
                 dextra = d.get("extra", {})

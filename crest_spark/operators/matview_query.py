@@ -476,3 +476,148 @@ def lake_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     if t._state()["deletes"]:
         raise AssertionError("compact must fold all pending deletes")
     return t.read(spark).orderBy("event_id")
+
+
+@register(
+    "lake_mor_cdf",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN event_id % 11 = 0 THEN 'w1'
+                    WHEN event_id % 13 = 0 THEN 'w2'
+                    ELSE event_type END AS event_type,
+               CAST(CASE WHEN event_id % 11 = 0 THEN value + 1000.0
+                         WHEN event_id % 13 = 0 THEN value + 2000.0
+                         ELSE value END AS DOUBLE) AS value,
+               CAST(CASE WHEN event_id % 11 = 0 THEN 2
+                         WHEN event_id % 13 = 0 THEN 1
+                         ELSE 0 END AS BIGINT) AS seq
+        FROM events
+        WHERE event_id % 17 <> 0
+        UNION ALL
+        SELECT event_id + 20000000 AS event_id,
+               'new' AS event_type,
+               CAST(-1.0 AS DOUBLE) AS value,
+               CAST(3 AS BIGINT) AS seq
+        FROM events WHERE event_id % 503 = 0
+        ORDER BY event_id
+    """,
+    tags=("lakehouse", "merge-on-read", "cdc", "change-feed", "upsert"),
+)
+def lake_mor_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read x change data feed x sequence ordering — the three
+    CDC features the r5 design kept mutually exclusive, composed under
+    the driver hash gate. The events table lands clustered, then:
+
+    - wave 1 (seq=2): hot keys (``event_id % 11``, spanning every
+      clustered file) merge as a sequence-aware MoR delta with
+      ``change_feed=True`` — no data file rewritten, change set staged;
+    - wave 2 (seq=1, OUT OF ORDER): an older batch overlapping wave 1
+      on ``% 143`` keys — sequence awareness must make it lose exactly
+      where it overlaps, also MoR + CDF;
+    - wave 3 (seq=3): Debezium tombstones (``% 17`` keys deleted) plus
+      brand-new inserts, same path.
+
+    The query then folds ``read_changes(cdf=True)`` over the base
+    snapshot — insert/update_postimage add, update_preimage/delete
+    retract — asserts the fold EQUALS the direct merge-on-read scan,
+    asserts no original data file was rewritten by any wave, and
+    returns the folded rowset for the oracle to hash against a one-shot
+    SQL reconstruction of the final state. One green row certifies:
+    MoR never rewrites, the scan's winner resolution is
+    sequence-correct under out-of-order delivery, the staged change
+    sets are exactly the deltas, and the fold converges to the table.
+
+    Reference stake: crest's continuous CDC commit loop
+    (``/root/reference/pkg/ingestor/ingestor.go:131-152``) feeding
+    incremental views (``README.md:13``) — the hot-key case where
+    copy-on-write write-amplifies every micro-batch."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = ev.withColumn("seq", F.lit(0).cast("long")).withColumn(
+        "op_del", F.lit(False)
+    )
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_mor_cdf_"))
+    t = cat.get_or_create_table(
+        "events_cdf", base.drop("op_del").schema
+    )
+    n = ev.count()
+    t.append(
+        base.drop("op_del"),
+        cluster_by=["event_id"],
+        max_rows_per_file=max(50, n // 8),
+    )
+    original_files = set(t._state()["files"])
+    w1 = ev.where(F.col("event_id") % 11 == 0).select(
+        "event_id",
+        F.lit("w1").alias("event_type"),
+        (F.col("value") + 1000.0).alias("value"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit(False).alias("op_del"),
+    )
+    w2 = ev.where(F.col("event_id") % 13 == 0).select(
+        "event_id",
+        F.lit("w2").alias("event_type"),
+        (F.col("value") + 2000.0).alias("value"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit(False).alias("op_del"),
+    )
+    tombs = ev.where(F.col("event_id") % 17 == 0).select(
+        "event_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(3).cast("long").alias("seq"),
+        F.lit(True).alias("op_del"),
+    )
+    inserts = ev.where(F.col("event_id") % 503 == 0).select(
+        (F.col("event_id") + 20_000_000).alias("event_id"),
+        F.lit("new").alias("event_type"),
+        F.lit(-1.0).alias("value"),
+        F.lit(3).cast("long").alias("seq"),
+        F.lit(False).alias("op_del"),
+    )
+    for wave in (w1, w2, tombs.unionByName(inserts)):
+        t.merge(
+            spark,
+            wave,
+            key="event_id",
+            sequence_col="seq",
+            delete_col="op_del",
+            change_feed=True,
+            strategy="mor",
+        )
+    state = t._state()
+    if not set(state["files"]) >= original_files:  # the scale contract
+        raise AssertionError(
+            "merge-on-read commits must not rewrite existing data files"
+        )
+    if len(state["deletes"]) != 3:
+        raise AssertionError(
+            f"expected 3 pending delta entries, found {len(state['deletes'])}"
+        )
+    ch = t.read_changes(spark, after=1, cdf=True)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    folded = (
+        t.read(spark, version=1)
+        .withColumn("__s", F.lit(1))
+        .unionByName(
+            ch.withColumn("__s", sign).drop(
+                "_change_type", "_commit_version"
+            )
+        )
+        .groupBy("event_id", "event_type", "value", "seq")
+        .agg(F.sum("__s").alias("__n"))
+        .where(F.col("__n") > 0)
+        .drop("__n")
+    )
+    scan = t.read(spark)
+    if (
+        folded.exceptAll(scan).limit(1).count() > 0
+        or scan.exceptAll(folded).limit(1).count() > 0
+    ):
+        raise AssertionError(
+            "change-feed fold diverged from the merge-on-read scan"
+        )
+    return folded.orderBy("event_id")

@@ -150,99 +150,122 @@ def load_all() -> dict[str, QuerySpec]:
     return REGISTRY
 
 
-# Queries already driver-checked in earlier rounds (union of the
-# CORRECTNESS_r01..r04 row names) — static rotation memory so that each
-# round's fixed-size driver prefix lands on a fresh slab of the registry
-# instead of re-checking the same representatives every round.
-_DRIVER_CHECKED: frozenset[str] = frozenset(
-    {
-        # --- round 4 (CORRECTNESS_r04.json: 47 oracle-green + 2 rows-only
-        # by design; q33_sessionize deliberately ABSENT again — its r4 row
-        # was hash-red from the now-fixed HUGEINT oracle cast, so it must
-        # rotate back into the r5 prefix to show green) ---
-        "curation_chunk_documents", "curation_decontaminate",
-        "curation_domain_mix", "curation_pii_scrub", "curation_shuffle_order",
-        "dedup_canonical", "dedup_embedding_ann", "dedup_embedding_components",
-        "dedup_remove_spans", "dedup_substring_spans", "lake_retention_delete",
-        "multimodal_audio_chunks", "multimodal_audio_chunks_real",
-        "multimodal_audio_decode", "multimodal_image_decode",
-        "multimodal_image_resize", "mv_cdc_fold", "mv_hourly_rollup",
-        "mv_percentile_rollup", "mv_topk_rollup", "q05b_shuffle_hash_join",
-        "q11b_window_zoo", "q14d_intersect_all", "q14e_except_all",
-        "q15e_unpivot", "q16d_null_zoo", "q24e_correlated_max",
-        "q25_deterministic_sample", "q26_misc_aggs", "q26b_string_agg",
-        "q26c_filtered_aggs", "q28d_top_supplier", "q28e_big_orders",
-        "q28f_promo_share", "q29_lateral_topk", "q38_revenue_forecast",
-        "q39_market_share", "q40_returned_items", "q41_important_parts",
-        "stats_histogram", "stats_percentiles", "stream_dedup_counts",
-        "stream_static_join", "stream_stream_join", "text_heavy_hitters",
-        "text_repetition", "text_unigram_nll", "text_word_counts",
-        "udtf_ngrams",
-        # --- rounds 1-3 ---
-        "ann_brute_topk", "ann_ivf_topk", "ann_lsh_topk",
-        "curation_pack_sequences", "curation_stratified_sample",
-        "curation_train_split", "dedup_components",
-        "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_weighted",
-        "llm_curation_pipeline", "multimodal_binary_meta",
-        "multimodal_features", "multimodal_features_hex",
-        "multimodal_resize", "q01_filter_project", "q02_predicates",
-        "q03_agg_pricing_summary", "q04_distinct_agg",
-        "q04b_approx_distinct", "q05_join_groupby", "q06_join3_topk",
-        "q07_left_outer", "q07b_full_outer", "q08_semi_join",
-        "q08b_anti_join", "q09_broadcast_dim", "q10_range_join",
-        "q10b_theta_join", "q10c_cross_join", "q11_rank_window",
-        "q12_frame_window", "q12b_range_frame", "q13_topk",
-        "q14_intersect", "q14b_except", "q14c_union", "q15_rollup",
-        "q15b_cube", "q15c_grouping_sets", "q15d_pivot", "q16_scalar_zoo",
-        "q16b_datetime_zoo", "q17_json_extract", "q17b_json_schema",
-        "q17c_to_json", "q18_array_access", "q18b_explode",
-        "q18c_array_hof", "q18d_map_functions", "q18e_posexplode",
-        "q19_tumbling_batch", "q20_asof_join", "q21_dedup_groups",
-        "q21b_distinct", "q22_cosine_topk", "q24_scalar_subquery",
-        "q24b_correlated_scalar", "q24c_in_subquery", "q24d_cte",
-        "q27_having", "q28_profit_by_nation_year",
-        "q28b_order_count_distribution", "q28c_volume_shipping",
-        "q34_gapfill", "q34b_gapfill_interpolate",
-        "q35_min_acctbal_supplier", "q36_priority_count",
-        "q37_local_supplier_volume", "q46_multires_rollup",
-        "skew_salted_agg", "skew_salted_join", "stats_minmax_percentile",
-        "stats_moments", "stream_session_window", "stream_sliding_window",
-        "stream_tumbling_window", "text_fingerprint", "text_lang_id",
-        "text_quality", "text_token_stats", "udf_grouped_agg_pandas",
-        "udf_grouped_map_zscore", "udf_scalar_pandas",
-    }
-)
+# Driver-check rotation memory: the round each query was LAST checked
+# in (union of the CORRECTNESS_r01..r05 rows; absent = never checked).
+# Everything has now been checked at least once (r5 closed coverage), so
+# rotation's job flips from coverage to FRESHNESS: each round's fixed-
+# size driver prefix should land on the stalest entries — the ones whose
+# implementation files have churned most since their last check (VERDICT
+# r5 next-round #5). Note: no entry is r1-stale anymore (every r1 row was
+# re-checked in a later round); the stalest tier is round 2, 38 entries,
+# and ALL of them sort into the r6 prefix along with the never-checked
+# round-6 additions.
+_LAST_CHECKED: dict[str, int] = {
+    # --- last checked in round 2 (38 entries) ---
+    "dedup_minhash_lsh": 2, "dedup_simhash": 2,
+    "dedup_simhash_weighted": 2, "q04b_approx_distinct": 2,
+    "q05_join_groupby": 2, "q06_join3_topk": 2, "q07_left_outer": 2,
+    "q07b_full_outer": 2, "q08_semi_join": 2, "q08b_anti_join": 2,
+    "q09_broadcast_dim": 2, "q10_range_join": 2, "q10b_theta_join": 2,
+    "q10c_cross_join": 2, "q11_rank_window": 2, "q12_frame_window": 2,
+    "q12b_range_frame": 2, "q13_topk": 2, "q14_intersect": 2,
+    "q14b_except": 2, "q14c_union": 2, "q15_rollup": 2, "q15b_cube": 2,
+    "q16_scalar_zoo": 2, "q16b_datetime_zoo": 2, "q17_json_extract": 2,
+    "q17b_json_schema": 2, "q17c_to_json": 2, "q18_array_access": 2,
+    "q18b_explode": 2, "q18c_array_hof": 2, "q18d_map_functions": 2,
+    "q18e_posexplode": 2, "q19_tumbling_batch": 2, "q20_asof_join": 2,
+    "q21_dedup_groups": 2, "q21b_distinct": 2, "q27_having": 2,
+    # --- last checked in round 3 (27 entries) ---
+    "ann_ivf_topk": 3, "ann_lsh_topk": 3, "curation_pack_sequences": 3,
+    "curation_train_split": 3, "dedup_components": 3,
+    "dedup_embedding_cosine": 3, "multimodal_features": 3,
+    "multimodal_resize": 3, "q03_agg_pricing_summary": 3,
+    "q04_distinct_agg": 3, "q15c_grouping_sets": 3, "q15d_pivot": 3,
+    "q24c_in_subquery": 3, "q24d_cte": 3,
+    "q28b_order_count_distribution": 3, "q28c_volume_shipping": 3,
+    "q34b_gapfill_interpolate": 3, "q36_priority_count": 3,
+    "q37_local_supplier_volume": 3, "q46_multires_rollup": 3,
+    "stream_session_window": 3, "stream_sliding_window": 3,
+    "text_fingerprint": 3, "text_quality": 3, "text_token_stats": 3,
+    "udf_grouped_agg_pandas": 3, "udf_grouped_map_zscore": 3,
+    # --- last checked in round 4 (45 entries) ---
+    "curation_chunk_documents": 4, "curation_decontaminate": 4,
+    "curation_domain_mix": 4, "curation_pii_scrub": 4,
+    "curation_shuffle_order": 4, "dedup_canonical": 4,
+    "dedup_embedding_ann": 4, "dedup_embedding_components": 4,
+    "dedup_remove_spans": 4, "dedup_substring_spans": 4,
+    "lake_retention_delete": 4, "multimodal_audio_chunks": 4,
+    "multimodal_audio_chunks_real": 4, "multimodal_audio_decode": 4,
+    "mv_cdc_fold": 4, "mv_topk_rollup": 4, "q05b_shuffle_hash_join": 4,
+    "q11b_window_zoo": 4, "q14d_intersect_all": 4, "q14e_except_all": 4,
+    "q15e_unpivot": 4, "q16d_null_zoo": 4, "q24e_correlated_max": 4,
+    "q25_deterministic_sample": 4, "q26_misc_aggs": 4,
+    "q26b_string_agg": 4, "q26c_filtered_aggs": 4, "q28d_top_supplier": 4,
+    "q28e_big_orders": 4, "q28f_promo_share": 4, "q29_lateral_topk": 4,
+    "q38_revenue_forecast": 4, "q39_market_share": 4,
+    "q40_returned_items": 4, "q41_important_parts": 4,
+    "stats_histogram": 4, "stats_percentiles": 4, "stream_dedup_counts": 4,
+    "stream_static_join": 4, "stream_stream_join": 4,
+    "text_heavy_hitters": 4, "text_repetition": 4, "text_unigram_nll": 4,
+    "text_word_counts": 4, "udtf_ngrams": 4,
+    # --- last checked in round 5 (50 entries) ---
+    "ann_brute_topk": 5, "curation_oversample": 5,
+    "curation_stratified_sample": 5, "dedup_exact": 5,
+    "dedup_fuzzy_pairs": 5, "dedup_ngram_jaccard": 5, "lake_mor_upsert": 5,
+    "llm_curation_pipeline": 5, "multimodal_binary_meta": 5,
+    "multimodal_features_hex": 5, "multimodal_image_decode": 5,
+    "multimodal_image_resize": 5, "mv_hourly_rollup": 5,
+    "mv_percentile_rollup": 5, "q01_filter_project": 5,
+    "q02_predicates": 5, "q15f_grouping_id": 5, "q16e_regex_zoo": 5,
+    "q18f_explode_outer": 5, "q18g_array_ops": 5,
+    "q20b_asof_forward_tolerance": 5, "q22_cosine_topk": 5,
+    "q24_scalar_subquery": 5, "q24b_correlated_scalar": 5,
+    "q26d_regression_aggs": 5, "q28_profit_by_nation_year": 5,
+    "q30_small_qty_revenue": 5, "q31_waiting_suppliers": 5,
+    "q32_dormant_customers": 5, "q33_sessionize": 5, "q34_gapfill": 5,
+    "q35_min_acctbal_supplier": 5, "q42_ship_class_priority": 5,
+    "q43_part_supplier_count": 5, "q44_disjunctive_revenue": 5,
+    "q45_dominant_suppliers": 5, "q47_recursive_hierarchy": 5,
+    "q48_mode": 5, "q49_ntile_buckets": 5, "skew_salted_agg": 5,
+    "skew_salted_join": 5, "stats_correlation": 5,
+    "stats_minmax_percentile": 5, "stats_moments": 5,
+    "stats_percentiles_approx": 5, "stats_profile": 5,
+    "stream_tumbling_window": 5, "text_lang_id": 5, "text_tfidf": 5,
+    "udf_scalar_pandas": 5,
+}
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
     """The registry re-ordered so the driver's fixed-size prefix is
-    maximally informative: two round-robin passes over the defining
-    modules — first every query NEVER driver-checked in a prior round
-    (``_DRIVER_CHECKED`` rotation memory), then the already-checked
-    rest — with oracle-bearing entries first within each module queue
-    (registration order otherwise preserved).
+    maximally informative: round-robin passes over the defining modules
+    in ascending last-checked round — never-checked queries first (tier
+    0: this round's additions need their first check), then the stalest
+    previously-checked tier (round 2), and so on — with oracle-bearing
+    entries first within each module queue (registration order
+    otherwise preserved).
 
     Why: the correctness driver checks a fixed-size prefix of
     ``queries()`` in iteration order. Round-robin keeps any prefix
-    spanning the operator categories; the never-checked-first pass makes
-    each round's prefix a fresh slab of the registry instead of the same
-    representatives every round, so driver-side coverage accumulates
-    across rounds.
+    spanning the operator categories; staleness-ascending ordering makes
+    each round's prefix re-certify the entries whose last green is
+    oldest — the ones with the most implementation churn since — instead
+    of the same representatives every round.
     """
     specs = load_all()
+    tiers = sorted({_LAST_CHECKED.get(s.name, 0) for s in specs.values()})
 
-    def queues_for(wanted: bool) -> list[list[QuerySpec]]:
+    def queues_for(tier: int) -> list[list[QuerySpec]]:
         by_module: dict[str, list[QuerySpec]] = {}
         for spec in specs.values():
-            if (spec.name in _DRIVER_CHECKED) is wanted:
+            if _LAST_CHECKED.get(spec.name, 0) == tier:
                 by_module.setdefault(spec.module, []).append(spec)
         for queue in by_module.values():
             queue.sort(key=lambda s: s.oracle is None)  # oracles first
         return list(by_module.values())
 
     ordered: dict[str, QuerySpec] = {}
-    for queues in (queues_for(False), queues_for(True)):
+    for tier in tiers:
+        queues = queues_for(tier)
         i = 0
         while True:
             hit = False

@@ -89,12 +89,13 @@ class SourceSpec:
     # upsert mode only: 'cow' (default) rewrites touched files per
     # micro-batch; 'mor' commits merge-on-read row deltas (no data file
     # rewritten — the hot-key CDC shape; fold with `cli maintain`/
-    # compact); 'auto' switches to MoR past the touched-file threshold.
-    # Cross-batch ordering comes from commit order (micro-batches are
-    # ordered), sequence_col still picks the per-key winner INSIDE each
-    # batch; replayed batches converge because each delta's equality
-    # delete supersedes the previous replay's rows. Incompatible with
-    # change_feed (MoR stages no row-level change set).
+    # compact); 'auto' switches to MoR past the touched-file threshold
+    # unless the batch's key set is backfill-sized. MoR deltas are
+    # sequence-aware (the scan resolves contested keys to the per-key
+    # winner by sequence value), so out-of-order or re-delivered
+    # micro-batches converge exactly as under CoW, and they compose
+    # with change_feed (the merge reads the touched region to stage
+    # the change set, but still rewrites nothing).
     merge_strategy: str = "cow"
 
 
@@ -237,7 +238,13 @@ class IngestionService:
                         merge_schema=True,
                         bloom_for=source.bloom_for,
                     )
-                elif source.merge_strategy == "cow":
+                else:
+                    # one call for all strategies: MoR deltas are
+                    # sequence-aware (the scan resolves contested keys
+                    # to the per-key winner by sequence value, so
+                    # out-of-order or re-delivered micro-batches
+                    # converge exactly as under CoW) and stage the same
+                    # row-level change set when changeFeed is on
                     table.merge(
                         df.sparkSession,
                         latest,
@@ -246,17 +253,6 @@ class IngestionService:
                         bloom_for=source.bloom_for,
                         delete_col=source.delete_col,
                         change_feed=source.change_feed,
-                    )
-                else:
-                    # MoR/auto: last-writer-wins across batches (commit
-                    # order IS the ordering); sequence_col already picked
-                    # the per-key winner within this batch above
-                    table.merge(
-                        df.sparkSession,
-                        latest,
-                        key=source.key,
-                        bloom_for=source.bloom_for,
-                        delete_col=source.delete_col,
                         strategy=source.merge_strategy,
                     )
                 return

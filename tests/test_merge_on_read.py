@@ -173,16 +173,9 @@ def test_mor_tombstones_delete_keys(spark, tmp_path):
 
 def test_mor_guards_and_row_count(spark, tmp_path):
     t, _ = _mk(spark, tmp_path)
-    with pytest.raises(ValueError, match="sequence_col"):
-        t.merge(
-            spark, _upd(spark, 1, "x"), key="id",
-            sequence_col="grp", strategy="mor",
-        )
-    with pytest.raises(ValueError, match="change feed"):
-        t.merge(
-            spark, _upd(spark, 1, "x"), key="id",
-            change_feed=True, strategy="mor",
-        )
+    # r6: sequence_col and change_feed now COMPOSE with MoR (covered by
+    # their own tests); the remaining hard guard is the predicate-delete
+    # change feed, whose preimages genuinely have no staged source
     with pytest.raises(ValueError, match="change feed"):
         t.delete(spark, {"id": (0, 1)}, change_feed=True, mode="mor")
     t.merge(spark, _upd(spark, 1, "x"), key="id", strategy="mor")

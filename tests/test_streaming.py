@@ -1144,12 +1144,13 @@ def test_ingest_upsert_mor_strategy_leaves_files_and_converges(
     } == want
 
 
-def test_config_rejects_mor_with_change_feed(tmp_path):
-    import pytest as _pytest
-
+def test_config_accepts_mor_with_change_feed(tmp_path):
+    # r6: MoR composes with the change data feed (and stays
+    # sequence-aware), so a hot-key CDC upsert stream can drive signed
+    # incremental views — the r5 mutual exclusion is gone
     from crest_spark.config import load_config
 
-    cfg = tmp_path / "bad.yaml"
+    cfg = tmp_path / "ok.yaml"
     cfg.write_text(
         """
 warehouse: w
@@ -1164,5 +1165,7 @@ sources:
     changeFeed: true
 """
     )
-    with _pytest.raises(ValueError, match="changeFeed requires"):
-        load_config(str(cfg))
+    src = load_config(str(cfg)).ingest.sources[0]
+    assert src.merge_strategy == "mor"
+    assert src.change_feed is True
+    assert src.sequence_col == "s"
