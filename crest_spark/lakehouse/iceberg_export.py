@@ -201,6 +201,16 @@ _DATA_FILE_SCHEMA = {
             "field-id": 128,
             "default": None,
         },
+        # spec field for equality-delete files (content=2): the field ids
+        # of the columns the delete matches on; null for data files
+        {
+            "name": "equality_ids",
+            "type": _opt(
+                {"type": "array", "items": "int", "element-id": 136}
+            ),
+            "field-id": 135,
+            "default": None,
+        },
     ],
 }
 
@@ -329,6 +339,23 @@ def _file_footer(path: str) -> tuple[int, int]:
     return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
 
 
+def _fold_pending_deletes(snaps: list[Snapshot]) -> dict[int, list[dict]]:
+    """Pending merge-on-read delete entries at every version: rowdelta
+    commits append entries; any replace folds them (its writers rewrote
+    or proved-disjoint every affected file) — the same fold `_state`
+    performs, re-derived here so each exported snapshot's manifest list
+    carries exactly the delete manifests live at that version."""
+    out: dict[int, list[dict]] = {}
+    pending: list[dict] = []
+    for s in snaps:
+        if s.operation == "replace":
+            pending = []
+        for e in s.extra.get("deletes") or []:
+            pending = pending + [{**e, "ver": s.version}]
+        out[s.version] = pending
+    return out
+
+
 def export_iceberg_metadata(
     table: LakehouseTable, *, max_snapshots: int | None = None
 ) -> str:
@@ -342,14 +369,35 @@ def export_iceberg_metadata(
         raise FileNotFoundError(
             f"table {table.namespace}.{table.name} does not exist"
         )
-    if any(s.extra.get("deletes") for s in snaps):
-        # pending (or historical) merge-on-read deletes need Iceberg v2
-        # delete manifests, which this exporter does not emit — a
-        # data-files-only export would resurrect deleted rows
+    # merge-on-read equality deletes export as Iceberg v2 delete
+    # manifests (content=1) referencing equality-delete files (content=2,
+    # equality_ids): an entry staged at commit v gets sequence number
+    # ``entry.seq + 1 == v``, and the spec's "applies to data sequence
+    # strictly below" rule then scopes it to exactly the files this
+    # engine scopes it to (file_seq <= entry.seq, re-inserts survive).
+    # Two delta shapes have NO spec equivalent: predicate deletes
+    # (delete(mode='mor')) and sequence-aware entries (winner-by-
+    # sequence-value is not an unconditional equality delete). A
+    # snapshot where one of those is pending is unrepresentable: if it
+    # is the CURRENT snapshot the export refuses (compact() folds it);
+    # historical unrepresentable snapshots are simply omitted from the
+    # export window, like max_snapshots bounding.
+    folded_dels = _fold_pending_deletes(snaps)
+
+    def _unrepresentable(s: Snapshot) -> str | None:
+        for e in folded_dels.get(s.version) or []:
+            if e.get("pred") is not None:
+                return "a merge-on-read PREDICATE delete"
+            if e.get("seqcol"):
+                return "a sequence-aware merge-on-read delta"
+        return None
+
+    head_bad = _unrepresentable(snaps[-1])
+    if head_bad:
         raise ValueError(
-            f"table {table.namespace}.{table.name} has merge-on-read "
-            "delete commits; compact() + expire_snapshots() to fold them "
-            "before exporting Iceberg metadata"
+            f"table {table.namespace}.{table.name} has {head_bad} "
+            "pending at its current snapshot, which Iceberg metadata "
+            "cannot express; compact() to fold it before exporting"
         )
     meta_dir = os.path.join(table.path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -365,9 +413,11 @@ def export_iceberg_metadata(
 
     folded = _fold_add_versions(snaps)
     snaps_by_v = {s.version: s for s in snaps}
-    exported = (
-        snaps if max_snapshots is None else snaps[-max_snapshots:]
-    )
+    exported = [
+        s
+        for s in (snaps if max_snapshots is None else snaps[-max_snapshots:])
+        if _unrepresentable(s) is None
+    ]
 
     # ---- one manifest per commit that added files (written once, reused).
     # A replace commit can drop SOME of a manifest's files; the manifest is
@@ -441,6 +491,7 @@ def export_iceberg_metadata(
                         "null_value_counts": nulls or None,
                         "lower_bounds": lower or None,
                         "upper_bounds": upper or None,
+                        "equality_ids": None,
                     },
                 }
             )
@@ -480,6 +531,85 @@ def export_iceberg_metadata(
         manifest_info[key] = info
         return info
 
+    delete_manifest_info: dict[tuple, dict] = {}
+
+    def _write_delete_manifest(entry: dict) -> dict:
+        """One delete manifest (content=1) per merge-on-read delta
+        entry, holding its equality-delete key files (content=2) with
+        the key columns' field ids. Written once, reused by every later
+        snapshot the entry is still pending at."""
+        key = (int(entry["seq"]), tuple(entry["paths"]))
+        if key in delete_manifest_info:
+            return delete_manifest_info[key]
+        ver = int(entry["ver"])
+        dseq = int(entry["seq"]) + 1  # spec: applies to data seq < this
+        snap = snaps_by_v[ver]
+        ids = _field_ids(snap.schema_json)
+        try:
+            eq_ids = [ids[k][0] for k in entry["keys"]]
+        except KeyError as exc:
+            raise ValueError(
+                f"merge-on-read delete key {exc} has no field id in the "
+                f"version-{ver} schema"
+            ) from exc
+        records = []
+        total_rows = 0
+        for f in entry["paths"]:
+            nrows, fsize = _file_footer(f)
+            total_rows += nrows
+            records.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": ver,
+                    "sequence_number": dseq,
+                    "file_sequence_number": ver,
+                    "data_file": {
+                        "content": 2,  # EQUALITY_DELETES
+                        "file_path": os.path.abspath(f),
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": nrows,
+                        "file_size_in_bytes": fsize,
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": eq_ids,
+                    },
+                }
+            )
+        import hashlib
+
+        sub = hashlib.sha1(
+            "\n".join(entry["paths"]).encode("utf-8")
+        ).hexdigest()[:10]
+        path = os.path.join(meta_dir, f"manifest-del-{ver}-{sub}.avro")
+        length = avro_io.write_container(
+            path,
+            MANIFEST_ENTRY_SCHEMA,
+            records,
+            metadata={
+                "schema": json.dumps(
+                    iceberg_schemas[schema_ids[snap.schema_json]]
+                ),
+                "schema-id": str(schema_ids[snap.schema_json]),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        info = {
+            "path": path,
+            "length": length,
+            "added_files": len(entry["paths"]),
+            "added_rows": total_rows,
+            "added_snapshot_id": ver,
+            "sequence_number": dseq,
+        }
+        delete_manifest_info[key] = info
+        return info
+
     # ---- per-snapshot manifest lists + snapshot records
     snapshot_records = []
     snapshot_log = []
@@ -517,6 +647,27 @@ def export_iceberg_metadata(
                         "deleted_files_count": 0,
                         "added_rows_count": info["added_rows"] if is_new else 0,
                         "existing_rows_count": 0 if is_new else info["added_rows"],
+                        "deleted_rows_count": 0,
+                        "partitions": [],
+                    }
+                )
+            for entry in folded_dels.get(s.version) or []:
+                dinfo = _write_delete_manifest(entry)
+                is_new = int(entry["ver"]) == s.version
+                list_entries.append(
+                    {
+                        "manifest_path": dinfo["path"],
+                        "manifest_length": dinfo["length"],
+                        "partition_spec_id": 0,
+                        "content": 1,  # deletes
+                        "sequence_number": dinfo["sequence_number"],
+                        "min_sequence_number": dinfo["sequence_number"],
+                        "added_snapshot_id": dinfo["added_snapshot_id"],
+                        "added_files_count": dinfo["added_files"] if is_new else 0,
+                        "existing_files_count": 0 if is_new else dinfo["added_files"],
+                        "deleted_files_count": 0,
+                        "added_rows_count": dinfo["added_rows"] if is_new else 0,
+                        "existing_rows_count": 0 if is_new else dinfo["added_rows"],
                         "deleted_rows_count": 0,
                         "partitions": [],
                     }
@@ -638,6 +789,8 @@ def export_iceberg_metadata(
         referenced.add(os.path.basename(rec["manifest-list"]))
     for info in manifest_info.values():
         referenced.add(os.path.basename(info["path"]))
+    for info in delete_manifest_info.values():
+        referenced.add(os.path.basename(info["path"]))
     for f in os.listdir(meta_dir):
         if f in referenced or f.endswith(".tmp"):
             continue
@@ -755,20 +908,80 @@ def read_iceberg(
     )
     _, _, list_entries = avro_io.read_container(snap["manifest-list"])
     files: list[str] = []
+    file_seq: dict[str, int] = {}
+    # (sequence_number, equality_ids, delete file paths) per delete entry
+    eq_deletes: list[tuple[int, tuple[int, ...], list[str]]] = []
     for entry in list_entries:
         _, _, records = avro_io.read_container(entry["manifest_path"])
-        files.extend(
-            rec["data_file"]["file_path"]
-            for rec in records
-            if rec["status"] in (0, 1)  # EXISTING or ADDED
-        )
+        if entry.get("content", 0) == 1:  # delete manifest
+            by_ids: dict[tuple[int, int], list[str]] = {}
+            for rec in records:
+                if rec["status"] not in (0, 1):
+                    continue
+                df_rec = rec["data_file"]
+                if df_rec["content"] != 2:
+                    raise ValueError(
+                        "positional deletes (content=1 files) are not "
+                        "supported by this reader"
+                    )
+                by_ids.setdefault(
+                    (rec["sequence_number"], tuple(df_rec["equality_ids"])),
+                    [],
+                ).append(df_rec["file_path"])
+            for (seq, ids_), paths in by_ids.items():
+                eq_deletes.append((seq, ids_, paths))
+            continue
+        for rec in records:
+            if rec["status"] in (0, 1):  # EXISTING or ADDED
+                files.append(rec["data_file"]["file_path"])
+                # minimal v1-ish manifests may omit sequence numbers;
+                # 0 = "oldest" is the conservative side for delete scope
+                file_seq[rec["data_file"]["file_path"]] = int(
+                    rec.get("sequence_number") or 0
+                )
     if not files:
         return spark.createDataFrame([], schema)
-    return (
+    out = (
         spark.read.schema(schema)
         .option("mergeSchema", "false")
         .parquet(*sorted(files))
     )
+    if not eq_deletes:
+        return out
+    # apply equality deletes per the spec: a delete file with sequence
+    # number S removes matching rows of data files with sequence < S
+    from pyspark.sql import functions as F
+
+    field_names = {
+        f["id"]: f["name"]
+        for f in schemas[snap.get("schema-id", meta["current-schema-id"])][
+            "fields"
+        ]
+    }
+    decoded = F.url_decode(
+        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+    )
+    seq_map = spark.createDataFrame(
+        [(f"file://{os.path.abspath(p)}", int(sq)) for p, sq in file_seq.items()],
+        "__ice_path string, __ice_seq long",
+    )
+    out = (
+        out.withColumn("__ice_path", decoded)
+        .join(F.broadcast(seq_map), "__ice_path", "left")
+        .drop("__ice_path")
+        .withColumn("__ice_seq", F.coalesce(F.col("__ice_seq"), F.lit(0)))
+    )
+    for seq, ids_, paths in eq_deletes:
+        keys = [field_names[i] for i in ids_]
+        dd = (
+            spark.read.parquet(*sorted(paths))
+            .select(*[F.col(k).alias(f"__ice_k_{k}") for k in keys])
+        )
+        cond = F.col("__ice_seq") < F.lit(int(seq))
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__ice_k_{k}"))
+        out = out.join(F.broadcast(dd), on=cond, how="left_anti")
+    return out.drop("__ice_seq")
 
 
 # ------------------------------------------------------------------- verifier
@@ -788,6 +1001,8 @@ def read_current_snapshot_files(meta_dir: str) -> dict[str, int]:
     _, _, list_entries = avro_io.read_container(snap["manifest-list"])
     files: dict[str, int] = {}
     for entry in list_entries:
+        if entry.get("content", 0) == 1:
+            continue  # delete manifest: not part of the data file walk
         _, mmeta, records = avro_io.read_container(entry["manifest_path"])
         assert mmeta.get("format-version") == "2"
         for rec in records:

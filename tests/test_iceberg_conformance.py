@@ -482,3 +482,64 @@ def test_fuzz_cross_codec_roundtrip(rows, tmp_path_factory):
         fh.write(_container(_RICH_SCHEMA, rows))
     _, _, via_repo = avro_io.read_container(p2)
     assert via_repo == rows
+
+
+def test_repo_delete_manifest_decodes_with_independent_reader(
+    spark, sf_dir, tmp_path
+):
+    """r6: the exporter's DELETE manifests (content=1 list entries
+    wrapping content=2 equality-delete files with equality_ids) must
+    parse with the independent decoder and carry the spec's sequence
+    scoping — the fixture an external v2 reader would exercise on a
+    merge-on-read table exported without compaction."""
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.lakehouse.iceberg_export import export_iceberg_metadata
+    from crest_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = LakehouseCatalog(str(tmp_path / "wh")).get_or_create_table(
+        "nat", nat.schema
+    )
+    t.append(nat)
+    upd = nat.where(F.col("n_nationkey") % 5 == 0).withColumn(
+        "n_name", F.lower(F.col("n_name"))
+    )
+    t.merge(spark, upd, key="n_nationkey", strategy="mor")
+    delta_v = t.version()
+    meta_dir = export_iceberg_metadata(t)
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, entries = _decode_container(fh.read())
+    dels = [e for e in entries if e["content"] == 1]
+    datas = [e for e in entries if e["content"] == 0]
+    assert len(dels) == 1 and datas
+    # every data file's sequence is strictly below the delete's except
+    # the delta commit's own files — the spec scoping rule
+    assert dels[0]["sequence_number"] == delta_v
+    with open(dels[0]["manifest_path"], "rb") as fh:
+        _, mmeta, records = _decode_container(fh.read())
+    assert mmeta["format-version"] == b"2"
+    assert mmeta["content"] == b"deletes"
+    key_id = next(
+        f["id"]
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        if f["name"] == "n_nationkey"
+    )
+    ndel = 0
+    for rec in records:
+        df_rec = rec["data_file"]
+        assert df_rec["content"] == 2
+        assert df_rec["equality_ids"] == [key_id]
+        assert os.path.exists(df_rec["file_path"])
+        assert rec["sequence_number"] == delta_v
+        ndel += df_rec["record_count"]
+    assert ndel == upd.count()

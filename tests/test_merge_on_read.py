@@ -183,9 +183,13 @@ def test_mor_guards_and_row_count(spark, tmp_path):
         t.row_count()
     with pytest.raises(ValueError, match="merge-on-read"):
         t.read_changes(spark, after=0)
+    # r6: equality deltas now EXPORT as Iceberg v2 delete manifests
+    # (round-trip covered in test_iceberg_export.py); only predicate
+    # and sequence-aware deltas still refuse
+    t.delete(spark, {"id": (90, None)}, mode="mor")
     from crest_spark.lakehouse.iceberg_export import export_iceberg_metadata
 
-    with pytest.raises(ValueError, match="merge-on-read"):
+    with pytest.raises(ValueError, match="PREDICATE"):
         export_iceberg_metadata(t)
 
 
