@@ -493,10 +493,15 @@ class LakehouseTable:
                 state["num_rows"] = max(d.get("num_rows", 0), 0)
                 # a replace materializes every pending MoR delete (its
                 # writers rewrite affected files or prove them disjoint)
-                state["deletes"] = []
+                # — EXCEPT a rollback, which explicitly re-records the
+                # target snapshot's pending deletes and file sequences
+                # so restored files stay inside their deltas' scope
+                state["deletes"] = list(extra.get("deletes") or [])
                 prev_seq = state.get("file_seq") or {}
+                explicit = extra.get("file_seq", {})
                 state["file_seq"] = {
-                    f: prev_seq.get(f, v) for f in state["files"]
+                    f: int(explicit.get(f, prev_seq.get(f, v)))
+                    for f in state["files"]
                 }
             else:
                 state["files"] = state["files"] + list(d["files"])
@@ -1419,11 +1424,23 @@ class LakehouseTable:
                     return kept.unionByName(
                         upd_rows.select(*current.columns)
                     )
-                # union both sides, keep the per-key winner by (sequence
-                # desc, update-flag desc) — one shuffle on key, fully
-                # JVM-side; ties prefer the update (idempotent replay)
-                cur = current.withColumn("__is_upd", F.lit(0)).withColumn(
-                    "__del", F.lit(False)
+                # union the CONTESTED rows (current rows whose key the
+                # batch touches) with the updates, keep the per-key
+                # winner by (sequence desc, update-flag desc) — one
+                # shuffle on the contested subset only; ties prefer the
+                # update (idempotent replay). Rows of untouched keys
+                # pass through un-windowed: windowing them too would
+                # collapse legitimate duplicate keys of the touched
+                # region as a side effect of PHYSICAL file layout
+                # (which files the key-bounds pruning happens to
+                # touch) — layout-dependent semantics, and a divergence
+                # from the merge-on-read scan, which resolves only
+                # contested keys.
+                upd_keys = updates.select(*keys).distinct()
+                cur = (
+                    current.join(upd_keys, on=keys, how="left_semi")
+                    .withColumn("__is_upd", F.lit(0))
+                    .withColumn("__del", F.lit(False))
                 )
                 upd = updates.select(
                     *current.columns,
@@ -1434,12 +1451,15 @@ class LakehouseTable:
                 w = Window.partitionBy(*keys).orderBy(
                     F.desc_nulls_last(sequence_col), F.desc("__is_upd")
                 )
-                return (
+                winners = (
                     cur.unionByName(upd)
                     .withColumn("__rn", F.row_number().over(w))
                     .where((F.col("__rn") == 1) & ~F.col("__del"))
                     .drop("__rn", "__is_upd", "__del")
                 )
+                return current.join(
+                    upd_keys, on=keys, how="left_anti"
+                ).unionByName(winners)
 
             if strategy == "mor" or (
                 strategy == "auto"
@@ -2076,8 +2096,22 @@ class LakehouseTable:
         replace pointing at that version's file set (Iceberg's
         rollback-by-new-snapshot — history is preserved, nothing is
         deleted, and concurrent readers are isolated as for any commit).
-        Metadata-only: no data is rewritten."""
+        Metadata-only: no data is rewritten. Pending merge-on-read
+        deletes AT the target version are re-recorded on the rollback
+        commit together with the restored files' original sequence
+        numbers — without that, the replace would clear the deltas and
+        re-sequence the files out of their scope, resurrecting deleted
+        rows."""
         state = self._state(upto=version)
+        extra: dict = {
+            "rollback_of": version,
+            "file_seq": {
+                f: int((state.get("file_seq") or {}).get(f, version))
+                for f in state["files"]
+            },
+        }
+        if state.get("deletes"):
+            extra["deletes"] = list(state["deletes"])
         return self._try_commit(
             {
                 "operation": "replace",
@@ -2086,7 +2120,7 @@ class LakehouseTable:
                 "schema": state["schema"],
                 "commit_ts": time.time(),
                 "num_rows": state["num_rows"],
-                "extra": {"rollback_of": version},
+                "extra": extra,
             }
         )
 
@@ -2146,13 +2180,24 @@ class LakehouseTable:
                 break
             s = by_version[v]
             if s.operation == "replace":
-                removable.update(base_files)
-                removable.update(base_delete_paths)
+                # a rollback replace re-records the target's pending
+                # deletes + file sequences; fold them like _state does
+                new_deletes = [dict(e) for e in s.extra.get("deletes") or []]
+                new_delete_paths = {
+                    p for e in new_deletes for p in e.get("paths", [])
+                }
+                removable.update(set(base_files) - set(s.files))
+                removable.update(base_delete_paths - new_delete_paths)
                 base_files = list(s.files)
                 base_rows = max(s.num_rows, 0)
-                folded_deletes = []
-                base_delete_paths = set()
-                folded_file_seq = {f: v for f in s.files}
+                folded_deletes = new_deletes
+                base_delete_paths = new_delete_paths
+                explicit = s.extra.get("file_seq", {})
+                prev = folded_file_seq
+                folded_file_seq = {
+                    f: int(explicit.get(f, prev.get(f, v)))
+                    for f in s.files
+                }
             else:
                 base_files.extend(s.files)
                 base_rows += max(s.num_rows, 0)
