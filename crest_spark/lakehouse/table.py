@@ -852,20 +852,39 @@ class LakehouseTable:
         them back into data files."""
         return list(self._state(upto=version).get("deletes") or [])
 
-    def _delete_affected(self, state: dict, f: str) -> bool:
-        """Could any pending MoR delete remove a row of file ``f``?
+    def _delete_affected(
+        self, state: dict, f: str, seq_only: bool = False
+    ) -> bool:
+        """Could any pending MoR delete remove a row of file ``f`` (or,
+        for sequence-aware entries, change which of its rows win)?
         Conservative: True unless stats prove otherwise. Every
         copy-on-write path consults this before carrying a file by
         reference into a ``replace`` commit — a replace clears pending
         deletes, so an affected file must be rewritten (with the deletes
-        applied) or the delete would be silently lost."""
+        applied) or the delete would be silently lost.
+
+        ``seq_only``: consider only sequence-aware entries — used by
+        ``delete()``'s metadata-only file-drop proof, which stays sound
+        under removal entries but not under winner resolution."""
         dels = state.get("deletes") or []
+        if seq_only:
+            dels = [d for d in dels if d.get("seqcol")]
         if not dels:
             return False
         fs = (state.get("stats") or {}).get(f) or {}
         fseq = int((state.get("file_seq") or {}).get(f, 0))
         for d in dels:
-            if fseq > int(d["seq"]):
+            # a sequence-aware entry's scope INCLUDES its own commit
+            # (seq+1): those rows participate in winner resolution, and
+            # winner resolution is only sound when every file holding a
+            # contested key is read together — carrying the entry's own
+            # data file by reference while rewriting the others would
+            # re-derive a second winner from the partial read
+            # (duplicate-key resurrection, caught by the interleaving
+            # fuzz). Removal-only entries keep the strict bound: they
+            # can never remove rows committed after them.
+            scope = int(d["seq"]) + (1 if d.get("seqcol") else 0)
+            if fseq > scope:
                 continue  # file added after the delete: out of scope
             if d.get("pred") is not None:
                 preds = {c: tuple(b) for c, b in d["pred"].items()}
@@ -1570,17 +1589,15 @@ class LakehouseTable:
         at-or-before that version, rows appended later are out of scope,
         and ``compact()`` folds the predicate back into data files. The
         shape for high-frequency retention/GDPR marks where even the CoW
-        partial-file rewrite is too hot. Incompatible with
-        ``change_feed`` (enumerating removed rows needs a read)."""
+        partial-file rewrite is too hot. With ``change_feed=True`` the
+        removed rows are staged as 'delete' changes (reading the
+        predicate-affected files — the one cost the otherwise
+        metadata-only path pays), so incremental views keep folding
+        across predicate deltas too."""
         if mode not in ("cow", "mor"):
             raise ValueError(f"delete mode {mode!r}: cow | mor")
         last_err: Exception | None = None
         if mode == "mor":
-            if change_feed:
-                raise ValueError(
-                    "merge-on-read delete cannot stage a change feed "
-                    "(enumerating removed rows needs a read); use mode='cow'"
-                )
             for _ in range(self._MERGE_RETRIES):
                 base = self.version()
                 state = self._state(upto=base)
@@ -1588,6 +1605,50 @@ class LakehouseTable:
                     "pred": {c: list(b) for c, b in predicates.items()},
                     "seq": base,
                 }
+                extra: dict = {
+                    "merge_on_read": True,
+                    "deletes": [entry],
+                    "delete": {c: list(b) for c, b in predicates.items()},
+                }
+                if change_feed:
+                    # every removed row is a 'delete' change. Staging it
+                    # reads the predicate-affected files (the one case
+                    # that reads anything — the plain MoR delete is pure
+                    # metadata), which is the same O(affected files)
+                    # class the CoW delete CDC pays; the commit itself
+                    # still rewrites nothing.
+                    stats = state.get("stats", {})
+                    affected = [
+                        f
+                        for f in state["files"]
+                        if _stats_admit(stats.get(f) or {}, predicates)
+                    ]
+                    current = self._apply_pending_deletes(
+                        spark,
+                        self._read_files(
+                            spark, affected, state["schema"]
+                        ),
+                        affected,
+                        state,
+                    )
+                    cond = F.lit(True)
+                    for col, (lo, hi) in predicates.items():
+                        if lo is not None:
+                            cond = cond & (F.col(col) >= lo)
+                        if hi is not None:
+                            cond = cond & (F.col(col) <= hi)
+                    removed = current.where(
+                        F.coalesce(cond, F.lit(False))
+                    ).withColumn("_change_type", F.lit("delete"))
+                    txn_dir = os.path.join(
+                        self.changes_path, f"txn-{uuid.uuid4().hex}"
+                    )
+                    removed.write.mode("overwrite").parquet(txn_dir)
+                    extra["change_files"] = sorted(
+                        os.path.join(txn_dir, f)
+                        for f in os.listdir(txn_dir)
+                        if f.endswith(".parquet")
+                    )
                 try:
                     version = self._try_commit(
                         {
@@ -1597,13 +1658,7 @@ class LakehouseTable:
                             "schema": state["schema"],
                             "commit_ts": time.time(),
                             "num_rows": 0,
-                            "extra": {
-                                "merge_on_read": True,
-                                "deletes": [entry],
-                                "delete": {
-                                    c: list(b) for c, b in predicates.items()
-                                },
-                            },
+                            "extra": extra,
                         },
                         expected_base=base,
                     )
@@ -1631,13 +1686,21 @@ class LakehouseTable:
                 affected = self._delete_affected(state, f)
                 if not _stats_admit(fs, predicates) and not affected:
                     keep.append(f)  # provably no matching row
-                elif _stats_all_match(fs, predicates):
+                elif _stats_all_match(fs, predicates) and not (
+                    self._delete_affected(state, f, seq_only=True)
+                ):
                     # provably EVERY row matches: the file leaves the
                     # snapshot without being read or rewritten — a
                     # retention delete on a clustered table is
                     # metadata-only (the Iceberg partition-drop shape).
-                    # Pending MoR deletes only remove a SUBSET of the
-                    # file's rows, so dropping it whole stays correct.
+                    # Pending REMOVAL deltas only remove a SUBSET of the
+                    # file's rows, so dropping it whole stays correct;
+                    # a pending SEQUENCE-AWARE delta does not get this
+                    # shortcut — other files' rows rank against this
+                    # file's rows, so dropping it unread would let a
+                    # superseded row win the rewrite's resolution
+                    # (same family as the keep/touch split bug the
+                    # interleaving fuzz caught in merge).
                     drop.append(f)
                 else:
                     touch.append(f)  # may hold matching rows: rewrite

@@ -116,10 +116,27 @@ class CrestTableStreamReader(DataSourceStreamReader):
             if d.get("operation") == "rowdelta" or d.get("extra", {}).get(
                 "deletes"
             ):
+                dextra = d.get("extra", {})
+                if self.cdf and dextra.get("change_files") is not None:
+                    # a merge-on-read commit that staged its change set
+                    # (merge/delete with change_feed=True) streams like
+                    # any other CDF commit: the staged rows express the
+                    # delta's retractions + additions
+                    parts.extend(
+                        _FilePartition(f, "chg", v)
+                        for f in dextra["change_files"]
+                    )
+                    continue
                 raise ValueError(
                     f"crest_table stream hit a merge-on-read commit at "
                     f"version {v}: its deletes are not a file delta; "
                     "compact() the table and restart from a full read"
+                    + (
+                        " (or commit MoR merges with change_feed=True to "
+                        "stage streamable change sets)"
+                        if self.cdf
+                        else ""
+                    )
                 )
             if d.get("operation") == "replace":
                 dextra = d.get("extra", {})

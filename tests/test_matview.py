@@ -655,3 +655,88 @@ def test_approx_top_k_rejects_nonpositive_k(catalog):
             group_by=["l_returnflag"],
             aggs={"toks": AggSpec("approx_top_k", "l_linestatus", top_k=0)},
         )
+
+
+def test_continuous_maintenance_over_mor_upsert_source(
+    spark, catalog, sf_dir, tmp_path
+):
+    """The r6 streaming composition: continuous (availableNow) view
+    maintenance tails the change feed of a MERGE-ON-READ upsert source.
+    Hot-key MoR deltas (and a MoR predicate delete) stage change sets;
+    the crest_table stream consumes them as CDF partitions instead of
+    raising, the view equals a batch recompute after each drain, and no
+    source data file was rewritten by any delta commit."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .limit(2000)
+        .dropDuplicates(["l_orderkey", "l_linenumber"])
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .withColumn("rid", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cache()
+    )
+    li.count()
+    src = catalog.get_or_create_table("li_morcdc", li.schema)
+    view = IncrementalAggView(
+        catalog,
+        source="li_morcdc",
+        name="li_morcdc_agg",
+        group_by=["l_returnflag"],
+        aggs={
+            "sum_qty": AggSpec("sum", "l_quantity"),
+            "n_rows": AggSpec("count"),
+        },
+    )
+
+    def check():
+        exp = {
+            r["l_returnflag"]: (r["s"], r["n"])
+            for r in src.read(spark)
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n")
+            )
+            .collect()
+        }
+        got = {
+            r["l_returnflag"]: (r["sum_qty"], r["n_rows"])
+            for r in view.read(spark).collect()
+            if r["n_rows"] > 0
+        }
+        assert set(got) == set(exp)
+        for k, (s, n) in exp.items():
+            assert got[k][1] == n
+            assert abs(got[k][0] - s) < 1e-6
+
+    src.append(li.where(F.col("l_orderkey") % 2 == 0))
+    files_after_bootstrap = set(src._state()["files"])
+    src.merge(
+        spark,
+        li.withColumn("l_quantity", F.col("l_quantity") + 7.0),
+        key="rid",
+        change_feed=True,
+        strategy="mor",
+    )
+    ckpt = str(tmp_path / "ckpt_morcdc")
+    q = view.maintain_continuously(spark, ckpt, available_now=True)
+    q.awaitTermination(120)
+    check()
+    # second wave WHILE deltas are pending: hot-key MoR merge + MoR
+    # predicate delete, drained from the same checkpoint
+    src.merge(
+        spark,
+        li.where(F.col("l_orderkey") > 500).withColumn(
+            "l_quantity", F.col("l_quantity") + 100.0
+        ),
+        key="rid",
+        change_feed=True,
+        strategy="mor",
+    )
+    src.delete(
+        spark, {"l_orderkey": (None, 300)}, change_feed=True, mode="mor"
+    )
+    assert src._state()["deletes"]  # still merge-on-read at drain time
+    assert files_after_bootstrap <= set(src._state()["files"])
+    q = view.maintain_continuously(spark, ckpt, available_now=True)
+    q.awaitTermination(120)
+    check()
+    li.unpersist()

@@ -173,11 +173,19 @@ def test_mor_tombstones_delete_keys(spark, tmp_path):
 
 def test_mor_guards_and_row_count(spark, tmp_path):
     t, _ = _mk(spark, tmp_path)
-    # r6: sequence_col and change_feed now COMPOSE with MoR (covered by
-    # their own tests); the remaining hard guard is the predicate-delete
-    # change feed, whose preimages genuinely have no staged source
-    with pytest.raises(ValueError, match="change feed"):
-        t.delete(spark, {"id": (0, 1)}, change_feed=True, mode="mor")
+    # r6: sequence_col and change_feed now compose with MoR merges AND
+    # predicate deletes — a mor delete with change_feed stages its
+    # removed rows as 'delete' changes, and the CDF window folds over it
+    v0 = t.version()
+    t.delete(spark, {"id": (0, 1)}, change_feed=True, mode="mor")
+    ch = t.read_changes(spark, after=v0, cdf=True)
+    assert {(r["_change_type"], r["id"]) for r in ch.collect()} == {
+        ("delete", 0),
+        ("delete", 1),
+    }
+    assert {0, 1}.isdisjoint(
+        {r["id"] for r in t.read(spark).collect()}
+    )
     t.merge(spark, _upd(spark, 1, "x"), key="id", strategy="mor")
     with pytest.raises(ValueError, match="pending merge-on-read"):
         t.row_count()

@@ -360,3 +360,60 @@ def test_mor_delta_survives_key_type_widening(spark, tmp_path):
     assert got == {1: "a", 2: "b2", 3_000_000_000: "c"}
     t.compact(spark)
     assert {r["id"]: r["val"] for r in t.read(spark).collect()} == got
+
+
+# ------------------------- contested-key split regressions (fuzz-found)
+
+
+def test_cow_merge_after_seq_delta_does_not_duplicate_winner(
+    spark, tmp_path
+):
+    """Fuzz-found (r6): a sequence-aware delta's OWN data file is inside
+    the entry's ranking scope, so a later copy-on-write merge must not
+    carry it by reference while rewriting the other files holding the
+    same key — the partial read would re-derive a second winner and the
+    key would surface twice."""
+    t, _ = _mk(spark, tmp_path, n=10, files=5)
+    # seq delta on key 4: tombstone for key 0 + update landing key 4
+    upd = spark.createDataFrame(
+        [(0, "x", 0, True), (4, "w", 0, False)],
+        "id int, val string, seq long, d boolean",
+    )
+    t.merge(
+        spark, upd, key="id", sequence_col="seq",
+        delete_col="d", strategy="mor",
+    )
+    # CoW merge touching ONLY key 0 — its key bounds are disjoint from
+    # key 4, which is exactly what exposed the keep/touch split
+    t.merge(spark, _batch(spark, [(0, "back", 0)]), key="id")
+    rows = sorted(
+        (r["id"], r["val"]) for r in t.read(spark).collect()
+    )
+    assert rows.count((4, "w")) == 1
+    assert (4, "v4") not in rows  # superseded original did not resurrect
+    assert (0, "back") in rows
+
+
+def test_cow_delete_drop_branch_respects_seq_delta(spark, tmp_path):
+    """Fuzz-audit companion: delete()'s metadata-only drop of a fully-
+    matching file is unsound under a pending sequence-aware delta (the
+    dropped rows rank against other files' rows). The winner row landed
+    by the delta matches the delete range; the ORIGINAL superseded row
+    must not resurrect once the winner's file is removed."""
+    df = spark.createDataFrame(
+        [(1, "old", 1)], "id int, val string, seq long"
+    )
+    t = _cat(tmp_path).get_or_create_table("t", df.schema)
+    t.append(df)
+    t.merge(
+        spark,
+        _batch(spark, [(1, "new", 9)]),
+        key="id",
+        sequence_col="seq",
+        strategy="mor",
+    )
+    # range delete matching ONLY the delta's landed row (seq 9): the
+    # key-1 row is gone entirely — the seq-1 original lost to seq-9
+    # before the delete, and deleting the winner does not revive it
+    t.delete(spark, {"seq": (5, None)})
+    assert t.read(spark).count() == 0

@@ -466,14 +466,9 @@ def test_lakehouse_interleaving_matches_duckdb_replay(ops, spark):
         elif op[0] == "delete":
             _, lo, hi, mode = op
             tab.delete(
-                spark,
-                {"id": (lo, hi)},
-                mode=mode,
-                change_feed=(mode == "cow"),
+                spark, {"id": (lo, hi)}, mode=mode, change_feed=True
             )
             con.execute(f"DELETE FROM t WHERE id BETWEEN {lo} AND {hi}")
-            if mode == "mor":
-                foldable = False  # predicate deltas stage no change set
         elif op[0] == "compact":
             tab.compact(spark, target_partitions=2)
         elif op[0] == "rollback":
