@@ -757,3 +757,47 @@ def lake_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select(
         "k", F.col("price").cast("double").alias("price")
     ).orderBy("k")
+
+
+@register(
+    "lake_time_travel",
+    oracle="""
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey <= 2000
+        ORDER BY o_orderkey
+    """,
+    tags=("lakehouse", "time-travel"),
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel under the driver hash gate (previously only
+    pytest-covered): three append waves land disjoint thirds of orders,
+    then a copy-on-write delete removes one wave and a merge-on-read
+    merge perturbs another — and ``read(version=...)`` at the
+    second-wave snapshot must reproduce EXACTLY the first two waves,
+    proving later commits (including the pending row delta) are
+    invisible to the pinned version. Metadata-only: the historical read
+    plans against the old snapshot's file list, no undo log."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    ).where(F.col("o_orderkey") <= 2000)
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_tt_"))
+    t = cat.get_or_create_table("orders_tt", orders.schema)
+    for m in (0, 1, 2):
+        t.append(orders.where(F.col("o_orderkey") % 3 == m))
+        if m == 1:
+            pinned = t.version()
+    t.delete(spark, {"o_orderkey": (None, 500)})
+    t.merge(
+        spark,
+        orders.where(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        ),
+        key="o_orderkey",
+        strategy="mor",
+    )
+    return t.read(spark, version=pinned).orderBy("o_orderkey")

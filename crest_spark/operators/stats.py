@@ -689,3 +689,185 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "l_returnflag", F.expr(corr).alias("corr_qty_price")
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q50_percent_rank_cume_dist",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT o_orderpriority,
+                   o_orderkey,
+                   PERCENT_RANK() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS pr,
+                   CUME_DIST() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS cd
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               {round4("pr")} AS pr,
+               {round4("cd")} AS cd
+        FROM ranked
+        WHERE pr >= 0.99 OR cd <= 0.01
+        ORDER BY o_orderpriority, o_orderkey
+    """,
+    tags=("window", "rank"),
+)
+def q50_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST distribution windows (the two relative-
+    position functions the registry's ranking zoo lacked): per order
+    priority, the extreme 1% tails by total price. Deterministic under
+    a unique total order (price, key); the rank values are exact
+    rationals, bit-identical across engines. One shuffle on the
+    partition key; the tails filter happens AFTER the window (semantic
+    requirement — rank needs the full partition), so the window state,
+    not the output, is the scale cost: O(partition) per key, same class
+    as any ranking window at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.percent_rank().over(w).alias("pr0"),
+        F.cume_dist().over(w).alias("cd0"),
+    )
+    return (
+        ranked.where((F.col("pr0") >= 0.99) | (F.col("cd0") <= 0.01))
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("pr0", 4).alias("pr"),
+            F.round("cd0", 4).alias("cd"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+@register(
+    "stats_entropy",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, user_id, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        terms AS (
+            SELECT event_type,
+                   CAST(SUM(n) AS BIGINT) AS total,
+                   SUM(CAST(ROUND(n * LN(n), 8) AS DECIMAL(30,8)))
+                       AS s_nlogn
+            FROM c GROUP BY event_type
+        )
+        SELECT event_type,
+               total,
+               CAST(ROUND(LN(total) - CAST(s_nlogn AS DOUBLE) / total, 4)
+                    AS DOUBLE) AS entropy_nats
+        FROM terms
+        ORDER BY event_type
+    """,
+    tags=("stats", "entropy"),
+)
+def stats_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the user distribution per event type, in nats:
+    H = ln(N) - (1/N) * sum(c_i * ln(c_i)) — the data-quality diagnostic
+    for skew/concentration (a hot-user event type has low entropy; a
+    uniform one approaches ln(distinct users)). The per-term doubles are
+    rounded to 8 dp and summed as DECIMAL, so the cross-partition sum is
+    order-free and bit-identical to the oracle (the same decimal-pinned
+    ln trick as text_tfidf); everything is two map-side-combinable
+    aggregations — count per (type, user), then one row per type — no
+    shuffle beyond the two group-bys at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    terms = c.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(
+            F.round(F.col("n") * F.log(F.col("n")), 8).cast(
+                "decimal(30,8)"
+            )
+        ).alias("s_nlogn"),
+    )
+    return terms.select(
+        "event_type",
+        "total",
+        F.round(
+            F.log(F.col("total"))
+            - F.col("s_nlogn").cast("double") / F.col("total"),
+            4,
+        ).alias("entropy_nats"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q51_event_funnel",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN event_id END)
+                       AS t_signup,
+                   MIN(CASE WHEN event_type = 'click' THEN event_id END)
+                       AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN event_id END)
+                       AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_users,
+            CAST(COUNT(t_signup) AS BIGINT) AS step1_signup,
+            CAST(SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END)
+                 AS BIGINT) AS step2_click_after,
+            CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                          THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase_after
+        FROM firsts
+    """,
+    tags=("funnel", "behavioral"),
+)
+def q51_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (signup -> first click after it -> first
+    purchase after that), the canonical product-analytics query shape
+    the registry lacked: per user, the FIRST occurrence id of each step,
+    then strict ordering comparisons gate each stage. One shuffle on
+    user_id with map-side-combinable conditional MINs (no self-joins —
+    the naive 3-way join spelling shuffles the fact three times and
+    explodes on hot users), then a single global fold. The ordering
+    column is event_id (a total order); NULL comparisons make missing
+    steps fall out of later stages for free. At 100 TB: shuffle volume
+    is one row per (user, 3 columns), and AQE's skew split handles hot
+    users."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("event_id"))
+        ).alias("t_signup"),
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("event_id"))
+        ).alias("t_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("event_id"))
+        ).alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t_signup").cast("long").alias("step1_signup"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_signup"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("step2_click_after"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("step3_purchase_after"),
+    )

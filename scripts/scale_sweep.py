@@ -4,7 +4,10 @@
 The sub-quadratic claims for the LSH dedup/ANN paths rest on design
 argument plus fixed-SF timings; this harness MEASURES the wall-time
 scaling exponent. It replicates the sf0.01 documents/embeddings corpora
-at 4x/16x/64x with deterministic perturbation (ids offset; text gets a
+at 16x/64x/256x (8k -> 128k rows; big enough that the quadratic
+baseline's compute dominates its ~3s fixed session overhead, small
+enough to stay under dedup_embedding_cosine's 1M-vector routing guard)
+with deterministic perturbation (ids offset; text gets a
 per-replica suffix so replicas are near- but not exact-dups; embedding
 DIRECTIONS are jittered — pure magnitude scaling would leave cosine
 similarity 1.0 and flood every LSH bucket with k-1 exact twins, an
@@ -20,7 +23,7 @@ quadratic growth — that contrast is the certification that the
 sub-quadratic routes are real, not flat-overhead artifacts.
 
 Usage:
-    python scripts/scale_sweep.py [--scales 4,16,64] [--runs 2]
+    python scripts/scale_sweep.py [--scales 16,64,256] [--runs 2]
 """
 
 from __future__ import annotations
@@ -204,7 +207,7 @@ def write_doc(results: dict[str, dict], scales: list[int]) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scales", default="4,16,64")
+    ap.add_argument("--scales", default="16,64,256")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
         "--no-doc", action="store_true", help="print only, don't rewrite SCALE.md"
