@@ -112,6 +112,25 @@ COMMENTARY = {
         "(cluster-local keys fan out; skew bounded by the largest "
         "duplicate cluster), layered on the verified component fixpoint."
     ),
+    "q51_event_funnel": (
+        "Ordered funnel as conditional MINs: one map-side-combinable "
+        "shuffle on user_id then a single-row global fold — no Join "
+        "operator anywhere (the 3-way self-join spelling shuffles the "
+        "fact three times and explodes on hot users); plan-pinned by "
+        "test_q51_funnel_single_shuffle_no_join."
+    ),
+    "stats_entropy": (
+        "Per-group Shannon entropy: two stacked aggregations, both with "
+        "partial combine; the decimal-pinned ln terms make the "
+        "cross-partition sum order-free so the result is bit-stable "
+        "under any partitioning."
+    ),
+    "q50_percent_rank_cume_dist": (
+        "Distribution windows: one hash partitioning on the window key; "
+        "the tail filter sits above the window (semantically required) "
+        "so state is O(partition) like every ranking window — ReadSchema "
+        "pruned to the 3 referenced columns."
+    ),
 }
 
 

@@ -209,3 +209,35 @@ def test_substring_spans_bounded_exchanges(spark, sf_dir):
     satisfies the (doc_id, island) grouping)."""
     df = SPECS["dedup_substring_spans"].fn(spark, sf_dir)
     assert shuffle_count(df) <= 4
+
+
+def test_q51_funnel_single_shuffle_no_join(spark, sf_dir):
+    """The funnel must be conditional MINs, not self-joins: exactly the
+    user_id aggregation shuffle plus the single-row global fold — a
+    3-way self-join spelling would scan and shuffle the fact three
+    times and appear here as Join operators."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["q51_event_funnel"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 2  # groupBy(user) + global agg
+
+
+def test_stats_entropy_two_aggregations_no_join(spark, sf_dir):
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["stats_entropy"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan
+    # (type,user) count -> type fold -> output sort
+    assert shuffle_count(df) <= 3
+
+
+def test_q50_reads_only_window_columns(spark, sf_dir):
+    df = SPECS["q50_percent_rank_cume_dist"].fn(spark, sf_dir)
+    assert read_schema_columns(df) == {
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+    }
