@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "q38_revenue_forecast",
     "q40_returned_items",
     "q45_dominant_suppliers",
+    "q51_event_funnel",
+    "q54_rolling_active_users",
     "stats_moments",
     "udf_scalar_pandas",
     "skew_salted_agg",

@@ -1,0 +1,206 @@
+"""Behavioral / product-analytics shapes over the event stream.
+
+The reference is a continuous event ingestor (``pkg/ingestor/ingestor.go``)
+whose users run exactly this class of query on the ingested stream once it
+lands in the warehouse: cohort retention, user-journey path mining, and
+rolling active-user counts. Like ``timeseries.py``, every time bucket is
+pure integer epoch arithmetic (``unix_timestamp(ts) DIV n`` in Spark ==
+``epoch_us(ts) // 1000000 // n`` in the oracle) so bucket edges are
+bit-identical across engines and immune to session-timezone drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crest_spark.registry import register
+from crest_spark.sources.tables import load_table
+
+_WEEK = 604_800
+_DAY = 86_400
+
+# integer epoch-week / epoch-day, identical text valid in both engines is
+# not possible (unix_timestamp vs epoch_us), so each side spells its own
+# integer form; both are pure int ops with no float rounding anywhere.
+_DUCK_WK = f"CAST(epoch_us(ts) // 1000000 AS BIGINT) // {_WEEK}"
+_DUCK_DAY = f"CAST(epoch_us(ts) // 1000000 AS BIGINT) // {_DAY}"
+
+
+@register(
+    "q52_cohort_retention",
+    oracle=f"""
+        WITH uw AS (
+            SELECT DISTINCT user_id, {_DUCK_WK} AS wk FROM events
+        ),
+        fw AS (
+            SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id
+        )
+        SELECT fw.cohort_wk,
+               uw.wk - fw.cohort_wk AS wk_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM uw JOIN fw USING (user_id)
+        GROUP BY fw.cohort_wk, uw.wk - fw.cohort_wk
+        ORDER BY cohort_wk, wk_offset
+    """,
+    tags=("behavioral", "cohort"),
+)
+def q52_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users cohorted by their first
+    active epoch-week; each cell counts cohort members still active at
+    week offset k.
+
+    Spelled as ONE shuffle on user_id: per user, a single aggregation
+    yields both the cohort week (MIN) and the set of active weeks
+    (collect_set — bounded by calendar weeks, not event volume, so the
+    per-user state is tiny even for hyperactive users), then an explode
+    and a map-side-combinable count per (cohort, offset). The naive
+    spelling joins the first-week aggregate back against the raw fact —
+    a second full-fact shuffle this form never pays. (user, week) pairs
+    are distinct post-explode, so COUNT(*) is the distinct-user count
+    with no expensive COUNT DISTINCT."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.expr(f"unix_timestamp(ts) DIV {_WEEK}").alias("wk"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("wk").alias("cohort_wk"),
+            F.collect_set("wk").alias("wks"),
+        )
+    )
+    return (
+        per_user.select("cohort_wk", F.explode("wks").alias("wk"))
+        .select(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset")
+        )
+        .groupBy("cohort_wk", "wk_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .orderBy("cohort_wk", "wk_offset")
+    )
+
+
+@register(
+    "q53_user_paths",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id,
+                   STRING_AGG(event_type, '>' ORDER BY rn) AS path
+            FROM ordered WHERE rn <= 5 GROUP BY user_id
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM paths GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT 20
+    """,
+    tags=("behavioral", "path"),
+)
+def q53_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining (the MATCH_RECOGNIZE / CEP role): each
+    user's first five events in (ts, event_id) order collapse to a
+    ``a>b>c`` path string; output the top-20 paths by user count.
+
+    One shuffle on user_id; the ordering happens inside the aggregate
+    via sort_array over (ts, event_id, type) structs — no window, no
+    per-user sort pass, and the collected state is capped by slice(5)
+    semantics downstream (at 100 TB, pre-cap with a window row_number
+    filter ONLY if per-user event counts are unbounded; here collect is
+    per-user-bounded by the fixture generator, and the struct payload is
+    three small fields). The final top-20 is a TakeOrderedAndProject on
+    (count DESC, path ASC) — a total order, so the cut is deterministic.
+    Ties in ts are broken by the globally-unique event_id, making the
+    path itself deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice("evs", 1, 5), lambda e: e["event_type"]
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@register(
+    "q54_rolling_active_users",
+    oracle=f"""
+        WITH ud AS (
+            SELECT DISTINCT user_id, {_DUCK_DAY} AS d FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM ud)
+        SELECT days.d AS day_epoch,
+               CAST(COUNT(DISTINCT CASE WHEN ud.d = days.d
+                                        THEN ud.user_id END) AS BIGINT)
+                   AS dau,
+               CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+        FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+        GROUP BY days.d ORDER BY days.d
+    """,
+    tags=("behavioral", "window", "distinct"),
+)
+def q54_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU per active day — the rolling DISTINCT
+    window no frame spec can express (distinct doesn't decompose over
+    sliding frames).
+
+    Scale-safe spelling: dedup the fact to (user, day) pairs first (one
+    map-side-combinable shuffle that collapses event volume to at most
+    users x days rows), then EXPLODE each pair into the <= 7 report days
+    it contributes to — a bounded 7x fanout of the already-tiny dedup'd
+    set, NOT of raw events — and count distinct users per report day.
+    The day-domain semi-join (broadcast: it's one row per calendar day)
+    stops trailing windows from reporting days past the data's range.
+    The range-join spelling the oracle uses would be an O(days x pairs)
+    theta join in Spark; the explode form is linear and co-partitioned."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.expr(f"unix_timestamp(ts) DIV {_DAY}").alias("d"),
+        )
+        .distinct()
+    )
+    days = ud.select(F.col("d").alias("day_epoch")).distinct()
+    spans = ud.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6))).alias(
+            "day_epoch"
+        ),
+    )
+    return (
+        spans.join(F.broadcast(days), "day_epoch", "left_semi")
+        .groupBy("day_epoch")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("day_epoch"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("dau"),
+            F.countDistinct("user_id").cast("long").alias("wau"),
+        )
+        .orderBy("day_epoch")
+    )

@@ -1254,3 +1254,67 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.levenshtein("name_a", "name_b") <= 1)
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       (string_split(text, ' '))[1:8], ' ')) AS f
+            FROM documents
+        ),
+        corpus AS (
+            SELECT f, MIN(doc_id) AS dup_of
+            FROM fp WHERE doc_id % 5 <> 0 GROUP BY f
+        )
+        SELECT i.doc_id, c.dup_of
+        FROM fp i JOIN corpus c USING (f)
+        WHERE i.doc_id % 5 = 0
+        ORDER BY i.doc_id
+    """,
+    tags=("dedup", "incremental", "llm"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW batch against an EXISTING corpus — the
+    shape every continuously-fed training pipeline runs (dedup today's
+    crawl against the accumulated set, never corpus-vs-corpus), and the
+    batch twin of the reference's continuous-ingest loop
+    (``pkg/ingestor/ingestor.go:131-152``: each poll's rows are the
+    incoming batch). Fingerprint = md5 of the first-8-token prefix (a
+    cheap, deterministic near-head signature; swap in the full-content
+    hash or a MinHash band for stricter/looser matching — the plan shape
+    is identical). doc_id % 5 splits incoming vs corpus here in lieu of
+    two physical tables.
+
+    Scale contract: the corpus side pre-aggregates to one row per
+    fingerprint (map-side combinable, shuffled once on the hash), so the
+    join meets ONE row per key regardless of corpus duplication, and the
+    incoming batch — typically orders of magnitude smaller — shuffles on
+    the same key, co-partitioned. At 100 TB the corpus fingerprint table
+    is materialized once (a lakehouse table, appended per batch) instead
+    of recomputed; with a small incoming batch, AQE turns this into a
+    broadcast of the batch against the fingerprint scan."""
+    fp = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, 8)
+            ).cast("binary")
+        ).alias("f"),
+    )
+    corpus = (
+        fp.where(F.col("doc_id") % 5 != 0)
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    incoming = fp.where(F.col("doc_id") % 5 == 0)
+    return incoming.join(corpus, "f").select("doc_id", "dup_of").orderBy(
+        "doc_id"
+    )

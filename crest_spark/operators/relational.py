@@ -1185,3 +1185,56 @@ def q05b_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q55_union_harmonize",
+    oracle=f"""
+        WITH unioned AS (
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            UNION ALL BY NAME
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        )
+        SELECT COALESCE(o_orderpriority, 'LEGACY') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sum4("o_totalprice")} AS revenue
+        FROM unioned
+        GROUP BY COALESCE(o_orderpriority, 'LEGACY')
+        ORDER BY priority
+    """,
+    tags=("setop", "schema-evolution"),
+)
+def q55_union_harmonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: a current batch carrying o_orderpriority is
+    unioned BY NAME with a legacy batch that predates the column
+    (``unionByName(allowMissingColumns=True)`` == DuckDB
+    ``UNION ALL BY NAME``) — the harmonization every long-lived
+    ingestion pipeline needs when upstream schemas evolve (the same
+    drift the lakehouse layer handles via merge_schema appends,
+    lake_schema_widening). Missing columns null-fill, then COALESCE
+    buckets legacy rows explicitly. Both branches prune to their own
+    column set at the scan; the union is a zero-shuffle concatenation,
+    so the only exchange is the final aggregate's."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+    current = o.filter(F.expr(cutoff)).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    legacy = o.filter(~F.expr(cutoff)).select("o_orderkey", "o_totalprice")
+    return (
+        current.unionByName(legacy, allowMissingColumns=True)
+        .groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("LEGACY")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(sum4("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("priority")
+    )

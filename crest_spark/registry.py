@@ -129,6 +129,7 @@ def register(
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so registrations run, then return REGISTRY."""
+    import crest_spark.operators.behavioral  # noqa: F401
     import crest_spark.operators.curation  # noqa: F401
     import crest_spark.operators.dedup  # noqa: F401
     import crest_spark.operators.hierarchy  # noqa: F401

@@ -125,6 +125,31 @@ COMMENTARY = {
         "cross-partition sum order-free so the result is bit-stable "
         "under any partitioning."
     ),
+    "q52_cohort_retention": (
+        "Cohort retention in ONE fact shuffle: per-user MIN week and "
+        "collect_set of active weeks in the same aggregation (set size "
+        "bounded by calendar weeks, not event volume), explode, then a "
+        "map-side-combinable (cohort, offset) count — the naive "
+        "first-week-join-back spelling pays a second full-fact shuffle "
+        "and appears as a Join; this plan has none."
+    ),
+    "q54_rolling_active_users": (
+        "Rolling 7-day distinct actives without a range join: the fact "
+        "collapses to distinct (user, day) first (partial-combined), "
+        "each pair explodes into its <=7 report days (bounded fanout of "
+        "the collapsed set, not raw events), the day-domain guard is a "
+        "broadcast LEFT SEMI, and the DAU/WAU pair is one Expand-based "
+        "double-distinct — the oracle's BETWEEN join would be an "
+        "O(days x pairs) theta join here."
+    ),
+    "dedup_incremental": (
+        "Incremental batch-vs-corpus dedup: corpus side pre-aggregates "
+        "to one row per fingerprint (map-side combinable) before the "
+        "join, so the probe meets one row per key; at this scale AQE "
+        "turns the join into a broadcast, at 100 TB it degrades "
+        "gracefully to a co-partitioned SMJ on the same key. Both scans "
+        "push the doc_id%5 batch split down as DataFilters."
+    ),
     "q50_percent_rank_cume_dist": (
         "Distribution windows: one hash partitioning on the window key; "
         "the tail filter sits above the window (semantically required) "

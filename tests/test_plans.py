@@ -241,3 +241,43 @@ def test_q50_reads_only_window_columns(spark, sf_dir):
         "o_orderkey",
         "o_totalprice",
     }
+
+
+def test_q52_cohort_no_join(spark, sf_dir):
+    """Cohort retention must not join the first-week aggregate back
+    against the fact: one user_id shuffle + one (cohort, offset)
+    aggregate + the output sort, no Join operator."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["q52_cohort_retention"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 3
+
+
+def test_q54_rolling_actives_no_theta_join(spark, sf_dir):
+    """The trailing-window distinct must be the explode form, not the
+    oracle's BETWEEN (theta) join: the only join is the broadcast
+    day-domain semi guard, and the fact collapses to distinct
+    (user, day) before any fanout."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["q54_rolling_active_users"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "explode(sequence" in plan
+
+
+def test_dedup_incremental_corpus_preaggregated(spark, sf_dir):
+    """The corpus side must reduce to one row per fingerprint BEFORE the
+    join (HashAggregate below the join build), and both scans must push
+    the batch-split predicate into DataFilters."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["dedup_incremental"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("FileScan") == 2
+    assert "partial_min" in plan  # map-side-combined corpus aggregate
+    assert plan.count("(doc_id") >= 2  # pushed batch-split filters
