@@ -21,6 +21,12 @@ Example:
         filesPerTrigger: 1
         clusterBy: [event_id]  # optional: range-cluster committed batches
         bloomFor: [user_id]    # optional: per-file point-lookup Bloom filters
+        expect:                # optional: data-quality gates per batch
+          user_present: "user_id IS NOT NULL"   # FALSE or NULL = violation
+          value_sane: "value >= 0"
+        onViolation: quarantine   # quarantine (default: rows land in
+                                  # events__quarantine with a _violated
+                                  # rule list) | drop | fail (kill stream)
       - name: user_latest      # CDC upsert target: one row per key,
         path: /staging/users   # latest change wins (sequence-conditioned
         mode: upsert           # merge; convergent under replay)
@@ -129,6 +135,12 @@ def load_config(path: str) -> EngineConfig:
                 if "derive" in s
                 else None
             ),
+            expect=(
+                {str(c): str(e) for c, e in s["expect"].items()}
+                if "expect" in s
+                else None
+            ),
+            on_violation=s.get("onViolation", "quarantine"),
         )
         for s in raw.get("sources", [])
     ]
@@ -146,6 +158,11 @@ def load_config(path: str) -> EngineConfig:
             raise ValueError(
                 f"source {s.name}: mergeStrategy {s.merge_strategy!r} "
                 "(cow | mor | auto)"
+            )
+        if s.on_violation not in ("quarantine", "drop", "fail"):
+            raise ValueError(
+                f"source {s.name}: onViolation {s.on_violation!r} "
+                "(quarantine | drop | fail)"
             )
 
     compaction = raw.get("compaction", {})

@@ -97,6 +97,26 @@ class SourceSpec:
     # with change_feed (the merge reads the touched region to stage
     # the change set, but still rewrites nothing).
     merge_strategy: str = "cow"
+    # Data-quality expectations, evaluated per micro-batch AFTER derive
+    # (so rules may reference derived columns): {rule_name: SQL boolean
+    # expression}. A row violates a rule when the expression is FALSE or
+    # NULL (NULL data is exactly what expectations exist to catch, so
+    # unknown != pass). Violating rows never reach the target table;
+    # what happens to them is on_violation:
+    #   'quarantine' (default) — append to <table>__quarantine with a
+    #       _violated array column naming the failed rules and the
+    #       originating _batch_id (same idempotent writer/batch-id
+    #       protocol as the main sink, so replays never double-
+    #       quarantine);
+    #   'drop' — discard silently (count still observable via metrics
+    #       table row counts);
+    #   'fail' — raise, killing the stream: the poison-batch guard for
+    #       sources where bad data means upstream breakage, not noise.
+    # The reference ingests blind (batch_writer.go trusts every record);
+    # at 100 TB a quality gate must run INSIDE the write path — a
+    # post-hoc audit query re-scans the table every time.
+    expect: dict[str, str] | None = None
+    on_violation: str = "quarantine"
 
 
 @dataclass
@@ -183,6 +203,51 @@ class IngestionService:
                 # order, so expressions may build on one another
                 for col, expr in source.derive.items():
                     df = df.withColumn(col, F.expr(expr))
+            if source.expect:
+                from pyspark.sql import functions as F
+
+                # one vectorized pass marks each row with the rules it
+                # violates (FALSE or NULL both violate); the split below
+                # is two cheap filters over the micro-batch
+                labels = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(
+                                ~F.coalesce(
+                                    F.expr(rule_expr).cast("boolean"),
+                                    F.lit(False),
+                                ),
+                                F.lit(rule_name),
+                            )
+                            for rule_name, rule_expr in source.expect.items()
+                        ]
+                    )
+                )
+                marked = df.withColumn("_violated", labels)
+                bad = marked.where(F.size("_violated") > 0)
+                if source.on_violation == "fail":
+                    n_bad = bad.count()
+                    if n_bad:
+                        sample = bad.select("_violated").first()[0]
+                        raise ValueError(
+                            f"expectation violation in {ns}.{source.name} "
+                            f"batch {batch_id}: {n_bad} row(s), e.g. rules "
+                            f"{sample} (on_violation='fail')"
+                        )
+                elif source.on_violation == "quarantine" and not bad.isEmpty():
+                    qtable = catalog.get_or_create_table(
+                        f"{source.name}__quarantine", bad.schema, ns
+                    )
+                    # same idempotence protocol as the main sink: a
+                    # replayed micro-batch quarantines exactly once
+                    qtable.append(
+                        bad,
+                        writer_id=f"{writer_id}-quarantine",
+                        batch_id=batch_id,
+                        merge_schema=True,
+                    )
+                # clean rows continue through mode handling unchanged
+                df = marked.where(F.size("_violated") == 0).drop("_violated")
             # auto-create on first batch: schema taken off the batch, the
             # reference's pin-at-first-write (batch_writer.go:61-83).
             # A CDC tombstone column is batch metadata, not table schema.

@@ -1253,3 +1253,149 @@ def test_ingest_upsert_mor_with_change_feed_feeds_incremental_view(
         .collect()
     }
     assert got == want
+
+
+def test_ingest_expectations_quarantine_split(spark, sf_dir, tmp_path):
+    """Rows violating an expectation (FALSE or NULL) never reach the
+    target; they land in <table>__quarantine labeled with exactly the
+    rules they broke, and clean rows are untouched."""
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=2, order_col="event_id"
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="events",
+                path=staging,
+                files_per_trigger=1,
+                expect={
+                    "id_mod": "event_id % 7 <> 0",
+                    "early": "event_id < 9000",
+                },
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+
+    src = load_table(spark, sf_dir, "events")
+    good = svc.catalog.table("events").read(spark)
+    bad = svc.catalog.table("events__quarantine").read(spark)
+
+    n_total = src.count()
+    n_violating = src.where(
+        (F.col("event_id") % 7 == 0) | (F.col("event_id") >= 9000)
+    ).count()
+    assert bad.count() == n_violating > 0
+    assert good.count() == n_total - n_violating
+    assert good.where(F.col("event_id") % 7 == 0).count() == 0
+    # labels name exactly the broken rules
+    both = bad.where(
+        (F.col("event_id") % 7 == 0) & (F.col("event_id") >= 9000)
+    ).select("_violated").first()
+    if both is not None:
+        assert sorted(both[0]) == ["early", "id_mod"]
+    only_mod = (
+        bad.where((F.col("event_id") % 7 == 0) & (F.col("event_id") < 9000))
+        .select("_violated")
+        .first()
+    )
+    assert only_mod[0] == ["id_mod"]
+
+
+def test_ingest_expectations_null_violates_and_drop(spark, sf_dir, tmp_path):
+    """NULL predicate results violate (unknown != pass), and
+    onViolation='drop' discards without creating a quarantine table."""
+    import os
+
+    src = load_table(spark, sf_dir, "region").withColumn(
+        "flag", F.when(F.col("r_regionkey") % 2 == 0, F.lit(1))
+    )
+    staged = str(tmp_path / "staged")
+    src.write.parquet(staged)
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="region",
+                path=staged,
+                expect={"flag_set": "flag = 1"},
+                on_violation="drop",
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    got = svc.catalog.table("region").read(spark)
+    # odd keys have flag NULL -> violation -> dropped
+    assert got.where(F.col("r_regionkey") % 2 == 1).count() == 0
+    assert got.count() == src.where(F.col("r_regionkey") % 2 == 0).count()
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "wh"), "default", "region__quarantine")
+    )
+
+
+def test_ingest_expectations_fail_kills_stream(spark, sf_dir, tmp_path):
+    """onViolation='fail' surfaces the violation as a stream error — the
+    poison-batch guard."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "region"), n_slices=1
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="region",
+                path=staging,
+                expect={"impossible": "r_regionkey < 0"},
+                on_violation="fail",
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as excinfo:
+        svc.run_once()
+    assert "expectation violation" in str(excinfo.value)
+    svc.stop()
+
+
+def test_config_parses_expectations(tmp_path):
+    """YAML expect/onViolation wiring + validation."""
+    from crest_spark.config import load_config
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(
+        """
+warehouse: data/wh
+checkpoints: data/ckpt
+sources:
+  - name: events
+    path: /staging/events
+    expect:
+      user_present: "user_id IS NOT NULL"
+    onViolation: drop
+"""
+    )
+    spec = load_config(str(cfg_path)).ingest.sources[0]
+    assert spec.expect == {"user_present": "user_id IS NOT NULL"}
+    assert spec.on_violation == "drop"
+
+    cfg_path.write_text(
+        """
+warehouse: data/wh
+checkpoints: data/ckpt
+sources:
+  - name: events
+    path: /staging/events
+    onViolation: explode
+"""
+    )
+    with pytest.raises(ValueError, match="onViolation"):
+        load_config(str(cfg_path))
