@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from crest_spark.functions.stable import avg4, round4
+from crest_spark.functions.stable import avg4, round4, sum4
 from crest_spark.registry import register
 from crest_spark.sources.tables import load_table
 
@@ -510,4 +510,113 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", F.col("w").alias("term"), "tfidf")
         .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
+_BM25_TERMS = ("merge", "stream", "window")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+# (k1+1) = 2.2; (1 - b) = 0.25 — spelled as literals so BOTH engines
+# evaluate the identical IEEE expression tree
+_BM25_TFPART = "((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))"
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS dl,
+                   UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, dl, w, COUNT(*) AS tf
+            FROM base
+            WHERE w IN {str(_BM25_TERMS)}
+            GROUP BY doc_id, dl, w
+        ),
+        df AS (
+            SELECT w, COUNT(DISTINCT doc_id) AS df
+            FROM base WHERE w IN {str(_BM25_TERMS)} GROUP BY w
+        ),
+        corpus AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                       / COUNT(*) AS avgdl
+            FROM documents
+        ),
+        idf AS (
+            SELECT w,
+                   {round4("LN(1 + ((SELECT n_docs FROM corpus) - df + 0.5)"
+                           " / (df + 0.5))")} AS idf
+            FROM df
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   {round4(_BM25_TFPART + " * idf")} AS s
+            FROM tf
+            JOIN idf ON tf.w = idf.w
+            CROSS JOIN (SELECT avgdl FROM corpus) c(avgdl)
+        )
+        SELECT doc_id, {sum4("s")} AS score
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """,
+    tags=("text", "bm25", "ranking"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) document ranking for a fixed multi-term
+    query — the retrieval scorer a corpus-curation pipeline uses to
+    mine topical subsets. Top-10 docs by summed per-term score, total
+    order (score DESC, doc_id) so the cut is deterministic.
+
+    Plan: tokens filter to the query terms BEFORE the tf aggregation
+    (the explode's output is pruned at the source of the shuffle — at
+    100 TB this is the difference between shuffling every token and
+    shuffling only query-term hits), doc length rides the tf key as a
+    functionally-dependent column so no separate dl join is needed, and
+    the 3-row IDF relation broadcasts. Corpus scalars (N, avgdl) are
+    one bounded aggregate collect. Float discipline: idf's ln() pins to
+    4 dp through DECIMAL; the tf saturation part is pure rational IEEE
+    arithmetic from integer inputs (bit-identical across engines by
+    construction); their product pins again; the cross-term sum runs as
+    DECIMAL so partition order can't move the hash."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    scalars = docs.select(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("s")
+    ).first()
+    n_docs, sum_dl = scalars["n"], scalars["s"]
+    avgdl = f"(CAST({sum_dl} AS DOUBLE) / {n_docs})"
+
+    words = docs.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("w")
+    ).where(F.col("w").isin(*_BM25_TERMS))
+    tf = words.groupBy("doc_id", "dl", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    idf = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "w",
+            F.expr(
+                round4(f"LN(1 + ({n_docs} - df + 0.5) / (df + 0.5))")
+            ).alias("idf"),
+        )
+    )
+    scored = tf.join(F.broadcast(idf), "w").select(
+        "doc_id",
+        F.expr(
+            round4(_BM25_TFPART.replace("avgdl", avgdl) + " * idf")
+        ).alias("s"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.expr(sum4("s")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
     )
