@@ -67,6 +67,16 @@ def maintain(argv: list[str]) -> int:
         help="pin a named tag to the current snapshot "
         "(expiry-protected reproducibility point)",
     )
+    parser.add_argument(
+        "--publish",
+        action="store_true",
+        help="publish ALL pending staged (write-audit-publish) commits",
+    )
+    parser.add_argument(
+        "--discard-staged",
+        action="store_true",
+        help="discard ALL pending staged commits (audit rejected)",
+    )
     args = parser.parse_args(argv)
     namespace, _, name = args.table.partition(".")
     if not name:
@@ -78,6 +88,18 @@ def maintain(argv: list[str]) -> int:
     if args.set_tag:
         v = table.set_tag(args.set_tag)
         print(f"tag: {args.set_tag} -> v{v}", file=sys.stderr)
+    if args.publish:
+        v = table.publish_staged()
+        print(
+            f"publish: committed v{v}" if v else "publish: nothing staged",
+            file=sys.stderr,
+        )
+    if args.discard_staged:
+        v = table.discard_staged()
+        print(
+            f"discard: committed v{v}" if v else "discard: nothing staged",
+            file=sys.stderr,
+        )
     if args.compact is not None:
         spark = get_spark("crest-spark-maintain")
         v = table.compact(spark, target_partitions=args.compact)

@@ -27,6 +27,10 @@ Example:
         onViolation: quarantine   # quarantine (default: rows land in
                                   # events__quarantine with a _violated
                                   # rule list) | drop | fail (kill stream)
+        stage: false           # true = write-audit-publish: every batch
+                               # commits STAGED (invisible) until
+                               # `cli maintain --publish` (or
+                               # publish_staged()) after an audit pass
       - name: user_latest      # CDC upsert target: one row per key,
         path: /staging/users   # latest change wins (sequence-conditioned
         mode: upsert           # merge; convergent under replay)
@@ -141,6 +145,7 @@ def load_config(path: str) -> EngineConfig:
                 else None
             ),
             on_violation=s.get("onViolation", "quarantine"),
+            stage=bool(s.get("stage", False)),
         )
         for s in raw.get("sources", [])
     ]
@@ -163,6 +168,11 @@ def load_config(path: str) -> EngineConfig:
             raise ValueError(
                 f"source {s.name}: onViolation {s.on_violation!r} "
                 "(quarantine | drop | fail)"
+            )
+        if s.stage and s.mode == "upsert":
+            raise ValueError(
+                f"source {s.name}: 'stage' (write-audit-publish) applies "
+                "to append mode; an upsert merge cannot be staged"
             )
 
     compaction = raw.get("compaction", {})

@@ -312,6 +312,12 @@ def _fold_add_versions(snaps: list[Snapshot]) -> dict[int, dict]:
     out: dict[int, dict] = {}
     live: dict[str, int] = {}
     for s in snaps:
+        if s.extra.get("staged"):
+            # write-audit-publish: staged files are invisible until their
+            # publish commit lists them as ordinary appended files — the
+            # exported snapshot for the stage itself is an empty delta
+            out[s.version] = {"live": dict(live), "added": []}
+            continue
         if s.operation in ("replace",):
             new_live: dict[str, int] = {}
             added = []

@@ -465,6 +465,7 @@ class LakehouseTable:
             "committed": {},
             "file_seq": {},
             "deletes": [],
+            "staged": {},
         }
         start_after = 0
         for cv in reversed(self._checkpoint_versions()):
@@ -477,6 +478,7 @@ class LakehouseTable:
                     # conservative-correct side for delete applicability
                     state.setdefault("file_seq", {})
                     state.setdefault("deletes", [])
+                    state.setdefault("staged", {})
                     start_after = cv
                     break
                 except (OSError, json.JSONDecodeError):
@@ -487,10 +489,38 @@ class LakehouseTable:
             with open(self._version_file(v)) as fh:
                 d = json.load(fh)
             extra = d.get("extra", {})
+            if extra.get("staged"):
+                # write-audit-publish: a staged append's files are
+                # INVISIBLE to every normal scan until a publish commit
+                # makes them live (and file_seq's them at publish time).
+                # Only the batch-idempotence map and the version counter
+                # fold now — a replayed staged micro-batch must stay a
+                # no-op even before publication.
+                state.setdefault("staged", {})[str(v)] = {
+                    "files": list(d["files"]),
+                    "stats": dict(d.get("stats", {})),
+                    "num_rows": max(d.get("num_rows", 0), 0),
+                    "schema": d["schema"],
+                }
+                if (
+                    d.get("writer_id") is not None
+                    and d.get("batch_id") is not None
+                ):
+                    state["committed"].setdefault(d["writer_id"], []).append(
+                        d["batch_id"]
+                    )
+                state["version"] = v
+                continue
             if d.get("operation") == "replace":
                 state["files"] = list(d["files"])
                 state["stats"] = dict(d.get("stats", {}))
                 state["num_rows"] = max(d.get("num_rows", 0), 0)
+                # a replace describes the LIVE file set only; pending
+                # staged commits ride across it untouched — unless it is
+                # a rollback, which re-records the target snapshot's
+                # pending-staged state explicitly
+                if "staged_state" in extra:
+                    state["staged"] = dict(extra["staged_state"])
                 # a replace materializes every pending MoR delete (its
                 # writers rewrite affected files or prove them disjoint)
                 # — EXCEPT a rollback, which explicitly re-records the
@@ -516,6 +546,11 @@ class LakehouseTable:
                 # its own base "seq"
                 for entry in extra.get("deletes", []) or []:
                     state.setdefault("deletes", []).append(entry)
+                # a publish/discard commit resolves pending staged entries
+                for pv in extra.get("publish_of", []) or []:
+                    state.get("staged", {}).pop(str(pv), None)
+                for pv in extra.get("discard_of", []) or []:
+                    state.get("staged", {}).pop(str(pv), None)
             state["schema"] = d["schema"]
             if d.get("writer_id") is not None and d.get("batch_id") is not None:
                 state["committed"].setdefault(d["writer_id"], []).append(
@@ -650,6 +685,7 @@ class LakehouseTable:
         max_rows_per_file: int | None = None,
         cluster_by: list[str] | None = None,
         bloom_for: list[str] | None = None,
+        stage: bool = False,
     ) -> int | None:
         """Transactional append. Returns the committed version, or None if
         this (writer_id, batch_id) was already committed (idempotent
@@ -674,7 +710,16 @@ class LakehouseTable:
         ranges can't exclude anything when every file spans the hash
         space, but a membership sketch can. Rewrites (compact/merge)
         drop filters for the files they replace; append-time opt-in
-        keeps the cost O(batch)."""
+        keeps the cost O(batch).
+
+        ``stage``: write-audit-publish (Iceberg WAP). The commit lands in
+        the log but its rows are invisible to every scan (read / scan /
+        time travel / read_changes / merge / compact) until
+        ``publish_staged`` makes them live — the batch-level audit gate
+        that complements the row-level ``expect`` quarantine: an audit
+        job validates ``read_staged`` output, then publishes or
+        discards. Idempotence (writer_id/batch_id) is recorded at stage
+        time, so a replayed staged micro-batch is a no-op pre-publish."""
         if writer_id is not None and batch_id is not None:
             if batch_id in self.committed_batches(writer_id):
                 return None
@@ -757,11 +802,146 @@ class LakehouseTable:
                 "num_rows": num_rows,
                 "writer_id": writer_id,
                 "batch_id": batch_id,
-                **({"extra": {"cluster_by": cluster_by}} if cluster_by else {}),
+                **(
+                    {
+                        "extra": {
+                            **({"cluster_by": cluster_by} if cluster_by else {}),
+                            **({"staged": True} if stage else {}),
+                        }
+                    }
+                    if cluster_by or stage
+                    else {}
+                ),
             }
         )
         self._maybe_checkpoint(version)
         return version
+
+    # ----------------------------------------------------- write-audit-publish
+    def pending_staged(self, version: int | None = None) -> dict[int, dict]:
+        """Staged (unpublished, undiscarded) commits at ``version`` (or
+        latest): {staged_version: {files, stats, num_rows, schema}}."""
+        try:
+            state = self._state(upto=version)
+        except FileNotFoundError:
+            return {}
+        return {int(v): e for v, e in (state.get("staged") or {}).items()}
+
+    def read_staged(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Audit read: the rows a publish would make live — one staged
+        commit (``version``) or all pending ones. Reads with the evolved
+        union schema (a staged merge_schema append may widen/extend);
+        files from narrower entries null-fill / upcast at scan, exactly
+        as they will post-publish."""
+        pending = self.pending_staged()
+        if version is not None:
+            pending = {version: pending[version]}
+        schema = self.schema()
+        for e in pending.values():
+            schema = self._evolved_schema(
+                schema, StructType.fromJson(json.loads(e["schema"]))
+            )
+        files = [f for e in pending.values() for f in e["files"]]
+        return self._read_files(spark, files, json.dumps(schema.jsonValue()))
+
+    def publish_staged(self, versions: list[int] | None = None) -> int | None:
+        """Make staged commits live (the WAP publish / Iceberg
+        cherry-pick): ONE metadata-only commit lists the staged files as
+        ordinary appended files — they take the publish commit's
+        file_seq, so merge-on-read deltas committed while the data sat
+        in audit do not retro-apply to it, and the change feed reports
+        the rows as inserts AT PUBLISH TIME (time travel to a
+        pre-publish version keeps not seeing them). Returns the publish
+        version, or None if nothing was pending. Conflict-guarded RMW:
+        a concurrent commit between the state read and the publish
+        retries; a concurrent publish of the same versions resolves to
+        one winner (the loser re-reads, finds nothing pending, and
+        returns None)."""
+        for _ in range(50):
+            state = self._state()
+            pending = {int(v): e for v, e in (state.get("staged") or {}).items()}
+            take = sorted(pending) if versions is None else sorted(versions)
+            missing = [v for v in take if v not in pending]
+            if versions is not None and missing:
+                raise ValueError(
+                    f"versions {missing} are not pending staged commits of "
+                    f"{self.namespace}.{self.name}"
+                )
+            if not take:
+                return None
+            schema = StructType.fromJson(json.loads(state["schema"]))
+            files: list[str] = []
+            stats: dict = {}
+            num_rows = 0
+            for v in take:
+                e = pending[v]
+                files.extend(e["files"])
+                stats.update(e.get("stats", {}))
+                num_rows += max(e.get("num_rows", 0), 0)
+                schema = self._evolved_schema(
+                    schema, StructType.fromJson(json.loads(e["schema"]))
+                )
+            try:
+                version = self._try_commit(
+                    {
+                        "operation": "append",
+                        "files": files,
+                        "stats": stats,
+                        "schema": json.dumps(schema.jsonValue()),
+                        "commit_ts": time.time(),
+                        "num_rows": num_rows,
+                        "extra": {"publish_of": take},
+                    },
+                    expected_base=state["version"],
+                )
+            except CommitConflict:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise CommitConflict(
+            f"could not publish staged commits of {self.namespace}.{self.name}"
+        )
+
+    def discard_staged(self, versions: list[int] | None = None) -> int | None:
+        """Reject staged commits: a metadata-only commit removes them
+        from the pending set; the rows never become visible. The
+        physical files stay referenced by the (historical) staged
+        commit record until ``expire_snapshots`` drops it, after which
+        ``vacuum`` collects them."""
+        for _ in range(50):
+            state = self._state()
+            pending = {int(v) for v in (state.get("staged") or {})}
+            take = sorted(pending) if versions is None else sorted(versions)
+            missing = [v for v in take if v not in pending]
+            if versions is not None and missing:
+                raise ValueError(
+                    f"versions {missing} are not pending staged commits of "
+                    f"{self.namespace}.{self.name}"
+                )
+            if not take:
+                return None
+            try:
+                version = self._try_commit(
+                    {
+                        "operation": "append",
+                        "files": [],
+                        "stats": {},
+                        "schema": state["schema"],
+                        "commit_ts": time.time(),
+                        "num_rows": 0,
+                        "extra": {"discard_of": take},
+                    },
+                    expected_base=state["version"],
+                )
+            except CommitConflict:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise CommitConflict(
+            f"could not discard staged commits of {self.namespace}.{self.name}"
+        )
 
     def overwrite(
         self,
@@ -2007,6 +2187,11 @@ class LakehouseTable:
         for v in versions:
             with open(self._version_file(v)) as fh:
                 d = json.load(fh)
+            if d.get("extra", {}).get("staged"):
+                # a staged (write-audit-publish) commit contributes NO
+                # delta — its rows surface as inserts at the version of
+                # the publish commit that makes them live
+                continue
             if d.get("operation") == "rowdelta" or d.get("extra", {}).get(
                 "deletes"
             ):
@@ -2172,6 +2357,10 @@ class LakehouseTable:
                 f: int((state.get("file_seq") or {}).get(f, version))
                 for f in state["files"]
             },
+            # re-record the target's pending-staged set: a publish after
+            # the target version must not leak into the restored state,
+            # and a stage that was pending there is pending again
+            "staged_state": dict(state.get("staged") or {}),
         }
         if state.get("deletes"):
             extra["deletes"] = list(state["deletes"])
@@ -2207,8 +2396,25 @@ class LakehouseTable:
             cutoff = min(cutoff, min(tagged))
             if cutoff <= versions[0]:
                 return []
+        # PENDING staged (write-audit-publish) commits clamp the horizon
+        # like tags do: expiring one would silently drop the un-audited
+        # data from the pending set
+        pending_staged = self.pending_staged()
+        if pending_staged:
+            cutoff = min(cutoff, min(pending_staged))
         snaps = self.snapshots()
         by_version = {s.version: s for s in snaps}
+        # never cut AT a staged commit (pending or resolved): the boundary
+        # rewrite merges the expired prefix's live files into the cutoff
+        # record, and a staged cutoff would brand them staged — hiding
+        # live data. Step down to the nearest non-staged commit.
+        while cutoff in by_version and by_version[cutoff].extra.get("staged"):
+            idx = versions.index(cutoff)
+            if idx == 0:
+                return []
+            cutoff = versions[idx - 1]
+        if cutoff <= versions[0] and by_version[versions[0]].extra.get("staged"):
+            return []
         live_files: set[str] = set()
         # files referenced by the retained suffix (respecting replaces)
         for v in versions:
@@ -2242,6 +2448,19 @@ class LakehouseTable:
             if v >= cutoff:
                 break
             s = by_version[v]
+            if s.extra.get("staged"):
+                # a RESOLVED staged commit (pending ones clamped the
+                # cutoff above): if published, its files ride in the
+                # publish commit's own file list; if discarded, they are
+                # dead — either way they do not fold into the live
+                # prefix. Batch-id memory still folds (below) so a
+                # replayed staged batch stays a no-op after expiry.
+                if s.writer_id is not None and s.batch_id is not None:
+                    folded_committed.setdefault(s.writer_id, []).append(
+                        s.batch_id
+                    )
+                expired.append(v)
+                continue
             if s.operation == "replace":
                 # a rollback replace re-records the target's pending
                 # deletes + file sequences; fold them like _state does

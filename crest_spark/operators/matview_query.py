@@ -801,3 +801,62 @@ def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy="mor",
     )
     return t.read(spark, version=pinned).orderBy("o_orderkey")
+
+
+@register(
+    "lake_wap_publish",
+    oracle="""
+        SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+        FROM events
+        WHERE event_id % 4 <> 0 OR event_id % 8 = 0
+        ORDER BY event_id
+    """,
+    tags=("lakehouse", "wap", "staging"),
+)
+def lake_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish under the driver hash gate: a trusted
+    backfill lands live (event_id % 4 <> 0), then two suspect waves
+    commit STAGED — invisible to every reader. The audit step reads
+    both via ``read_staged``, approves one (% 8 = 0) and rejects the
+    other (% 8 = 4): ``publish_staged`` makes the approved rows live in
+    one metadata-only commit, ``discard_staged`` drops the rejected
+    ones forever. Engine contracts asserted inline: staged rows are
+    invisible pre-publish (count AND change-feed: the incremental read
+    after the backfill is empty until publish, then reports exactly the
+    approved rows as inserts at the PUBLISH version), time travel to
+    the stage point still hides them afterward, and discarded rows
+    never surface. The final rowset must hash-equal the one-shot SQL.
+
+    The batch-level gate the reference's blind committer lacks
+    (``/root/reference/pkg/batch_writer.go`` trusts every record);
+    Iceberg's WAP cherry-pick workflow re-expressed on the commit log."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = events.where(F.col("event_id") % 4 != 0)
+    approve = events.where(F.col("event_id") % 8 == 0)
+    reject = events.where(F.col("event_id") % 8 == 4)
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_wap_"))
+    t = cat.get_or_create_table("events_wap", events.schema)
+    v_base = t.append(base)
+    sv_ok = t.append(approve, stage=True)
+    sv_bad = t.append(reject, stage=True)
+    n_base, n_ok = base.count(), approve.count()
+    if t.read(spark).count() != n_base:
+        raise AssertionError("staged rows leaked into the live snapshot")
+    if t.read_changes(spark, after=v_base).count() != 0:
+        raise AssertionError("staged rows leaked into the change feed")
+    if t.read_staged(spark, sv_ok).count() != n_ok:
+        raise AssertionError("audit read must surface the staged rows")
+    pv = t.publish_staged([sv_ok])
+    t.discard_staged([sv_bad])
+    cdf = t.read_changes(spark, after=v_base, cdf=True)
+    stamped = cdf.groupBy("_change_type", "_commit_version").count().collect()
+    if {(r[0], r[1], r[2]) for r in stamped} != {("insert", pv, n_ok)}:
+        raise AssertionError(
+            f"change feed must report exactly the {n_ok} published rows "
+            f"as inserts at v{pv}, got {stamped}"
+        )
+    if t.read(spark, version=sv_bad).count() != n_base:
+        raise AssertionError("time travel to the stage point saw staged rows")
+    return t.read(spark).orderBy("event_id")

@@ -117,6 +117,14 @@ class SourceSpec:
     # post-hoc audit query re-scans the table every time.
     expect: dict[str, str] | None = None
     on_violation: str = "quarantine"
+    # Write-audit-publish (append mode only): commit every micro-batch
+    # STAGED — rows are invisible to readers until an audit job validates
+    # `table.read_staged(...)` and calls `publish_staged()` (or
+    # `cli maintain --publish`). The batch-level complement to `expect`:
+    # expectations gate individual rows inline; WAP holds the whole batch
+    # for an out-of-band check (an aggregate-level validation, a human
+    # sign-off) before any reader can see it.
+    stage: bool = False
 
 
 @dataclass
@@ -333,6 +341,7 @@ class IngestionService:
                 max_rows_per_file=max_rows,
                 cluster_by=source.cluster_by,
                 bloom_for=source.bloom_for,
+                stage=source.stage,
             )
 
         return write_batch

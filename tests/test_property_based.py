@@ -295,9 +295,10 @@ def test_avro_zigzag_varint_roundtrip(n):
 # Lakehouse interleaving fuzz (VERDICT r5 next-round #8): random op
 # sequences over one table — append / merge(cow|mor, with|without
 # sequence ordering, with tombstones) / range delete(cow|mor) / compact /
-# rollback / expire — must scan identically to a DuckDB replay of the
-# same ops, and (when every commit staged a change set) the CDF fold
-# must equal the final state. This is the state-machine certification of
+# rollback / expire / stage / publish / discard (write-audit-publish) —
+# must scan identically to a DuckDB replay of the same ops (staged rows
+# enter the replay only at publish), and (when every commit staged a
+# change set) the CDF fold must equal the final state. This is the state-machine certification of
 # the CoW/MoR equivalence the r6 merge-on-read work claims: strategy is
 # drawn per-op, so cow and mor paths interleave on the same key history.
 #
@@ -345,6 +346,9 @@ def _op_seq(draw):
                     "compact",
                     "rollback",
                     "expire",
+                    "stage",
+                    "publish",
+                    "discard",
                 ]
             )
         )
@@ -354,6 +358,14 @@ def _op_seq(draw):
                 for i, v, s, _tomb in _rowset(draw)
             ]
             ops.append(("append", rows))
+        elif kind == "stage":
+            rows = [
+                (i, v, s)
+                for i, v, s, _tomb in _rowset(draw)
+            ]
+            ops.append(("stage", rows))
+        elif kind in ("publish", "discard"):
+            ops.append((kind,))
         elif kind == "merge":
             ops.append(
                 (
@@ -401,6 +413,10 @@ def test_lakehouse_interleaving_matches_duckdb_replay(ops, spark):
     ver_after = [tab.version()]
     con.execute("CREATE TABLE snap_0 AS SELECT * FROM t")
     foldable = True  # no op that breaks the CDF window occurred
+    # write-audit-publish mirror: rows staged but not yet published are
+    # absent from the DuckDB table; rollback restores this list too
+    pending_rows: list[list] = []
+    snap_pending: list[list[list]] = [[]]
 
     def _mk(rows, with_tomb):
         if with_tomb:
@@ -416,6 +432,18 @@ def test_lakehouse_interleaving_matches_duckdb_replay(ops, spark):
             _, rows = op
             tab.append(_mk(rows, False))
             con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        elif op[0] == "stage":
+            _, rows = op
+            tab.append(_mk(rows, False), stage=True)
+            pending_rows.append(rows)  # NOT in the replay until publish
+        elif op[0] == "publish":
+            tab.publish_staged()
+            for rows in pending_rows:
+                con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+            pending_rows = []
+        elif op[0] == "discard":
+            tab.discard_staged()
+            pending_rows = []
         elif op[0] == "merge":
             _, rows, strategy, seq_mode = op
             upd = _mk(rows, True)
@@ -476,6 +504,7 @@ def test_lakehouse_interleaving_matches_duckdb_replay(ops, spark):
             k = pick % len(ver_after)
             tab.rollback(ver_after[k])
             con.execute(f"CREATE OR REPLACE TABLE t AS SELECT * FROM snap_{k}")
+            pending_rows = [list(r) for r in snap_pending[k]]
             foldable = False
         elif op[0] == "expire":
             _, keep = op
@@ -485,6 +514,7 @@ def test_lakehouse_interleaving_matches_duckdb_replay(ops, spark):
         con.execute(
             f"CREATE TABLE snap_{len(ver_after) - 1} AS SELECT * FROM t"
         )
+        snap_pending.append([list(r) for r in pending_rows])
 
     want = sorted(con.execute("SELECT id, val, seq FROM t").fetchall())
     got = sorted(
