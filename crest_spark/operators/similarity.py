@@ -361,3 +361,163 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "sim", "rn")
         .orderBy("query_id", "rn")
     )
+
+
+_KNN_K = 3  # neighbors per corpus vector
+_KNN_SLACK = 16  # per-block-pair tie-safety margin (see ann_brute_topk)
+_DUCK_NORM = (
+    "sqrt(list_sum(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_DUCK_DOT = (
+    "list_sum(list_transform(generate_series(1, len(a.embedding)),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "knn_self_join_topk",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, embedding, {_DUCK_NORM} AS nrm FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   {round4(_DUCK_DOT + " / (a.nrm * b.nrm)")} AS sim
+            FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT src, dst, sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY src ORDER BY sim DESC, dst
+                   ) AS rn
+            FROM pairs
+        )
+        SELECT src, dst, sim, CAST(rn AS INT) AS rn
+        FROM ranked WHERE rn <= {_KNN_K}
+        ORDER BY src, rn
+    """,
+    tags=("llm", "similarity", "knn", "self-join"),
+)
+def knn_self_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN SELF-join: top-k cosine neighbors for EVERY corpus
+    vector (the building block of kNN-graph construction — embedding
+    clustering, graph-based semantic dedup, diversity sampling) — where
+    ann_brute_topk ranks a fixed query set, this ranks all N.
+
+    Plan: vectors pack into row-normalized float64 blocks (one
+    applyInPandas per block, corpus becomes B fat rows); an upper-
+    triangle block-pair index joins them; each pair runs ONE GEMM and
+    emits per-row partial top-(k+slack) candidates in BOTH
+    directions (argpartition, no full sort); the global per-src window
+    then ranks ~B*(k+slack) candidates per vector instead of N. The
+    slack mirrors ann_brute_topk's margin: the final order is on
+    ROUNDED sim with id tie-break, so the raw-precision partial cut
+    must keep any candidate that could tie at the boundary after
+    rounding. Exact all-pairs is inherently O(N²/block) GEMM work —
+    for corpora past ~1M vectors build the kNN graph with the
+    sub-quadratic LSH route (``dedup_embedding_ann``) instead; this
+    operator inherits ``embedding_cosine_pairs``'s routing rationale
+    (``dedup.py``)."""
+    import math
+
+    import numpy as np
+
+    em = _emb(spark, sf_dir).select("vec_id", "embedding")
+    n = em.count()
+    n_blocks = max(1, math.ceil(n / 2048))
+    blocked = em.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat /= norms
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["blk"].iloc[0])],
+                "ids": [pdf["vec_id"].to_numpy().tolist()],
+                "mat": [mat.tobytes()],
+            }
+        )
+
+    packed = blocked.groupBy("blk").applyInPandas(
+        pack, "blk int, ids array<long>, mat binary"
+    )
+    if n_blocks == 1:
+        joined = packed.select(
+            F.col("blk").alias("blk_a"),
+            F.col("blk").alias("blk_b"),
+            F.col("ids").alias("ids_a"),
+            F.col("mat").alias("mat_a"),
+            F.col("ids").alias("ids_b"),
+            F.col("mat").alias("mat_b"),
+        )
+    else:
+        ra = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk_a"))
+        rb = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk_b"))
+        pair_idx = ra.join(rb, F.col("blk_a") <= F.col("blk_b"))
+        pa = packed.select(
+            F.col("blk").alias("blk_a"),
+            F.col("ids").alias("ids_a"),
+            F.col("mat").alias("mat_a"),
+        )
+        pb = packed.select(
+            F.col("blk").alias("blk_b"),
+            F.col("ids").alias("ids_b"),
+            F.col("mat").alias("mat_b"),
+        )
+        joined = pair_idx.join(pa, "blk_a").join(pb, "blk_b")
+
+    keep = _KNN_K + _KNN_SLACK
+
+    def topk_rows(
+        ids_src: "np.ndarray", ids_dst: "np.ndarray", sims: "np.ndarray"
+    ):
+        import numpy as np
+        import pandas as pd
+
+        # mask self-pairs (same vec_id can only meet in the same block)
+        self_mask = ids_src[:, None] == ids_dst[None, :]
+        sims = np.where(self_mask, -np.inf, sims)
+        k = min(keep, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = np.repeat(ids_src, k)
+        cols = ids_dst[idx.ravel()]
+        vals = np.take_along_axis(sims, idx, axis=1).ravel()
+        good = np.isfinite(vals)
+        return pd.DataFrame(
+            {"src": rows[good], "dst": cols[good], "sim_raw": vals[good]}
+        )
+
+    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.frombuffer(row.mat_a, dtype=np.float64).reshape(
+                    len(ids_a), -1
+                )
+                B = np.frombuffer(row.mat_b, dtype=np.float64).reshape(
+                    len(ids_b), -1
+                )
+                sims = A @ B.T
+                yield topk_rows(ids_a, ids_b, sims)
+                if row.blk_a != row.blk_b:
+                    yield topk_rows(ids_b, ids_a, sims.T)
+
+    cands = joined.mapInPandas(gemm, "src long, dst long, sim_raw double")
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        cands.withColumn("sim", F.expr(round4("sim_raw")))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _KNN_K)
+        .select("src", "dst", "sim", "rn")
+        .orderBy("src", "rn")
+    )
