@@ -281,3 +281,39 @@ def test_dedup_incremental_corpus_preaggregated(spark, sf_dir):
     assert plan.count("FileScan") == 2
     assert "partial_min" in plan  # map-side-combined corpus aggregate
     assert plan.count("(doc_id") >= 2  # pushed batch-split filters
+
+
+def test_bm25_filters_before_shuffle_and_topk(spark, sf_dir):
+    """The query-term filter must sit between the explode and the tf
+    shuffle (only query-term hits move), the IDF side must broadcast,
+    and the final cut must be TakeOrderedAndProject, not a global
+    sort."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["text_bm25_topk"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the term filter feeds the first aggregate directly (above Generate)
+    gen = plan.index("Generate explode")
+    filt = plan.index("Filter w#")
+    assert filt < gen  # simple-plan prints top-down: filter above explode
+    # tf agg (evaluated on both the probe and the idf derivation),
+    # idf agg, final doc agg
+    assert shuffle_count(df) <= 4
+
+
+def test_knn_self_join_no_cartesian(spark, sf_dir):
+    """The kNN self-join must move block-pair rows, never a row-level
+    cartesian: no NestedLoop/CartesianProduct, and the candidate stream
+    feeds a single per-src ranking window."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["knn_self_join_topk"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    assert len(re.findall(r"\bWindow \[", plan)) == 1
