@@ -110,3 +110,134 @@ def q47_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "root", F.col("depth").cast("long").alias("depth"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank: fixed-iteration decimal-pinned power iteration
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 4
+_PR_DAMP = "0.85"
+_PR_OFF = 1_000_000_000  # supplier node ids offset past any custkey
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE power iteration (one CTE per iteration — aggregates
+    are not allowed in a recursive CTE term, so the unrolled form is the
+    portable spelling). Every per-iteration neighbor sum routes through
+    ROUND(...,8)::DECIMAL(30,8) so both engines carry bit-identical
+    ranks into the next iteration."""
+    sql = f"""
+        WITH edges0 AS (
+            SELECT DISTINCT o.o_custkey AS a,
+                            l.l_suppkey + {_PR_OFF} AS b
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM edges0
+            UNION ALL
+            SELECT b AS src, a AS dst FROM edges0
+        ),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        it0 AS (
+            SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg
+        )"""
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+        it{i} AS (
+            SELECT e.dst AS node,
+                   ROUND((1 - {_PR_DAMP}) / (SELECT n FROM nn)
+                         + {_PR_DAMP} * CAST(SUM(CAST(ROUND(p.pr / deg.d, 8)
+                               AS DECIMAL(30,8))) AS DOUBLE), 8) AS pr
+            FROM it{i - 1} p
+            JOIN edges e ON e.src = p.node
+            JOIN deg ON deg.src = p.node
+            GROUP BY e.dst
+        )"""
+    sql += f"""
+        SELECT node, CAST(ROUND(CAST(pr AS DECIMAL(30,8)), 4) AS DOUBLE) AS pr
+        FROM it{_PR_ITERS}
+        ORDER BY pr DESC, node
+        LIMIT 20
+    """
+    return sql
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "pagerank"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (symmetrized) customer–supplier purchase graph:
+    4 power iterations, damping 0.85, top-20 nodes — the canonical
+    iterative-graph workload, fully oracle-gated because every
+    cross-partition float sum is decimal-pinned PER ITERATION (round
+    the per-edge contribution to 8 dp, sum as DECIMAL, re-round the new
+    rank to 8 dp), so the rank vector entering each iteration is
+    bit-identical in both engines regardless of partitioning or
+    join order.
+
+    Plan: edges materialize once (distinct custkey–suppkey pairs from
+    one orders⋈lineitem join, symmetrized by a union) and are joined
+    with the current rank vector each round — the rank relation is one
+    row per NODE (tiny next to edges), so at 100 TB this hash-joins
+    rank into the edge partitioning without moving the edge set;
+    localCheckpoint truncates the growing iteration lineage exactly as
+    the hierarchy fixpoint does. Every node has degree >= 1 by
+    construction (symmetrized edges), so there is no dangling-mass
+    term. Fixed iteration count keeps it oracle-expressible; a
+    convergence-threshold variant is the same loop with an AGG-delta
+    stop condition."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + F.lit(_PR_OFF)).alias("b"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges = edges.join(deg, "src").localCheckpoint()  # edges+deg, built once
+    n_nodes = deg.count()
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / F.lit(n_nodes)).alias("pr"),
+    )
+    base = f"(1 - {_PR_DAMP}) / {n_nodes}"
+    for _ in range(_PR_ITERS):
+        contribs = edges.join(
+            ranks, edges["src"] == ranks["node"]
+        ).select(
+            F.col("dst"),
+            F.round(F.col("pr") / F.col("d"), 8)
+            .cast("decimal(30,8)")
+            .alias("c"),
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(
+                F.round(
+                    F.expr(base) + float(_PR_DAMP) * F.sum("c").cast("double"),
+                    8,
+                ).alias("pr")
+            )
+            .select(F.col("dst").alias("node"), "pr")
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(
+            "node",
+            F.expr(
+                "CAST(ROUND(CAST(pr AS DECIMAL(30,8)), 4) AS DOUBLE)"
+            ).alias("pr"),
+        )
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(20)
+    )
