@@ -1399,3 +1399,47 @@ sources:
     )
     with pytest.raises(ValueError, match="onViolation"):
         load_config(str(cfg_path))
+
+
+def test_ingest_expectations_compose_with_derive_and_upsert(
+    spark, sf_dir, tmp_path
+):
+    """Rules may reference derived columns (derive runs first), and the
+    quarantine split applies before upsert mode handling — bad rows
+    never reach the merge."""
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=2, order_col="event_id"
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="latest",
+                path=staging,
+                mode="upsert",
+                key="user_id",
+                sequence_col="event_id",
+                derive={"id_bucket": "event_id % 5"},
+                expect={"bucket_ok": "id_bucket <> 0"},
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    src = load_table(spark, sf_dir, "events")
+    good = svc.catalog.table("latest").read(spark)
+    bad = svc.catalog.table("latest__quarantine").read(spark)
+    # no event with id % 5 == 0 survived into the merged table
+    assert good.where(F.col("event_id") % 5 == 0).count() == 0
+    assert bad.count() == src.where(F.col("event_id") % 5 == 0).count()
+    # the table converged to one row per user: the max CLEAN event_id
+    expected = (
+        src.where(F.col("event_id") % 5 != 0)
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("m"))
+    )
+    got = good.select("user_id", F.col("event_id").alias("m"))
+    assert sorted((r[0], r[1]) for r in got.collect()) == sorted(
+        (r[0], r[1]) for r in expected.collect()
+    )
