@@ -31,6 +31,12 @@ Example:
                                # commits STAGED (invisible) until
                                # `cli maintain --publish` (or
                                # publish_staged()) after an audit pass
+        expectBatch:           # optional: AGGREGATE gates on the clean
+          volume: "COUNT(*) >= 10"        # rows of each batch
+          sane_mean: "AVG(value) < 1e6"
+        onBatchViolation: fail # fail (default: kill stream) | skip
+                               # (drop batch) | stage (divert batch to a
+                               # WAP staged commit for audit)
       - name: user_latest      # CDC upsert target: one row per key,
         path: /staging/users   # latest change wins (sequence-conditioned
         mode: upsert           # merge; convergent under replay)
@@ -146,6 +152,12 @@ def load_config(path: str) -> EngineConfig:
             ),
             on_violation=s.get("onViolation", "quarantine"),
             stage=bool(s.get("stage", False)),
+            expect_batch=(
+                {str(c): str(e) for c, e in s["expectBatch"].items()}
+                if "expectBatch" in s
+                else None
+            ),
+            on_batch_violation=s.get("onBatchViolation", "fail"),
         )
         for s in raw.get("sources", [])
     ]
@@ -173,6 +185,16 @@ def load_config(path: str) -> EngineConfig:
             raise ValueError(
                 f"source {s.name}: 'stage' (write-audit-publish) applies "
                 "to append mode; an upsert merge cannot be staged"
+            )
+        if s.on_batch_violation not in ("fail", "skip", "stage"):
+            raise ValueError(
+                f"source {s.name}: onBatchViolation "
+                f"{s.on_batch_violation!r} (fail | skip | stage)"
+            )
+        if s.on_batch_violation == "stage" and s.mode == "upsert":
+            raise ValueError(
+                f"source {s.name}: onBatchViolation 'stage' applies to "
+                "append mode; an upsert merge cannot be staged"
             )
 
     compaction = raw.get("compaction", {})

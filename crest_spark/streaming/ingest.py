@@ -125,6 +125,22 @@ class SourceSpec:
     # for an out-of-band check (an aggregate-level validation, a human
     # sign-off) before any reader can see it.
     stage: bool = False
+    # Batch-level AGGREGATE expectations, evaluated on the clean rows
+    # (after derive and the row-level expect split): {rule_name: SQL
+    # aggregate boolean, e.g. "COUNT(*) >= 10 AND AVG(value) < 1e6"}.
+    # FALSE or NULL violates. Row rules catch bad records; batch rules
+    # catch bad BATCHES (a truncated upload, a unit change shifting the
+    # mean, a schema-correct-but-empty feed) that no per-row predicate
+    # can see. on_batch_violation:
+    #   'fail' (default) — kill the stream (poison-batch guard);
+    #   'skip' — drop the whole batch (it is consumed and checkpointed:
+    #       the data is gone; use for feeds where a bad batch is noise);
+    #   'stage' — divert the batch to a WAP STAGED commit instead of a
+    #       live append: nothing is lost, nothing is visible, and the
+    #       audit decides via publish_staged/discard_staged (append
+    #       mode only — a merge cannot be staged).
+    expect_batch: dict[str, str] | None = None
+    on_batch_violation: str = "fail"
 
 
 @dataclass
@@ -256,6 +272,29 @@ class IngestionService:
                     )
                 # clean rows continue through mode handling unchanged
                 df = marked.where(F.size("_violated") == 0).drop("_violated")
+            stage_this = source.stage
+            if source.expect_batch:
+                from pyspark.sql import functions as F
+
+                checks = df.agg(
+                    *[
+                        F.coalesce(
+                            F.expr(rule_expr).cast("boolean"), F.lit(False)
+                        ).alias(rule_name)
+                        for rule_name, rule_expr in source.expect_batch.items()
+                    ]
+                ).first()
+                broken = [n for n in source.expect_batch if not checks[n]]
+                if broken:
+                    if source.on_batch_violation == "fail":
+                        raise ValueError(
+                            f"batch expectation violation in "
+                            f"{ns}.{source.name} batch {batch_id}: rules "
+                            f"{broken} (on_batch_violation='fail')"
+                        )
+                    if source.on_batch_violation == "skip":
+                        return  # whole batch dropped; offset still commits
+                    stage_this = True  # 'stage': divert to a WAP commit
             # auto-create on first batch: schema taken off the batch, the
             # reference's pin-at-first-write (batch_writer.go:61-83).
             # A CDC tombstone column is batch metadata, not table schema.
@@ -341,7 +380,7 @@ class IngestionService:
                 max_rows_per_file=max_rows,
                 cluster_by=source.cluster_by,
                 bloom_for=source.bloom_for,
-                stage=source.stage,
+                stage=stage_this,
             )
 
         return write_batch

@@ -1443,3 +1443,125 @@ def test_ingest_expectations_compose_with_derive_and_upsert(
     assert sorted((r[0], r[1]) for r in got.collect()) == sorted(
         (r[0], r[1]) for r in expected.collect()
     )
+
+
+def test_ingest_batch_expectations_stage_divert(spark, sf_dir, tmp_path):
+    """A batch failing an aggregate gate diverts to a WAP staged commit:
+    nothing lost, nothing visible, audit decides. Batches passing the
+    gate land live as usual."""
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=4, order_col="event_id"
+    )
+    n_total = load_table(spark, sf_dir, "events").count()
+    per_batch = n_total // 4
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="events",
+                path=staging,
+                files_per_trigger=1,
+                # slices are event_id-ordered: only the FIRST batch has
+                # min(event_id) small enough to pass
+                expect_batch={"fresh": f"MIN(event_id) < {per_batch}"},
+                on_batch_violation="stage",
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    t = svc.catalog.table("events")
+    assert t.read(spark).count() == per_batch  # only batch 0 live
+    staged = t.pending_staged()
+    assert len(staged) == 3  # the other three diverted, none lost
+    t.publish_staged()
+    assert t.read(spark).count() == n_total
+
+
+def test_ingest_batch_expectations_skip_and_fail(spark, sf_dir, tmp_path):
+    """skip drops violating batches (offsets still advance); fail kills
+    the stream."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "region"), n_slices=1
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh_skip"),
+        checkpoint_root=str(tmp_path / "ckpt_skip"),
+        sources=[
+            SourceSpec(
+                name="region",
+                path=staging,
+                expect_batch={"huge": "COUNT(*) >= 1000000"},
+                on_batch_violation="skip",
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    # skipped batch never created/filled the table
+    t = svc.catalog.table("region")
+    assert (not t.exists()) or t.read(spark).count() == 0
+    # re-running from the same checkpoint does not re-deliver it
+    svc2 = IngestionService(spark, cfg)
+    svc2.run_once()
+    t2 = svc2.catalog.table("region")
+    assert (not t2.exists()) or t2.read(spark).count() == 0
+
+    cfg_fail = IngestConfig(
+        warehouse=str(tmp_path / "wh_fail"),
+        checkpoint_root=str(tmp_path / "ckpt_fail"),
+        sources=[
+            SourceSpec(
+                name="region",
+                path=staging,
+                expect_batch={"huge": "COUNT(*) >= 1000000"},
+                on_batch_violation="fail",
+            )
+        ],
+    )
+    svc3 = IngestionService(spark, cfg_fail)
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as excinfo:
+        svc3.run_once()
+    assert "batch expectation violation" in str(excinfo.value)
+    svc3.stop()
+
+
+def test_config_parses_batch_expectations(tmp_path):
+    from crest_spark.config import load_config
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(
+        """
+warehouse: data/wh
+checkpoints: data/ckpt
+sources:
+  - name: events
+    path: /staging/events
+    expectBatch:
+      volume: "COUNT(*) >= 10"
+    onBatchViolation: stage
+"""
+    )
+    spec = load_config(str(cfg_path)).ingest.sources[0]
+    assert spec.expect_batch == {"volume": "COUNT(*) >= 10"}
+    assert spec.on_batch_violation == "stage"
+
+    cfg_path.write_text(
+        """
+warehouse: data/wh
+checkpoints: data/ckpt
+sources:
+  - name: events
+    path: /staging/events
+    mode: upsert
+    key: user_id
+    sequenceCol: event_id
+    onBatchViolation: stage
+"""
+    )
+    with pytest.raises(ValueError, match="onBatchViolation 'stage'"):
+        load_config(str(cfg_path))
