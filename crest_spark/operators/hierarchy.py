@@ -180,16 +180,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     join order.
 
     Plan: edges materialize once (distinct custkey–suppkey pairs from
-    one orders⋈lineitem join, symmetrized by a union) and are joined
-    with the current rank vector each round — the rank relation is one
-    row per NODE (tiny next to edges), so at 100 TB this hash-joins
-    rank into the edge partitioning without moving the edge set;
-    localCheckpoint truncates the growing iteration lineage exactly as
-    the hierarchy fixpoint does. Every node has degree >= 1 by
-    construction (symmetrized edges), so there is no dangling-mass
-    term. Fixed iteration count keeps it oracle-expressible; a
-    convergence-threshold variant is the same loop with an AGG-delta
-    stop condition."""
+    one orders⋈lineitem join, symmetrized by a union; degree pre-joined,
+    both localCheckpoint'd so no iteration re-derives the graph), then
+    each round is exactly three bounded shuffles: edges and ranks into
+    the join, contributions onto dst. Spark SQL does NOT carry hash
+    partitioning across localCheckpoint (the plan shows an Exchange
+    above the ExistingRDD scan every round — verified, not assumed), so
+    in-session partitioning reuse is unavailable; at 100 TB the durable
+    co-location is a BUCKETED edge table (``sources/bucketing.py``:
+    bucket by src, then only the rank vector moves per iteration).
+    localCheckpoint still earns its keep truncating the growing
+    iteration lineage, exactly as the hierarchy fixpoint does. Every
+    node has degree >= 1 by construction (symmetrized edges), so there
+    is no dangling-mass term. Fixed iteration count keeps it
+    oracle-expressible; a convergence-threshold variant is the same
+    loop with an AGG-delta stop condition."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e0 = (
@@ -203,7 +208,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    )
     edges = edges.join(deg, "src").localCheckpoint()  # edges+deg, built once
     n_nodes = deg.count()
     ranks = deg.select(
