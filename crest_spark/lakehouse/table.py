@@ -2720,3 +2720,74 @@ class LakehouseTable:
     def file_count(self) -> int:
         """Live data-file count at the latest version (metadata-only)."""
         return len(self._state()["files"])
+
+    # ------------------------------------------------------- metadata tables
+    def history(self, spark: SparkSession) -> DataFrame:
+        """DESCRIBE HISTORY (Delta) / snapshots metadata table (Iceberg):
+        one row per commit, from the log only — no data files touched.
+        ``detail`` carries the operation's salient extra keys as JSON
+        (publish/discard/rollback targets, compaction marker, cluster
+        columns) so operational tooling never parses raw commit files."""
+        keep = (
+            "publish_of",
+            "discard_of",
+            "rollback_of",
+            "compaction",
+            "cluster_by",
+            "checkpointed",
+        )
+        rows = [
+            (
+                s.version,
+                s.operation,
+                float(s.commit_ts),
+                int(s.num_rows),
+                len(s.files),
+                s.writer_id,
+                s.batch_id,
+                bool(s.extra.get("staged")),
+                json.dumps(
+                    {k: s.extra[k] for k in keep if k in s.extra},
+                    sort_keys=True,
+                ),
+            )
+            for s in self.snapshots()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, operation string, commit_ts double, "
+            "num_rows long, num_files int, writer_id string, "
+            "batch_id long, staged boolean, detail string",
+        )
+
+    def files_meta(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Live-file inventory at ``version`` (DESCRIBE DETAIL /
+        Iceberg ``files`` metadata table): path, size, the commit that
+        added the file (its merge-on-read sequence scope), and its
+        recorded min/max stats as JSON. Log + stat() only — at 100 TB
+        this is the table you query to find compaction candidates and
+        verify clustering, without opening a single parquet footer."""
+        state = self._state(upto=version)
+        fseq = state.get("file_seq") or {}
+        stats = state.get("stats") or {}
+        rows = []
+        for f in state["files"]:
+            try:
+                size = os.path.getsize(f)
+            except OSError:
+                size = -1
+            fstat = {
+                k: v for k, v in (stats.get(f) or {}).items()
+                if k != _BLOOM_KEY
+            }
+            rows.append(
+                (
+                    f,
+                    int(size),
+                    int(fseq.get(f, 0)),
+                    json.dumps(fstat, sort_keys=True, default=str),
+                )
+            )
+        return spark.createDataFrame(
+            rows, "path string, size_bytes long, added_version long, stats string"
+        )

@@ -871,3 +871,47 @@ def q51_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("step3_purchase_after"),
     )
+
+
+@register(
+    "q56_rolling_median",
+    oracle=f"""
+        WITH w AS (
+            SELECT o_orderkey, o_orderpriority,
+                   {round4("QUANTILE_CONT(o_totalprice, 0.5) OVER ("
+                           "PARTITION BY o_orderpriority ORDER BY o_orderkey "
+                           "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)")}
+                       AS med20
+            FROM orders
+        )
+        SELECT o_orderkey, o_orderpriority, med20
+        FROM w WHERE o_orderkey % 7 = 0
+        ORDER BY o_orderkey, o_orderpriority
+    """,
+    tags=("window", "percentile", "holistic"),
+)
+def q56_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over a trailing 20-row frame per priority
+    class — the holistic window aggregate frames can't decompose
+    (median has no running state like sum/min), so the engine
+    re-evaluates the frame per row: O(frame) memory per key, bounded by
+    the ROWS frame regardless of partition size, which is exactly why
+    the frame is ROWS-bounded and not UNBOUNDED PRECEDING. Spark's
+    ``percentile`` and DuckDB's ``QUANTILE_CONT`` share the linear-
+    interpolation definition (bit-identical on this data, q-pinned to
+    4 dp regardless — same parity as stats_percentiles). The tail
+    filter (%7) sits ABOVE the window, as semantics require; one
+    shuffle on the window key."""
+    o = load_table(spark, sf_dir, "orders")
+    med = F.expr(
+        round4(
+            "percentile(o_totalprice, 0.5) OVER ("
+            "PARTITION BY o_orderpriority ORDER BY o_orderkey "
+            "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+        )
+    ).alias("med20")
+    return (
+        o.select("o_orderkey", "o_orderpriority", med)
+        .where(F.col("o_orderkey") % 7 == 0)
+        .orderBy("o_orderkey", "o_orderpriority")
+    )

@@ -1109,3 +1109,37 @@ def test_cdf_version_attribution_with_space_in_path(spark, sf_dir, tmp_path):
         for r in feed.groupBy("_commit_version").count().collect()
     }
     assert got == {v1: 10, v2: 15}
+
+
+def test_history_and_files_metadata_tables(spark, sf_dir, tmp_path):
+    """history() = one row per commit with operation/staged/detail;
+    files_meta() = live-file inventory with add-version and stats, both
+    metadata-only."""
+    import json
+
+    src = load_table(spark, sf_dir, "region")
+    t = _cat(tmp_path).get_or_create_table("region", src.schema)
+    v1 = t.append(src, writer_id="w", batch_id=1)
+    sv = t.append(src.limit(2), stage=True)
+    pv = t.publish_staged()
+    t.compact(spark, target_partitions=1)
+
+    h = {r["version"]: r for r in t.history(spark).collect()}
+    assert h[v1]["operation"] == "append"
+    assert h[v1]["writer_id"] == "w" and h[v1]["batch_id"] == 1
+    assert h[sv]["staged"] is True
+    assert json.loads(h[pv]["detail"]) == {"publish_of": [sv]}
+    assert h[max(h)]["operation"] == "replace"
+    assert json.loads(h[max(h)]["detail"]).get("compaction") is True
+
+    f = t.files_meta(spark).collect()
+    assert len(f) == t.file_count() == 1  # post-compact
+    assert all(r["size_bytes"] > 0 for r in f)
+    assert all(r["added_version"] == max(h) for r in f)
+    # stats JSON carries the recorded min/max bounds
+    st = json.loads(f[0]["stats"])
+    assert "r_regionkey" in st
+    # at the pre-publish version the staged file is NOT in the inventory
+    assert t.files_meta(spark, version=sv).count() == len(
+        t.snapshots()[1].files
+    )
