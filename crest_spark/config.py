@@ -37,6 +37,8 @@ Example:
         onBatchViolation: fail # fail (default: kill stream) | skip
                                # (drop batch) | stage (divert batch to a
                                # WAP staged commit for audit)
+        lineage: false         # true = stamp _source_file/_ingest_batch
+                               # provenance columns on every row
       - name: user_latest      # CDC upsert target: one row per key,
         path: /staging/users   # latest change wins (sequence-conditioned
         mode: upsert           # merge; convergent under replay)
@@ -158,6 +160,7 @@ def load_config(path: str) -> EngineConfig:
                 else None
             ),
             on_batch_violation=s.get("onBatchViolation", "fail"),
+            lineage=bool(s.get("lineage", False)),
         )
         for s in raw.get("sources", [])
     ]

@@ -141,6 +141,14 @@ class SourceSpec:
     #       mode only — a merge cannot be staged).
     expect_batch: dict[str, str] | None = None
     on_batch_violation: str = "fail"
+    # Provenance columns stamped at ingest: `_source_file` (the staged
+    # file each row came from — file sources only; Flight streams have
+    # no file identity) and `_ingest_batch` (the micro-batch id). The
+    # columns land in the table schema, so a quarantined or suspect row
+    # traces back to the exact upload that produced it — the question
+    # every data incident starts with. Derived/expectation rules may
+    # reference them (lineage is stamped first).
+    lineage: bool = False
 
 
 @dataclass
@@ -220,6 +228,14 @@ class IngestionService:
         compact_zorder = self.config.compact_zorder_by
 
         def write_batch(df, batch_id: int) -> None:
+            if source.lineage:
+                from pyspark.sql import functions as F
+
+                if "_source_file" not in df.columns:
+                    # file sources select _metadata upstream (start());
+                    # non-file sources stamp only the batch id
+                    df = df.withColumn("_source_file", F.lit(None).cast("string"))
+                df = df.withColumn("_ingest_batch", F.lit(batch_id).cast("long"))
             if source.derive:
                 from pyspark.sql import functions as F
 
@@ -440,6 +456,15 @@ class IngestionService:
                     .option("recursiveFileLookup", "true")
                     .parquet(src.path)
                 )
+                if src.lineage:
+                    from pyspark.sql import functions as F
+
+                    # the hidden _metadata column must be selected on the
+                    # source plan; inside foreachBatch it no longer resolves
+                    stream = stream.select(
+                        "*",
+                        F.col("_metadata.file_path").alias("_source_file"),
+                    )
             writer = (
                 stream.writeStream.foreachBatch(self._sink(src))
                 .option(

@@ -1565,3 +1565,45 @@ sources:
     )
     with pytest.raises(ValueError, match="onBatchViolation 'stage'"):
         load_config(str(cfg_path))
+
+
+def test_ingest_lineage_columns_trace_quarantine_to_file(
+    spark, sf_dir, tmp_path
+):
+    """lineage: true stamps _source_file/_ingest_batch; a quarantined
+    row points at the exact staged file that produced it."""
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "region"), n_slices=2
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="region",
+                path=staging,
+                files_per_trigger=1,
+                lineage=True,
+                expect={"low_key": "r_regionkey <= 2"},
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    good = svc.catalog.table("region").read(spark)
+    bad = svc.catalog.table("region__quarantine").read(spark)
+    assert {"_source_file", "_ingest_batch"} <= set(good.columns)
+    n_src = load_table(spark, sf_dir, "region").count()
+    assert good.count() + bad.count() == n_src
+    # every row (clean and quarantined) resolves to a real staged file
+    for df in (good, bad):
+        for r in df.select("_source_file", "_ingest_batch").collect():
+            assert r[0] is not None and r[0].endswith(".parquet")
+            assert r[1] is not None
+    # distinct source files across both tables == the staged slice count
+    srcs = set(
+        r[0]
+        for df in (good, bad)
+        for r in df.select("_source_file").collect()
+    )
+    assert len(srcs) == 2
