@@ -150,6 +150,20 @@ COMMENTARY = {
         "gracefully to a co-partitioned SMJ on the same key. Both scans "
         "push the doc_id%5 batch split down as DataFilters."
     ),
+    "text_bm25_topk": (
+        "BM25 retrieval scoring: the query-term filter sits UNDER the "
+        "first shuffle (only term hits move — at 100 TB the difference "
+        "between shuffling every token and a few hits per doc), doc "
+        "length rides the tf key as a functionally-dependent column, the "
+        "3-row IDF relation broadcasts, the cross-term sum is decimal, "
+        "and the cut is TakeOrderedAndProject."
+    ),
+    "q56_rolling_median": (
+        "Holistic exact median over a bounded ROWS frame: one shuffle "
+        "on the window key; per-row state is O(frame)=20 values "
+        "regardless of partition size — which is exactly why the frame "
+        "is ROWS-bounded, not UNBOUNDED."
+    ),
     "q50_percent_rank_cume_dist": (
         "Distribution windows: one hash partitioning on the window key; "
         "the tail filter sits above the window (semantically required) "
