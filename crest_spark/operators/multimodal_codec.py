@@ -462,3 +462,169 @@ def multimodal_audio_chunks_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_media(_docs_ids(spark, sf_dir))
     return media.mapInPandas(run, schema).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------- video ops
+# Y4M (YUV4MPEG2): a real uncompressed-video standard (ffmpeg/mjpegtools
+# interchange) that is fully stdlib-parseable — plain-text stream header
+# "YUV4MPEG2 W.. H.. F25:1 Ip A1:1 C444\n", then per frame "FRAME\n"
+# followed by raw Y, U, V planes (C444: no subsampling, each w*h bytes).
+
+_VID_W_BASE, _VID_W_MOD = 8, 8  # width  = 8 + doc_id % 8
+_VID_H_BASE, _VID_H_MOD = 6, 6  # height = 6 + doc_id % 6
+_VID_F_BASE, _VID_F_MOD = 6, 5  # frames = 6 + doc_id % 5
+_VID_STRIDE = 2  # sample every 2nd frame
+
+
+def _vid_geom(doc_id: int) -> tuple[int, int, int]:
+    return (
+        _VID_W_BASE + doc_id % _VID_W_MOD,
+        _VID_H_BASE + doc_id % _VID_H_MOD,
+        _VID_F_BASE + doc_id % _VID_F_MOD,
+    )
+
+
+def encode_y4m(doc_id: int) -> bytes:
+    """A real YUV4MPEG2 (C444) stream whose planes are closed-form in
+    (doc_id, frame, x, y): Y=(id+7f+2x+3y)%256, U=(id+f+x)%256,
+    V=(f+y)%256."""
+    import numpy as np
+
+    w, h, n = _vid_geom(doc_id)
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    for f in range(n):
+        Y = ((doc_id + 7 * f + 2 * x + 3 * y) % 256).astype("uint8")
+        U = ((doc_id + f + x + 0 * y) % 256).astype("uint8")
+        V = ((f + y + 0 * x) % 256).astype("uint8")
+        out.append(b"FRAME\n")
+        out.extend(p.tobytes() for p in (Y, U, V))
+    return b"".join(out)
+
+
+def parse_y4m(payload: bytes):
+    """Real Y4M parse: tokenize the stream header (order-independent
+    W/H/C tags, unknown tags skipped), require C444, then walk FRAME
+    markers yielding (frame_idx, Y, U, V) uint8 (h, w) planes."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode()
+    parts = header.split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = "C420"  # the format's default when the tag is absent
+    for tok in parts[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            colorspace = tok
+    if w is None or h is None:
+        raise ValueError(f"Y4M header missing W/H: {header!r}")
+    if colorspace != "C444":
+        raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+    plane = w * h
+    pos = nl + 1
+    idx = 0
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:fnl].split(b" ")[0] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1
+        planes = []
+        for _ in range(3):
+            planes.append(
+                np.frombuffer(payload[pos : pos + plane], dtype="uint8")
+                .reshape(h, w)
+            )
+            pos += plane
+        yield (idx, *planes)
+        idx += 1
+
+
+@register(
+    "multimodal_video_frames",
+    # sampled frames (f % 2 = 0) x pixels, all closed-form from doc_id
+    oracle="""
+        WITH geom AS (
+            SELECT doc_id,
+                   8 + doc_id % 8 AS w,
+                   6 + doc_id % 6 AS h,
+                   6 + doc_id % 5 AS n
+            FROM documents
+        ),
+        frames AS (
+            SELECT doc_id, w, h,
+                   UNNEST(generate_series(0, n - 1)) AS f
+            FROM geom
+        ),
+        px AS (
+            SELECT doc_id, w, h, f,
+                   UNNEST(generate_series(0, w * h - 1)) AS p
+            FROM frames WHERE f % 2 = 0
+        )
+        SELECT doc_id,
+               CAST(f AS INT) AS frame_idx,
+               CAST(MIN(w) AS INT) AS width,
+               CAST(MIN(h) AS INT) AS height,
+               CAST(SUM((doc_id + 7 * f + 2 * (p % w) + 3 * (p // w)) % 256)
+                    AS BIGINT) AS y_sum,
+               CAST(SUM((doc_id + f + (p % w)) % 256) AS BIGINT) AS u_sum
+        FROM px
+        GROUP BY doc_id, f
+        ORDER BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal", "video", "frame-sample"),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-sampling: synthesize a YUV4MPEG2 (C444) stream
+    per document, parse it with a real format parser (header tokenizer,
+    FRAME-marker walk, plane slicing), sample every 2nd frame, and
+    aggregate the decoded Y and U planes — upgrading the sha-stub
+    ``sample_frames`` plumbing in ``multimodal.py`` to actual codec
+    work, the same upgrade the BMP/WAV twins made. The oracle recomputes
+    frame geometry and both plane sums in closed form from doc_id (never
+    touching the bytes), so a mis-sliced plane, off-by-one frame walk,
+    or wrong sampled index fails the hash gate. Arrow-batched
+    mapInPandas; explode-shaped metadata output — raw frames never
+    shuffle onward, exactly how a 100 TB video corpus must behave."""
+    schema = (
+        "doc_id long, frame_idx int, width int, height int, "
+        "y_sum long, u_sum long"
+    )
+    stride = _VID_STRIDE
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "frame_idx", "width", "height", "y_sum",
+                    "u_sum",
+                )
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = encode_y4m(doc_id)
+                for f, Y, U, _V in parse_y4m(payload):
+                    if f % stride:
+                        continue
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["height"].append(Y.shape[0])
+                    out["width"].append(Y.shape[1])
+                    out["y_sum"].append(int(Y.astype("int64").sum()))
+                    out["u_sum"].append(int(U.astype("int64").sum()))
+            yield pd.DataFrame(out)
+
+    return (
+        _docs_ids(spark, sf_dir)
+        .mapInPandas(run, schema)
+        .orderBy("doc_id", "frame_idx")
+    )

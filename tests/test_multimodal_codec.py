@@ -83,3 +83,41 @@ def test_resize_nearest_known_mapping():
     assert out.shape == (1, 2, 3)
     assert np.array_equal(out[0, 0], src[0, 0])
     assert np.array_equal(out[0, 1], src[0, 2])
+
+
+def test_y4m_parser_contracts():
+    """Real-format behaviors: header tags are order-independent, unknown
+    tags skip, the colorspace default (C420) and any non-C444 stream are
+    rejected, and a corrupt FRAME marker raises."""
+    import numpy as np
+    import pytest
+
+    from crest_spark.operators.multimodal_codec import (
+        _vid_geom,
+        encode_y4m,
+        parse_y4m,
+    )
+
+    payload = encode_y4m(123)
+    w, h, n = _vid_geom(123)
+    frames = list(parse_y4m(payload))
+    assert len(frames) == n
+    f0, Y, U, V = frames[0]
+    assert f0 == 0 and Y.shape == (h, w) == U.shape == V.shape
+    # closed-form spot check: Y[y=1][x=2] of frame 3
+    _, Y3, _, _ = frames[3]
+    assert Y3[1][2] == (123 + 7 * 3 + 2 * 2 + 3 * 1) % 256
+
+    # reordered/extended header still parses
+    reordered = (
+        b"YUV4MPEG2 C444 XWEIRD H2 W3 F30:1\n"
+        + b"FRAME\n"
+        + bytes(range(6)) * 3
+    )
+    (idx, y, u, v), = list(parse_y4m(reordered))
+    assert y.shape == (2, 3)
+
+    with pytest.raises(ValueError, match="C420"):
+        list(parse_y4m(b"YUV4MPEG2 W2 H2\nFRAME\n" + b"\0" * 12))
+    with pytest.raises(ValueError, match="FRAME"):
+        list(parse_y4m(b"YUV4MPEG2 W1 H1 C444\nGRAME\n" + b"\0" * 3))
