@@ -77,6 +77,13 @@ def maintain(argv: list[str]) -> int:
         action="store_true",
         help="discard ALL pending staged commits (audit rejected)",
     )
+    parser.add_argument(
+        "--history",
+        type=int,
+        default=None,
+        metavar="N",
+        help="print the last N commits (DESCRIBE HISTORY, log-only)",
+    )
     args = parser.parse_args(argv)
     namespace, _, name = args.table.partition(".")
     if not name:
@@ -100,6 +107,16 @@ def maintain(argv: list[str]) -> int:
             f"discard: committed v{v}" if v else "discard: nothing staged",
             file=sys.stderr,
         )
+    if args.history is not None:
+        # log-only: no SparkSession needed for an ops query this small
+        for s in table.snapshots()[-max(1, args.history):]:
+            staged = " staged" if s.extra.get("staged") else ""
+            print(
+                f"v{s.version} {s.operation}{staged} rows={s.num_rows} "
+                f"files={len(s.files)} writer={s.writer_id} "
+                f"batch={s.batch_id}",
+                file=sys.stderr,
+            )
     if args.compact is not None:
         spark = get_spark("crest-spark-maintain")
         v = table.compact(spark, target_partitions=args.compact)
