@@ -158,9 +158,11 @@ def load_all() -> dict[str, QuerySpec]:
 # size driver prefix should land on the stalest entries — the ones whose
 # implementation files have churned most since their last check (VERDICT
 # r5 next-round #5). Note: no entry is r1-stale anymore (every r1 row was
-# re-checked in a later round); the stalest tier is round 2, 38 entries,
-# and ALL of them sort into the r6 prefix along with the never-checked
-# round-6 additions.
+# re-checked in a later round); the stalest tier is round 2, 38 entries.
+# Round-6 added ~18 never-checked entries (behavioral q52-q56, wap/cdc
+# lakehouse queries, bm25, knn self-join, pagerank, video frames, ...):
+# tier 0 sorts first, so the r6 prefix = every new entry + the front of
+# the round-2 tier; the remainder of r2 leads the r7 prefix.
 _LAST_CHECKED: dict[str, int] = {
     # --- last checked in round 2 (38 entries) ---
     "dedup_minhash_lsh": 2, "dedup_simhash": 2,
