@@ -5,6 +5,13 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 Timing = full query wall time (plan + execute + collect-to-count) per
 query, after a session warm-up query so JVM/codegen startup isn't billed
 to the first query.
+
+Cross-round comparability: compare PER-QUERY times, not totals — the
+query set grows (r5: 36 entries single-set; r6 added q51_event_funnel +
+q54_rolling_active_users -> 38, so BENCH_r6.value covers two more
+queries than BENCH_r5.value). Timing policy changed once, in r5
+(single-shot -> min-of-k; recorded in the JSON as runs_per_query /
+median / runs since then).
 """
 
 from __future__ import annotations
