@@ -915,3 +915,79 @@ def q56_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderkey") % 7 == 0)
         .orderBy("o_orderkey", "o_orderpriority")
     )
+
+
+_SKY_SPEND = "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE)"
+
+
+@register(
+    "q57_pareto_frontier",
+    oracle=f"""
+        WITH pc AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS INT) AS n_orders,
+                   {_SKY_SPEND} AS spend
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT r.o_custkey, r.n_orders, r.spend
+        FROM pc r
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pc s
+            WHERE s.n_orders <= r.n_orders AND s.spend >= r.spend
+              AND (s.n_orders < r.n_orders OR s.spend > r.spend)
+        )
+        ORDER BY r.n_orders, r.o_custkey
+    """,
+    tags=("skyline", "pareto", "analytics"),
+)
+def q57_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto efficiency frontier: customers not dominated on
+    (MINIMIZE order count, MAXIMIZE total spend) — most revenue from
+    fewest orders; a point is dominated iff another is at-least-as-good
+    on both axes and strictly better on one (equal points both survive).
+    Anti-correlated axes keep the frontier non-trivial, which is what
+    makes skyline interesting.
+
+    The oracle's NOT EXISTS spelling is O(n²); the engine runs the
+    classic DISTRIBUTED SKYLINE instead: (1) per-partition LOCAL
+    frontier — sound because a globally undominated point is undominated
+    in every subset — via two windows over one sort: max(spend) over the
+    strictly-smaller-n range frame
+    ``rangeBetween(unboundedPreceding, -1)`` (exact for the integer
+    axis) catches cross-n dominance, and a per-n-partition max catches
+    same-n dominance; (2) the union of local frontiers (tiny:
+    O(frontier x partitions)) passes through the same two windows
+    globally. The global stage's unpartitioned window is safe precisely
+    BECAUSE stage 1 bounded its input — the standard skyline-of-skylines
+    merge. Spend is decimal-pinned before any comparison so dominance
+    can't flip on float noise between engines."""
+    from pyspark.sql.window import Window
+
+    pc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_orders"),
+            F.expr(_SKY_SPEND).alias("spend"),
+        )
+    )
+
+    def frontier(df: DataFrame, *extra_part) -> DataFrame:
+        w_lt = (
+            Window.partitionBy(*extra_part)
+            .orderBy("n_orders")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_eq = Window.partitionBy(*extra_part, "n_orders")
+        return (
+            df.withColumn("_m_lt", F.max("spend").over(w_lt))
+            .withColumn("_m_eq", F.max("spend").over(w_eq))
+            .where(
+                (F.col("_m_lt").isNull() | (F.col("_m_lt") < F.col("spend")))
+                & (F.col("_m_eq") <= F.col("spend"))
+            )
+            .drop("_m_lt", "_m_eq")
+        )
+
+    local = frontier(pc.withColumn("_pid", F.spark_partition_id()), "_pid")
+    return frontier(local.drop("_pid")).orderBy("n_orders", "o_custkey")
