@@ -317,3 +317,14 @@ def test_knn_self_join_no_cartesian(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\bWindow \[", plan)) == 1
+
+
+def test_skyline_is_windows_not_self_join(spark, sf_dir):
+    """The Pareto frontier must run the distributed-skyline form: window
+    passes only — the oracle's NOT EXISTS would appear here as a join."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["q57_pareto_frontier"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
