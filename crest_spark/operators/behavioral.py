@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crest_spark.functions.stable import round4
 from crest_spark.registry import register
 from crest_spark.sources.tables import load_table
 
@@ -203,4 +204,85 @@ def q54_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("wau"),
         )
         .orderBy("day_epoch")
+    )
+
+
+_MB_MIN_N = 3  # minimum pair co-occurrence (support floor)
+
+
+@register(
+    "q58_market_basket",
+    oracle=f"""
+        WITH b AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM b),
+        singles AS (SELECT pk, COUNT(*) AS n_p FROM b GROUP BY pk),
+        pairs AS (
+            SELECT x.pk AS part_a, y.pk AS part_b, COUNT(*) AS n_ab
+            FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+            GROUP BY x.pk, y.pk
+            HAVING COUNT(*) >= {_MB_MIN_N}
+        )
+        SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+               {round4("CAST(n_ab AS DOUBLE) * (SELECT n FROM nb)"
+                       " / (sa.n_p * sb.n_p)")} AS lift
+        FROM pairs
+        JOIN singles sa ON sa.pk = part_a
+        JOIN singles sb ON sb.pk = part_b
+        ORDER BY lift DESC, part_a, part_b
+        LIMIT 20
+    """,
+    tags=("behavioral", "association", "market-basket"),
+)
+def q58_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs co-purchased within
+    an order, ranked by LIFT (observed co-rate over the independence
+    expectation) above a support floor — the frequent-itemset /
+    recommendation primitive.
+
+    Plan: baskets dedup to distinct (order, part) first (partial-
+    combined — repeated lineitems of one part never inflate a pair),
+    the pair join is a SELF-join co-partitioned on the basket key so
+    pair expansion happens inside each order's partition (bounded by
+    basket size squared, the algorithm's inherent cost — at 100 TB cap
+    or sample oversized baskets, the standard guard), pair counts
+    partial-combine on the pair key, and the per-part basket counts —
+    one row per part — broadcast back onto the surviving pairs. Lift's
+    arithmetic is integer-ratio double (deterministic cross-engine),
+    4dp-pinned with (part_a, part_b) tie-break so the top-20 cut is a
+    total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = b.select("ok").distinct().count()
+    singles = b.groupBy("pk").agg(F.count(F.lit(1)).alias("n_p"))
+    x = b.alias("x")
+    y = b.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.pk") < F.col("y.pk")))
+        .groupBy(
+            F.col("x.pk").alias("part_a"), F.col("y.pk").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _MB_MIN_N)
+    )
+    sa = singles.select(F.col("pk").alias("part_a"), F.col("n_p").alias("_na"))
+    sb = singles.select(F.col("pk").alias("part_b"), F.col("n_p").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.expr(
+                round4(
+                    f"CAST(n_ab AS DOUBLE) * {n_orders} / (_na * _nb)"
+                )
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
     )
