@@ -328,3 +328,17 @@ def test_skyline_is_windows_not_self_join(spark, sf_dir):
     plan = simple_plan(df)
     assert "Join" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_market_basket_pair_join_co_partitioned(spark, sf_dir):
+    """The pair expansion must be an equi-join on the basket key (order)
+    with the inequality as a residual — not a cartesian — and the
+    per-part counts must broadcast onto the pairs."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["q58_market_basket"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # the two singles joins
+    assert "TakeOrderedAndProject" in plan
