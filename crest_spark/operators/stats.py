@@ -991,3 +991,78 @@ def q57_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     local = frontier(pc.withColumn("_pid", F.spark_partition_id()), "_pid")
     return frontier(local.drop("_pid")).orderBy("n_orders", "o_custkey")
+
+
+@register(
+    "stats_gini",
+    oracle="""
+        WITH spend AS (
+            SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+                   CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))), 4)
+                        AS DECIMAL(30,8)) AS x
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_nationkey, o.o_custkey
+        ),
+        ranked AS (
+            SELECT nk, x,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY nk ORDER BY x, ck
+                   ) AS r
+            FROM spend
+        )
+        SELECT nk AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(ROUND(
+                   2.0 * CAST(SUM(r * x) AS DOUBLE)
+                       / (COUNT(*) * CAST(SUM(x) AS DOUBLE))
+                   - (COUNT(*) + 1.0) / COUNT(*), 4) AS DOUBLE) AS gini
+        FROM ranked
+        GROUP BY nk
+        ORDER BY nk
+    """,
+    tags=("stats", "gini", "concentration"),
+)
+def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — the revenue-
+    concentration metric (0 = equal, ->1 = one whale). Uses the exact
+    rank formulation G = 2*SUM(r*x)/(n*SUM(x)) - (n+1)/n over x sorted
+    ascending with a deterministic custkey tie-break.
+
+    Two shuffles: per-customer spend (partial-combined on the join key),
+    then ONE window shuffle on nation for the rank — per-nation state is
+    the sort, the same cost class as every ranking window; nations are
+    the partition key so no global single-task sort exists. Both sums
+    run as DECIMAL (spend pre-pinned to 4 dp, rank-weighted sum exact in
+    decimal), so the only double arithmetic is the final three-term
+    formula from identical integers/decimals — bit-stable cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    spend = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"), F.col("o_custkey").alias("ck")
+        )
+        .agg(
+            F.expr(
+                "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4)"
+                " AS DECIMAL(30,8))"
+            ).alias("x")
+        )
+    )
+    w = Window.partitionBy("nk").orderBy("x", "ck")
+    ranked = spend.withColumn("r", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("nk").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr(
+                "CAST(ROUND("
+                "2.0 * CAST(SUM(r * x) AS DOUBLE)"
+                " / (COUNT(*) * CAST(SUM(x) AS DOUBLE))"
+                " - (COUNT(*) + 1.0) / COUNT(*), 4) AS DOUBLE)"
+            ).alias("gini"),
+        )
+        .orderBy("nationkey")
+    )
