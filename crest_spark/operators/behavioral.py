@@ -286,3 +286,67 @@ def q58_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "q59_audience_overlap",
+    oracle=f"""
+        WITH tu AS (
+            SELECT DISTINCT event_type AS t, user_id AS u FROM events
+        ),
+        sizes AS (SELECT t, COUNT(*) AS n FROM tu GROUP BY t),
+        inter AS (
+            SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS i
+            FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+            GROUP BY a.t, b.t
+        )
+        SELECT type_a, type_b, CAST(i AS BIGINT) AS n_shared,
+               {round4("CAST(i AS DOUBLE) / (sa.n + sb.n - i)")} AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.t = type_a
+        JOIN sizes sb ON sb.t = type_b
+        ORDER BY type_a, type_b
+    """,
+    tags=("behavioral", "audience", "set-similarity"),
+)
+def q59_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: exact Jaccard similarity between every
+    pair of event types' user sets — the segment-overlap question every
+    product-analytics stack answers (|A∩B| / |A∪B| with union from the
+    inclusion-exclusion identity, never materialized).
+
+    Same inverted-index shape as dedup_ngram_jaccard: the fact dedups
+    to distinct (type, user) pairs (partial-combined), the pair join is
+    co-partitioned on user_id so intersections count inside each user's
+    partition (per-user fanout bounded by the type-set size — a handful,
+    not event volume), and the tiny per-type sizes broadcast back. At
+    100 TB with millions of segments instead of 5 types, the same plan
+    holds because the pair space only materializes where users overlap;
+    Jaccard is an integer ratio, 4dp-pinned."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select(
+        F.col("event_type").alias("t"), F.col("user_id").alias("u")
+    ).distinct()
+    sizes = tu.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.alias("a")
+    b = tu.alias("b")
+    inter = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.t") < F.col("b.t")))
+        .groupBy(F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("t").alias("type_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col("t").alias("type_b"), F.col("n").alias("_nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("i").cast("long").alias("n_shared"),
+            F.expr(round4("CAST(i AS DOUBLE) / (_na + _nb - i)")).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
