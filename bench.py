@@ -1,17 +1,25 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE compact JSON line LAST.
 
 Timing = full query wall time (plan + execute + collect-to-count) per
 query, after a session warm-up query so JVM/codegen startup isn't billed
 to the first query.
 
 Cross-round comparability: compare PER-QUERY times, not totals — the
-query set grows (r5: 36 entries single-set; r6 added q51_event_funnel +
-q54_rolling_active_users -> 38, so BENCH_r6.value covers two more
-queries than BENCH_r5.value). Timing policy changed once, in r5
-(single-shot -> min-of-k; recorded in the JSON as runs_per_query /
-median / runs since then).
+query set grows (r5: 36 entries; r6 added q51_event_funnel +
+q54_rolling_active_users -> 38; r7 added the remaining behavioral four
+q52_cohort_retention / q53_user_paths / q58_market_basket /
+q59_audience_overlap -> 42). Timing policy changed once, in r5
+(single-shot -> min-of-k).
+
+Output contract (VERDICT r6 "what's wrong" #1): the LAST stdout line is
+a compact driver-parseable summary — metric/value/unit/queries/sf only —
+bounded-size by test (tests/test_bench_emit.py). The per-run
+distribution, medians, and timing policy go to BENCH_DETAIL.json next to
+this file (and a leading `# detail: ...` stderr note), NOT the summary
+line: r6's enriched single line outgrew the driver's tail capture and
+the round lost its bench signal.
 """
 
 from __future__ import annotations
@@ -25,7 +33,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 # Headline set: every operator family, weighted toward the scale-sensitive
-# ones (joins, windows, dedup, similarity).
+# ones (joins, windows, dedup, similarity, behavioral pair-joins).
 BENCH_QUERIES = [
     "q01_filter_project",
     "q03_agg_pricing_summary",
@@ -54,7 +62,11 @@ BENCH_QUERIES = [
     "q40_returned_items",
     "q45_dominant_suppliers",
     "q51_event_funnel",
+    "q52_cohort_retention",
+    "q53_user_paths",
     "q54_rolling_active_users",
+    "q58_market_basket",
+    "q59_audience_overlap",
     "stats_moments",
     "udf_scalar_pandas",
     "skew_salted_agg",
@@ -66,6 +78,43 @@ BENCH_QUERIES = [
     "text_lang_id",
     "text_token_stats",
 ]
+
+SUMMARY_MAX_BYTES = 4096  # bound enforced by tests/test_bench_emit.py
+
+
+def emit(timings, medians, all_runs, sf, runs, detail_path=None, out=None):
+    """Write BENCH_DETAIL.json (full distribution + policy) and print the
+    compact driver-facing summary as the LAST stdout line.
+
+    Returns the summary line string (for the size-bound test)."""
+    out = out if out is not None else sys.stdout
+    total = round(sum(timings.values()), 3)
+    detail = {
+        "runs_per_query": runs,
+        "timing_policy": "min_of_runs; sorted per-query runs in 'runs';"
+        " session warmup excluded (r1-r4 were single-shot)",
+        "median": medians,
+        "median_total": round(sum(medians.values()), 3),
+        "runs": all_runs,
+    }
+    if detail_path:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        print(f"# detail: {detail_path}", file=sys.stderr)
+    # Compact summary — keys limited to what the driver parses. Keep this
+    # the LAST line printed; nothing may follow it.
+    summary = json.dumps(
+        {
+            "metric": "headline_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    print(summary, file=out)
+    return summary
 
 
 def main() -> None:
@@ -90,13 +139,15 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    # min-of-k per query (k = SPARK_GRAFT_RUNS, default 2): the first
-    # execution of an operator pays one-off costs a steady-state job never
-    # sees again (plan cache, shuffle-file reuse, page cache) — the r4
-    # dedup_embedding_cosine "+102%" was exactly this cold-run artifact
-    # (re-measured n=6: 2.29s cold, then 1.23/1.11/1.04/0.89/1.03). The
-    # min is the steady-state number the 100 TB comparison cares about.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
+    # min-of-k per query (k = SPARK_GRAFT_RUNS, default 5 since r7 — r6's
+    # k=2 could not separate machine noise from plan regressions, VERDICT
+    # r6 "what's wrong" #2): the first execution of an operator pays
+    # one-off costs a steady-state job never sees again (plan cache,
+    # shuffle-file reuse, page cache) — the r4 dedup_embedding_cosine
+    # "+102%" was exactly this cold-run artifact (re-measured n=6: 2.29s
+    # cold, then 1.23/1.11/1.04/0.89/1.03). The min is the steady-state
+    # number the 100 TB comparison cares about.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "5")))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -113,32 +164,14 @@ def main() -> None:
         all_runs[name] = [round(t, 3) for t in times]
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    # Methodology (recorded so cross-round BENCH deltas compare honestly;
-    # VERDICT r5 "what's wrong" #2): `queries` (and `value`) are
-    # MIN-of-`runs_per_query` per query — the steady-state number, the
-    # policy since r5 commit dac8c16; rounds r1-r4 were single-shot
-    # (equivalent to runs_per_query=1, min == that one sample). `median`
-    # and `runs` expose the non-min distribution; the session-level
-    # warm-up (parquet footer + Python worker pool) is never billed.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "runs_per_query": runs,
-                "timing_policy": "min_of_runs; sorted per-query runs in"
-                " 'runs'; session warmup excluded (r1-r4 were"
-                " single-shot)",
-                "median": medians,
-                "median_total": round(sum(medians.values()), 3),
-                "runs": all_runs,
-            }
-        )
+    emit(
+        timings,
+        medians,
+        all_runs,
+        float(sf) if sf else None,
+        runs,
+        detail_path=os.path.join(REPO, "BENCH_DETAIL.json"),
     )
 
 
