@@ -655,7 +655,14 @@ class LakehouseTable:
         ("byte", "long"),
         ("float", "double"),
         ("integer", "double"),
-        ("date", "timestamp"),
+        # date widens to timestamp_ntz ONLY: Spark's parquet type
+        # widening reads old int32 date files under a TimestampNTZ
+        # schema, but NOT under TimestampType (LTZ) — that promotion
+        # would fail (or go timezone-dependent) at scan time on the
+        # unrewritten files. An incoming LTZ timestamp therefore does
+        # not evolve the column; the append casts down (pinned-type
+        # contract), same as any off-lattice pair.
+        ("date", "timestamp_ntz"),
     }
 
     def _evolved_schema(self, current: StructType, incoming: StructType) -> StructType:
@@ -837,6 +844,12 @@ class LakehouseTable:
         as they will post-publish."""
         pending = self.pending_staged()
         if version is not None:
+            if version not in pending:
+                raise ValueError(
+                    f"version {version} is not a pending staged commit of "
+                    f"{self.namespace}.{self.name} (already published/"
+                    "discarded, or never staged)"
+                )
             pending = {version: pending[version]}
         schema = self.schema()
         for e in pending.values():
@@ -1236,8 +1249,14 @@ class LakehouseTable:
             dd = maybe_broadcast(
                 raw.select(*sel, F.col("__crest_tomb_seq")), [d]
             )
+            # null-UNSAFE equality, deliberately matching the CoW
+            # derive_merged path and the removal-entry anti-joins: a
+            # NULL merge key contests nothing and passes through
+            # untouched under BOTH strategies (previously eqNullSafe
+            # here made MoR resolve NULL-keyed rows while CoW kept
+            # them — the two strategies diverged for NULL keys).
             keycond = [
-                out[k].eqNullSafe(F.col(f"__crest_k_{k}")) for k in keys
+                out[k] == F.col(f"__crest_k_{k}") for k in keys
             ]
             cond = keycond[0]
             for c in keycond[1:]:
@@ -1798,10 +1817,19 @@ class LakehouseTable:
                     # class the CoW delete CDC pays; the commit itself
                     # still rewrites nothing.
                     stats = state.get("stats", {})
+                    # union the predicate-admitted set with every
+                    # seq-affected file (mirrors the keep/touch guard in
+                    # merge and the scan() extension): a pending
+                    # sequence-aware entry whose contested keys span
+                    # admitted and non-admitted files would otherwise
+                    # resolve winners over a partial read and stage a
+                    # superseded row as the removed preimage, corrupting
+                    # the change feed incremental views fold.
                     affected = [
                         f
                         for f in state["files"]
                         if _stats_admit(stats.get(f) or {}, predicates)
+                        or self._delete_affected(state, f, seq_only=True)
                     ]
                     current = self._apply_pending_deletes(
                         spark,
@@ -2688,6 +2716,24 @@ class LakehouseTable:
         narrow enough to skip."""
         files = self.pruned_files(predicates, version=version)
         state = self._state(upto=version)
+        if any(d.get("seqcol") for d in (state.get("deletes") or [])):
+            # Sequence-aware winner resolution (apply_seq_entry) is only
+            # sound when every file that could hold a contested key is
+            # read together: if the file holding a key's true winner
+            # (higher sequence value) were pruned by a predicate on a
+            # non-key column, the window over the partial set would
+            # promote a superseded row. Extend the scanned set with
+            # every seq-affected file; the exact predicate filters below
+            # run AFTER delta resolution, so the result still matches
+            # read().where(...) bit-for-bit and the extra reads are
+            # bounded by the hot-key files a compact() would fold anyway.
+            pruned = set(files)
+            files = files + [
+                f
+                for f in state["files"]
+                if f not in pruned
+                and self._delete_affected(state, f, seq_only=True)
+            ]
         schema = StructType.fromJson(json.loads(state["schema"]))
         if not files:
             df = self.read(spark, version=version).limit(0)

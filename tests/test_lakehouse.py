@@ -479,3 +479,42 @@ def test_concurrent_cdf_merges_feed_folds_to_final_state(
     }
     assert folded == current
     src.unpersist()
+
+
+def test_date_widens_to_timestamp_ntz_only(spark, catalog):
+    """ADVICE r6 (medium): Spark's parquet type widening reads old int32
+    date files under timestamp_ntz but NOT under TimestampType (LTZ) —
+    promoting date -> LTZ would fail (or go timezone-dependent) at scan
+    time. The lattice admits NTZ only; an LTZ append keeps the column
+    pinned to date (cast-down contract) and old files stay readable."""
+    import datetime
+
+    base = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 2))], "id int, d date"
+    )
+    t = catalog.get_or_create_table("dwiden", base.schema)
+    t.append(base)
+
+    # LTZ timestamp does NOT evolve the column
+    ltz = spark.createDataFrame(
+        [(2, datetime.datetime(2024, 3, 4, 5, 0))], "id int, d timestamp"
+    )
+    t.append(ltz, merge_schema=True)
+    assert t.schema()["d"].dataType.typeName() == "date"
+    rows = {r["id"]: r["d"] for r in t.read(spark).collect()}
+    assert rows == {
+        1: datetime.date(2024, 1, 2),
+        2: datetime.date(2024, 3, 4),
+    }
+
+    # NTZ timestamp DOES evolve in place; the old int32 date file
+    # upcasts at scan
+    ntz = spark.createDataFrame(
+        [(3, datetime.datetime(2024, 5, 6, 7, 8))],
+        "id int, d timestamp_ntz",
+    )
+    t.append(ntz, merge_schema=True)
+    assert t.schema()["d"].dataType.typeName() == "timestamp_ntz"
+    rows = {r["id"]: r["d"] for r in t.read(spark).collect()}
+    assert rows[1] == datetime.datetime(2024, 1, 2, 0, 0)
+    assert rows[3] == datetime.datetime(2024, 5, 6, 7, 8)

@@ -232,3 +232,99 @@ def test_expire_folds_mor_history_and_preserves_semantics(spark, tmp_path):
     t.compact(spark, target_partitions=1)
     assert not t._state()["deletes"]
     assert sorted(tuple(r) for r in t.read(spark).collect()) == after
+
+
+# ---- ADVICE r6: partial-prune winner resolution + NULL-key parity ----
+
+
+def _seq_fixture(spark, tmp_path, name):
+    """10 rows cat='x' across 2 clustered files; one sequence-aware MoR
+    merge moves key 3 to cat='y' with a higher sequence value. The
+    update's data file carries cat stats ['y','y'], so a predicate on
+    cat='x' prunes it while the superseded row's file stays admitted."""
+    df = spark.createDataFrame(
+        [(i, "x", 1) for i in range(10)], "id int, cat string, seq int"
+    )
+    t = _cat(tmp_path).get_or_create_table(name, df.schema)
+    t.append(df, cluster_by=["id"], max_rows_per_file=5)
+    upd = spark.createDataFrame([(3, "y", 100)], "id int, cat string, seq int")
+    t.merge(spark, upd, key="id", sequence_col="seq", strategy="mor")
+    assert any(d.get("seqcol") for d in t.pending_deletes())
+    return t
+
+
+def test_scan_prune_does_not_resurrect_superseded_rows(spark, tmp_path):
+    """ADVICE r6 (high): scan() applied seq-aware winner resolution to
+    only the predicate-pruned file subset — if the file holding a key's
+    true winner is pruned by a predicate on a NON-key column, the window
+    over the partial set promoted the superseded row. The scanned set
+    must extend to every seq-affected file (exact filters run after
+    resolution, so scan == read().where() bit-for-bit)."""
+    t = _seq_fixture(spark, tmp_path, "seqprune")
+    expected = sorted(
+        tuple(r)
+        for r in t.read(spark).where(F.col("cat") == "x").collect()
+    )
+    got = sorted(
+        tuple(r) for r in t.scan(spark, {"cat": ("x", "x")}).collect()
+    )
+    assert (3, "x", 1) not in got  # the superseded row must stay dead
+    assert got == expected
+
+
+def test_mor_delete_cdf_preimage_uses_full_winner_resolution(
+    spark, tmp_path
+):
+    """ADVICE r6 (medium): delete(mode='mor', change_feed=True) staged
+    preimages from only the predicate-admitted files; with a pending
+    seq-aware entry whose contested key spans admitted and non-admitted
+    files, the partial read staged the superseded row as a removed
+    preimage. Key 3's winner is cat='y', so a cat='x' delete removes
+    every OTHER row but not key 3 — and the feed must agree."""
+    t = _seq_fixture(spark, tmp_path, "seqcdf")
+    base = t.version()
+    t.delete(spark, {"cat": ("x", "x")}, mode="mor", change_feed=True)
+    ch = t.read_changes(spark, after=base, cdf=True)
+    deleted = {
+        r["id"]
+        for r in ch.where(F.col("_change_type") == "delete").collect()
+    }
+    assert deleted == {i for i in range(10) if i != 3}
+    # and the table itself agrees: key 3 survives as the 'y' winner
+    rows = {r["id"]: r["cat"] for r in t.read(spark).collect()}
+    assert rows == {3: "y"}
+
+
+def test_null_merge_key_parity_cow_vs_mor(spark, tmp_path):
+    """ADVICE r6 (low): apply_seq_entry matched contested keys with
+    eqNullSafe while CoW and the removal anti-joins are null-unsafe, so
+    NULL-keyed rows resolved under MoR but passed through under CoW.
+    Both strategies must agree on NULL merge keys."""
+    rows = [(i, f"v{i}", i) for i in range(5)] + [(None, "null_old", 0)]
+    df = spark.createDataFrame(rows, "id int, val string, seq int")
+    t_mor = _cat(tmp_path).get_or_create_table("null_mor", df.schema)
+    t_cow = _cat(tmp_path).get_or_create_table("null_cow", df.schema)
+    t_mor.append(df, max_rows_per_file=3)
+    t_cow.append(df, max_rows_per_file=3)
+    upd = spark.createDataFrame(
+        [(2, "upd2", 100), (None, "null_new", 100)],
+        "id int, val string, seq int",
+    )
+    t_mor.merge(spark, upd, key="id", sequence_col="seq", strategy="mor")
+    t_cow.merge(spark, upd, key="id", sequence_col="seq")
+    mor_rows = sorted(
+        (r["id"], r["val"]) for r in t_mor.read(spark).collect()
+        if r["id"] is None
+    )
+    cow_rows = sorted(
+        (r["id"], r["val"]) for r in t_cow.read(spark).collect()
+        if r["id"] is None
+    )
+    assert mor_rows == cow_rows
+    # non-null keys also identical end-to-end
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted(
+        (tuple(r) for r in t_mor.read(spark).collect()), key=key
+    ) == sorted(
+        (tuple(r) for r in t_cow.read(spark).collect()), key=key
+    )

@@ -271,3 +271,23 @@ sources:
     )
     with pytest.raises(ValueError, match="stage"):
         load_config(str(cfg_path))
+
+
+def test_read_staged_unknown_version_raises_value_error(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r6 (low): read_staged(version=v) raised a bare KeyError
+    for a non-pending version; it now matches publish_staged's
+    descriptive ValueError."""
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "region")
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    t = cat.get_or_create_table("region", src.schema)
+    v = t.append(src, stage=True)
+    with pytest.raises(ValueError, match="not a pending staged commit"):
+        t.read_staged(spark, v + 999)
+    t.publish_staged([v])
+    with pytest.raises(ValueError, match="not a pending staged commit"):
+        t.read_staged(spark, v)  # already published
