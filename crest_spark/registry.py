@@ -152,32 +152,21 @@ def load_all() -> dict[str, QuerySpec]:
 
 
 # Driver-check rotation memory: the round each query was LAST checked
-# in (union of the CORRECTNESS_r01..r05 rows; absent = never checked).
-# Everything has now been checked at least once (r5 closed coverage), so
-# rotation's job flips from coverage to FRESHNESS: each round's fixed-
-# size driver prefix should land on the stalest entries — the ones whose
-# implementation files have churned most since their last check (VERDICT
-# r5 next-round #5). Note: no entry is r1-stale anymore (every r1 row was
-# re-checked in a later round); the stalest tier is round 2, 38 entries.
-# Round-6 added ~18 never-checked entries (behavioral q52-q56, wap/cdc
-# lakehouse queries, bm25, knn self-join, pagerank, video frames, ...):
-# tier 0 sorts first, so the r6 prefix = every new entry + the front of
-# the round-2 tier; the remainder of r2 leads the r7 prefix.
+# in (union of the CORRECTNESS_r01..r06 rows; absent = never checked).
+# Everything has been checked at least once (r5 closed coverage), so
+# rotation's job is FRESHNESS: each round's fixed-size driver prefix
+# lands on the stalest entries — the ones whose implementation files
+# have churned most since their last check (VERDICT r5 next-round #5).
+# The r6 prefix re-certified all 22 new entries + 28 of the round-2
+# tier; the r7 prefix therefore leads with the 10 remaining r2-stale
+# entries, then the round-3 tier (VERDICT r6 next-round #5). Entries
+# added this round are tier 0 and sort before everything.
 _LAST_CHECKED: dict[str, int] = {
-    # --- last checked in round 2 (38 entries) ---
-    "dedup_minhash_lsh": 2, "dedup_simhash": 2,
-    "dedup_simhash_weighted": 2, "q04b_approx_distinct": 2,
-    "q05_join_groupby": 2, "q06_join3_topk": 2, "q07_left_outer": 2,
-    "q07b_full_outer": 2, "q08_semi_join": 2, "q08b_anti_join": 2,
-    "q09_broadcast_dim": 2, "q10_range_join": 2, "q10b_theta_join": 2,
-    "q10c_cross_join": 2, "q11_rank_window": 2, "q12_frame_window": 2,
-    "q12b_range_frame": 2, "q13_topk": 2, "q14_intersect": 2,
-    "q14b_except": 2, "q14c_union": 2, "q15_rollup": 2, "q15b_cube": 2,
-    "q16_scalar_zoo": 2, "q16b_datetime_zoo": 2, "q17_json_extract": 2,
-    "q17b_json_schema": 2, "q17c_to_json": 2, "q18_array_access": 2,
-    "q18b_explode": 2, "q18c_array_hof": 2, "q18d_map_functions": 2,
-    "q18e_posexplode": 2, "q19_tumbling_batch": 2, "q20_asof_join": 2,
-    "q21_dedup_groups": 2, "q21b_distinct": 2, "q27_having": 2,
+    # --- last checked in round 2 (10 entries) ---
+    "q04b_approx_distinct": 2, "q10c_cross_join": 2, "q12b_range_frame": 2,
+    "q17c_to_json": 2, "q18e_posexplode": 2, "q19_tumbling_batch": 2,
+    "q20_asof_join": 2, "q21_dedup_groups": 2, "q21b_distinct": 2,
+    "q27_having": 2,
     # --- last checked in round 3 (27 entries) ---
     "ann_ivf_topk": 3, "ann_lsh_topk": 3, "curation_pack_sequences": 3,
     "curation_train_split": 3, "dedup_components": 3,
@@ -202,15 +191,14 @@ _LAST_CHECKED: dict[str, int] = {
     "mv_cdc_fold": 4, "mv_topk_rollup": 4, "q05b_shuffle_hash_join": 4,
     "q11b_window_zoo": 4, "q14d_intersect_all": 4, "q14e_except_all": 4,
     "q15e_unpivot": 4, "q16d_null_zoo": 4, "q24e_correlated_max": 4,
-    "q25_deterministic_sample": 4, "q26_misc_aggs": 4,
-    "q26b_string_agg": 4, "q26c_filtered_aggs": 4, "q28d_top_supplier": 4,
-    "q28e_big_orders": 4, "q28f_promo_share": 4, "q29_lateral_topk": 4,
-    "q38_revenue_forecast": 4, "q39_market_share": 4,
-    "q40_returned_items": 4, "q41_important_parts": 4,
-    "stats_histogram": 4, "stats_percentiles": 4, "stream_dedup_counts": 4,
-    "stream_static_join": 4, "stream_stream_join": 4,
-    "text_heavy_hitters": 4, "text_repetition": 4, "text_unigram_nll": 4,
-    "text_word_counts": 4, "udtf_ngrams": 4,
+    "q25_deterministic_sample": 4, "q26_misc_aggs": 4, "q26b_string_agg": 4,
+    "q26c_filtered_aggs": 4, "q28d_top_supplier": 4, "q28e_big_orders": 4,
+    "q28f_promo_share": 4, "q29_lateral_topk": 4, "q38_revenue_forecast": 4,
+    "q39_market_share": 4, "q40_returned_items": 4,
+    "q41_important_parts": 4, "stats_histogram": 4, "stats_percentiles": 4,
+    "stream_dedup_counts": 4, "stream_static_join": 4,
+    "stream_stream_join": 4, "text_heavy_hitters": 4, "text_repetition": 4,
+    "text_unigram_nll": 4, "text_word_counts": 4, "udtf_ngrams": 4,
     # --- last checked in round 5 (50 entries) ---
     "ann_brute_topk": 5, "curation_oversample": 5,
     "curation_stratified_sample": 5, "dedup_exact": 5,
@@ -218,23 +206,42 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_curation_pipeline": 5, "multimodal_binary_meta": 5,
     "multimodal_features_hex": 5, "multimodal_image_decode": 5,
     "multimodal_image_resize": 5, "mv_hourly_rollup": 5,
-    "mv_percentile_rollup": 5, "q01_filter_project": 5,
-    "q02_predicates": 5, "q15f_grouping_id": 5, "q16e_regex_zoo": 5,
-    "q18f_explode_outer": 5, "q18g_array_ops": 5,
-    "q20b_asof_forward_tolerance": 5, "q22_cosine_topk": 5,
-    "q24_scalar_subquery": 5, "q24b_correlated_scalar": 5,
-    "q26d_regression_aggs": 5, "q28_profit_by_nation_year": 5,
-    "q30_small_qty_revenue": 5, "q31_waiting_suppliers": 5,
-    "q32_dormant_customers": 5, "q33_sessionize": 5, "q34_gapfill": 5,
-    "q35_min_acctbal_supplier": 5, "q42_ship_class_priority": 5,
-    "q43_part_supplier_count": 5, "q44_disjunctive_revenue": 5,
-    "q45_dominant_suppliers": 5, "q47_recursive_hierarchy": 5,
-    "q48_mode": 5, "q49_ntile_buckets": 5, "skew_salted_agg": 5,
-    "skew_salted_join": 5, "stats_correlation": 5,
+    "mv_percentile_rollup": 5, "q01_filter_project": 5, "q02_predicates": 5,
+    "q15f_grouping_id": 5, "q16e_regex_zoo": 5, "q18f_explode_outer": 5,
+    "q18g_array_ops": 5, "q20b_asof_forward_tolerance": 5,
+    "q22_cosine_topk": 5, "q24_scalar_subquery": 5,
+    "q24b_correlated_scalar": 5, "q26d_regression_aggs": 5,
+    "q28_profit_by_nation_year": 5, "q30_small_qty_revenue": 5,
+    "q31_waiting_suppliers": 5, "q32_dormant_customers": 5,
+    "q33_sessionize": 5, "q34_gapfill": 5, "q35_min_acctbal_supplier": 5,
+    "q42_ship_class_priority": 5, "q43_part_supplier_count": 5,
+    "q44_disjunctive_revenue": 5, "q45_dominant_suppliers": 5,
+    "q47_recursive_hierarchy": 5, "q48_mode": 5, "q49_ntile_buckets": 5,
+    "skew_salted_agg": 5, "skew_salted_join": 5, "stats_correlation": 5,
     "stats_minmax_percentile": 5, "stats_moments": 5,
     "stats_percentiles_approx": 5, "stats_profile": 5,
     "stream_tumbling_window": 5, "text_lang_id": 5, "text_tfidf": 5,
     "udf_scalar_pandas": 5,
+    # --- last checked in round 6 (50 entries) ---
+    "dedup_incremental": 6, "dedup_minhash_lsh": 6, "dedup_simhash": 6,
+    "dedup_simhash_weighted": 6, "graph_pagerank": 6,
+    "knn_self_join_topk": 6, "lake_mor_cdf": 6, "lake_schema_widening": 6,
+    "lake_time_travel": 6, "lake_wap_publish": 6,
+    "multimodal_video_frames": 6, "mv_mor_cdc_fold": 6,
+    "q05_join_groupby": 6, "q06_join3_topk": 6, "q07_left_outer": 6,
+    "q07b_full_outer": 6, "q08_semi_join": 6, "q08b_anti_join": 6,
+    "q09_broadcast_dim": 6, "q10_range_join": 6, "q10b_theta_join": 6,
+    "q11_rank_window": 6, "q12_frame_window": 6, "q13_topk": 6,
+    "q14_intersect": 6, "q14b_except": 6, "q14c_union": 6, "q15_rollup": 6,
+    "q15b_cube": 6, "q16_scalar_zoo": 6, "q16b_datetime_zoo": 6,
+    "q17_json_extract": 6, "q17b_json_schema": 6, "q18_array_access": 6,
+    "q18b_explode": 6, "q18c_array_hof": 6, "q18d_map_functions": 6,
+    "q50_percent_rank_cume_dist": 6, "q51_event_funnel": 6,
+    "q52_cohort_retention": 6, "q53_user_paths": 6,
+    "q54_rolling_active_users": 6, "q55_union_harmonize": 6,
+    "q56_rolling_median": 6, "q57_pareto_frontier": 6,
+    "q58_market_basket": 6, "q59_audience_overlap": 6, "stats_entropy": 6,
+    "stats_gini": 6, "text_bm25_topk": 6,
 }
 
 
