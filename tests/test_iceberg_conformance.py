@@ -543,3 +543,70 @@ def test_repo_delete_manifest_decodes_with_independent_reader(
         assert rec["sequence_number"] == delta_v
         ndel += df_rec["record_count"]
     assert ndel == upd.count()
+
+
+def test_repo_position_delete_manifest_decodes_with_independent_reader(
+    spark, sf_dir, tmp_path
+):
+    """r7: a pending sequence-aware delta exports as MATERIALIZED
+    position deletes — the delete manifest (content=1 list entry
+    wrapping content=1 POSITION_DELETES files, equality_ids null) must
+    parse with the independent decoder, and the posdel parquet must
+    carry the spec's reserved field ids (2147483546/2147483545) and
+    sorted (file_path, pos) rows."""
+    import pyarrow.parquet as pq
+
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.lakehouse.iceberg_export import export_iceberg_metadata
+    from crest_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    t = LakehouseCatalog(str(tmp_path / "wh")).get_or_create_table(
+        "nat", nat.schema
+    )
+    t.append(nat)
+    upd = nat.where(F.col("n_nationkey") % 5 == 0).withColumn(
+        "n_name", F.lower(F.col("n_name"))
+    )
+    t.merge(
+        spark, upd, key="n_nationkey", sequence_col="n_regionkey",
+        strategy="mor",
+    )
+    head_v = t.version()
+    meta_dir = export_iceberg_metadata(t)
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, entries = _decode_container(fh.read())
+    dels = [e for e in entries if e["content"] == 1]
+    assert len(dels) == 1
+    # position deletes apply to data seq <= their own: head sequence
+    assert dels[0]["sequence_number"] == head_v
+    with open(dels[0]["manifest_path"], "rb") as fh:
+        _, mmeta, records = _decode_container(fh.read())
+    assert mmeta[b"content" if b"content" in mmeta else "content"] == b"deletes"
+    assert records
+    for rec in records:
+        df_rec = rec["data_file"]
+        assert df_rec["content"] == 1  # POSITION_DELETES
+        assert df_rec["equality_ids"] is None
+        sch = pq.ParquetFile(df_rec["file_path"]).schema_arrow
+        assert [f.name for f in sch] == ["file_path", "pos"]
+        fids = [
+            (f.metadata or {}).get(b"PARQUET:field_id") for f in sch
+        ]
+        assert fids == [b"2147483546", b"2147483545"]
+        rows = pq.read_table(df_rec["file_path"]).to_pylist()
+        keys = [(r["file_path"], r["pos"]) for r in rows]
+        assert keys == sorted(keys)  # spec: sorted by file_path, pos
+        assert df_rec["record_count"] == len(rows)
