@@ -545,6 +545,77 @@ def export_iceberg_metadata(
             if isinstance(f["type"], str)  # bounds only for primitives
         }
 
+    # ---- clustering metadata (VERDICT r6 next-round #6): the most
+    # recent cluster_by declaration is the table's sort layout — emitted
+    # as an Iceberg sort order so external planners see the clustering,
+    # not just per-file column bounds. Sort orders are declarative table
+    # metadata (like Iceberg's own): files written before the
+    # declaration simply aren't sorted by it.
+    cluster_cols: list[str] = []
+    for s in reversed(snaps):
+        cb = s.extra.get("cluster_by")
+        if cb:
+            cluster_cols = list(cb)
+            break
+    head_field_ids = _field_ids(snaps[-1].schema_json)
+    sort_fields = [
+        {
+            "transform": "identity",
+            "source-id": head_field_ids[c][0],
+            "direction": "asc",
+            "null-order": "nulls-first",
+        }
+        for c in cluster_cols
+        if c in head_field_ids
+    ]
+    # Identity partition spec on the leading cluster column, applied
+    # PER MANIFEST only when every file in it is single-valued on that
+    # column (min == max) — the one case where a partition tuple is
+    # provably correct for range-clustered files. A low-cardinality
+    # leading cluster key gives exactly that; otherwise the manifest
+    # stays on spec 0 and engines prune via the file-level bounds.
+    _PART_AVRO = {"int": "int", "long": "long", "string": "string"}
+    part_col = cluster_cols[0] if cluster_cols else None
+    part_spec = None
+    if (
+        part_col
+        and part_col in head_field_ids
+        and head_field_ids[part_col][1] in _PART_AVRO
+    ):
+        part_spec = {
+            "spec-id": 1,
+            "fields": [
+                {
+                    "name": part_col,
+                    "transform": "identity",
+                    "source-id": head_field_ids[part_col][0],
+                    "field-id": 1000,
+                }
+            ],
+        }
+
+    def _partitioned_entry_schema() -> dict:
+        """MANIFEST_ENTRY_SCHEMA with the partition record typed for
+        the identity spec (the avro schema of a manifest depends on its
+        partition spec, per the Iceberg spec)."""
+        entry = json.loads(json.dumps(MANIFEST_ENTRY_SCHEMA))
+        data_file = next(
+            f for f in entry["fields"] if f["name"] == "data_file"
+        )
+        part = next(
+            f
+            for f in data_file["type"]["fields"]
+            if f["name"] == "partition"
+        )
+        part["type"]["fields"] = [
+            {
+                "name": part_col,
+                "type": _PART_AVRO[head_field_ids[part_col][1]],
+                "field-id": 1000,
+            }
+        ]
+        return entry
+
     def _write_manifest(add_version: int, live_subset: tuple[str, ...]) -> dict:
         key = (add_version, live_subset)
         if key in manifest_info:
@@ -561,6 +632,26 @@ def export_iceberg_metadata(
                     stats = json.load(fh).get("stats", {})
             except (OSError, json.JSONDecodeError):
                 stats = {}
+        # identity-partition eligibility: the commit declared cluster_by
+        # leading with part_col AND every file is single-valued on it
+        part_values: dict[str, object] | None = None
+        if part_spec is not None and (
+            (snap.extra.get("cluster_by") or [None])[0] == part_col
+        ):
+            vals = {}
+            for f in added:
+                mnmx = (stats.get(f) or {}).get(part_col)
+                fnulls = ((stats.get(f) or {}).get("__nulls__") or {})
+                if (
+                    not mnmx
+                    or mnmx[0] != mnmx[1]
+                    or fnulls.get(part_col, 0) != 0
+                ):
+                    vals = None
+                    break
+                vals[f] = mnmx[0]
+            part_values = vals
+        spec_id = 1 if part_values else 0
         entries = []
         total_rows = 0
         for f in added:
@@ -595,7 +686,11 @@ def export_iceberg_metadata(
                         "content": 0,  # DATA
                         "file_path": os.path.abspath(f),
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": (
+                            {part_col: part_values[f]}
+                            if part_values
+                            else {}
+                        ),
                         "record_count": nrows,
                         "file_size_in_bytes": fsize,
                         "value_counts": vcounts or None,
@@ -619,15 +714,17 @@ def export_iceberg_metadata(
             )
         length = avro_io.write_container(
             path,
-            MANIFEST_ENTRY_SCHEMA,
+            _partitioned_entry_schema() if spec_id == 1 else MANIFEST_ENTRY_SCHEMA,
             entries,
             metadata={
                 "schema": json.dumps(
                     iceberg_schemas[schema_ids[snap.schema_json]]
                 ),
                 "schema-id": str(schema_ids[snap.schema_json]),
-                "partition-spec": "[]",
-                "partition-spec-id": "0",
+                "partition-spec": json.dumps(
+                    part_spec["fields"] if spec_id == 1 else []
+                ),
+                "partition-spec-id": str(spec_id),
                 "format-version": "2",
                 "content": "data",
             },
@@ -638,7 +735,21 @@ def export_iceberg_metadata(
             "added_files": len(added),
             "added_rows": total_rows,
             "added_snapshot_id": add_version,
+            "spec_id": spec_id,
         }
+        if spec_id == 1:
+            # field summary for the manifest-list entry: bounds over the
+            # partition values (external planners prune manifests on it)
+            itype = head_field_ids[part_col][1]
+            pvals = list(part_values.values())
+            info["partitions"] = [
+                {
+                    "contains_null": False,
+                    "contains_nan": False,
+                    "lower_bound": _single_value_bytes(itype, min(pvals)),
+                    "upper_bound": _single_value_bytes(itype, max(pvals)),
+                }
+            ]
         manifest_info[key] = info
         return info
 
@@ -806,7 +917,7 @@ def export_iceberg_metadata(
                     {
                         "manifest_path": info["path"],
                         "manifest_length": info["length"],
-                        "partition_spec_id": 0,
+                        "partition_spec_id": info.get("spec_id", 0),
                         "content": 0,  # data
                         "sequence_number": mv,
                         "min_sequence_number": mv,
@@ -817,7 +928,7 @@ def export_iceberg_metadata(
                         "added_rows_count": info["added_rows"] if is_new else 0,
                         "existing_rows_count": 0 if is_new else info["added_rows"],
                         "deleted_rows_count": 0,
-                        "partitions": [],
+                        "partitions": info.get("partitions", []),
                     }
                 )
             if s is snaps[-1] and head_bad:
@@ -934,11 +1045,33 @@ def export_iceberg_metadata(
         "last-column-id": last_col,
         "current-schema-id": current_schema_id,
         "schemas": iceberg_schemas,
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-spec-id": (
+            1
+            if part_spec is not None
+            and any(i.get("spec_id") == 1 for i in manifest_info.values())
+            else 0
+        ),
+        "partition-specs": (
+            [{"spec-id": 0, "fields": []}, part_spec]
+            if part_spec is not None
+            and any(i.get("spec_id") == 1 for i in manifest_info.values())
+            else [{"spec-id": 0, "fields": []}]
+        ),
+        "last-partition-id": (
+            1000
+            if part_spec is not None
+            and any(i.get("spec_id") == 1 for i in manifest_info.values())
+            else 999
+        ),
+        "default-sort-order-id": 1 if sort_fields else 0,
+        "sort-orders": (
+            [
+                {"order-id": 0, "fields": []},
+                {"order-id": 1, "fields": sort_fields},
+            ]
+            if sort_fields
+            else [{"order-id": 0, "fields": []}]
+        ),
         "properties": {"write.format.default": "parquet"},
         "current-snapshot-id": head.version,
         "snapshots": snapshot_records,

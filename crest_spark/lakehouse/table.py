@@ -691,6 +691,7 @@ class LakehouseTable:
         merge_schema: bool = False,
         max_rows_per_file: int | None = None,
         cluster_by: list[str] | None = None,
+        cluster_partitions: int | None = None,
         bloom_for: list[str] | None = None,
         stage: bool = False,
     ) -> int | None:
@@ -708,6 +709,14 @@ class LakehouseTable:
         touches O(1) files instead of every file in the snapshot. (For
         multi-column locality on the READ-optimized copy, ``compact``'s
         ``zorder_by`` is the complementary rewrite-side tool.)
+
+        ``cluster_partitions``: explicit range-partition count. Without
+        it AQE sizes (and may coalesce) the ranges to the data volume —
+        usually what you want, but a LOW-cardinality leading cluster
+        column then gets several values per file. An explicit count
+        >= the value count keeps each file single-valued (the range
+        partitioner never splits equal keys), which is what lets the
+        Iceberg export emit identity partition tuples for the files.
 
         ``bloom_for``: additionally record a per-file Bloom filter over
         each listed string/integer column (~10 bits per distinct value in
@@ -779,9 +788,11 @@ class LakehouseTable:
                 raise ValueError(
                     f"cluster_by columns {missing_cols} not in table schema"
                 )
-            df = df.repartitionByRange(*cluster_by).sortWithinPartitions(
-                *cluster_by
-            )
+            df = (
+                df.repartitionByRange(cluster_partitions, *cluster_by)
+                if cluster_partitions
+                else df.repartitionByRange(*cluster_by)
+            ).sortWithinPartitions(*cluster_by)
         txn_dir = os.path.join(self.data_path, f"txn-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if max_rows_per_file is not None:
