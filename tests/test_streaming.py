@@ -1607,3 +1607,115 @@ def test_ingest_lineage_columns_trace_quarantine_to_file(
         for r in df.select("_source_file").collect()
     )
     assert len(srcs) == 2
+
+
+def test_continuous_matview_over_ingested_mor_sequence_stream(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r6 next-round #8, the last CDC-composition edge: a
+    CONTINUOUS (availableNow) matview maintenance stream tails a table
+    the INGESTION SERVICE is upserting with mergeStrategy mor +
+    sequenceCol + changeFeed, across multiple sequence-aware MoR waves
+    WITH a kill-and-restart of the ingestion mid-stream. After every
+    drain the view equals the one-shot SQL aggregate over the table's
+    current state; the MoR contract (bootstrap files never rewritten)
+    holds throughout."""
+    import time as _time
+
+    from crest_spark.lakehouse.matview import AggSpec, IncrementalAggView
+
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=6, order_col="event_id"
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "whcmv"),
+        checkpoint_root=str(tmp_path / "ckptcmv"),
+        sources=[
+            SourceSpec(
+                name="user_latest_cmv",
+                path=staging,
+                files_per_trigger=1,
+                mode="upsert",
+                key="user_id",
+                sequence_col="event_id",
+                change_feed=True,
+                merge_strategy="mor",
+            )
+        ],
+        max_rows_per_batch=100_000,
+    )
+    svc = IngestionService(spark, cfg)
+    view = IncrementalAggView(
+        svc.catalog,
+        source="user_latest_cmv",
+        name="cmv_type_agg",
+        group_by=["event_type"],
+        aggs={
+            "n_users": AggSpec("count"),
+            "sum_value": AggSpec("sum", "value"),
+        },
+    )
+    view_ckpt = str(tmp_path / "view_ckpt")
+
+    def check(t):
+        want = {
+            r["event_type"]: (r["n"], round(r["s"], 4))
+            for r in t.read(spark)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        got = {
+            r["event_type"]: (r["n_users"], round(r["sum_value"], 4))
+            for r in view.read(spark).collect()
+            if r["n_users"] > 0
+        }
+        assert got == want
+
+    # phase 1: run the service, kill it after a few MoR micro-batches
+    svc.start()
+    deadline = _time.time() + 120
+    t = svc.catalog.table("user_latest_cmv")
+    while _time.time() < deadline:
+        if t.exists() and len(t.versions()) >= 4:
+            break
+        _time.sleep(0.5)
+    svc.stop()  # "kill" mid-stream
+    snaps = t.snapshots()
+    assert sum(1 for s in snaps if s.extra.get("merge_on_read")) >= 1
+    bootstrap_files = set(snaps[0].files) or set(snaps[1].files)
+    # the view drains what phase 1 committed — deltas still pending
+    q = view.maintain_continuously(spark, view_ckpt, available_now=True)
+    q.awaitTermination(120)
+    check(t)
+
+    # phase 2: restart ingestion from its checkpoint, drain the rest
+    svc2 = IngestionService(spark, cfg)
+    svc2.run_once()
+    t2 = svc2.catalog.table("user_latest_cmv")
+    mor_commits = [
+        s for s in t2.snapshots() if s.extra.get("merge_on_read")
+    ]
+    assert len(mor_commits) >= 3  # >=3 sequence-aware MoR waves total
+    assert all(s.extra["deletes"][0].get("seqcol") for s in mor_commits)
+    assert bootstrap_files <= set(t2._state()["files"])  # never rewritten
+    # view restart from ITS checkpoint folds the remaining change sets
+    q = view.maintain_continuously(spark, view_ckpt, available_now=True)
+    q.awaitTermination(120)
+    check(t2)
+
+    # exactly-once end state: table holds the per-user latest rows
+    from pyspark.sql.window import Window
+
+    src = load_table(spark, sf_dir, "events")
+    want_users = (
+        src.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .count()
+    )
+    assert t2.read(spark).count() == want_users
