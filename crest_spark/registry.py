@@ -141,6 +141,7 @@ def load_all() -> dict[str, QuerySpec]:
     import crest_spark.operators.skew  # noqa: F401
     import crest_spark.operators.stats  # noqa: F401
     import crest_spark.operators.subqueries  # noqa: F401
+    import crest_spark.operators.temporal  # noqa: F401
     import crest_spark.operators.text  # noqa: F401
     import crest_spark.operators.timeseries  # noqa: F401
     import crest_spark.operators.tpch_shapes  # noqa: F401

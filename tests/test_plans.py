@@ -342,3 +342,28 @@ def test_market_basket_pair_join_co_partitioned(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # the two singles joins
     assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_point_in_time_no_join(spark, sf_dir):
+    """The point-in-time lookup must be the union-window form, not the
+    oracle's fact x versions range join: ONE user_id shuffle feeds the
+    running-last window, zero Join operators anywhere."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["q61_scd2_point_in_time"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan
+    # user_id window shuffle + output sort
+    assert shuffle_count(df) <= 2
+
+
+def test_attribution_no_join_single_fact_shuffle(spark, sf_dir):
+    """Last-touch attribution: union-window carries the last touch onto
+    each conversion — no join; one fact shuffle + the tiny channel
+    rollup + output sort."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["q62_attribution_last_touch"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 3
