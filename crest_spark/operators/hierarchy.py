@@ -248,3 +248,131 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), F.asc("node"))
         .limit(20)
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) // 3600 AS hb,
+                   event_type
+            FROM events
+        ),
+        e AS (
+            SELECT DISTINCT a.user_id AS a, b.user_id AS b
+            FROM act a
+            JOIN act b
+              ON a.hb = b.hb AND a.event_type = b.event_type
+             AND a.user_id < b.user_id
+        ),
+        t AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        m AS (
+            SELECT x AS user_id FROM t
+            UNION ALL SELECT y FROM t
+            UNION ALL SELECT z FROM t
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM m GROUP BY user_id
+        ORDER BY n_triangles DESC, user_id
+        LIMIT 20
+    """,
+    tags=("graph", "triangles", "join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user triangle counts over the co-activity graph (users
+    co-active in the same epoch-hour x event-type bucket), top 20.
+
+    The scale-critical choice is DEGREE ORIENTATION (the classic
+    MapReduce triangle-counting optimization): each undirected edge is
+    directed from its lower-degree endpoint to its higher-degree one
+    (ties by id), every triangle then materializes as exactly one
+    oriented wedge a->b->c closed by a->c, and the wedge join's fan-out
+    is sum(out-degree^2) — minimized by the orientation to O(m^1.5)
+    total candidates, vs the id-ordered spelling the oracle uses whose
+    fan-out is unbounded on one hot hub vertex. Wedge build and closure
+    check shuffle on the wedge pivot and the (a, c) pair respectively;
+    the member explode is a map-side-combinable count. The triangle SET
+    is orientation-invariant, so both spellings agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+            / F.lit(3600)
+        ).cast("long").alias("hb"),
+        "event_type",
+    ).distinct()
+    e = (
+        act.alias("a")
+        .join(
+            act.alias("b"),
+            on=[
+                F.col("a.hb") == F.col("b.hb"),
+                F.col("a.event_type") == F.col("b.event_type"),
+                F.col("a.user_id") < F.col("b.user_id"),
+            ],
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: lower (deg, id) -> higher (deg, id); broadcast the degree
+    # relation (O(V) rows, tiny next to the edge set)
+    du = F.broadcast(deg).alias("du")
+    dv = F.broadcast(deg).alias("dv")
+    oriented = (
+        e.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(
+            F.when(
+                (F.col("du.deg") < F.col("dv.deg"))
+                | (
+                    (F.col("du.deg") == F.col("dv.deg"))
+                    & (F.col("u") < F.col("v"))
+                ),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("d"))
+            )
+            .alias("o")
+        )
+        .select(F.col("o.s").alias("src"), F.col("o.d").alias("dst"))
+    )
+    wedges = (
+        oriented.alias("o1")
+        .join(
+            oriented.alias("o2"), F.col("o1.dst") == F.col("o2.src")
+        )
+        .select(
+            F.col("o1.src").alias("ta"),
+            F.col("o1.dst").alias("tb"),
+            F.col("o2.dst").alias("tc"),
+        )
+    )
+    closing = oriented.select(
+        F.col("src").alias("ta"), F.col("dst").alias("tc")
+    )
+    tri = wedges.join(closing, ["ta", "tc"], "left_semi")
+    members = tri.select(
+        F.explode(F.array("ta", "tb", "tc")).alias("user_id")
+    )
+    return (
+        members.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("user_id"))
+        .limit(20)
+    )

@@ -1066,3 +1066,97 @@ def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# Welch t-test building blocks: decimal-exact per-group moment sums
+# (same order-independence argument as stats_moments), then identical
+# closed-form arithmetic in both engines. {p} is the alias prefix.
+_W_S1 = "CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)"
+_W_S2 = "CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def _w_var(p: str) -> str:
+    return f"(({p}s2) - ({p}s1) * ({p}s1) / {p}n) / ({p}n - 1)"
+
+
+def _w_t() -> str:
+    return (
+        "((s1 / n) - (bs1 / bn))"
+        f" / SQRT(({_w_var('')}) / n + ({_w_var('b')}) / bn)"
+    )
+
+
+def _w_df() -> str:
+    vg, vb = _w_var(""), _w_var("b")
+    return (
+        f"POWER(({vg}) / n + ({vb}) / bn, 2) / ("
+        f"POWER(({vg}) / n, 2) / (n - 1)"
+        f" + POWER(({vb}) / bn, 2) / (bn - 1))"
+    )
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   {_W_S1} AS s1,
+                   {_W_S2} AS s2
+            FROM events GROUP BY event_type
+        ),
+        b AS (
+            SELECT n AS bn, s1 AS bs1, s2 AS bs2
+            FROM g WHERE event_type = 'view'
+        )
+        SELECT g.event_type,
+               g.n,
+               {round4("s1 / n")} AS mean_value,
+               {round4(_w_t())} AS t_stat,
+               {round4(_w_df())} AS welch_df
+        FROM g, b
+        WHERE g.event_type <> 'view'
+        ORDER BY g.event_type
+    """,
+    tags=("stats", "hypothesis"),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of every event type's value
+    distribution against the 'view' baseline: t statistic plus the
+    Welch-Satterthwaite degrees of freedom, closed-form from per-group
+    moment sums.
+
+    Scale shape: ONE map-side-combinable aggregation over the fact
+    produces all per-group sums; the baseline row is a broadcast scalar
+    joined to the handful of group rows; every t/df is then row-local
+    arithmetic. No second pass over the data, no per-group subqueries —
+    the form a 100 TB A/B-test readout needs. Exactness: decimal moment
+    sums are order-independent, so both engines compute bit-identical
+    inputs to the identical closed form (the engine-native var_samp
+    would diverge in the last bits across partial-agg trees)."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(_W_S1).alias("s1"),
+        F.expr(_W_S2).alias("s2"),
+    )
+    b = (
+        g.where(F.col("event_type") == "view")
+        .select(
+            F.col("n").alias("bn"),
+            F.col("s1").alias("bs1"),
+            F.col("s2").alias("bs2"),
+        )
+    )
+    return (
+        g.where(F.col("event_type") != "view")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            "n",
+            F.expr(round4("s1 / n")).alias("mean_value"),
+            F.expr(round4(_w_t())).alias("t_stat"),
+            F.expr(round4(_w_df())).alias("welch_df"),
+        )
+        .orderBy("event_type")
+    )
