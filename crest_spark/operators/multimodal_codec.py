@@ -628,3 +628,245 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(run, schema)
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# --------------------------------------------------------------------- PNG
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (spec section 9, Filtering)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(raster_rgb) -> bytes:
+    """Encode a top-down (h, w, 3) RGB array as a REAL PNG: 8-bit
+    truecolor (color type 2), scanlines filtered with a CYCLING filter
+    type (row y uses filter y % 5), zlib-compressed and split across
+    TWO IDAT chunks, every chunk CRC32-stamped. Cycling through all
+    five filters means a decoder must reconstruct None/Sub/Up/Average/
+    Paeth correctly — one bad reconstruction corrupts every later row
+    (filters chain on reconstructed bytes)."""
+    import numpy as np
+    import zlib
+
+    h, w, _ = raster_rgb.shape
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        cur = raster_rgb[y].reshape(-1).astype(np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        ft = y % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prev
+        elif ft == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            pred = np.array(
+                [
+                    _paeth(int(a), int(b), int(c))
+                    for a, b, c in zip(left, prev, upleft)
+                ],
+                dtype=np.int32,
+            )
+            filt = cur - pred
+        raw.append(ft)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    comp = zlib.compress(bytes(raw), 6)
+    half = max(1, len(comp) // 2)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return b"".join(
+        [
+            _PNG_SIG,
+            _png_chunk(b"IHDR", ihdr),
+            _png_chunk(b"IDAT", comp[:half]),
+            _png_chunk(b"IDAT", comp[half:]),
+            _png_chunk(b"IEND", b""),
+        ]
+    )
+
+
+def decode_png(payload: bytes):
+    """Real PNG decode for 8-bit truecolor: signature check, chunk walk
+    with CRC32 verification of EVERY chunk, IHDR parse, multi-IDAT
+    concatenation, zlib inflate, and per-scanline filter
+    reconstruction (all five filter types, chaining on reconstructed
+    neighbor bytes per the spec). Returns (rgb array, color_type,
+    n_chunks, filter_sum) where filter_sum is the sum of the per-row
+    filter bytes actually seen in the stream."""
+    import numpy as np
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, n_chunks, idat = 8, 0, []
+    w = h = depth = ctype = None
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + ln : pos + 12 + ln]
+        )
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        n_chunks += 1
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError("unsupported PNG variant")
+        elif typ == b"IDAT":
+            idat.append(data)
+        pos += 12 + ln
+    raw = zlib.decompress(b"".join(idat))
+    bpp, stride = 3, w * 3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    filter_sum = 0
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        filter_sum += ft
+        row = np.frombuffer(
+            raw[pos + 1 : pos + 1 + stride], dtype=np.uint8
+        ).astype(np.int32)
+        pos += 1 + stride
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: per-lane prefix sum (mod distributes)
+            rec = row.copy()
+            for k in range(bpp):
+                rec[k::bpp] = np.cumsum(row[k::bpp]) % 256
+        elif ft == 2:  # Up
+            rec = (row + up) % 256
+        elif ft == 3:  # Average: sequential left-dependency
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + (left + up[x]) // 2) % 256
+        elif ft == 4:  # Paeth: sequential left-dependency
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                ul = up[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + _paeth(int(left), int(up[x]), int(ul))) % 256
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, 3), ctype, n_chunks, filter_sum
+
+
+@register(
+    "multimodal_png_decode",
+    # every decoded quantity is closed-form in doc_id: geometry from the
+    # shared synthesis parameters, channel sums from the raster pattern
+    # (G ignores y, R ignores x — covering both axes), and the filter
+    # byte sum = sum over rows of (y % 5) via the first-pixel-of-row
+    # trick. The compressed IDAT length is NOT closed-form (zlib), so it
+    # is deliberately not an output column.
+    oracle="""
+        WITH px AS (
+            SELECT doc_id,
+                   16 + doc_id % 32 AS w,
+                   12 + doc_id % 24 AS h,
+                   UNNEST(generate_series(
+                       0, (16 + doc_id % 32) * (12 + doc_id % 24) - 1)) AS p
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(MIN(w) AS INT) AS width,
+               CAST(MIN(h) AS INT) AS height,
+               CAST(2 AS INT) AS color_type,
+               CAST(4 AS INT) AS n_chunks,
+               CAST(SUM((doc_id * 3 + (p % w)) % 256) AS BIGINT)
+                   AS green_sum,
+               CAST(SUM((doc_id * 5 + (p // w)) % 256) AS BIGINT)
+                   AS red_sum,
+               CAST(SUM(CASE WHEN p % w = 0 THEN (p // w) % 5 ELSE 0 END)
+                    AS BIGINT) AS filter_sum
+        FROM px
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "image", "decode", "png"),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode: synthesize an 8-bit truecolor PNG per document
+    (scanlines cycling through ALL FIVE filter types, two IDAT chunks,
+    CRC-stamped) and decode it back — signature check, per-chunk CRC32
+    verification, IHDR parse, IDAT reassembly, inflate, and filter
+    reconstruction where every row chains on the previous
+    reconstructed row, so a single wrong Sub/Average/Paeth byte
+    corrupts everything below it and fails the hash gate. The raster
+    reuses the BMP closed forms with RGB channel order. Arrow-batched
+    mapInPandas; metadata-only output (media bytes never shuffle
+    onward)."""
+    import numpy as np
+
+    schema = (
+        "doc_id long, width int, height int, color_type int, "
+        "n_chunks int, green_sum long, red_sum long, filter_sum long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "color_type",
+                    "n_chunks", "green_sum", "red_sum", "filter_sum",
+                )
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bgr = _raster(doc_id)
+                rgb = bgr[:, :, ::-1]  # shared pattern, RGB order
+                rast, ctype, n_chunks, fsum = decode_png(
+                    encode_png(rgb)
+                )
+                if not np.array_equal(rast, rgb):
+                    raise ValueError(
+                        f"PNG round-trip mismatch for doc {doc_id}"
+                    )
+                h, w = rast.shape[:2]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["color_type"].append(int(ctype))
+                out["n_chunks"].append(int(n_chunks))
+                out["green_sum"].append(int(rast[:, :, 1].sum()))
+                out["red_sum"].append(int(rast[:, :, 0].sum()))
+                out["filter_sum"].append(int(fsum))
+            yield pd.DataFrame(out)
+
+    return (
+        _docs_ids(spark, sf_dir).mapInPandas(run, schema).orderBy("doc_id")
+    )

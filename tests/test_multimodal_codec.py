@@ -121,3 +121,41 @@ def test_y4m_parser_contracts():
         list(parse_y4m(b"YUV4MPEG2 W2 H2\nFRAME\n" + b"\0" * 12))
     with pytest.raises(ValueError, match="FRAME"):
         list(parse_y4m(b"YUV4MPEG2 W1 H1 C444\nGRAME\n" + b"\0" * 3))
+
+
+# --------------------------------------------------------------------- PNG
+def test_png_roundtrip_all_filters():
+    """The cycling filter schedule guarantees every image >= 5 rows
+    exercises all five PNG filter types; reconstruction must be exact
+    (filters chain on reconstructed bytes, so one wrong byte cascades)."""
+    import numpy as np
+
+    from crest_spark.operators.multimodal_codec import (
+        _raster,
+        decode_png,
+        encode_png,
+    )
+
+    for doc_id in (0, 7, 31, 123, 499):
+        rgb = _raster(doc_id)[:, :, ::-1]
+        rast, ctype, n_chunks, fsum = decode_png(encode_png(rgb))
+        assert np.array_equal(rast, rgb)
+        assert ctype == 2 and n_chunks == 4
+        assert fsum == sum(y % 5 for y in range(rgb.shape[0]))
+
+
+def test_png_chunk_crc_validated():
+    import pytest
+
+    from crest_spark.operators.multimodal_codec import (
+        _raster,
+        decode_png,
+        encode_png,
+    )
+
+    payload = bytearray(encode_png(_raster(5)[:, :, ::-1]))
+    payload[60] ^= 0xFF  # corrupt one IDAT byte
+    with pytest.raises(ValueError, match="bad CRC"):
+        decode_png(bytes(payload))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x00" * 32)
