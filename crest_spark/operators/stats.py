@@ -1160,3 +1160,84 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_chi2_independence",
+    oracle="""
+        WITH cell AS (
+            SELECT event_type,
+                   (CAST(epoch_us(ts) // 1000000 AS BIGINT) // 86400) % 7
+                       AS dow,
+                   CAST(COUNT(*) AS DOUBLE) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        rt AS (SELECT event_type, SUM(o) AS r FROM cell GROUP BY 1),
+        ct AS (SELECT dow, SUM(o) AS c FROM cell GROUP BY 1),
+        tot AS (SELECT SUM(o) AS n FROM cell)
+        SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_rows,
+               CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_cols,
+               CAST(((SELECT COUNT(*) FROM rt) - 1)
+                    * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS df,
+               CAST(ROUND(CAST(SUM(
+                   POWER(cell.o - rt.r * ct.c / tot.n, 2)
+                   / (rt.r * ct.c / tot.n)
+               ) AS DECIMAL(30,8)), 4) AS DOUBLE) AS chi2
+        FROM cell
+        JOIN rt USING (event_type)
+        JOIN ct USING (dow)
+        CROSS JOIN tot
+    """,
+    tags=("stats", "hypothesis"),
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-of-week (integer epoch-day % 7, engine-neutral): observed cell
+    counts vs the rank-1 expectation ``row_total * col_total / n``.
+
+    Scale shape: ONE aggregation over the fact produces the contingency
+    cells (at most |types| x 7 rows); the row/column marginals and the
+    grand total derive from the CELLS, never from a second fact pass,
+    and join back as broadcast scalars. Counts are exact integers, so
+    the closed-form chi2 is bit-stable across engines (no variance
+    accumulation-order hazard); the final statistic is one rounded
+    row."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            "event_type",
+            (
+                (
+                    (F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+                    / F.lit(86_400)
+                ).cast("long")
+                % 7
+            ).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    rt = cell.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cell.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    joined = (
+        cell.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("r") * F.col("c") / F.col("n")
+    agg = joined.agg(
+        F.sum(F.pow(F.col("o") - e, F.lit(2)) / e).alias("chi2_raw"),
+        F.countDistinct("event_type").cast("long").alias("n_rows"),
+        F.countDistinct("dow").cast("long").alias("n_cols"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("long")
+        .alias("df"),
+        F.expr(
+            "CAST(ROUND(CAST(chi2_raw AS DECIMAL(30,8)), 4) AS DOUBLE)"
+        ).alias("chi2"),
+    )

@@ -244,3 +244,61 @@ def q62_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "q63_longest_streak",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) // 86400 AS d
+            FROM events
+        ),
+        isl AS (
+            SELECT user_id, d,
+                   d - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY d
+                   ) AS island
+            FROM days
+        ),
+        runs AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+            FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id, MAX(len) AS longest_streak
+        FROM runs GROUP BY user_id
+        ORDER BY longest_streak DESC, user_id
+        LIMIT 20
+    """,
+    tags=("temporal", "behavioral", "window"),
+)
+def q63_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per user (top 20) — the
+    gaps-and-islands idiom: distinct (user, epoch-day), then
+    ``day - row_number`` is constant exactly within a consecutive run,
+    so one count per (user, island) and a max per user finds the
+    streak. Two window-free aggregations plus one window, all on the
+    same user_id shuffle; day domain is calendar-bounded so per-user
+    state stays tiny at any event volume. Epoch-day integer arithmetic
+    keeps bucket edges bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+            / F.lit(86_400)
+        ).cast("long").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "island", F.col("d") - F.row_number().over(w)
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(F.max("len").alias("longest_streak"))
+        .orderBy(F.desc("longest_streak"), F.asc("user_id"))
+        .limit(20)
+    )
