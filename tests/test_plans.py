@@ -367,3 +367,16 @@ def test_attribution_no_join_single_fact_shuffle(spark, sf_dir):
     plan = simple_plan(df)
     assert "Join" not in plan
     assert shuffle_count(df) <= 3
+
+
+def test_triangle_count_degree_broadcast_no_cartesian(spark, sf_dir):
+    """Triangle counting: the degree relation (O(V) rows) must ride a
+    broadcast join onto the edge set, and no join anywhere may
+    degenerate to a cartesian product — the wedge build and closure
+    check are equi-joins on the pivot / (a, c) pair."""
+    from crest_spark.plans.checks import formatted_plan
+
+    df = SPECS["graph_triangle_count"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert uses_broadcast_join(df)
