@@ -8,6 +8,7 @@ pipeline, block until SIGINT/SIGTERM, drain gracefully.
 from __future__ import annotations
 
 import argparse
+import os
 import signal
 import sys
 import threading
@@ -141,11 +142,75 @@ def maintain(argv: list[str]) -> int:
     return 0
 
 
+def query(argv: list[str]) -> int:
+    """Ad-hoc query entry: run a registered operator by name, or raw
+    SQL with the standard tables (and any lakehouse tables under
+    --warehouse) registered as views. Output is JSON lines on stdout —
+    the composable shape for piping into jq or a file. This is the
+    user-facing switch path from the reference: every operator a crest
+    deployment's warehouse users run is invocable from the shell."""
+    parser = argparse.ArgumentParser(
+        prog="crest_spark query", description="run a named query or SQL"
+    )
+    parser.add_argument("--name", help="registered query name")
+    parser.add_argument("--sql", help="raw SQL over the registered views")
+    parser.add_argument("--list", action="store_true",
+                        help="list registered query names and exit")
+    parser.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01",
+        help="parquet table directory (standard table names become views)",
+    )
+    parser.add_argument("--warehouse",
+                        help="lakehouse root; its tables become views")
+    parser.add_argument("--limit", type=int, default=0,
+                        help="cap output rows (0 = no cap)")
+    args = parser.parse_args(argv)
+    from crest_spark.registry import load_all
+
+    specs = load_all()
+    if args.list:
+        for name in sorted(specs):
+            print(name)
+        return 0
+    if bool(args.name) == bool(args.sql):
+        parser.error("exactly one of --name / --sql is required")
+    if args.name and args.name not in specs:
+        parser.error(f"unknown query {args.name!r} (see --list)")
+    spark = get_spark("crest-spark-query")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.name:
+        df = specs[args.name].fn(spark, args.sf_dir)
+    else:
+        from crest_spark.sources.tables import TABLE_NAMES, load_table
+
+        for t in TABLE_NAMES:
+            path = os.path.join(args.sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+        if args.warehouse:
+            from crest_spark.lakehouse import LakehouseCatalog
+
+            cat = LakehouseCatalog(args.warehouse)
+            for ns in cat.list_namespaces():
+                for name in cat.list_tables(ns):
+                    cat.table(name, namespace=ns).read(
+                        spark
+                    ).createOrReplaceTempView(name)
+        df = spark.sql(args.sql)
+    if args.limit:
+        df = df.limit(args.limit)
+    for line in df.toJSON().toLocalIterator():
+        print(line)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "maintain":
         return maintain(argv[1:])
+    if argv and argv[0] == "query":
+        return query(argv[1:])
     parser = argparse.ArgumentParser(description="crest_spark ingestion service")
     parser.add_argument("--config", required=True, help="YAML config path")
     parser.add_argument(

@@ -170,6 +170,48 @@ COMMENTARY = {
         "so state is O(partition) like every ranking window — ReadSchema "
         "pruned to the 3 referenced columns."
     ),
+    "q61_scd2_point_in_time": (
+        "Point-in-time lookup WITHOUT a join: the tagged dim-change and "
+        "fact streams union, shuffle once on user_id, and a running "
+        "last(attr, ignorenulls) carries the in-effect version onto "
+        "each fact row — the range-join spelling is O(facts x versions) "
+        "per hot user before filtering; this plan has no Join operator "
+        "(pinned by test_scd2_point_in_time_no_join)."
+    ),
+    "q62_attribution_last_touch": (
+        "Last-touch attribution: same union-window form carrying both "
+        "the last channel and its timestamp, so the 7-day lookback is a "
+        "row-local comparison; the per-channel rollup is a map-side "
+        "combinable count/sum over a handful of groups. No Join "
+        "(pinned)."
+    ),
+    "q63_longest_streak": (
+        "Gaps-and-islands: distinct (user, day) collapses the fact "
+        "first (calendar-bounded per-user state), then day minus "
+        "row_number labels each consecutive run — everything on the one "
+        "user_id shuffle."
+    ),
+    "graph_triangle_count": (
+        "Degree-oriented triangle counting: each edge directed "
+        "low-degree -> high-degree bounds the wedge join's fan-out by "
+        "sum(out-deg^2) = O(m^1.5) — the id-ordered spelling is "
+        "unbounded on one hub vertex. Degree relation (O(V) rows) "
+        "broadcasts; wedge build and closure check are equi-joins on "
+        "the pivot and the (a, c) pair; member explode feeds a "
+        "partial-combined count."
+    ),
+    "stats_welch_ttest": (
+        "Welch t-test: ONE partial-combined aggregation over the fact "
+        "yields every per-group moment sum; the baseline row joins back "
+        "as a broadcast scalar and the t/df arithmetic is row-local. "
+        "Decimal moment sums keep the statistic order-independent."
+    ),
+    "stats_chi2_independence": (
+        "Chi-square independence: contingency cells from one fact "
+        "aggregation; row/column marginals derive from the CELLS (never "
+        "a second fact pass) and broadcast back; exact integer counts "
+        "make the statistic bit-stable."
+    ),
 }
 
 

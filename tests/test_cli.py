@@ -142,3 +142,40 @@ sources:
     assert (src.mode, src.key, src.sequence_col) == (
         "upsert", "content_hash", "first_seen"
     )
+
+
+def test_cli_query_named_and_sql(spark, sf_dir, tmp_path, capsys):
+    """cli query: named registry queries and raw SQL over view-
+    registered tables both emit JSON lines; --list enumerates names."""
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.strip().splitlines()
+    assert "q03_agg_pricing_summary" in names
+
+    assert main([
+        "query", "--name", "q13_topk", "--sf-dir", sf_dir, "--limit", "3",
+    ]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert 0 < len(lines) <= 3
+    assert all(json.loads(ln) for ln in lines)
+
+    assert main([
+        "query", "--sql",
+        "SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name "
+        "ORDER BY r_name",
+        "--sf-dir", sf_dir,
+    ]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 5 and all(r["n"] == 1 for r in rows)
+
+
+def test_cli_query_warehouse_views(spark, sf_dir, tmp_path, capsys):
+    src = load_table(spark, sf_dir, "nation")
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    cat.get_or_create_table("nat", src.schema).append(src)
+    assert main([
+        "query", "--sql", "SELECT COUNT(*) AS n FROM nat",
+        "--sf-dir", str(tmp_path / "nowhere"),
+        "--warehouse", str(tmp_path / "wh"),
+    ]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert rows == [{"n": 25}]
