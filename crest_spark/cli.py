@@ -85,6 +85,24 @@ def maintain(argv: list[str]) -> int:
         metavar="N",
         help="print the last N commits (DESCRIBE HISTORY, log-only)",
     )
+    parser.add_argument(
+        "--create-branch",
+        metavar="NAME",
+        default=None,
+        help="fork an append-only branch ref from the current snapshot",
+    )
+    parser.add_argument(
+        "--fast-forward",
+        metavar="NAME",
+        default=None,
+        help="land a branch's commits on main in one commit",
+    )
+    parser.add_argument(
+        "--drop-branch",
+        metavar="NAME",
+        default=None,
+        help="abandon a branch ref (files reclaimed by expire+vacuum)",
+    )
     args = parser.parse_args(argv)
     namespace, _, name = args.table.partition(".")
     if not name:
@@ -108,6 +126,20 @@ def maintain(argv: list[str]) -> int:
             f"discard: committed v{v}" if v else "discard: nothing staged",
             file=sys.stderr,
         )
+    if args.create_branch:
+        v = table.create_branch(args.create_branch)
+        print(f"branch: created {args.create_branch} at v{v}", file=sys.stderr)
+    if args.fast_forward:
+        v = table.fast_forward(args.fast_forward)
+        print(
+            f"branch: fast-forwarded {args.fast_forward} -> v{v}"
+            if v
+            else f"branch: {args.fast_forward} had no commits (ref dropped)",
+            file=sys.stderr,
+        )
+    if args.drop_branch:
+        v = table.drop_branch(args.drop_branch)
+        print(f"branch: dropped {args.drop_branch} at v{v}", file=sys.stderr)
     if args.history is not None:
         # log-only: no SparkSession needed for an ops query this small
         for s in table.snapshots()[-max(1, args.history):]:

@@ -312,10 +312,11 @@ def _fold_add_versions(snaps: list[Snapshot]) -> dict[int, dict]:
     out: dict[int, dict] = {}
     live: dict[str, int] = {}
     for s in snaps:
-        if s.extra.get("staged"):
-            # write-audit-publish: staged files are invisible until their
-            # publish commit lists them as ordinary appended files — the
-            # exported snapshot for the stage itself is an empty delta
+        if s.extra.get("staged") or s.extra.get("branch"):
+            # write-audit-publish / branch refs: staged and branch files
+            # are invisible until their publish/fast-forward commit lists
+            # them as ordinary appended files — the exported snapshot for
+            # the stage/branch commit itself is an empty delta
             out[s.version] = {"live": dict(live), "added": []}
             continue
         if s.operation in ("replace",):
@@ -899,7 +900,11 @@ def export_iceberg_metadata(
     for s in snaps:
         if s.operation == "replace":
             running = max(s.num_rows, 0)
-        elif s.operation != "create":
+        elif s.operation != "create" and not (
+            s.extra.get("staged") or s.extra.get("branch")
+        ):
+            # staged/branch rows are not live until their landing
+            # commit, which carries the rows in its own num_rows
             running += max(s.num_rows, 0)
         total_rows_at[s.version] = running
     for s in snaps:

@@ -466,6 +466,7 @@ class LakehouseTable:
             "file_seq": {},
             "deletes": [],
             "staged": {},
+            "branches": {},
         }
         start_after = 0
         for cv in reversed(self._checkpoint_versions()):
@@ -479,6 +480,7 @@ class LakehouseTable:
                     state.setdefault("file_seq", {})
                     state.setdefault("deletes", [])
                     state.setdefault("staged", {})
+                    state.setdefault("branches", {})
                     start_after = cv
                     break
                 except (OSError, json.JSONDecodeError):
@@ -489,6 +491,43 @@ class LakehouseTable:
             with open(self._version_file(v)) as fh:
                 d = json.load(fh)
             extra = d.get("extra", {})
+            if extra.get("create_branch"):
+                # branch ref creation: pure metadata — records the base
+                # version the branch forked from; no files, no schema
+                # change
+                state.setdefault("branches", {})[extra["create_branch"]] = {
+                    "base": int(extra.get("branch_base", v)),
+                    "entries": {},
+                }
+                state["version"] = v
+                continue
+            if extra.get("drop_branch"):
+                state.setdefault("branches", {}).pop(
+                    extra["drop_branch"], None
+                )
+                state["version"] = v
+                continue
+            if extra.get("branch"):
+                # branch member commit: INVISIBLE to main (like staged),
+                # recorded under its branch; batch-idempotence folds now
+                # so a replayed branch micro-batch stays a no-op
+                br = state.setdefault("branches", {}).get(extra["branch"])
+                if br is not None:
+                    br["entries"][str(v)] = {
+                        "files": list(d["files"]),
+                        "stats": dict(d.get("stats", {})),
+                        "num_rows": max(d.get("num_rows", 0), 0),
+                        "schema": d["schema"],
+                    }
+                if (
+                    d.get("writer_id") is not None
+                    and d.get("batch_id") is not None
+                ):
+                    state["committed"].setdefault(d["writer_id"], []).append(
+                        d["batch_id"]
+                    )
+                state["version"] = v
+                continue
             if extra.get("staged"):
                 # write-audit-publish: a staged append's files are
                 # INVISIBLE to every normal scan until a publish commit
@@ -521,6 +560,8 @@ class LakehouseTable:
                 # pending-staged state explicitly
                 if "staged_state" in extra:
                     state["staged"] = dict(extra["staged_state"])
+                if "branch_state" in extra:
+                    state["branches"] = dict(extra["branch_state"])
                 # a replace materializes every pending MoR delete (its
                 # writers rewrite affected files or prove them disjoint)
                 # — EXCEPT a rollback, which explicitly re-records the
@@ -551,6 +592,12 @@ class LakehouseTable:
                     state.get("staged", {}).pop(str(pv), None)
                 for pv in extra.get("discard_of", []) or []:
                     state.get("staged", {}).pop(str(pv), None)
+                # a fast-forward commit resolves its branch: the files
+                # it lists are now live on main
+                if extra.get("publish_branch"):
+                    state.get("branches", {}).pop(
+                        extra["publish_branch"], None
+                    )
             state["schema"] = d["schema"]
             if d.get("writer_id") is not None and d.get("batch_id") is not None:
                 state["committed"].setdefault(d["writer_id"], []).append(
@@ -694,6 +741,7 @@ class LakehouseTable:
         cluster_partitions: int | None = None,
         bloom_for: list[str] | None = None,
         stage: bool = False,
+        branch: str | None = None,
     ) -> int | None:
         """Transactional append. Returns the committed version, or None if
         this (writer_id, batch_id) was already committed (idempotent
@@ -735,13 +783,29 @@ class LakehouseTable:
         that complements the row-level ``expect`` quarantine: an audit
         job validates ``read_staged`` output, then publishes or
         discards. Idempotence (writer_id/batch_id) is recorded at stage
-        time, so a replayed staged micro-batch is a no-op pre-publish."""
+        time, so a replayed staged micro-batch is a no-op pre-publish.
+
+        ``branch``: commit to a named branch ref (Iceberg branch
+        semantics — the multi-commit generalization of ``stage``). The
+        rows are invisible to main until ``fast_forward`` lands the
+        whole branch in one commit; ``read_branch`` sees the branch's
+        base snapshot plus its commits. Branches are APPEND-ONLY by
+        design: the backfill/experiment shape, audited then
+        fast-forwarded or dropped."""
+        if stage and branch:
+            raise ValueError("stage and branch are mutually exclusive")
         if writer_id is not None and batch_id is not None:
             if batch_id in self.committed_batches(writer_id):
                 return None
+        if branch is not None:
+            # validates existence; schema checks run against the
+            # branch's own evolved schema, not main's
+            current_branch_schema = self.branch_schema(branch)
 
         if self.exists():
-            current = self.schema()
+            current = (
+                current_branch_schema if branch is not None else self.schema()
+            )
             incoming = df.schema
             cur_names = [f.name for f in current.fields]
             in_names = {f.name for f in incoming.fields}
@@ -825,9 +889,10 @@ class LakehouseTable:
                         "extra": {
                             **({"cluster_by": cluster_by} if cluster_by else {}),
                             **({"staged": True} if stage else {}),
+                            **({"branch": branch} if branch else {}),
                         }
                     }
-                    if cluster_by or stage
+                    if cluster_by or stage or branch
                     else {}
                 ),
             }
@@ -965,6 +1030,173 @@ class LakehouseTable:
             return version
         raise CommitConflict(
             f"could not discard staged commits of {self.namespace}.{self.name}"
+        )
+
+    # -------------------------------------------------------- branch refs
+    def branches(self, version: int | None = None) -> dict[str, dict]:
+        """Live branch refs at ``version`` (or latest):
+        {name: {base: version, entries: {commit_version: {...}}}}."""
+        try:
+            state = self._state(upto=version)
+        except FileNotFoundError:
+            return {}
+        return dict(state.get("branches") or {})
+
+    def create_branch(self, name: str) -> int:
+        """Create a named APPEND-ONLY branch ref forked from the current
+        snapshot (Iceberg branch semantics — the multi-commit
+        generalization of write-audit-publish). ``append(df,
+        branch=name)`` then commits rows invisible to main;
+        ``read_branch`` audits them; ``fast_forward`` lands the whole
+        branch in ONE metadata-only main commit; ``drop_branch``
+        abandons it (files reclaimed by expire+vacuum). The backfill /
+        ingestion-experiment shape: run a risky pipeline against a
+        branch for days, validate, then promote atomically."""
+        state = self._state()
+        if name in (state.get("branches") or {}):
+            raise ValueError(
+                f"branch {name!r} already exists on "
+                f"{self.namespace}.{self.name}"
+            )
+        version = self._try_commit(
+            {
+                "operation": "append",
+                "files": [],
+                "stats": {},
+                "schema": state["schema"],
+                "commit_ts": time.time(),
+                "num_rows": 0,
+                "extra": {
+                    "create_branch": name,
+                    "branch_base": state["version"],
+                },
+            }
+        )
+        self._maybe_checkpoint(version)
+        return version
+
+    def _branch_info(self, name: str) -> dict:
+        info = (self._state().get("branches") or {}).get(name)
+        if info is None:
+            raise ValueError(
+                f"no branch {name!r} on {self.namespace}.{self.name}"
+            )
+        return info
+
+    def branch_schema(self, name: str) -> StructType:
+        """The branch's evolved schema: base snapshot schema widened by
+        every branch commit (merge_schema appends evolve the BRANCH,
+        main only evolves at fast-forward)."""
+        info = self._branch_info(name)
+        base_state = self._state(upto=int(info["base"]))
+        schema = StructType.fromJson(json.loads(base_state["schema"]))
+        for v in sorted(info["entries"], key=int):
+            schema = self._evolved_schema(
+                schema,
+                StructType.fromJson(
+                    json.loads(info["entries"][v]["schema"])
+                ),
+            )
+        return schema
+
+    def read_branch(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read the branch's view of the table: the base snapshot (with
+        ITS pending merge-on-read deletes applied — the branch forked
+        from that resolved state) plus every branch commit's rows.
+        Branch files sequence at their commit versions, so base-pending
+        deletes can never reach into them."""
+        info = self._branch_info(name)
+        base_state = self._state(upto=int(info["base"]))
+        schema = self.branch_schema(name)
+        files = list(base_state["files"])
+        st = dict(base_state)
+        st["file_seq"] = dict(base_state.get("file_seq") or {})
+        for v in sorted(info["entries"], key=int):
+            for f in info["entries"][v]["files"]:
+                files.append(f)
+                st["file_seq"][f] = int(v)
+        df = self._read_files(
+            spark, files, json.dumps(schema.jsonValue())
+        )
+        return self._apply_pending_deletes(spark, df, files, st)
+
+    def drop_branch(self, name: str) -> int:
+        """Abandon a branch: a metadata-only commit removes the ref;
+        its rows never become visible. Physical files stay referenced
+        by the historical branch commits until ``expire_snapshots``
+        drops them, after which ``vacuum`` collects them."""
+        self._branch_info(name)  # descriptive error if absent
+        state = self._state()
+        version = self._try_commit(
+            {
+                "operation": "append",
+                "files": [],
+                "stats": {},
+                "schema": state["schema"],
+                "commit_ts": time.time(),
+                "num_rows": 0,
+                "extra": {"drop_branch": name},
+            }
+        )
+        self._maybe_checkpoint(version)
+        return version
+
+    def fast_forward(self, name: str) -> int | None:
+        """Land the branch on main: ONE metadata-only commit lists every
+        branch commit's files as ordinary appends — they take the
+        fast-forward commit's file_seq, so merge-on-read deltas
+        committed on main while the branch ran do not retro-apply to
+        them, and the change feed reports the rows as inserts AT
+        LANDING TIME. Main's schema evolves to the union (same
+        type-widening lattice as merge_schema). Returns the landing
+        version, or None if the branch has no commits (the ref is
+        dropped either way). Conflict-guarded RMW like publish_staged;
+        append-only branches commute with concurrent main appends, so
+        no rebase is ever needed."""
+        for _ in range(50):
+            state = self._state()
+            info = (state.get("branches") or {}).get(name)
+            if info is None:
+                raise ValueError(
+                    f"no branch {name!r} on {self.namespace}.{self.name}"
+                )
+            schema = StructType.fromJson(json.loads(state["schema"]))
+            files: list[str] = []
+            stats: dict = {}
+            num_rows = 0
+            for v in sorted(info["entries"], key=int):
+                e = info["entries"][v]
+                files.extend(e["files"])
+                stats.update(e.get("stats", {}))
+                num_rows += max(e.get("num_rows", 0), 0)
+                schema = self._evolved_schema(
+                    schema, StructType.fromJson(json.loads(e["schema"]))
+                )
+            try:
+                version = self._try_commit(
+                    {
+                        "operation": "append",
+                        "files": files,
+                        "stats": stats,
+                        "schema": json.dumps(schema.jsonValue()),
+                        "commit_ts": time.time(),
+                        "num_rows": num_rows,
+                        "extra": {
+                            "publish_branch": name,
+                            "publish_of": [
+                                int(v) for v in sorted(info["entries"], key=int)
+                            ],
+                        },
+                    },
+                    expected_base=state["version"],
+                )
+            except CommitConflict:
+                continue
+            self._maybe_checkpoint(version)
+            return version if info["entries"] else None
+        raise CommitConflict(
+            f"could not fast-forward branch {name!r} of "
+            f"{self.namespace}.{self.name}"
         )
 
     def overwrite(
@@ -2226,10 +2458,13 @@ class LakehouseTable:
         for v in versions:
             with open(self._version_file(v)) as fh:
                 d = json.load(fh)
-            if d.get("extra", {}).get("staged"):
-                # a staged (write-audit-publish) commit contributes NO
-                # delta — its rows surface as inserts at the version of
-                # the publish commit that makes them live
+            if d.get("extra", {}).get("staged") or d.get("extra", {}).get(
+                "branch"
+            ):
+                # staged (write-audit-publish) and branch commits
+                # contribute NO delta — their rows surface as inserts at
+                # the version of the publish / fast-forward commit that
+                # makes them live
                 continue
             if d.get("operation") == "rowdelta" or d.get("extra", {}).get(
                 "deletes"
@@ -2400,6 +2635,9 @@ class LakehouseTable:
             # the target version must not leak into the restored state,
             # and a stage that was pending there is pending again
             "staged_state": dict(state.get("staged") or {}),
+            # same for branch refs: a fast-forward after the target must
+            # not leak, and a branch live there is live again
+            "branch_state": dict(state.get("branches") or {}),
         }
         if state.get("deletes"):
             extra["deletes"] = list(state["deletes"])
@@ -2441,18 +2679,34 @@ class LakehouseTable:
         pending_staged = self.pending_staged()
         if pending_staged:
             cutoff = min(cutoff, min(pending_staged))
+        # LIVE branch refs clamp at their creation commit for the same
+        # reason: the branch's base state and member commits must stay
+        # replayable until it is fast-forwarded or dropped
+        live_branches = self.branches()
+        if live_branches:
+            cutoff = min(
+                cutoff, min(int(b["base"]) for b in live_branches.values())
+            )
         snaps = self.snapshots()
         by_version = {s.version: s for s in snaps}
-        # never cut AT a staged commit (pending or resolved): the boundary
-        # rewrite merges the expired prefix's live files into the cutoff
-        # record, and a staged cutoff would brand them staged — hiding
-        # live data. Step down to the nearest non-staged commit.
-        while cutoff in by_version and by_version[cutoff].extra.get("staged"):
+
+        def _boundary_unsafe(s) -> bool:
+            # the boundary rewrite merges the expired prefix's live
+            # files into the cutoff record; a staged or branch-flavored
+            # cutoff would brand them staged/branched — hiding live data
+            return bool(
+                s.extra.get("staged")
+                or s.extra.get("branch")
+                or s.extra.get("create_branch")
+                or s.extra.get("drop_branch")
+            )
+
+        while cutoff in by_version and _boundary_unsafe(by_version[cutoff]):
             idx = versions.index(cutoff)
             if idx == 0:
                 return []
             cutoff = versions[idx - 1]
-        if cutoff <= versions[0] and by_version[versions[0]].extra.get("staged"):
+        if cutoff <= versions[0] and _boundary_unsafe(by_version[versions[0]]):
             return []
         live_files: set[str] = set()
         # files referenced by the retained suffix (respecting replaces)
@@ -2487,13 +2741,16 @@ class LakehouseTable:
             if v >= cutoff:
                 break
             s = by_version[v]
-            if s.extra.get("staged"):
-                # a RESOLVED staged commit (pending ones clamped the
-                # cutoff above): if published, its files ride in the
-                # publish commit's own file list; if discarded, they are
-                # dead — either way they do not fold into the live
-                # prefix. Batch-id memory still folds (below) so a
-                # replayed staged batch stays a no-op after expiry.
+            if s.extra.get("staged") or s.extra.get("branch") or (
+                s.extra.get("create_branch") or s.extra.get("drop_branch")
+            ):
+                # a RESOLVED staged/branch commit (pending/live ones
+                # clamped the cutoff above): if published/fast-forwarded,
+                # its files ride in the landing commit's own file list;
+                # if discarded/dropped, they are dead — either way they
+                # do not fold into the live prefix. Batch-id memory
+                # still folds (below) so a replayed batch stays a no-op
+                # after expiry.
                 if s.writer_id is not None and s.batch_id is not None:
                     folded_committed.setdefault(s.writer_id, []).append(
                         s.batch_id
@@ -2792,6 +3049,10 @@ class LakehouseTable:
             "compaction",
             "cluster_by",
             "checkpointed",
+            "branch",
+            "create_branch",
+            "drop_branch",
+            "publish_branch",
         )
         rows = [
             (

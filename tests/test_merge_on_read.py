@@ -191,14 +191,18 @@ def test_mor_guards_and_row_count(spark, tmp_path):
         t.row_count()
     with pytest.raises(ValueError, match="merge-on-read"):
         t.read_changes(spark, after=0)
-    # r6: equality deltas now EXPORT as Iceberg v2 delete manifests
-    # (round-trip covered in test_iceberg_export.py); only predicate
-    # and sequence-aware deltas still refuse
+    # r6: equality deltas EXPORT as Iceberg v2 delete manifests; r7:
+    # predicate / sequence-aware deltas at the head snapshot are
+    # MATERIALIZED as position deletes when a session is available
+    # (round-trips covered in test_iceberg_export.py) and refuse only
+    # without one
     t.delete(spark, {"id": (90, None)}, mode="mor")
     from crest_spark.lakehouse.iceberg_export import export_iceberg_metadata
 
-    with pytest.raises(ValueError, match="PREDICATE"):
-        export_iceberg_metadata(t)
+    meta_dir = export_iceberg_metadata(t, spark=spark)
+    assert any(
+        f.startswith("posdel-") for f in os.listdir(meta_dir)
+    )
 
 
 def test_vacuum_keeps_live_delete_files(spark, tmp_path):
