@@ -10,7 +10,8 @@ Cross-round comparability: compare PER-QUERY times, not totals — the
 query set grows (r5: 36 entries; r6 added q51_event_funnel +
 q54_rolling_active_users -> 38; r7 added the remaining behavioral four
 q52_cohort_retention / q53_user_paths / q58_market_basket /
-q59_audience_overlap -> 42). Timing policy changed once, in r5
+q59_audience_overlap -> 42; r7 later added q64_markov_transitions +
+q65_rfm_segments -> 44). Timing policy changed once, in r5
 (single-shot -> min-of-k).
 
 Output contract (VERDICT r6 "what's wrong" #1): the LAST stdout line is
@@ -67,6 +68,8 @@ BENCH_QUERIES = [
     "q54_rolling_active_users",
     "q58_market_basket",
     "q59_audience_overlap",
+    "q64_markov_transitions",
+    "q65_rfm_segments",
     "stats_moments",
     "udf_scalar_pandas",
     "skew_salted_agg",

@@ -103,6 +103,19 @@ def maintain(argv: list[str]) -> int:
         default=None,
         help="abandon a branch ref (files reclaimed by expire+vacuum)",
     )
+    parser.add_argument(
+        "--add-constraint",
+        metavar="NAME=EXPR",
+        default=None,
+        help="add a CHECK constraint (validates existing rows, then "
+        "gates every future write)",
+    )
+    parser.add_argument(
+        "--drop-constraint",
+        metavar="NAME",
+        default=None,
+        help="remove a CHECK constraint by name",
+    )
     args = parser.parse_args(argv)
     namespace, _, name = args.table.partition(".")
     if not name:
@@ -140,6 +153,19 @@ def maintain(argv: list[str]) -> int:
     if args.drop_branch:
         v = table.drop_branch(args.drop_branch)
         print(f"branch: dropped {args.drop_branch} at v{v}", file=sys.stderr)
+    if args.add_constraint:
+        cname, sep, cexpr = args.add_constraint.partition("=")
+        if not sep or not cname or not cexpr:
+            parser.error("--add-constraint needs NAME=EXPR")
+        spark = get_spark("crest-spark-maintain")
+        v = table.add_constraint(spark, cname, cexpr)
+        print(f"constraint: added {cname!r} at v{v}", file=sys.stderr)
+    if args.drop_constraint:
+        v = table.drop_constraint(args.drop_constraint)
+        print(
+            f"constraint: dropped {args.drop_constraint!r} at v{v}",
+            file=sys.stderr,
+        )
     if args.history is not None:
         # log-only: no SparkSession needed for an ops query this small
         for s in table.snapshots()[-max(1, args.history):]:

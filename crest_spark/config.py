@@ -154,6 +154,7 @@ def load_config(path: str) -> EngineConfig:
             ),
             on_violation=s.get("onViolation", "quarantine"),
             stage=bool(s.get("stage", False)),
+            branch=s.get("branch"),
             expect_batch=(
                 {str(c): str(e) for c, e in s["expectBatch"].items()}
                 if "expectBatch" in s
@@ -198,6 +199,22 @@ def load_config(path: str) -> EngineConfig:
             raise ValueError(
                 f"source {s.name}: onBatchViolation 'stage' applies to "
                 "append mode; an upsert merge cannot be staged"
+            )
+        if s.branch and s.mode == "upsert":
+            raise ValueError(
+                f"source {s.name}: 'branch' ingestion applies to append "
+                "mode; branches are append-only refs"
+            )
+        if s.branch and s.on_batch_violation == "stage":
+            raise ValueError(
+                f"source {s.name}: onBatchViolation 'stage' cannot divert "
+                "a branch source (commits are already invisible on the "
+                "branch); use 'fail' or 'skip'"
+            )
+        if s.branch and s.stage:
+            raise ValueError(
+                f"source {s.name}: 'branch' and 'stage' are mutually "
+                "exclusive (a branch IS the multi-batch staging form)"
             )
 
     compaction = raw.get("compaction", {})

@@ -467,6 +467,7 @@ class LakehouseTable:
             "deletes": [],
             "staged": {},
             "branches": {},
+            "constraints": {},
         }
         start_after = 0
         for cv in reversed(self._checkpoint_versions()):
@@ -481,6 +482,7 @@ class LakehouseTable:
                     state.setdefault("deletes", [])
                     state.setdefault("staged", {})
                     state.setdefault("branches", {})
+                    state.setdefault("constraints", {})
                     start_after = cv
                     break
                 except (OSError, json.JSONDecodeError):
@@ -491,6 +493,20 @@ class LakehouseTable:
             with open(self._version_file(v)) as fh:
                 d = json.load(fh)
             extra = d.get("extra", {})
+            # table-level CHECK constraints: absolute state first (rollback
+            # / expire-boundary records carry the full folded map), then
+            # this commit's own set/drop. Metadata-only commits fall
+            # through to the generic fold (they carry no files).
+            if "constraint_state" in extra:
+                state["constraints"] = dict(extra["constraint_state"])
+            if extra.get("set_constraint"):
+                state.setdefault("constraints", {}).update(
+                    extra["set_constraint"]
+                )
+            if extra.get("drop_constraint"):
+                state.setdefault("constraints", {}).pop(
+                    extra["drop_constraint"], None
+                )
             if extra.get("create_branch"):
                 # branch ref creation: pure metadata — records the base
                 # version the branch forked from; no files, no schema
@@ -874,6 +890,12 @@ class LakehouseTable:
         if bloom_for:
             for f, blooms in _file_blooms(files, bloom_for).items():
                 stats.setdefault(f, {})[_BLOOM_KEY] = blooms
+        self._enforce_constraints(
+            df.sparkSession,
+            files,
+            json.dumps(table_schema.jsonValue()),
+            txn_dir,
+        )
         version = self._try_commit(
             {
                 "operation": "append",
@@ -1199,6 +1221,123 @@ class LakehouseTable:
             f"{self.namespace}.{self.name}"
         )
 
+    # --------------------------------------------------- CHECK constraints
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """Table-level CHECK constraints at ``version`` (or latest):
+        {name: sql_expr}. Unlike per-source ingestion expectations
+        (``SourceSpec.expect``), these travel WITH the table — every
+        writer through any path (append, merge, overwrite, branch,
+        staged, streaming sink) is gated, not just one pipeline."""
+        try:
+            return dict(self._state(upto=version).get("constraints") or {})
+        except FileNotFoundError:
+            return {}
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """Add a CHECK constraint (Delta ``ALTER TABLE ADD CONSTRAINT``
+        semantics): ``expr`` is a boolean SQL expression every row must
+        satisfy — a row where it evaluates FALSE **or NULL** is a
+        violation (strict-NULL, so ``col IS NOT NULL`` and ``col > 0``
+        both mean what they say on nullable columns). EXISTING rows are
+        validated first (one predicate-pushed scan); the constraint then
+        gates every future write at commit time, reading back only the
+        newly written files. Metadata-only commit; versioned, so time
+        travel and rollback restore the constraint set of their day."""
+        state = self._state() if self.exists() else None
+        if state is not None and name in (state.get("constraints") or {}):
+            raise ValueError(
+                f"constraint {name!r} already exists on "
+                f"{self.namespace}.{self.name}"
+            )
+        if state is None:
+            raise FileNotFoundError(
+                f"table {self.namespace}.{self.name} does not exist"
+            )
+        if state["files"]:
+            bad = (
+                self.read(spark)
+                .where(~F.coalesce(F.expr(expr), F.lit(False)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r} ({expr}): existing "
+                    f"rows of {self.namespace}.{self.name} violate it"
+                )
+        version = self._try_commit(
+            {
+                "operation": "append",
+                "files": [],
+                "stats": {},
+                "schema": state["schema"],
+                "commit_ts": time.time(),
+                "num_rows": 0,
+                "extra": {"set_constraint": {name: expr}},
+            }
+        )
+        self._maybe_checkpoint(version)
+        return version
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint by name (descriptive error if
+        absent). Metadata-only commit."""
+        state = self._state()
+        if name not in (state.get("constraints") or {}):
+            raise ValueError(
+                f"no constraint {name!r} on {self.namespace}.{self.name}"
+            )
+        version = self._try_commit(
+            {
+                "operation": "append",
+                "files": [],
+                "stats": {},
+                "schema": state["schema"],
+                "commit_ts": time.time(),
+                "num_rows": 0,
+                "extra": {"drop_constraint": name},
+            }
+        )
+        self._maybe_checkpoint(version)
+        return version
+
+    def _enforce_constraints(
+        self,
+        spark: SparkSession,
+        new_files: list[str],
+        schema_json: str,
+        txn_dir: str,
+    ) -> None:
+        """Gate a write: read back the NEWLY written files (validating
+        exactly the bytes being committed — immune to non-deterministic
+        input plans) and fail the whole write atomically on the first
+        violated constraint. Cost is one scan of the new files only;
+        kept/unchanged files were validated when they were written."""
+        cons = self.constraints()
+        if not cons or not new_files:
+            return
+        df = self._read_files(spark, new_files, schema_json)
+        checks = df.select(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(e), F.lit(False)), 1
+                    ).otherwise(0)
+                ).alias(n)
+                for n, e in cons.items()
+            ]
+        ).first()
+        for n, e in cons.items():
+            if (checks[n] or 0) > 0:
+                import shutil
+
+                shutil.rmtree(txn_dir, ignore_errors=True)
+                raise ValueError(
+                    f"write to {self.namespace}.{self.name} violates CHECK "
+                    f"constraint {n!r} ({e}): {checks[n]} row(s); nothing "
+                    "was committed"
+                )
+
     def overwrite(
         self,
         df: DataFrame,
@@ -1241,6 +1380,12 @@ class LakehouseTable:
         if bloom_for:
             for f, blooms in _file_blooms(new_files, bloom_for).items():
                 stats.setdefault(f, {})[_BLOOM_KEY] = blooms
+        self._enforce_constraints(
+            df.sparkSession,
+            new_files,
+            json.dumps(df.schema.jsonValue()),
+            txn_dir,
+        )
         files = list(new_files)
         if keep_files:
             base_stats = self._state(upto=expected_version).get("stats", {})
@@ -1734,6 +1879,7 @@ class LakehouseTable:
         strategy: str = "cow",
         mor_file_threshold: int = 8,
         mor_key_threshold: int = 1_000_000,
+        not_matched_by_source: str | None = None,
     ) -> int:
         """Upsert (MERGE INTO semantics): rows in ``updates`` replace
         current rows with the same key; new keys are inserted. Implemented
@@ -1809,11 +1955,50 @@ class LakehouseTable:
           files) read class the CoW CDC path pays) to stage the change
           set — but still rewrites nothing, which is the half of the
           cost that matters for hot-key write amplification. An empty
-          updates batch short-circuits to a no-op (no commit)."""
+          updates batch short-circuits to a no-op (no commit).
+
+        ``not_matched_by_source='delete'``: full-snapshot sync (Delta's
+        WHEN NOT MATCHED BY SOURCE THEN DELETE) — target keys absent
+        from ``updates`` are deleted, so the post-merge key set is
+        exactly the source's; matched keys still resolve by
+        ``sequence_col`` when given. Whole-table copy-on-write by
+        nature; refuses an empty source (that's a truncate — say
+        ``overwrite()``) and ``strategy='mor'``. Composes with
+        ``change_feed`` (deleted not-matched rows stage as
+        ``delete`` preimages)."""
         from pyspark.sql.window import Window
 
         if strategy not in ("cow", "mor", "auto"):
             raise ValueError(f"merge strategy {strategy!r}: cow | mor | auto")
+        sync = not_matched_by_source is not None
+        if sync:
+            # full-snapshot sync (Delta's WHEN NOT MATCHED BY SOURCE THEN
+            # DELETE): target keys absent from ``updates`` are removed, so
+            # the post-merge key set is exactly the source's. Necessarily
+            # copy-on-write over the WHOLE table (every file may hold
+            # not-matched rows — there is nothing to prune, and the
+            # "delete everything outside this key set" anti-predicate has
+            # no equality-delete form for MoR), which is the same write
+            # amplification Delta pays for this clause. Use it for
+            # periodic full-snapshot re-syncs of dimensions, not CDC.
+            if not_matched_by_source != "delete":
+                raise ValueError(
+                    "not_matched_by_source supports only 'delete', got "
+                    f"{not_matched_by_source!r}"
+                )
+            if strategy == "mor":
+                raise ValueError(
+                    "not_matched_by_source='delete' requires copy-on-write"
+                    " (the not-matched anti-predicate has no merge-on-read"
+                    " delta form); use strategy='cow'"
+                )
+            strategy = "cow"
+            if updates.isEmpty():
+                raise ValueError(
+                    "merge(not_matched_by_source='delete') with an EMPTY "
+                    "source would truncate the table; do that explicitly "
+                    "with overwrite()"
+                )
         if delete_col is not None:
             updates = updates.withColumn(
                 "__del",
@@ -1858,7 +2043,7 @@ class LakehouseTable:
             touch: list[str] = []
             for f in state["files"]:
                 fs = stats.get(f) or {}
-                disjoint = any(
+                disjoint = not sync and any(
                     key_bounds[k][0] is not None
                     and k in fs
                     and not _stats_admit(fs, {k: key_bounds[k]})
@@ -1876,12 +2061,16 @@ class LakehouseTable:
                 the CoW rewrite and the MoR change-feed staging (the MoR
                 scan is constructed to show exactly this rowset)."""
                 if sequence_col is None:
-                    kept = current.join(
-                        updates.select(*keys), on=keys, how="left_anti"
-                    )
                     upd_rows = updates
                     if delete_col is not None:
                         upd_rows = upd_rows.where(~F.col("__del"))
+                    if sync:
+                        # not-matched-by-source rows are deleted, so the
+                        # result is exactly the (non-tombstoned) source
+                        return upd_rows.select(*current.columns)
+                    kept = current.join(
+                        updates.select(*keys), on=keys, how="left_anti"
+                    )
                     return kept.unionByName(
                         upd_rows.select(*current.columns)
                     )
@@ -1918,6 +2107,11 @@ class LakehouseTable:
                     .where((F.col("__rn") == 1) & ~F.col("__del"))
                     .drop("__rn", "__is_upd", "__del")
                 )
+                if sync:
+                    # keys absent from the source are deleted; contested
+                    # keys still resolve by sequence (a stale snapshot
+                    # row never overwrites a newer target version)
+                    return winners
                 return current.join(
                     upd_keys, on=keys, how="left_anti"
                 ).unionByName(winners)
@@ -2638,6 +2832,9 @@ class LakehouseTable:
             # same for branch refs: a fast-forward after the target must
             # not leak, and a branch live there is live again
             "branch_state": dict(state.get("branches") or {}),
+            # and for CHECK constraints: the restored snapshot enforces
+            # the constraint set of its day
+            "constraint_state": dict(state.get("constraints") or {}),
         }
         if state.get("deletes"):
             extra["deletes"] = list(state["deletes"])
@@ -2737,10 +2934,19 @@ class LakehouseTable:
         folded_deletes: list[dict] = []
         folded_file_seq: dict[str, int] = {}
         base_delete_paths: set[str] = set()
+        # CHECK constraints accumulated over the expired prefix — losing
+        # a set_constraint commit to expiry must not un-gate the table
+        folded_constraints: dict[str, str] = {}
         for v in versions:
             if v >= cutoff:
                 break
             s = by_version[v]
+            if "constraint_state" in s.extra:
+                folded_constraints = dict(s.extra["constraint_state"])
+            if s.extra.get("set_constraint"):
+                folded_constraints.update(s.extra["set_constraint"])
+            if s.extra.get("drop_constraint"):
+                folded_constraints.pop(s.extra["drop_constraint"], None)
             if s.extra.get("staged") or s.extra.get("branch") or (
                 s.extra.get("create_branch") or s.extra.get("drop_branch")
             ):
@@ -2835,6 +3041,19 @@ class LakehouseTable:
             # expiration (overwriting would drop that memory)
             "extra": {
                 **first_keep.extra,
+                # prefix-folded constraint set — unless the cutoff itself
+                # carries an absolute map (a rollback), which already
+                # folded its own history. The cutoff's own set/drop extras
+                # apply AFTER constraint_state in the state fold, so
+                # ordering is preserved.
+                **(
+                    {"constraint_state": folded_constraints}
+                    if (
+                        folded_constraints
+                        and "constraint_state" not in first_keep.extra
+                    )
+                    else {}
+                ),
                 "checkpointed": expired,
                 "committed": _merge_committed(
                     folded_committed, first_keep.extra.get("committed", {})
@@ -3053,6 +3272,8 @@ class LakehouseTable:
             "create_branch",
             "drop_branch",
             "publish_branch",
+            "set_constraint",
+            "drop_constraint",
         )
         rows = [
             (

@@ -350,3 +350,146 @@ def q59_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "q64_markov_transitions",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM events
+        ),
+        pairs AS (
+            SELECT event_type AS src, nxt AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ordered WHERE nxt IS NOT NULL
+            GROUP BY event_type, nxt
+        )
+        SELECT src, dst, n,
+               CAST(ROUND(CAST(
+                 CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src)
+               AS DECIMAL(30,12)), 4) AS DOUBLE) AS p
+        FROM pairs
+        ORDER BY src, dst
+    """,
+    tags=("behavioral", "markov", "sequence"),
+)
+def q64_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences:
+    for each (src, dst) event-type pair, how often dst immediately
+    follows src, and the row-normalized transition probability.
+
+    ONE full-fact shuffle (the per-user LEAD window, partitioned on
+    user_id — per-user sequences are bounded, so no skewed partition);
+    the pair aggregation and the per-src normalization then run on the
+    |types|^2-sized transition table, which is broadcast-tiny at any
+    corpus size. Probability is a single division of exact counts —
+    engine-deterministic. (ts, event_id) is a total order, so the
+    successor relation itself is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(seq).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = Window.partitionBy("src")
+    return (
+        pairs.withColumn("sum_n", F.sum("n").over(total))
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.expr(
+                "CAST(ROUND(CAST(CAST(n AS DOUBLE) / sum_n"
+                " AS DECIMAL(30,12)), 4) AS DOUBLE)"
+            ).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@register(
+    "q65_rfm_segments",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders
+            GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey, cents,
+                   NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+                   NTILE(4) OVER (ORDER BY freq, o_custkey) AS f_score,
+                   NTILE(4) OVER (ORDER BY cents, o_custkey) AS m_score
+            FROM per_cust
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               -- round-half-up(s*100/n) in PURE integers, then one /1e4:
+               -- a double->decimal cast at an exact .5 rounds differently
+               -- across engines; integer DIV cannot
+               CAST(CAST((200 * SUM(cents) + COUNT(*))
+                         // (2 * COUNT(*)) AS BIGINT) AS DOUBLE) / 10000
+                   AS avg_monetary
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
+    """,
+    tags=("behavioral", "rfm", "segmentation"),
+)
+def q65_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quartile scores per customer (NTILE over a deterministic total
+    order — the custkey tiebreak makes tied metrics engine-stable),
+    then segment-level customer counts and average spend.
+
+    Scale shape: the only full-fact shuffle is the per-customer
+    aggregation; the three NTILE windows run over the customer
+    dimension. An unpartitioned NTILE serializes at extreme
+    cardinality — the production form for billions of customers swaps
+    it for a percent_rank bucketing over a pre-computed CDF; at the
+    dimension sizes this engine targets per cluster the exact NTILE is
+    the right default and matches the oracle bit-for-bit."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "cents",
+        F.ntile(4)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("cents", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr(
+                "CAST(CAST((200 * SUM(cents) + COUNT(*))"
+                " DIV (2 * COUNT(*)) AS BIGINT) AS DOUBLE) / 10000"
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -724,3 +724,105 @@ def curation_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "copy_id")
     )
+
+
+_PARA_W = 10  # pseudo-paragraph width (words); real corpora split on \n\n
+
+
+@register(
+    "curation_paragraph_dedup",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        paras AS (
+            SELECT doc_id,
+                   CAST((s - 1) // {_PARA_W} AS BIGINT) AS pid,
+                   array_to_string(
+                       t[s : LEAST(s + {_PARA_W} - 1, len(t))], ' '
+                   ) AS ptext
+            FROM (
+                SELECT doc_id, t,
+                       UNNEST(generate_series(1, len(t), {_PARA_W})) AS s
+                FROM toks
+            )
+        ),
+        ranked AS (
+            SELECT doc_id, pid, ptext,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ptext ORDER BY doc_id, pid
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n_paras
+            FROM paras
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(MAX(n_paras) - COUNT(*) AS BIGINT) AS n_dropped,
+               STRING_AGG(ptext, ' ' ORDER BY pid) AS text_clean
+        FROM ranked
+        WHERE rn = 1
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "curation", "dedup", "paragraph"),
+)
+def curation_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level dedup (the CCNet / RefinedWeb shape):
+    every paragraph that textually repeats ANYWHERE in the corpus keeps
+    only its first occurrence in (doc_id, position) order; documents are
+    reassembled from their surviving paragraphs (a fully-duplicated doc
+    disappears). Boilerplate — headers, footers, licence blocks — dies
+    corpus-wide in one pass. Paragraphs here are fixed {_PARA_W}-word
+    windows (the synthetic corpus has no newlines); swap the splitter
+    for split-on-blank-line on real data, the dedup shape is unchanged.
+
+    Scale: two shuffles, both on natural keys — first the global
+    first-occurrence window partitioned BY PARAGRAPH (hash-distributed;
+    hot boilerplate paragraphs each land on one partition, and per-key
+    state is one counter), then the doc_id regroup to reassemble. At
+    100 TB, partition the window on a 128-bit content hash instead of
+    shipping paragraph text twice and re-verify exact text inside the
+    bucket — same plan, smaller shuffle payload."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(F.col("t")), F.lit(_PARA_W))
+    paras = (
+        d.select("doc_id", toks.alias("t"))
+        .select("doc_id", "t", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.floor((F.col("s") - 1) / _PARA_W).cast("bigint").alias("pid"),
+            F.array_join(
+                F.slice(F.col("t"), F.col("s"), _PARA_W), " "
+            ).alias("ptext"),
+        )
+    )
+    first = Window.partitionBy("ptext").orderBy("doc_id", "pid")
+    per_doc = Window.partitionBy("doc_id")
+    ranked = paras.select(
+        "doc_id",
+        "pid",
+        "ptext",
+        F.row_number().over(first).alias("rn"),
+        F.count(F.lit(1)).over(per_doc).alias("n_paras"),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            (F.max("n_paras") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pid", "ptext"))
+                    ),
+                    lambda e: e["ptext"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )

@@ -860,3 +860,130 @@ def lake_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     if t.read(spark, version=sv_bad).count() != n_base:
         raise AssertionError("time travel to the stage point saw staged rows")
     return t.read(spark).orderBy("event_id")
+
+
+@register(
+    "lake_branch_ff",
+    oracle="""
+        SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+        FROM events
+        ORDER BY event_id
+    """,
+    tags=("lakehouse", "branch", "staging"),
+)
+def lake_branch_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named branch refs under the driver hash gate: the multi-commit
+    generalization of write-audit-publish (Iceberg branch semantics).
+    A quarter of events lands live on main; a ``backfill`` branch
+    accumulates two more quarters across two commits — each invisible
+    to main reads AND to the change feed; a fourth quarter lands on
+    main WHILE the branch is open (append-only branches commute with
+    concurrent main appends, no rebase). ``read_branch`` audits
+    base+branch; ``fast_forward`` lands both branch commits in ONE
+    metadata-only commit whose change-feed delta is exactly the branch
+    rows at the LANDING version; a second ``doomed`` branch is dropped
+    and its rows must never surface. Final rowset = all events,
+    hash-checked against the one-shot SQL.
+
+    The multi-day backfill/experiment shape the reference's blind
+    committer cannot express (`/root/reference/pkg/batch_writer.go`
+    lands every batch live immediately)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    q0 = events.where(F.col("event_id") % 4 == 0)
+    q1 = events.where(F.col("event_id") % 4 == 1)
+    q2 = events.where(F.col("event_id") % 4 == 2)
+    q3 = events.where(F.col("event_id") % 4 == 3)
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_br_"))
+    t = cat.get_or_create_table("events_br", events.schema)
+    t.append(q0)
+    v_base = t.version()
+    t.create_branch("backfill")
+    t.create_branch("doomed")
+    t.append(q1, branch="backfill")
+    t.append(q2, branch="backfill")
+    t.append(q1.limit(50), branch="doomed")
+    n0, n1, n2, n3 = q0.count(), q1.count(), q2.count(), q3.count()
+    if t.read(spark).count() != n0:
+        raise AssertionError("branch rows leaked into the live snapshot")
+    if t.read_changes(spark, after=v_base).count() != 0:
+        raise AssertionError("branch rows leaked into the change feed")
+    if t.read_branch(spark, "backfill").count() != n0 + n1 + n2:
+        raise AssertionError("read_branch must surface base + branch rows")
+    # concurrent main append while both branches are open
+    t.append(q3)
+    pre_ff = t.version()
+    ffv = t.fast_forward("backfill")
+    t.drop_branch("doomed")
+    if t.read(spark).count() != n0 + n1 + n2 + n3:
+        raise AssertionError("fast-forward must land exactly the branch rows")
+    cdf = t.read_changes(spark, after=pre_ff, cdf=True)
+    stamped = cdf.groupBy("_change_type", "_commit_version").count().collect()
+    if {(r[0], r[1], r[2]) for r in stamped} != {("insert", ffv, n1 + n2)}:
+        raise AssertionError(
+            f"change feed must report the {n1 + n2} branch rows as inserts "
+            f"at v{ffv}, got {stamped}"
+        )
+    if t.read(spark, version=pre_ff).count() != n0 + n3:
+        raise AssertionError("time travel before the landing saw branch rows")
+    return t.read(spark).orderBy("event_id")
+
+
+@register(
+    "lake_constraints",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        WHERE o_orderkey <= 3000 AND o_totalprice > 0
+        ORDER BY o_orderkey
+    """,
+    tags=("lakehouse", "constraints", "quality"),
+)
+def lake_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level CHECK constraints under the driver hash gate: a clean
+    first wave lands, ``add_constraint`` validates it and arms the gate,
+    then a poisoned second wave (one row negated) must fail ATOMICALLY —
+    version unchanged, zero rows leaked, including the wave's good rows —
+    and the repaired wave lands. Also asserted inline: adding a
+    constraint existing rows violate refuses, and ``drop_constraint``
+    really un-gates. Final rowset = both clean waves, hash-checked.
+
+    The persistent, every-writer form of the quality gate the
+    reference's blind committer lacks (``pkg/batch_writer.go`` trusts
+    every record); per-source ingestion expectations cover one
+    pipeline, the table constraint covers them all."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    ).where(F.col("o_orderkey") <= 3000)
+    wave1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    wave2 = orders.where(F.col("o_orderkey") % 2 == 1)
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_ck_"))
+    t = cat.get_or_create_table("orders_ck", orders.schema)
+    t.append(wave1)
+    try:
+        t.add_constraint(spark, "impossible", "o_totalprice > 1e12")
+        raise AssertionError("constraint over violating rows must refuse")
+    except ValueError:
+        pass
+    t.add_constraint(spark, "price_positive", "o_totalprice > 0")
+    poisoned = wave2.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 1, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice")),
+    )
+    v_before = t.version()
+    try:
+        t.append(poisoned)
+        raise AssertionError("poisoned wave must fail the CHECK gate")
+    except ValueError:
+        pass
+    if t.version() != v_before or t.read(spark).count() != wave1.count():
+        raise AssertionError("failed write must leave the table untouched")
+    t.append(wave2)
+    t.drop_constraint("price_positive")
+    if t.constraints():
+        raise AssertionError("drop_constraint must clear the gate")
+    return t.read(spark).orderBy("o_orderkey")

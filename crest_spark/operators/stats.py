@@ -1241,3 +1241,181 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(ROUND(CAST(chi2_raw AS DECIMAL(30,8)), 4) AS DOUBLE)"
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit test & winsorized mean (shared SQL templates — the
+# same body runs in Spark SQL and DuckDB, only the table name differs).
+# ---------------------------------------------------------------------------
+
+# First significant digit extracted from the exact integer cents via string
+# head — no log10/pow on the data path, so digit assignment is pure integer
+# work. The only transcendental is LOG10 of the nine constant rationals in
+# the expected-probability column, rounded to 4 dp (glibc and the JVM agree
+# on these specific constants well past 4 dp).
+_BENFORD_SQL = """
+    WITH digits AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS {str_t}), 1, 1) AS INT) AS digit
+        FROM {orders}
+        WHERE o_totalprice > 0
+    ),
+    counted AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           CAST(ROUND(CAST(
+             CAST(n AS DOUBLE) / SUM(n) OVER ()
+           AS DECIMAL(30,12)), 4) AS DOUBLE) AS observed_p,
+           CAST(ROUND(CAST(
+             LOG10(1.0 + 1.0 / digit)
+           AS DECIMAL(30,12)), 4) AS DOUBLE) AS benford_p
+    FROM counted
+    ORDER BY digit
+"""
+
+
+@register(
+    "stats_benford",
+    oracle=_BENFORD_SQL.format(orders="orders", str_t="VARCHAR"),
+    tags=("stats", "quality", "benford"),
+)
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    first-significant-digit frequencies beside the Benford expectation
+    log10(1 + 1/d) — the classic fraud / synthetic-data screen.
+
+    One map-side-combinable aggregation over a 9-row key space; the
+    window normalization runs on 9 rows. Nothing here grows with the
+    corpus, so the plan is identical at 100 TB."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_bf_orders")
+    return spark.sql(
+        _BENFORD_SQL.format(orders="_bf_orders", str_t="STRING")
+    )
+
+
+# Winsorized mean with FULLY integer-deterministic cut points: the P5/P95
+# thresholds are the values AT ranks ceil(0.05*n) / ceil(0.95*n) of the
+# (cents, tiebreak) total order — a discrete percentile, so no
+# interpolation arithmetic whose last-ulp could differ across engines and
+# flip a clamp decision. Clamped sum stays BIGINT-exact; one final division.
+_WINSOR_SQL = """
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM {lineitem}
+    ),
+    ranked AS (
+        SELECT flag, cents,
+               ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM v
+    ),
+    cuts AS (
+        SELECT flag,
+               MAX(n) AS n,
+               MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                        THEN cents END) AS lo,
+               MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                        THEN cents END) AS hi
+        FROM ranked GROUP BY flag
+    )
+    SELECT r.flag, c.n,
+           CAST(ROUND(CAST(CAST(c.lo AS DOUBLE) / 100 AS DECIMAL(30,8)), 4) AS DOUBLE) AS p05,
+           CAST(ROUND(CAST(CAST(c.hi AS DOUBLE) / 100 AS DECIMAL(30,8)), 4) AS DOUBLE) AS p95,
+           CAST(ROUND(CAST(
+             CAST(SUM(LEAST(GREATEST(r.cents, c.lo), c.hi)) AS DOUBLE) / c.n / 100
+           AS DECIMAL(30,12)), 4) AS DOUBLE) AS winsor_mean,
+           CAST(ROUND(CAST(
+             CAST(SUM(r.cents) AS DOUBLE) / c.n / 100
+           AS DECIMAL(30,12)), 4) AS DOUBLE) AS raw_mean
+    FROM ranked r JOIN cuts c ON r.flag = c.flag
+    GROUP BY r.flag, c.n, c.lo, c.hi
+    ORDER BY r.flag
+"""
+
+
+@register(
+    "stats_winsorized",
+    oracle=_WINSOR_SQL.format(lineitem="lineitem"),
+    tags=("stats", "robust", "winsorize"),
+)
+def stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean of extended price per return flag (the robust
+    mean an outlier-heavy pipeline reports next to the raw mean), with
+    the discrete P5/P95 cut points themselves in the output.
+
+    Scale note: the per-group ROW_NUMBER total sort is the honest cost
+    of EXACT discrete percentiles — one shuffle partitioned by the
+    3-value flag. For very hot groups the production swap is
+    approx_percentile for the cuts + the same integer clamp-sum, which
+    drops the sort entirely; the exact form is what an oracle can
+    certify bit-for-bit. The cuts join broadcasts (3 rows)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_wz_lineitem"
+    )
+    return spark.sql(_WINSOR_SQL.format(lineitem="_wz_lineitem"))
+
+
+# Two-sample Kolmogorov-Smirnov test on exact-integer ECDFs: per distinct
+# value, both groups' cumulative counts are window-summed BIGINTs, so each
+# ECDF gap |c1/n1 - c2/n2| is one deterministic double expression and the
+# supremum D (and its z scaling) is bit-identical across engines.
+_KS_SQL = """
+    WITH v AS (
+        SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS g,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM {events}
+        WHERE event_type IN ('click', 'error')
+    ),
+    pv AS (
+        SELECT cents,
+               SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS a1,
+               SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS a2
+        FROM v GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents,
+               SUM(a1) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+               SUM(a2) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+               SUM(a1) OVER () AS n1,
+               SUM(a2) OVER () AS n2
+        FROM pv
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(ROUND(CAST(
+             MAX(ABS(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2))
+           AS DECIMAL(30,12)), 4) AS DOUBLE) AS d_stat,
+           CAST(ROUND(CAST(
+             MAX(ABS(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2))
+             * SQRT(CAST(MAX(n1) AS DOUBLE) * MAX(n2)
+                    / (MAX(n1) + MAX(n2)))
+           AS DECIMAL(30,12)), 4) AS DOUBLE) AS ks_z
+    FROM cum
+"""
+
+
+@register(
+    "stats_ks_test",
+    oracle=_KS_SQL.format(events="events"),
+    tags=("stats", "hypothesis", "ks"),
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov: the supremum gap between the
+    'click' and 'error' value ECDFs, with the sqrt(n1*n2/(n1+n2))
+    scaling used for significance lookup — the distribution-drift test
+    an A/B or data-quality pipeline runs beside the Welch t (mean
+    shift) and chi-square (categorical) tests already here.
+
+    Scale shape: one map-side-combinable aggregation collapses event
+    volume to distinct values; the cumulative window then runs over the
+    value domain (cents cardinality, not row count). The final MAX is a
+    single reduce. DuckDB types window SUMs over BIGINT as HUGEINT —
+    both sides CAST at the division, so engine int widths never leak
+    into the output schema."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_ks_ev")
+    return spark.sql(_KS_SQL.format(events="_ks_ev"))

@@ -404,3 +404,131 @@ def q34b_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(round4(_INTERP)).alias("value_interp"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("filled"),
     ).orderBy("event_type", "bucket_epoch")
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing & rolling z-score anomalies (shared SQL template: the same
+# body runs in Spark SQL and DuckDB; only the day-bucket expression and the
+# table name differ). Both pre-aggregate the fact to ONE exact-integer row
+# per day first, so the global ordered window that follows runs over the
+# day spine — O(#days) rows (36.5k rows per century), not event volume —
+# which is why a single-partition window is fine at 100 TB: the only
+# full-fact work is the map-side-combinable daily groupBy.
+# ---------------------------------------------------------------------------
+
+# alpha = 1/2 EWMA over the last 14 OBSERVED days, spelled as an explicit
+# lag chain with power-of-two weights: numerator and denominator are exact
+# BIGINT sums (weights 2^13..2^0, daily cents), so the only float op is one
+# final division — bit-identical across engines by IEEE determinism. A
+# window-SUM of weighted doubles would be summation-order-dependent; the
+# lag chain fixes the evaluation order in the expression tree itself.
+_EWMA_NUM = " + ".join(
+    f"COALESCE(LAG(cents, {j}) OVER w, 0) * {1 << (13 - j)}"
+    for j in range(14)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN LAG(cents, {j}) OVER w IS NOT NULL THEN {1 << (13 - j)} ELSE 0 END)"
+    for j in range(14)
+)
+_EWMA_SQL = """
+    WITH daily AS (
+        SELECT {day} AS day,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM {events}
+        GROUP BY 1
+    ),
+    weighted AS (
+        SELECT day, cents,
+               ({num}) AS num,
+               ({den}) AS den
+        FROM daily
+        WINDOW w AS (ORDER BY day)
+    )
+    SELECT day,
+           CAST(ROUND(CAST(CAST(cents AS DOUBLE) / 100 AS DECIMAL(30,8)), 4) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(CAST(num AS DOUBLE) / den / 100 AS DECIMAL(30,12)), 4) AS DOUBLE) AS ewma
+    FROM weighted
+    ORDER BY day
+"""
+
+_SPARK_DAY = "unix_timestamp(ts) DIV 86400"
+_DUCK_DAY_TS = "CAST(epoch_us(ts) // 1000000 AS BIGINT) // 86400"
+
+
+@register(
+    "ts_ewma",
+    oracle=_EWMA_SQL.format(
+        day=_DUCK_DAY_TS, events="events", num=_EWMA_NUM, den=_EWMA_DEN
+    ),
+    tags=("timeseries", "smoothing", "window"),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=1/2) of daily event
+    revenue over the last 14 observed days.
+
+    The weight of observation j days back is 2^(13-j), so numerator and
+    denominator stay exact integers; partial head windows renormalize by
+    the weights actually present. One full-fact shuffle (the daily
+    pre-aggregation, map-side combinable); the trend window itself runs
+    over the tiny day spine."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_ts_ev")
+    return spark.sql(
+        _EWMA_SQL.format(
+            day=_SPARK_DAY, events="_ts_ev", num=_EWMA_NUM, den=_EWMA_DEN
+        )
+    )
+
+
+# Rolling z-score anomaly detection: each day scored against the TRAILING
+# 30 observed days (current day excluded — an anomalous spike must not
+# inflate its own baseline). Mean and variance come from exact BIGINT
+# sum/sum-of-squares moments, so z is one deterministic double expression;
+# sqrt is correctly rounded by IEEE 754, making even the |z| > 2 FILTER
+# decision bit-identical across engines.
+_ZSCORE_SQL = """
+    WITH daily AS (
+        SELECT {day} AS day,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM {events}
+        GROUP BY 1
+    ),
+    m AS (
+        SELECT day, cents,
+               COUNT(cents) OVER w AS n,
+               SUM(cents) OVER w AS s,
+               SUM(cents * cents) OVER w AS ss
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+        SELECT day, cents, n,
+               (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                 / SQRT((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (n - 1))) AS z
+        FROM m
+        WHERE n = 7
+          AND n * ss > s * s
+    )
+    SELECT day,
+           CAST(ROUND(CAST(CAST(cents AS DOUBLE) / 100 AS DECIMAL(30,8)), 4) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(z AS DECIMAL(30,12)), 4) AS DOUBLE) AS zscore,
+           CAST(CASE WHEN ABS(z) > 2 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM scored
+    ORDER BY day
+"""
+
+
+@register(
+    "ts_zscore_anomaly",
+    oracle=_ZSCORE_SQL.format(day=_DUCK_DAY_TS, events="events"),
+    tags=("timeseries", "anomaly", "window"),
+)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose revenue deviates more than two trailing-window standard
+    scored against the trailing 7 observed days (the spike being
+    scored is excluded from its own baseline), with the |z| > 2 flag.
+    Same scale shape as ``ts_ewma``: one daily pre-aggregation shuffle,
+    then a day-spine window; the integer-moment variance makes the
+    anomaly flag itself (not just the reported score) engine-exact."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_ts_ev")
+    return spark.sql(_ZSCORE_SQL.format(day=_SPARK_DAY, events="_ts_ev"))

@@ -125,6 +125,13 @@ class SourceSpec:
     # for an out-of-band check (an aggregate-level validation, a human
     # sign-off) before any reader can see it.
     stage: bool = False
+    # Branch ingestion (append mode only): commit every micro-batch to a
+    # named branch ref — the MULTI-batch generalization of `stage`. The
+    # whole experiment/backfill pipeline runs invisible to main for as
+    # long as it needs, is audited via `table.read_branch(...)`, and
+    # lands atomically with `fast_forward` (or dies with `drop_branch`).
+    # The branch is created on first use. Mutually exclusive with stage.
+    branch: str | None = None
     # Batch-level AGGREGATE expectations, evaluated on the clean rows
     # (after derive and the row-level expect split): {rule_name: SQL
     # aggregate boolean, e.g. "COUNT(*) >= 10 AND AVG(value) < 1e6"}.
@@ -388,6 +395,9 @@ class IngestionService:
             # place (the README-promised evolution, README.md:24);
             # max_rows_per_file enforces batching.maxRows — dead config in
             # the reference (SURVEY §2.1 O20), a hard writer cap here
+            if source.branch and source.branch not in table.branches():
+                # first batch of a branch source forks the ref in place
+                table.create_branch(source.branch)
             table.append(
                 df,
                 writer_id=writer_id,
@@ -397,6 +407,7 @@ class IngestionService:
                 cluster_by=source.cluster_by,
                 bloom_for=source.bloom_for,
                 stage=stage_this,
+                branch=source.branch,
             )
 
         return write_batch

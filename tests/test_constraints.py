@@ -1,0 +1,130 @@
+"""Table-level CHECK constraints (Delta ``ALTER TABLE ADD CONSTRAINT``
+role): persistent, versioned row predicates that gate EVERY write path —
+append, merge, overwrite, staged, branch — at commit time, unlike the
+per-source ingestion expectations that only cover one pipeline.
+Enforcement reads back the newly written files (validating exactly the
+committed bytes), and a violation aborts the whole write atomically.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crest_spark.lakehouse import LakehouseCatalog
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return LakehouseCatalog(str(tmp_path / "wh"))
+
+
+def _mk(spark, cat, name="t"):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "id int, v double"
+    )
+    t = cat.get_or_create_table(name, df.schema)
+    t.append(df)
+    return t
+
+
+def test_add_constraint_gates_append_atomically(spark, cat):
+    t = _mk(spark, cat)
+    t.add_constraint(spark, "v_positive", "v > 0")
+    assert t.constraints() == {"v_positive": "v > 0"}
+    v_before = t.version()
+    bad = spark.createDataFrame([(11, -1.0), (12, 5.0)], "id int, v double")
+    with pytest.raises(ValueError, match="v_positive"):
+        t.append(bad)
+    # nothing committed, nothing leaked — the good row died with the batch
+    assert t.version() == v_before
+    assert t.read(spark).count() == 10
+    ok = spark.createDataFrame([(11, 1.0)], "id int, v double")
+    t.append(ok)
+    assert t.read(spark).count() == 11
+
+
+def test_null_violates_strict_check(spark, cat):
+    t = _mk(spark, cat)
+    t.add_constraint(spark, "v_present", "v IS NOT NULL AND v > 0")
+    null_row = spark.createDataFrame([(20, None)], "id int, v double")
+    with pytest.raises(ValueError, match="v_present"):
+        t.append(null_row)
+
+
+def test_add_constraint_validates_existing_rows(spark, cat):
+    t = _mk(spark, cat)
+    with pytest.raises(ValueError, match="existing"):
+        t.add_constraint(spark, "v_big", "v > 100")
+    assert t.constraints() == {}
+
+
+def test_constraint_gates_merge_and_overwrite(spark, cat):
+    t = _mk(spark, cat)
+    t.add_constraint(spark, "v_positive", "v > 0")
+    bad_upd = spark.createDataFrame([(1, -9.0)], "id int, v double")
+    with pytest.raises(ValueError, match="v_positive"):
+        t.merge(spark, bad_upd, key="id")
+    assert t.read(spark).where(F.col("v") < 0).count() == 0
+    with pytest.raises(ValueError, match="v_positive"):
+        t.overwrite(bad_upd)
+    t.merge(
+        spark,
+        spark.createDataFrame([(1, 99.0)], "id int, v double"),
+        key="id",
+    )
+    assert {
+        r["v"] for r in t.read(spark).where(F.col("id") == 1).collect()
+    } == {99.0}
+
+
+def test_constraint_gates_staged_and_branch_writes(spark, cat):
+    t = _mk(spark, cat)
+    t.add_constraint(spark, "v_positive", "v > 0")
+    bad = spark.createDataFrame([(30, -1.0)], "id int, v double")
+    with pytest.raises(ValueError, match="v_positive"):
+        t.append(bad, stage=True)
+    t.create_branch("b")
+    with pytest.raises(ValueError, match="v_positive"):
+        t.append(bad, branch="b")
+
+
+def test_drop_constraint_and_errors(spark, cat):
+    t = _mk(spark, cat)
+    t.add_constraint(spark, "c", "v > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint(spark, "c", "v > 1")
+    t.drop_constraint("c")
+    assert t.constraints() == {}
+    with pytest.raises(ValueError, match="no constraint"):
+        t.drop_constraint("c")
+    # gate is really gone
+    t.append(spark.createDataFrame([(40, -5.0)], "id int, v double"))
+    assert t.read(spark).where(F.col("v") < 0).count() == 1
+
+
+def test_rollback_restores_constraint_state(spark, cat):
+    t = _mk(spark, cat)
+    pre = t.version()
+    t.add_constraint(spark, "c", "v > 0")
+    t.rollback(pre)
+    assert t.constraints() == {}
+    t.append(spark.createDataFrame([(50, -1.0)], "id int, v double"))
+    post_unguarded = t.version()
+    t.add_constraint(spark, "c2", "id < 1000")
+    t.rollback(post_unguarded)
+    assert t.constraints() == {}
+
+
+def test_expire_preserves_constraints_across_boundary(spark, cat):
+    t = _mk(spark, cat)
+    t.add_constraint(spark, "c", "v > 0")
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(100 + i, 1.0)], "id int, v double")
+        )
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired  # the set_constraint commit itself was expired
+    assert t.constraints() == {"c": "v > 0"}
+    with pytest.raises(ValueError, match="'c'"):
+        t.append(spark.createDataFrame([(200, -1.0)], "id int, v double"))

@@ -1143,3 +1143,101 @@ def test_history_and_files_metadata_tables(spark, sf_dir, tmp_path):
     assert t.files_meta(spark, version=sv).count() == len(
         t.snapshots()[1].files
     )
+
+
+def test_merge_sync_deletes_not_matched_by_source(spark, sf_dir, tmp_path):
+    """not_matched_by_source='delete': full-snapshot sync — the
+    post-merge key set is exactly the source's; matched keys update,
+    new keys insert, absent keys die."""
+    src = load_table(spark, sf_dir, "nation")
+    t = _cat(tmp_path).get_or_create_table("nation", src.schema)
+    t.append(src)
+    snapshot = (
+        src.where(F.col("n_nationkey") < 10)
+        .withColumn("n_name", F.lower(F.col("n_name")))
+        .unionByName(
+            spark.createDataFrame([(99, "newland", 0)], src.schema)
+        )
+    )
+    t.merge(
+        spark,
+        snapshot,
+        key="n_nationkey",
+        not_matched_by_source="delete",
+    )
+    out = {r["n_nationkey"]: r["n_name"] for r in t.read(spark).collect()}
+    assert set(out) == set(range(10)) | {99}
+    assert out[0] == out[0].lower()  # matched key updated
+    assert out[99] == "newland"  # inserted
+    import pytest
+
+    with pytest.raises(ValueError, match="truncate"):
+        t.merge(
+            spark,
+            snapshot.limit(0),
+            key="n_nationkey",
+            not_matched_by_source="delete",
+        )
+    with pytest.raises(ValueError, match="copy-on-write"):
+        t.merge(
+            spark,
+            snapshot,
+            key="n_nationkey",
+            strategy="mor",
+            not_matched_by_source="delete",
+        )
+
+
+def test_merge_sync_sequence_col_protects_newer_target(spark, tmp_path):
+    """Sync + sequence_col: a stale snapshot row must NOT overwrite a
+    newer target version of a matched key, but absent keys still die
+    unconditionally."""
+    df0 = spark.createDataFrame(
+        [(1, "newer", 5), (2, "old", 1), (3, "doomed", 1)],
+        "id int, val string, seq int",
+    )
+    t = _cat(tmp_path).get_or_create_table("d", df0.schema)
+    t.append(df0)
+    snap = spark.createDataFrame(
+        [(1, "stale", 3), (2, "fresh", 4)], t.schema()
+    )
+    t.merge(
+        spark,
+        snap,
+        key="id",
+        sequence_col="seq",
+        not_matched_by_source="delete",
+    )
+    out = {r["id"]: (r["val"], r["seq"]) for r in t.read(spark).collect()}
+    assert out == {1: ("newer", 5), 2: ("fresh", 4)}
+
+
+def test_merge_sync_change_feed_stages_deletes(spark, tmp_path):
+    """Sync + change_feed: not-matched rows surface as 'delete'
+    preimages in the CDF alongside the update pre/postimages."""
+    df0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, val string"
+    )
+    t = _cat(tmp_path).get_or_create_table("d", df0.schema)
+    t.append(df0)
+    v0 = t.version()
+    snap = spark.createDataFrame([(1, "a2"), (4, "d")], t.schema())
+    t.merge(
+        spark,
+        snap,
+        key="id",
+        change_feed=True,
+        not_matched_by_source="delete",
+    )
+    ch = {
+        (r["_change_type"], r["id"])
+        for r in t.read_changes(spark, after=v0, cdf=True).collect()
+    }
+    assert ch == {
+        ("update_preimage", 1),
+        ("update_postimage", 1),
+        ("insert", 4),
+        ("delete", 2),
+        ("delete", 3),
+    }
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 4}

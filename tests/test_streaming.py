@@ -1719,3 +1719,43 @@ def test_continuous_matview_over_ingested_mor_sequence_stream(
         .count()
     )
     assert t2.read(spark).count() == want_users
+
+
+def test_ingest_branch_mode_lands_on_branch_then_fast_forwards(
+    spark, sf_dir, tmp_path
+):
+    """`branch:` ingestion — the experiment/backfill pipeline: every
+    micro-batch commits to the named branch ref (auto-created on first
+    batch), invisible to main until `fast_forward` lands the whole run
+    in one commit."""
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=3, order_col="event_id"
+    )
+    n_total = load_table(spark, sf_dir, "events").count()
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="events",
+                path=staging,
+                files_per_trigger=1,
+                branch="backfill",
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+    t = svc.catalog.table("events")
+    # main is untouched; the branch carries all three micro-batches
+    assert t.read(spark).count() == 0
+    br = t.branches()["backfill"]
+    assert len(br["entries"]) == 3
+    assert t.read_branch(spark, "backfill").count() == n_total
+    # replaying the stream is a no-op (batch ids recorded on the branch)
+    svc2 = IngestionService(spark, cfg)
+    svc2.run_once()
+    assert len(t.branches()["backfill"]["entries"]) == 3
+    t.fast_forward("backfill")
+    assert t.read(spark).count() == n_total
+    assert "backfill" not in t.branches()
