@@ -1419,3 +1419,72 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the output schema."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("_ks_ev")
     return spark.sql(_KS_SQL.format(events="_ks_ev"))
+
+
+# Mann-Whitney U (Wilcoxon rank-sum) with tie correction, integer-exact:
+# per distinct value the doubled average rank is 2*c_prev + cnt + 1 — an
+# integer — so the rank sum, U, and every variance moment (including the
+# sum of t^3 - t over tie groups) stay exact BIGINTs; z is one closed-form
+# double expression identical in both engines.
+_MWU_SQL = """
+    WITH v AS (
+        SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS g,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM {events}
+        WHERE event_type IN ('click', 'error')
+    ),
+    pv AS (
+        SELECT cents,
+               SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS a1,
+               COUNT(*) AS cnt
+        FROM v GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents, a1, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS c_prev
+        FROM pv
+    ),
+    m AS (
+        SELECT CAST(SUM(a1) AS BIGINT) AS n1,
+               CAST(SUM(cnt) - SUM(a1) AS BIGINT) AS n2,
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(a1 * (2 * c_prev + cnt + 1)) AS BIGINT) AS r2_1,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        FROM cum
+    )
+    SELECT n1, n2,
+           CAST(ROUND(CAST(
+             (CAST(r2_1 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + 1)) / 2
+             - CAST(n1 AS DOUBLE) * n2 / 2
+           AS DECIMAL(30,12)), 4) AS DOUBLE) AS u_minus_mean,
+           CAST(ROUND(CAST(
+             ((CAST(r2_1 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + 1)) / 2
+              - CAST(n1 AS DOUBLE) * n2 / 2)
+             / SQRT(CAST(n1 AS DOUBLE) * n2 / 12
+                    * ((n + 1) - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))
+           AS DECIMAL(30,12)), 4) AS DOUBLE) AS mwu_z
+    FROM m
+"""
+
+
+@register(
+    "stats_mann_whitney",
+    oracle=_MWU_SQL.format(events="events"),
+    tags=("stats", "hypothesis", "rank"),
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing 'click' vs 'error'
+    value distributions: the nonparametric location test beside the
+    Welch t (means), chi-square (categoricals) and KS (full
+    distribution) already here — U's centered value and the
+    tie-corrected normal z.
+
+    Scale shape identical to ``stats_ks_test``: one map-side-combinable
+    collapse to distinct values, a cumulative window over the value
+    domain (not rows), one final reduce. Ranks never materialize
+    per-row — the doubled-average-rank identity turns the whole rank
+    sum into an aggregate over value counts."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_mw_ev")
+    return spark.sql(_MWU_SQL.format(events="_mw_ev"))

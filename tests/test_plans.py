@@ -380,3 +380,65 @@ def test_triangle_count_degree_broadcast_no_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert uses_broadcast_join(df)
+
+
+def test_q64_markov_single_fact_shuffle_no_join(spark, sf_dir):
+    """Markov transitions: one per-user window shuffle over the fact,
+    then pair aggregation + per-src normalization on the tiny
+    transition table — never a join, never a second fact pass."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["q64_markov_transitions"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan
+    # user window + pair agg + src window + output sort
+    assert shuffle_count(df) <= 4
+
+
+def test_q65_rfm_single_fact_aggregation(spark, sf_dir):
+    """RFM: the orders fact is shuffled ONCE (per-customer aggregate);
+    the NTILE windows and segment rollup run on the customer dimension.
+    No join anywhere."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["q65_rfm_segments"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan
+
+
+def test_ts_ewma_single_fact_shuffle_day_spine_window(spark, sf_dir):
+    """EWMA: one map-side-combinable daily aggregation over the fact;
+    the lag-chain window runs on the day spine. No join; the window
+    must not re-shuffle the raw fact."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["ts_ewma"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan
+    # daily agg + day-spine window/sort
+    assert shuffle_count(df) <= 3
+
+
+def test_ks_test_aggregates_before_window(spark, sf_dir):
+    """KS: event volume collapses to distinct cents values BEFORE the
+    cumulative window — the window input is the value domain, not rows.
+    No join; the pushed filter keeps non-compared event types out of
+    the scan."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["stats_ks_test"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan
+    assert has_pushed_filter(df, "event_type")
+
+
+def test_paragraph_dedup_no_cartesian(spark, sf_dir):
+    """Paragraph dedup: corpus-wide first-occurrence resolution is a
+    WINDOW partitioned by paragraph (plus the doc regroup) — never a
+    self-join of the paragraph set."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["curation_paragraph_dedup"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
