@@ -48,6 +48,24 @@ class LakehouseCatalog:
     def table(self, name: str, namespace: str | None = None) -> LakehouseTable:
         return LakehouseTable(self.warehouse, namespace or self.default_namespace, name)
 
+    def transaction(self):
+        """Open a multi-table append transaction (see
+        ``lakehouse/transaction.py``): appends inside the block stage
+        invisibly across any number of tables; a clean exit publishes
+        all of them behind one atomic journal record, an exception
+        discards everything. Opening a transaction first rolls forward
+        any crashed predecessor's journal."""
+        from crest_spark.lakehouse.transaction import Transaction
+
+        return Transaction(self)
+
+    def recover_transactions(self) -> list[str]:
+        """Roll forward journaled-but-unfinished multi-table
+        transactions (idempotent; see ``lakehouse/transaction.py``)."""
+        from crest_spark.lakehouse.transaction import recover_transactions
+
+        return recover_transactions(self)
+
     def get_or_create_table(
         self, name: str, schema: StructType, namespace: str | None = None
     ) -> LakehouseTable:

@@ -376,3 +376,93 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("user_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-source shortest path: frontier BFS over the purchase graph
+# ---------------------------------------------------------------------------
+
+_BFS_SRC = 1  # customer node 1 (TPC-H custkeys start at 1 at every SF)
+_BFS_MAX_DIST = 4
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=f"""
+        WITH RECURSIVE edges0 AS (
+            SELECT DISTINCT o.o_custkey AS a,
+                            l.l_suppkey + {_PR_OFF} AS b
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM edges0
+            UNION ALL
+            SELECT b AS src, a AS dst FROM edges0
+        ),
+        bfs AS (
+            SELECT CAST({_BFS_SRC} AS BIGINT) AS node, 0 AS dist
+            UNION
+            SELECT e.dst, b.dist + 1
+            FROM bfs b JOIN edges e ON e.src = b.node
+            WHERE b.dist < {_BFS_MAX_DIST}
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(MIN(dist) AS BIGINT) AS dist
+        FROM bfs GROUP BY node ORDER BY node
+    """,
+    tags=("graph", "iterative", "bfs", "shortest-path"),
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest-path distances (unweighted BFS) from
+    customer node 1 over the symmetrized customer–supplier purchase
+    graph, capped at distance 4 — the canonical frontier-expansion
+    workload, oracle-gated because hop counts are integers (no float
+    drift to pin).
+
+    Plan: the edge relation materializes once (distinct pairs from one
+    orders⋈lineitem join, symmetrized, localCheckpoint'd). Each round
+    then joins only the CURRENT FRONTIER — the nodes first reached last
+    round, a strictly shrinking set once the wave passes the graph's
+    dense core — against edges, and an anti-join against the settled
+    distance map keeps the frontier minimal (a visited node never
+    re-expands, so total join work is O(sum of frontier degrees) =
+    O(m), not O(m · depth)). DuckDB's recursive CTE re-derives the
+    same wave with UNION-dedup; the MIN(dist) fold is the same
+    first-visit-wins rule the anti-join enforces incrementally. At
+    100 TB the same loop runs over a bucketed edge table (bucket by
+    src) so each wave shuffles only the frontier, never the graph."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + F.lit(_PR_OFF)).alias("b"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    dist = spark.createDataFrame(
+        [(_BFS_SRC, 0)], "node long, dist long"
+    ).localCheckpoint()
+    frontier = dist.select("node")
+    for hop in range(1, _BFS_MAX_DIST + 1):
+        reached = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint()
+        )
+        if new.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(new).localCheckpoint()
+        frontier = new.select("node")
+    return dist.select("node", "dist").orderBy("node")

@@ -1488,3 +1488,57 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum into an aggregate over value counts."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("_mw_ev")
     return spark.sql(_MWU_SQL.format(events="_mw_ev"))
+
+
+# One-way ANOVA: the k-group generalization of the Welch pattern. The
+# second-level sums run over a handful of GROUP rows, but double
+# addition is still order-sensitive, so each group term is rounded and
+# carried as DECIMAL into the fold — both engines then feed bit-identical
+# SS terms into the identical closed form.
+_ANOVA_INNER = f"""
+        SELECT event_type,
+               COUNT(*) AS n,
+               {_W_S1} AS s1,
+               {_W_S2} AS s2
+        FROM {{events}} GROUP BY event_type
+"""
+_ANOVA_SQL = f"""
+    WITH g AS ({_ANOVA_INNER}),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(CAST(ROUND(s1, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s1_tot,
+               CAST(SUM(CAST(ROUND(s1 * s1 / n, 4) AS DECIMAL(38,4))) AS DOUBLE) AS ssb_raw,
+               CAST(SUM(CAST(ROUND(s2 - s1 * s1 / n, 4) AS DECIMAL(38,4))) AS DOUBLE) AS ssw
+        FROM g
+    )
+    SELECT k, n_total,
+           {round4("ssb_raw - s1_tot * s1_tot / n_total")} AS ss_between,
+           {round4("ssw")} AS ss_within,
+           {round4(
+               "((ssb_raw - s1_tot * s1_tot / n_total) / (k - 1))"
+               " / (ssw / (n_total - k))"
+           )} AS f_stat
+    FROM t
+"""
+
+
+@register(
+    "stats_anova_f",
+    oracle=_ANOVA_SQL.format(events="events"),
+    tags=("stats", "hypothesis"),
+)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test across every event type's value
+    distribution: between-group and within-group sums of squares plus
+    the F statistic, closed-form from per-group moment sums.
+
+    Scale shape: ONE map-side-combinable aggregation over the fact
+    produces every per-group (n, Σx, Σx²); the second aggregation folds
+    k group rows — driver-trivial at any corpus size. No per-group
+    subqueries, no second fact pass. Exactness: the fact-level moment
+    sums are DECIMAL (order-independent); the k-row fold rounds each
+    group term to 4 dp and sums as DECIMAL, so both engines feed
+    bit-identical SS terms into the identical F formula."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_anova_ev")
+    return spark.sql(_ANOVA_SQL.format(events="_anova_ev"))

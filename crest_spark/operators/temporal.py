@@ -302,3 +302,151 @@ def q63_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("longest_streak"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@register(
+    "q66_attribution_position",
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id, ts, event_type FROM events
+            WHERE event_type IN ('view', 'click')
+        ),
+        f AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT f.user_id, f.ts AS fts, f.value,
+                   t.event_type AS channel, t.ts AS tts
+            FROM f JOIN t
+              ON t.user_id = f.user_id
+             AND t.ts <= f.ts
+             AND epoch_us(f.ts) - epoch_us(t.ts) <= {_LOOKBACK_US}
+        ),
+        sized AS (
+            SELECT *,
+                   COUNT(*) OVER (PARTITION BY user_id, fts) AS nt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, fts
+                       ORDER BY tts, channel
+                   ) AS rn
+            FROM j
+        ),
+        credited AS (
+            SELECT channel, value,
+                   CASE WHEN nt = 1 THEN 1.0
+                        WHEN nt = 2 THEN 0.5
+                        WHEN rn = 1 OR rn = nt THEN 0.4
+                        ELSE CAST(0.2 AS DOUBLE) / (nt - 2) END AS credit
+            FROM sized
+            UNION ALL
+            SELECT 'direct' AS channel, f.value, 1.0 AS credit
+            FROM f
+            WHERE NOT EXISTS (
+                SELECT 1 FROM t
+                WHERE t.user_id = f.user_id AND t.ts <= f.ts
+                  AND epoch_us(f.ts) - epoch_us(t.ts) <= {_LOOKBACK_US}
+            )
+        )
+        SELECT channel,
+               CAST(SUM(CAST(ROUND(credit, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS conversions,
+               CAST(SUM(CAST(ROUND(credit * value, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS revenue
+        FROM credited
+        GROUP BY channel
+        ORDER BY channel
+    """,
+    tags=("temporal", "attribution", "behavioral"),
+)
+def q66_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution with a 7-day
+    lookback: each purchase splits its credit 40% / 20% / 40% across
+    first / middle / last preceding touchpoints (100% for one touch,
+    50/50 for two, 'direct' when none), yielding fractional conversions
+    and credited revenue per channel.
+
+    Unlike last-touch (q62), every touch in the window earns credit, so
+    the purchase needs its full touch LIST — carried as a running
+    collect_list over the per-user timeline (ONE shuffle, same
+    union-window form as q62), then filtered to the lookback and
+    credited row-locally by array position. The per-user event history
+    bounds the array, the 7-day filter bounds the credited slice. The
+    oracle's fact×touch range join + COUNT/ROW_NUMBER windows is the
+    two-extra-shuffle spelling this form avoids. Credit sums are
+    rounded-then-DECIMAL so both engines fold fractional credits
+    order-independently."""
+    ev = load_table(spark, sf_dir, "events")
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_type").alias("ch"),
+        F.lit(None).cast("double").alias("amount"),
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(None).cast("string").alias("ch"),
+        F.col("value").alias("amount"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("ch").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # running (ts, channel) history; purchases filter it to the window.
+    # orderBy includes ch so ties at one timestamp enumerate in the same
+    # (tts, channel) order as the oracle's ROW_NUMBER; purchase rows
+    # (null ch) sort AFTER same-instant touches so the oracle's
+    # t.ts <= f.ts inclusion holds on ties.
+    hist = (
+        touch.unionByName(fact)
+        .withColumn(
+            "touches",
+            F.collect_list(
+                F.when(
+                    F.col("ch").isNotNull(),
+                    F.struct(F.col("ts_us").alias("tts"), F.col("ch")),
+                )
+            ).over(w),
+        )
+        .where(F.col("amount").isNotNull())
+        .withColumn(
+            "win",
+            F.filter(
+                "touches",
+                lambda s: s["tts"] >= F.col("ts_us") - F.lit(_LOOKBACK_US),
+            ),
+        )
+    )
+    nt = F.size("win")
+    credited = hist.select(
+        "amount",
+        nt.alias("nt"),
+        F.posexplode_outer("win").alias("pos", "tch"),
+    ).select(
+        F.coalesce(F.col("tch.ch"), F.lit("direct")).alias("channel"),
+        "amount",
+        F.when(F.col("nt") <= 1, F.lit(1.0))  # one touch, or direct
+        .when(F.col("nt") == 2, F.lit(0.5))
+        .when(
+            (F.col("pos") == 0) | (F.col("pos") == F.col("nt") - 1),
+            F.lit(0.4),
+        )
+        .otherwise(F.lit(0.2) / (F.col("nt") - 2))
+        .alias("credit"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(credit, 6) AS DECIMAL(38,6)))"
+                " AS DOUBLE)"
+            ).alias("conversions"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(credit * amount, 4) AS DECIMAL(38,4)))"
+                " AS DOUBLE)"
+            ).alias("revenue"),
+        )
+        .orderBy("channel")
+    )

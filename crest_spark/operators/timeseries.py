@@ -532,3 +532,82 @@ def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     anomaly flag itself (not just the reported score) engine-exact."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("_ts_ev")
     return spark.sql(_ZSCORE_SQL.format(day=_SPARK_DAY, events="_ts_ev"))
+
+
+# CUSUM changepoint detection. The textbook recursion
+# S_i = max(0, S_{i-1} + dev_i) is not window-expressible, but it has a
+# closed prefix form: S_i = P_i - min(0, min_{j<=i} P_j) where
+# P = running sum of dev — so the whole detector is two cumulative
+# windows per series, no recursion, no UDF. dev is rounded to DECIMAL
+# before the cumulative fold, so the running sums are exact and
+# order-independent in both engines; mu/sigma come from exact BIGINT
+# cent moments, making the breach flag itself engine-exact.
+_CUSUM_SQL = """
+    WITH daily AS (
+        SELECT event_type, {day} AS day,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM {events}
+        GROUP BY event_type, {day}
+    ),
+    base AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(cents) AS s1, SUM(cents * cents) AS s2
+        FROM daily GROUP BY event_type
+    ),
+    par AS (
+        SELECT event_type,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               SQRT((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (n - 1))) AS sigma
+        FROM base WHERE n > 1
+    ),
+    dev AS (
+        SELECT d.event_type, d.day, p.sigma,
+               CAST(ROUND(CAST(d.cents AS DOUBLE) - p.mu
+                          - CAST(0.5 AS DOUBLE) * p.sigma, 4)
+                    AS DECIMAL(38,4)) AS dev
+        FROM daily d JOIN par p ON d.event_type = p.event_type
+    ),
+    cum AS (
+        SELECT event_type, day, sigma,
+               SUM(dev) OVER (PARTITION BY event_type ORDER BY day) AS p
+        FROM dev
+    ),
+    s AS (
+        SELECT event_type, day, sigma,
+               p - LEAST(CAST(0 AS DECIMAL(38,4)),
+                         MIN(p) OVER (PARTITION BY event_type ORDER BY day)) AS cs
+        FROM cum
+    )
+    SELECT event_type, day,
+           CAST(ROUND(CAST(CAST(cs AS DOUBLE) / 100 AS DECIMAL(30,8)), 4)
+                AS DOUBLE) AS cusum,
+           CAST(CASE WHEN CAST(cs AS DOUBLE) > CAST(4 AS DOUBLE) * sigma
+                THEN 1 ELSE 0 END AS INT) AS breach
+    FROM s
+    ORDER BY event_type, day
+"""
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle=_CUSUM_SQL.format(day=_DUCK_DAY_TS, events="events"),
+    tags=("timeseries", "changepoint", "window"),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM upward-shift detector per event-type revenue
+    series: daily totals against a mu + 0.5 sigma allowance, breach when
+    the cumulative excursion passes 4 sigma — the standard
+    sequential-changepoint chart, expressed without recursion via the
+    prefix identity S_i = P_i - min(0, running-min P).
+
+    Scale shape: one map-side-combinable daily pre-aggregation over the
+    fact; per-series (mu, sigma) from exact integer cent moments on the
+    tiny daily relation; then two cumulative windows PARTITIONED BY
+    series — thousands of independent series parallelize across
+    partitions, nothing global. Exactness: integer cents -> exact
+    moments -> identical doubles for mu/sigma in both engines; the
+    order-sensitive cumulative folds run over 4-dp DECIMAL, so S and
+    the breach flag are bit-identical."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_cusum_ev")
+    return spark.sql(_CUSUM_SQL.format(day=_SPARK_DAY, events="_cusum_ev"))

@@ -147,6 +147,7 @@ def load_all() -> dict[str, QuerySpec]:
     import crest_spark.operators.tpch_shapes  # noqa: F401
     import crest_spark.operators.tpch_shapes2  # noqa: F401
     import crest_spark.operators.udf  # noqa: F401
+    import crest_spark.operators.vector_index  # noqa: F401
     import crest_spark.streaming.queries  # noqa: F401
 
     return REGISTRY

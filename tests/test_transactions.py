@@ -1,0 +1,139 @@
+"""Multi-table append transactions: stage-all / journal / publish-all
+with crash roll-forward (see ``lakehouse/transaction.py`` for the exact
+guarantee). The fan-out ingest shape: fact + quarantine + metrics must
+appear together or not at all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from crest_spark.lakehouse import LakehouseCatalog
+from crest_spark.lakehouse.transaction import recover_transactions
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return LakehouseCatalog(str(tmp_path / "wh"))
+
+
+def _dfs(spark):
+    fact = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    quar = spark.createDataFrame([(9, "bad")], "id int, reason string")
+    stats = spark.createDataFrame([(1, 2, 1)], "batch int, ok int, bad int")
+    return fact, quar, stats
+
+
+def test_commit_publishes_all_tables_atomically(spark, cat):
+    fact, quar, stats = _dfs(spark)
+    with cat.transaction() as txn:
+        txn.append("fact", fact)
+        txn.append("quarantine", quar)
+        txn.append("metrics", stats)
+        # nothing visible inside the block
+        assert cat.table("fact").read(spark).count() == 0
+        assert cat.table("quarantine").read(spark).count() == 0
+    assert cat.table("fact").read(spark).count() == 2
+    assert cat.table("quarantine").read(spark).count() == 1
+    assert cat.table("metrics").read(spark).count() == 1
+    # journal retired
+    assert os.listdir(os.path.join(cat.warehouse, "_txns")) == []
+
+
+def test_exception_aborts_and_discards_everything(spark, cat):
+    fact, quar, _ = _dfs(spark)
+    with pytest.raises(RuntimeError, match="boom"):
+        with cat.transaction() as txn:
+            txn.append("fact", fact)
+            txn.append("quarantine", quar)
+            raise RuntimeError("boom")
+    assert cat.table("fact").read(spark).count() == 0
+    assert cat.table("quarantine").read(spark).count() == 0
+    assert cat.table("fact").pending_staged() == {}
+    assert cat.table("quarantine").pending_staged() == {}
+
+
+def test_crash_after_journal_rolls_forward(spark, cat):
+    """Simulate a crash AT the commit point: journal written, no table
+    published. Recovery (run implicitly by the next transaction) must
+    publish everything the journal lists."""
+    fact, quar, _ = _dfs(spark)
+    txn = cat.transaction()
+    sv_f = txn.append("fact", fact)
+    sv_q = txn.append("quarantine", quar)
+    # hand-write the journal exactly as commit() would, then "crash"
+    tdir = os.path.join(cat.warehouse, "_txns")
+    os.makedirs(tdir, exist_ok=True)
+    rec = {
+        "txn_id": "deadbeef",
+        "ops": [
+            {"namespace": "default", "table": "fact", "staged": [sv_f]},
+            {"namespace": "default", "table": "quarantine", "staged": [sv_q]},
+        ],
+    }
+    with open(os.path.join(tdir, "txn-deadbeef.json"), "w") as fh:
+        json.dump(rec, fh)
+    del txn  # crashed: no publish ran
+    assert cat.table("fact").read(spark).count() == 0
+    done = recover_transactions(cat)
+    assert done == ["txn-deadbeef"]
+    assert cat.table("fact").read(spark).count() == 2
+    assert cat.table("quarantine").read(spark).count() == 1
+    # recovery is idempotent
+    assert recover_transactions(cat) == []
+
+
+def test_crash_mid_publish_rolls_forward_remainder(spark, cat):
+    """Crash AFTER publishing table 1 of 2: recovery publishes only the
+    still-pending remainder (publish is idempotent per table)."""
+    fact, quar, _ = _dfs(spark)
+    txn = cat.transaction()
+    sv_f = txn.append("fact", fact)
+    sv_q = txn.append("quarantine", quar)
+    tdir = os.path.join(cat.warehouse, "_txns")
+    os.makedirs(tdir, exist_ok=True)
+    rec = {
+        "txn_id": "cafe",
+        "ops": [
+            {"namespace": "default", "table": "fact", "staged": [sv_f]},
+            {"namespace": "default", "table": "quarantine", "staged": [sv_q]},
+        ],
+    }
+    with open(os.path.join(tdir, "txn-cafe.json"), "w") as fh:
+        json.dump(rec, fh)
+    cat.table("fact").publish_staged([sv_f])  # table 1 made it
+    # next transaction's constructor runs recovery first
+    with cat.transaction() as txn2:
+        txn2.append(
+            "metrics",
+            spark.createDataFrame([(1, 1, 0)], "b int, ok int, bad int"),
+        )
+    assert cat.table("quarantine").read(spark).count() == 1
+    assert cat.table("metrics").read(spark).count() == 1
+    assert [
+        f for f in os.listdir(tdir) if f.startswith("txn-")
+    ] == []
+
+
+def test_transaction_exactly_once_batch_ids(spark, cat):
+    """writer/batch ids pass through to the staged commits, so a
+    replayed transactional micro-batch is a no-op end to end."""
+    fact, quar, _ = _dfs(spark)
+    with cat.transaction() as txn:
+        assert txn.append("fact", fact, writer_id="w", batch_id=1) is not None
+    with cat.transaction() as txn:
+        assert txn.append("fact", fact, writer_id="w", batch_id=1) is None
+    assert cat.table("fact").read(spark).count() == 2
+
+
+def test_commit_twice_raises_and_empty_commit_ok(spark, cat):
+    txn = cat.transaction()
+    assert txn.commit() == {}
+    with pytest.raises(ValueError, match="already"):
+        txn.commit()
+    fact, _, _ = _dfs(spark)
+    with pytest.raises(ValueError, match="already"):
+        txn.append("fact", fact)
