@@ -957,7 +957,11 @@ class LakehouseTable:
         files = [f for e in pending.values() for f in e["files"]]
         return self._read_files(spark, files, json.dumps(schema.jsonValue()))
 
-    def publish_staged(self, versions: list[int] | None = None) -> int | None:
+    def publish_staged(
+        self,
+        versions: list[int] | None = None,
+        spark: SparkSession | None = None,
+    ) -> int | None:
         """Make staged commits live (the WAP publish / Iceberg
         cherry-pick): ONE metadata-only commit lists the staged files as
         ordinary appended files — they take the publish commit's
@@ -994,6 +998,9 @@ class LakehouseTable:
                 schema = self._evolved_schema(
                     schema, StructType.fromJson(json.loads(e["schema"]))
                 )
+            self._validate_late_constraints(
+                {v: pending[v] for v in take}, spark
+            )
             try:
                 version = self._try_commit(
                     {
@@ -1163,7 +1170,9 @@ class LakehouseTable:
         self._maybe_checkpoint(version)
         return version
 
-    def fast_forward(self, name: str) -> int | None:
+    def fast_forward(
+        self, name: str, spark: SparkSession | None = None
+    ) -> int | None:
         """Land the branch on main: ONE metadata-only commit lists every
         branch commit's files as ordinary appends — they take the
         fast-forward commit's file_seq, so merge-on-read deltas
@@ -1194,6 +1203,9 @@ class LakehouseTable:
                 schema = self._evolved_schema(
                     schema, StructType.fromJson(json.loads(e["schema"]))
                 )
+            self._validate_late_constraints(
+                {int(v): e for v, e in info["entries"].items()}, spark
+            )
             try:
                 version = self._try_commit(
                     {
@@ -1306,14 +1318,22 @@ class LakehouseTable:
         spark: SparkSession,
         new_files: list[str],
         schema_json: str,
-        txn_dir: str,
+        txn_dir: str | None,
+        cons: dict[str, str] | None = None,
     ) -> None:
         """Gate a write: read back the NEWLY written files (validating
         exactly the bytes being committed — immune to non-deterministic
         input plans) and fail the whole write atomically on the first
         violated constraint. Cost is one scan of the new files only;
-        kept/unchanged files were validated when they were written."""
-        cons = self.constraints()
+        kept/unchanged files were validated when they were written.
+
+        ``cons`` overrides the constraint set (used by the late-constraint
+        check at publish/fast-forward, which validates only constraints
+        added AFTER the pending entry was written); ``txn_dir=None`` skips
+        the cleanup (the files belong to a historical commit record, not
+        a transaction directory owned by this call)."""
+        if cons is None:
+            cons = self.constraints()
         if not cons or not new_files:
             return
         df = self._read_files(spark, new_files, schema_json)
@@ -1329,14 +1349,51 @@ class LakehouseTable:
         ).first()
         for n, e in cons.items():
             if (checks[n] or 0) > 0:
-                import shutil
+                if txn_dir is not None:
+                    import shutil
 
-                shutil.rmtree(txn_dir, ignore_errors=True)
+                    shutil.rmtree(txn_dir, ignore_errors=True)
                 raise ValueError(
                     f"write to {self.namespace}.{self.name} violates CHECK "
                     f"constraint {n!r} ({e}): {checks[n]} row(s); nothing "
                     "was committed"
                 )
+
+    def _validate_late_constraints(
+        self,
+        entries: dict[int, dict],
+        spark: SparkSession | None = None,
+    ) -> None:
+        """Gate a staged/branch LANDING against constraints added after
+        the pending entries were written: each entry's own writer already
+        validated the constraint set of its day, so only the DIFFERENCE
+        (constraints live now but absent at the entry's commit version)
+        needs a read-back — the metadata-only publish stays metadata-only
+        in the common no-new-constraints case. A violation aborts the
+        landing; the entries stay pending (nothing is lost — drop the
+        constraint or discard the entry to resolve)."""
+        current = self.constraints()
+        if not current:
+            return
+        for v, e in entries.items():
+            if not e.get("files"):
+                continue
+            old = self.constraints(version=int(v))
+            late = {n: x for n, x in current.items() if n not in old}
+            if not late:
+                continue
+            if spark is None:
+                spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    f"constraints {sorted(late)} were added after pending "
+                    f"commit {v} of {self.namespace}.{self.name} was "
+                    "written; validating them at landing needs a "
+                    "SparkSession — pass spark= to publish"
+                )
+            self._enforce_constraints(
+                spark, list(e["files"]), e["schema"], None, cons=late
+            )
 
     def overwrite(
         self,
@@ -1784,6 +1841,17 @@ class LakehouseTable:
         if bloom_for:
             for f, blooms in _file_blooms(files, bloom_for).items():
                 stats.setdefault(f, {})[_BLOOM_KEY] = blooms
+        # MoR merges are a writer path like any other: the update rows
+        # landing as data files must pass the table's CHECK constraints
+        # (constraints() promises every path is gated). On violation the
+        # delete-key files are orphans — remove them too.
+        try:
+            self._enforce_constraints(spark, files, state["schema"], txn_dir)
+        except ValueError:
+            import shutil
+
+            shutil.rmtree(del_dir, ignore_errors=True)
+            raise
         entry: dict = {
             "paths": del_files,
             "keys": keys,

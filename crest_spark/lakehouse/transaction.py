@@ -50,11 +50,36 @@ def _txn_dir(warehouse: str) -> str:
     return os.path.join(warehouse, "_txns")
 
 
+def _publish_surviving(table: LakehouseTable, svs: list[int]) -> int | None:
+    """Publish whichever of ``svs`` are STILL pending, tolerating a
+    concurrent publisher (another commit() or recovery run racing on the
+    same journal): versions already published by the racer are success,
+    not failure — re-filter against fresh pending state and retry until
+    the set is empty or published. Returns the publish version, or None
+    when the racer got everything first (the rows are visible either
+    way, which is the only guarantee a caller holds)."""
+    for _ in range(50):
+        pending = set(table.pending_staged())
+        todo = [v for v in svs if v in pending]
+        if not todo:
+            return None
+        try:
+            return table.publish_staged(todo)
+        except ValueError:
+            continue  # racer published some of todo between read & commit
+    raise RuntimeError(
+        f"could not publish staged versions {svs} of "
+        f"{table.namespace}.{table.name}"
+    )
+
+
 def recover_transactions(catalog) -> list[str]:
     """Roll forward every journaled-but-unfinished transaction: publish
     the staged versions each journal lists that are still pending, then
     retire the journal. Idempotent and crash-safe (re-crashing during
-    recovery just re-runs it). Returns the retired journal ids."""
+    recovery just re-runs it); a racing recovery/commit on one journal
+    is contained per-journal, so it cannot block the other journals.
+    Returns the retired journal ids."""
     tdir = _txn_dir(catalog.warehouse)
     if not os.path.isdir(tdir):
         return []
@@ -68,14 +93,19 @@ def recover_transactions(catalog) -> list[str]:
                 rec = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue  # torn tmp never renamed; not a committed txn
-        for op in rec.get("ops", []):
-            t = catalog.table(op["table"], op["namespace"])
-            pending = set(t.pending_staged())
-            todo = [v for v in op["staged"] if v in pending]
-            if todo:
-                t.publish_staged(todo)
-        os.unlink(path)
-        done.append(fn[: -len(".json")])
+        try:
+            for op in rec.get("ops", []):
+                t = catalog.table(op["table"], op["namespace"])
+                _publish_surviving(t, list(op["staged"]))
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass  # racer retired it; the publishes are done either way
+            done.append(fn[: -len(".json")])
+        except Exception:
+            # one journal's race/failure must not leave later journals
+            # unrecovered; this one stays on disk for the next run
+            continue
     return done
 
 
@@ -148,8 +178,14 @@ class Transaction:
         out: dict[str, int | None] = {}
         for (ns, name), svs in by_table.items():
             t = self.catalog.table(name, ns)
-            out[f"{ns}.{name}"] = t.publish_staged(svs)
-        os.unlink(final)
+            # a concurrent recover_transactions may have found the
+            # journal and published some/all of these already — that is
+            # this transaction SUCCEEDING, not a failure
+            out[f"{ns}.{name}"] = _publish_surviving(t, svs)
+        try:
+            os.unlink(final)
+        except FileNotFoundError:
+            pass  # the racing recovery retired the journal
         return out
 
     def abort(self) -> None:

@@ -16,6 +16,8 @@ verify step only ever runs on LSH/band candidate pairs, never all pairs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,13 +40,26 @@ LSH_MAX_BUCKET = 64
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents is small in BYTES (one parquet file -> one partition) but
     # heavy in downstream per-row compute (shingling, hashing): spread it
-    # across a few cores up front or everything below runs single-
-    # threaded. Kept modest (8): at test scale per-task scheduling and
-    # Python-worker spin-up outweigh extra parallelism; at 100 TB the
-    # scan itself provides partitioning and this repartition disappears
-    # behind maxPartitionBytes.
+    # up front or everything below runs single-threaded. The width is
+    # SIZE-ADAPTIVE, not fixed: a constant (the old 8) throttled the
+    # signature stage to a quarter of the box once the corpus outgrew it
+    # (the r7 scale sweep ran 2M docs through 8 tasks), while always
+    # using every core makes tiny test corpora pay 32 Python-worker
+    # spin-ups for microseconds of work. ~4 MB of raw text per task,
+    # clamped to [8, 4x cores]; at 100 TB the scan's own splits dominate
+    # and the clamp ceiling just caps the extra shuffle.
     df = load_table(spark, sf_dir, "documents")
-    return df.repartition(8, "doc_id")
+    try:
+        nbytes = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.startswith("documents") and f.endswith(".parquet")
+        )
+    except OSError:
+        nbytes = 0
+    cores = spark.sparkContext.defaultParallelism
+    parts = max(8, min(4 * cores, nbytes // (4 << 20) or 8))
+    return df.repartition(int(parts), "doc_id")
 
 
 def with_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -302,13 +317,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard's exact pairs."""
     # Bands carry ONLY (doc_id, band, sig): 3 longs per row.
     bands = minhash_band_rows(with_shingles(_docs(spark, sf_dir)))
-    cand = lsh_candidate_pairs(bands)
-    # fresh shingle scan for the verify side: re-deriving shingles is one
-    # cheap map pass, whereas branching `d` would re-run the 64-permutation
-    # signature computation a second time
-    sh = with_shingles(_docs(spark, sf_dir)).select("doc_id", "shingles")
-    sh_a = sh.select(F.col("doc_id").alias("_ja"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("_jb"), F.col("shingles").alias("sh_b"))
+    # Candidate pairs are referenced twice below (the semi-join doc set
+    # and the verify join) — pin them once: without the checkpoint the
+    # whole signature+mining pipeline is REPLANNED per reference
+    # (Catalyst does not reuse exchanges across distinct Python-UDF
+    # subtrees). The pinned relation is two longs per candidate pair —
+    # answer-scale, not corpus-scale.
+    cand = lsh_candidate_pairs(bands).localCheckpoint(eager=False)
+    # Verify-side shuffle is shrunk two ways (the r7 sweep's 1024x->4096x
+    # exponent-1.50 cliff was THIS join: shipping full string-shingle
+    # arrays for the ENTIRE corpus through a 16 GB-heap shuffle — ~12 KB
+    # per salted doc x 2M docs x 2 sides spilled, while every stage's
+    # row counts grew linearly; docs/minhash_diagnosis.json):
+    #   1. hash each shingle to one xxhash64 long JVM-side — Jaccard on
+    #      the hashed sets is exact up to 64-bit collisions (~1e-15 per
+    #      doc), at ~8 bytes per shingle instead of ~60;
+    #   2. semi-join-reduce the shingle relation to docs that actually
+    #      appear in a candidate pair BEFORE the shuffle — at a constant
+    #      near-dup rate that is a constant FRACTION of the corpus, so
+    #      the verify join's input scales with the answer, not the data.
+    # Re-deriving shingles is one cheap map pass, whereas branching the
+    # signature input would re-run the 64-permutation stage.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        with_shingles(_docs(spark, sf_dir))
+        .join(cand_docs, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("shingles"), lambda s: F.xxhash64(s)
+            ).alias("hsh"),
+        )
+    )
+    sh_a = sh.select(F.col("doc_id").alias("_ja"), F.col("hsh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("_jb"), F.col("hsh").alias("sh_b"))
     verified = cand.join(sh_a, F.col("doc_a") == F.col("_ja")).join(
         sh_b, F.col("doc_b") == F.col("_jb")
     )

@@ -480,7 +480,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Rolling z-score anomaly detection: each day scored against the TRAILING
-# 30 observed days (current day excluded — an anomalous spike must not
+# 7 observed days (current day excluded — an anomalous spike must not
 # inflate its own baseline). Mean and variance come from exact BIGINT
 # sum/sum-of-squares moments, so z is one deterministic double expression;
 # sqrt is correctly rounded by IEEE 754, making even the |z| > 2 FILTER
@@ -524,9 +524,9 @@ _ZSCORE_SQL = """
     tags=("timeseries", "anomaly", "window"),
 )
 def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Days whose revenue deviates more than two trailing-window standard
-    scored against the trailing 7 observed days (the spike being
-    scored is excluded from its own baseline), with the |z| > 2 flag.
+    """Daily revenue z-scored against the mean and standard deviation of
+    the trailing 7 observed days (the day being scored is excluded from
+    its own baseline), with the |z| > 2 anomaly flag.
     Same scale shape as ``ts_ewma``: one daily pre-aggregation shuffle,
     then a day-spine window; the integer-moment variance makes the
     anomaly flag itself (not just the reported score) engine-exact."""

@@ -164,7 +164,10 @@ def build_scaled_dir(scale: int, root: str) -> str:
 
 
 def run_sweep(
-    scales: list[int], runs: int, ops: list[str] | None = None
+    scales: list[int],
+    runs: int,
+    ops: list[str] | None = None,
+    root: str | None = None,
 ) -> dict[str, dict]:
     from crest_spark.registry import load_all
     from crest_spark.session import get_spark
@@ -172,7 +175,10 @@ def run_sweep(
     specs = load_all()
     spark = get_spark("crest-spark-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    root = tempfile.mkdtemp(prefix="crest_scale_")
+    if root is None:
+        root = tempfile.mkdtemp(prefix="crest_scale_")
+    else:
+        os.makedirs(root, exist_ok=True)
     dirs = {s: build_scaled_dir(s, root) for s in scales}
     # session warm-up (JVM, Python worker pool)
     spark.range(1024, numPartitions=32).mapInPandas(
@@ -279,10 +285,16 @@ def main() -> None:
     ap.add_argument(
         "--no-doc", action="store_true", help="print only, don't rewrite SCALE.md"
     )
+    ap.add_argument(
+        "--root",
+        default=None,
+        help="directory for the scaled corpora (reused across runs; "
+        "default: a fresh temp dir)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     ops = args.ops.split(",") if args.ops else None
-    results = run_sweep(scales, args.runs, ops=ops)
+    results = run_sweep(scales, args.runs, ops=ops, root=args.root)
     # merge with cached rows so per-operator reruns refresh one row
     # without discarding the rest (and the doc always renders the full
     # table from one consistent store)

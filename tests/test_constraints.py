@@ -128,3 +128,70 @@ def test_expire_preserves_constraints_across_boundary(spark, cat):
     assert t.constraints() == {"c": "v > 0"}
     with pytest.raises(ValueError, match="'c'"):
         t.append(spark.createDataFrame([(200, -1.0)], "id int, v double"))
+
+
+def test_constraint_gates_mor_merge(spark, cat):
+    """Regression (r8 advice, medium): merge(strategy='mor') lands the
+    update rows as data files — they must pass the CHECK gate like every
+    other writer path, and a violation must leave no pending delete
+    entry behind."""
+    t = _mk(spark, cat)
+    t.add_constraint(spark, "v_positive", "v > 0")
+    v_before = t.version()
+    bad = spark.createDataFrame([(1, -99.0)], "id int, v double")
+    with pytest.raises(ValueError, match="v_positive"):
+        t.merge(spark, bad, key="id", strategy="mor")
+    assert t.version() == v_before
+    assert t.read(spark).where(F.col("v") < 0).count() == 0
+    # and 'auto' routing to MoR is gated too
+    with pytest.raises(ValueError, match="v_positive"):
+        t.merge(
+            spark, bad, key="id", strategy="auto", mor_file_threshold=0
+        )
+    assert t.read(spark).where(F.col("v") < 0).count() == 0
+    # the gate did not break the good path
+    good = spark.createDataFrame([(1, 42.0)], "id int, v double")
+    t.merge(spark, good, key="id", strategy="mor")
+    assert {
+        r["v"] for r in t.read(spark).where(F.col("id") == 1).collect()
+    } == {42.0}
+
+
+def test_late_constraint_gates_staged_publish(spark, cat):
+    """Regression (r8 advice, low): a constraint added WHILE a staged
+    commit is pending is validated at publish time — the landing commit
+    must not make violating rows live."""
+    t = _mk(spark, cat)
+    bad = spark.createDataFrame([(30, -1.0)], "id int, v double")
+    sv = t.append(bad, stage=True)
+    # invisible rows don't block adding the constraint...
+    t.add_constraint(spark, "v_positive", "v > 0")
+    # ...but the landing is gated
+    with pytest.raises(ValueError, match="v_positive"):
+        t.publish_staged([sv], spark=spark)
+    assert t.read(spark).where(F.col("v") < 0).count() == 0
+    assert sv in t.pending_staged()  # still pending, not lost
+    t.drop_constraint("v_positive")
+    t.publish_staged([sv], spark=spark)
+    assert t.read(spark).where(F.col("v") < 0).count() == 1
+
+
+def test_late_constraint_gates_branch_fast_forward(spark, cat):
+    """Same late-constraint gate on the branch landing path."""
+    t = _mk(spark, cat)
+    t.create_branch("b")
+    bad = spark.createDataFrame([(31, -2.0)], "id int, v double")
+    t.append(bad, branch="b")
+    t.add_constraint(spark, "v_positive", "v > 0")
+    with pytest.raises(ValueError, match="v_positive"):
+        t.fast_forward("b", spark=spark)
+    assert t.read(spark).where(F.col("v") < 0).count() == 0
+    assert "b" in t.branches()  # branch intact, nothing lost
+    # a clean branch commit created AFTER the constraint still lands:
+    # its own writer validated it, so the landing is metadata-only
+    t.create_branch("ok")
+    t.append(
+        spark.createDataFrame([(32, 2.0)], "id int, v double"), branch="ok"
+    )
+    t.fast_forward("ok")  # no spark needed: no late constraints for it
+    assert t.read(spark).where(F.col("id") == 32).count() == 1

@@ -332,16 +332,22 @@ def test_skyline_is_windows_not_self_join(spark, sf_dir):
 
 def test_market_basket_pair_join_co_partitioned(spark, sf_dir):
     """The pair expansion must be an equi-join on the basket key (order)
-    with the inequality as a residual — not a cartesian — and the
-    per-part counts must broadcast onto the pairs."""
+    with the inequality as a residual — not a cartesian. The per-part
+    singles joins are deliberately UNHINTED (r7 verdict what's-wrong #2:
+    ``singles`` is one row per part, an SF-scaling relation — a forced
+    broadcast of it is an OOM at 100 TB); the pin asserts only that no
+    join degenerates to a cartesian, leaving broadcast-vs-shuffle to
+    AQE's runtime size measurement."""
     from crest_spark.plans.checks import simple_plan
 
     df = SPECS["q58_market_basket"].fn(spark, sf_dir)
     plan = simple_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2  # the two singles joins
     assert "TakeOrderedAndProject" in plan
+    # and the logical plan carries no user-forced broadcast hint
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "BROADCAST" not in logical
 
 
 def test_scd2_point_in_time_no_join(spark, sf_dir):

@@ -137,3 +137,74 @@ def test_commit_twice_raises_and_empty_commit_ok(spark, cat):
     fact, _, _ = _dfs(spark)
     with pytest.raises(ValueError, match="already"):
         txn.append("fact", fact)
+
+
+def test_racing_recovery_is_commit_success(spark, cat):
+    """Regression (r8 advice, low): after the journal rename, a racing
+    recover_transactions from another process can publish this
+    transaction's staged versions and retire the journal — commit()
+    must treat that as SUCCESS, not raise 'not pending'."""
+    fact, _, _ = _dfs(spark)
+    txn = cat.transaction()
+    txn.append("fact", fact)
+    # freeze commit right after the journal rename by doing its steps
+    # by hand: journal first, then let a RACER recover before publish
+    real_publish = txn.commit
+
+    tdir = os.path.join(cat.warehouse, "_txns")
+    # journal what commit() would journal
+    (t, sv), = txn._ops
+    rec = {
+        "txn_id": "race",
+        "commit_ts": 0,
+        "ops": [{"namespace": t.namespace, "table": t.name, "staged": [sv]}],
+    }
+    os.makedirs(tdir, exist_ok=True)
+    with open(os.path.join(tdir, "txn-race.json"), "w") as fh:
+        json.dump(rec, fh)
+    # the racer: a second catalog instance recovers (publishes + unlinks)
+    racer = LakehouseCatalog(cat.warehouse)
+    assert recover_transactions(racer) == ["txn-race"]
+    assert racer.table("fact").read(spark).count() == 2
+    # the original commit now finds nothing pending — must succeed
+    out = real_publish()
+    assert out["default.fact"] is None  # racer published it
+    assert cat.table("fact").read(spark).count() == 2  # not doubled
+
+
+def test_recovery_race_does_not_block_later_journals(spark, cat):
+    """A journal whose table was concurrently resolved (or is broken)
+    must not stop recovery of journals after it."""
+    fact, quar, _ = _dfs(spark)
+    t1 = cat.get_or_create_table("fact", fact.schema)
+    sv1 = t1.append(fact, stage=True)
+    t2 = cat.get_or_create_table("quarantine", quar.schema)
+    sv2 = t2.append(quar, stage=True)
+    tdir = os.path.join(cat.warehouse, "_txns")
+    os.makedirs(tdir, exist_ok=True)
+    # journal A is malformed (ops entry missing its table name —
+    # recovery of it raises); journal B is fine and sorts after A
+    with open(os.path.join(tdir, "txn-aaa.json"), "w") as fh:
+        json.dump(
+            {"txn_id": "aaa", "ops": [{"namespace": "default"}]},
+            fh,
+        )
+    with open(os.path.join(tdir, "txn-bbb.json"), "w") as fh:
+        json.dump(
+            {
+                "txn_id": "bbb",
+                "ops": [
+                    {"namespace": "default", "table": "fact",
+                     "staged": [sv1]},
+                    {"namespace": "default", "table": "quarantine",
+                     "staged": [sv2]},
+                ],
+            },
+            fh,
+        )
+    done = recover_transactions(cat)
+    assert "txn-bbb" in done and "txn-aaa" not in done
+    assert cat.table("fact").read(spark).count() == 2
+    assert cat.table("quarantine").read(spark).count() == 1
+    # the broken journal stays for a later (fixed) run
+    assert os.path.exists(os.path.join(tdir, "txn-aaa.json"))
