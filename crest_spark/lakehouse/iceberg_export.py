@@ -595,9 +595,85 @@ def export_iceberg_metadata(
             ],
         }
 
-    def _partitioned_entry_schema() -> dict:
+    def _commit_stats(version: int) -> dict:
+        snap = snaps_by_v[version]
+        stats = snap.extra.get("stats") or {}
+        if not stats:
+            try:
+                with open(table._version_file(version)) as fh:
+                    stats = json.load(fh).get("stats", {})
+            except (OSError, json.JSONDecodeError):
+                stats = {}
+        return stats
+
+    # Truncate-transform fallback (VERDICT r7 #4): a HIGH-cardinality
+    # cluster key range-clusters into files that SPAN values, so the
+    # identity spec above never applies and engines that don't read
+    # column bounds lose partition pruning entirely. But truncate[w] is
+    # MONOTONIC (ints: floor(v/w)*w; strings: the w-prefix — every value
+    # between a file's [min, max] truncates to the same thing whenever
+    # the endpoints do), so a per-file partition tuple is provable from
+    # the SAME min/max stats: pick one width w under which every
+    # clustered file is single-valued, and emit spec 2. bucket[n] has no
+    # such derivation — murmur3 is not monotonic, so a file's bucket is
+    # only knowable when min == max on the raw value, where identity is
+    # strictly better — hence truncate is the only range-file transform.
+    trunc_width: int | None = None
+    trunc_spec = None
+    if part_spec is not None:
+        itype = head_field_ids[part_col][1]
+        ranged: list[tuple] = []  # (lo, hi) of every clustered file
+        usable = True
+        for s in snaps:
+            if (s.extra.get("cluster_by") or [None])[0] != part_col:
+                continue
+            stats = _commit_stats(s.version)
+            for f in folded[s.version]["added"]:
+                mnmx = (stats.get(f) or {}).get(part_col)
+                fnulls = (stats.get(f) or {}).get("__nulls__") or {}
+                if not mnmx or fnulls.get(part_col, 0) != 0:
+                    usable = False
+                    break
+                ranged.append((mnmx[0], mnmx[1]))
+            if not usable:
+                break
+        if usable and ranged and any(lo != hi for lo, hi in ranged):
+            if itype in ("int", "long"):
+                for w in (10**p for p in range(1, 16)):
+                    if all(lo // w == hi // w for lo, hi in ranged):
+                        trunc_width = w
+                        break
+            elif itype == "string":
+                cpl = min(
+                    len(os.path.commonprefix([lo, hi])) for lo, hi in ranged
+                )
+                if cpl >= 1:
+                    trunc_width = cpl
+        if trunc_width is not None:
+            trunc_spec = {
+                "spec-id": 2,
+                "fields": [
+                    {
+                        "name": f"{part_col}_trunc",
+                        "transform": f"truncate[{trunc_width}]",
+                        "source-id": head_field_ids[part_col][0],
+                        # v2: partition field ids are unique ACROSS specs
+                        "field-id": 1001,
+                    }
+                ],
+            }
+
+    def _truncate(itype: str, w: int, v):
+        # Iceberg truncate: ints floor to the width multiple (Python //
+        # is floored, matching the spec's v - (v % W)); strings take the
+        # w-codepoint prefix
+        if itype in ("int", "long"):
+            return (v // w) * w
+        return v[:w]
+
+    def _partitioned_entry_schema(spec_id: int) -> dict:
         """MANIFEST_ENTRY_SCHEMA with the partition record typed for
-        the identity spec (the avro schema of a manifest depends on its
+        the given spec (the avro schema of a manifest depends on its
         partition spec, per the Iceberg spec)."""
         entry = json.loads(json.dumps(MANIFEST_ENTRY_SCHEMA))
         data_file = next(
@@ -608,11 +684,12 @@ def export_iceberg_metadata(
             for f in data_file["type"]["fields"]
             if f["name"] == "partition"
         )
+        spec = part_spec if spec_id == 1 else trunc_spec
         part["type"]["fields"] = [
             {
-                "name": part_col,
+                "name": spec["fields"][0]["name"],
                 "type": _PART_AVRO[head_field_ids[part_col][1]],
-                "field-id": 1000,
+                "field-id": spec["fields"][0]["field-id"],
             }
         ]
         return entry
@@ -625,20 +702,16 @@ def export_iceberg_metadata(
         added = list(live_subset)
         full = tuple(sorted(folded[add_version]["added"])) == live_subset
         ids = _field_ids(snap.schema_json)
-        stats = snap.extra.get("stats") or {}
-        if not stats:
-            # stats live top-level in the commit record, not in extra
-            try:
-                with open(table._version_file(add_version)) as fh:
-                    stats = json.load(fh).get("stats", {})
-            except (OSError, json.JSONDecodeError):
-                stats = {}
+        stats = _commit_stats(add_version)
         # identity-partition eligibility: the commit declared cluster_by
-        # leading with part_col AND every file is single-valued on it
+        # leading with part_col AND every file is single-valued on it;
+        # files that SPAN raw values fall back to the truncate spec when
+        # one was derivable (single-valued under truncate[w])
         part_values: dict[str, object] | None = None
-        if part_spec is not None and (
+        clustered_commit = part_spec is not None and (
             (snap.extra.get("cluster_by") or [None])[0] == part_col
-        ):
+        )
+        if clustered_commit:
             vals = {}
             for f in added:
                 mnmx = (stats.get(f) or {}).get(part_col)
@@ -652,7 +725,28 @@ def export_iceberg_metadata(
                     break
                 vals[f] = mnmx[0]
             part_values = vals
-        spec_id = 1 if part_values else 0
+        if part_values is None and clustered_commit and trunc_spec:
+            itype_t = head_field_ids[part_col][1]
+            vals = {}
+            for f in added:
+                mnmx = (stats.get(f) or {}).get(part_col)
+                fnulls = ((stats.get(f) or {}).get("__nulls__") or {})
+                if not mnmx or fnulls.get(part_col, 0) != 0:
+                    vals = None
+                    break
+                ta = _truncate(itype_t, trunc_width, mnmx[0])
+                tb = _truncate(itype_t, trunc_width, mnmx[1])
+                if ta != tb:
+                    vals = None
+                    break
+                vals[f] = ta
+            if vals:
+                part_values = vals
+                spec_id = 2
+            else:
+                spec_id = 0
+        else:
+            spec_id = 1 if part_values else 0
         entries = []
         total_rows = 0
         for f in added:
@@ -688,7 +782,13 @@ def export_iceberg_metadata(
                         "file_path": os.path.abspath(f),
                         "file_format": "PARQUET",
                         "partition": (
-                            {part_col: part_values[f]}
+                            {
+                                (
+                                    part_col
+                                    if spec_id == 1
+                                    else f"{part_col}_trunc"
+                                ): part_values[f]
+                            }
                             if part_values
                             else {}
                         ),
@@ -713,18 +813,25 @@ def export_iceberg_metadata(
             path = os.path.join(
                 meta_dir, f"manifest-{add_version}-{sub}.avro"
             )
+        spec_fields = []
+        if spec_id == 1:
+            spec_fields = part_spec["fields"]
+        elif spec_id == 2:
+            spec_fields = trunc_spec["fields"]
         length = avro_io.write_container(
             path,
-            _partitioned_entry_schema() if spec_id == 1 else MANIFEST_ENTRY_SCHEMA,
+            (
+                _partitioned_entry_schema(spec_id)
+                if spec_id in (1, 2)
+                else MANIFEST_ENTRY_SCHEMA
+            ),
             entries,
             metadata={
                 "schema": json.dumps(
                     iceberg_schemas[schema_ids[snap.schema_json]]
                 ),
                 "schema-id": str(schema_ids[snap.schema_json]),
-                "partition-spec": json.dumps(
-                    part_spec["fields"] if spec_id == 1 else []
-                ),
+                "partition-spec": json.dumps(spec_fields),
                 "partition-spec-id": str(spec_id),
                 "format-version": "2",
                 "content": "data",
@@ -738,7 +845,7 @@ def export_iceberg_metadata(
             "added_snapshot_id": add_version,
             "spec_id": spec_id,
         }
-        if spec_id == 1:
+        if spec_id in (1, 2):
             # field summary for the manifest-list entry: bounds over the
             # partition values (external planners prune manifests on it)
             itype = head_field_ids[part_col][1]
@@ -1039,6 +1146,7 @@ def export_iceberg_metadata(
 
         last_col = max(last_col, _max_id(isch))
 
+    _used_spec_ids = {i.get("spec_id", 0) for i in manifest_info.values()}
     metadata = {
         "format-version": 2,
         "table-uuid": str(
@@ -1052,21 +1160,18 @@ def export_iceberg_metadata(
         "schemas": iceberg_schemas,
         "default-spec-id": (
             1
-            if part_spec is not None
-            and any(i.get("spec_id") == 1 for i in manifest_info.values())
-            else 0
+            if 1 in _used_spec_ids
+            else (2 if 2 in _used_spec_ids else 0)
         ),
         "partition-specs": (
-            [{"spec-id": 0, "fields": []}, part_spec]
-            if part_spec is not None
-            and any(i.get("spec_id") == 1 for i in manifest_info.values())
-            else [{"spec-id": 0, "fields": []}]
+            [{"spec-id": 0, "fields": []}]
+            + ([part_spec] if 1 in _used_spec_ids else [])
+            + ([trunc_spec] if 2 in _used_spec_ids else [])
         ),
         "last-partition-id": (
-            1000
-            if part_spec is not None
-            and any(i.get("spec_id") == 1 for i in manifest_info.values())
-            else 999
+            1001
+            if 2 in _used_spec_ids
+            else (1000 if 1 in _used_spec_ids else 999)
         ),
         "default-sort-order-id": 1 if sort_fields else 0,
         "sort-orders": (

@@ -758,10 +758,15 @@ class LakehouseTable:
         bloom_for: list[str] | None = None,
         stage: bool = False,
         branch: str | None = None,
+        extra: dict | None = None,
     ) -> int | None:
         """Transactional append. Returns the committed version, or None if
         this (writer_id, batch_id) was already committed (idempotent
         replay, the exactly-once path for foreachBatch).
+
+        ``extra``: caller metadata merged into the commit record's extra
+        map (same role as ``overwrite``'s — e.g. the IVF index records
+        per-add drift counters there).
 
         ``cluster_by``: range-cluster the batch on these columns before
         writing (``repartitionByRange`` + ``sortWithinPartitions``), so
@@ -909,12 +914,13 @@ class LakehouseTable:
                 **(
                     {
                         "extra": {
+                            **(extra or {}),
                             **({"cluster_by": cluster_by} if cluster_by else {}),
                             **({"staged": True} if stage else {}),
                             **({"branch": branch} if branch else {}),
                         }
                     }
-                    if cluster_by or stage or branch
+                    if cluster_by or stage or branch or extra
                     else {}
                 ),
             }

@@ -59,25 +59,13 @@ def _fit_centroids(em: DataFrame, n_cells: int, seed: int, sample_n: int):
     return centroids
 
 
-def build_ivf_index(
-    spark: SparkSession,
-    em: DataFrame,
-    catalog: LakehouseCatalog,
-    name: str = "emb_ivf",
-    namespace: str | None = None,
-    n_cells: int = IVF_CELLS,
-    seed: int = IVF_SEED,
-) -> LakehouseTable:
-    """Build (or fully rebuild) the IVF index table for ``em``
-    (vec_id, embedding). One ``overwrite`` commit: cell-clustered data
-    files + centroids in the commit extra."""
+def _assign_cells(em: DataFrame, b_cent) -> DataFrame:
+    """(vec_id, embedding, cell): one Arrow-batched GEMM pass assigning
+    each vector to its nearest (frozen, broadcast) centroid."""
     import numpy as np
     import pandas as pd
 
-    centroids = _fit_centroids(em, n_cells, seed, IVF_SAMPLE)
-    b_cent = spark.sparkContext.broadcast(centroids)
-
-    def assign_cells(batches):
+    def assign(batches):
         cent = b_cent.value
         for pdf in batches:
             if pdf.empty:
@@ -94,20 +82,26 @@ def build_ivf_index(
                 }
             )
 
-    assigned = em.select("vec_id", "embedding").mapInPandas(
-        assign_cells, "vec_id long, embedding array<float>, cell int"
+    return em.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, embedding array<float>, cell int"
     )
-    # value-aligned layout via inverse-hash routing: hash-repartition on
-    # cell alone would collide cells into shared partitions (murmur3 mod
-    # n is not the identity) and a range repartition samples, so neither
-    # guarantees "one file per cell". Instead, precompute for each cell a
-    # SALT integer whose murmur3 hash lands in exactly that partition
-    # (one tiny Spark job over a candidate range — no Python reimplementation
-    # of the hash), route each row to its cell's salt, and hash-repartition
-    # on the salt. Every partition then holds exactly one cell value, the
-    # writer emits one file per partition, and each file's commit-log
-    # [min, max] on cell is a point — a probe opens exactly the probed
-    # cells' files.
+
+
+def _cell_clustered(
+    spark: SparkSession, assigned: DataFrame, n_cells: int
+) -> DataFrame:
+    """Value-aligned layout via inverse-hash routing: hash-repartition on
+    cell alone would collide cells into shared partitions (murmur3 mod
+    n is not the identity) and a range repartition samples, so neither
+    guarantees "one file per cell". Instead, precompute for each cell a
+    SALT integer whose murmur3 hash lands in exactly that partition
+    (one tiny Spark job over a candidate range — no Python reimplementation
+    of the hash), route each row to its cell's salt, and hash-repartition
+    on the salt. Every partition then holds exactly one cell value, the
+    writer emits one file per partition, and each file's commit-log
+    [min, max] on cell is a point — a probe opens exactly the probed
+    cells' files. Partitions of cells ABSENT from the input are empty
+    and write no file (this is what keeps ``ivf_add`` delta-only)."""
     probe = (
         spark.range(64 * n_cells)
         .select(
@@ -125,13 +119,26 @@ def build_ivf_index(
     route = F.array(*[F.lit(salt_of[c]) for c in range(n_cells)])[
         F.col("cell")
     ].cast("int")
-    clustered = (
+    return (
         assigned.withColumn("_route", route)
         .repartition(n_cells, "_route")
         .sortWithinPartitions("cell", "vec_id")
         .drop("_route")
     )
-    t = catalog.get_or_create_table(name, clustered.schema, namespace)
+
+
+def _write_ivf(
+    spark: SparkSession,
+    t: LakehouseTable,
+    em: DataFrame,
+    n_cells: int,
+    seed: int,
+) -> None:
+    """Fit centroids, assign the full corpus, overwrite the index table
+    as cell-clustered files with centroids in the commit extra."""
+    centroids = _fit_centroids(em, n_cells, seed, IVF_SAMPLE)
+    b_cent = spark.sparkContext.broadcast(centroids)
+    clustered = _cell_clustered(spark, _assign_cells(em, b_cent), n_cells)
     t.overwrite(
         clustered,
         extra={
@@ -142,7 +149,100 @@ def build_ivf_index(
             }
         },
     )
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    em: DataFrame,
+    catalog: LakehouseCatalog,
+    name: str = "emb_ivf",
+    namespace: str | None = None,
+    n_cells: int = IVF_CELLS,
+    seed: int = IVF_SEED,
+) -> LakehouseTable:
+    """Build (or fully rebuild) the IVF index table for ``em``
+    (vec_id, embedding). One ``overwrite`` commit: cell-clustered data
+    files + centroids in the commit extra."""
+    schema = "vec_id long, embedding array<float>, cell int"
+    t = catalog.get_or_create_table(
+        name, spark.createDataFrame([], schema).schema, namespace
+    )
+    _write_ivf(spark, t, em, n_cells, seed)
     return t
+
+
+def ivf_drift(t: LakehouseTable) -> float:
+    """Fraction of the index added since the last full (re)build:
+    sum(rows of ivf_add commits after the last rebuild) / rows at the
+    rebuild. The recluster trigger — centroids were fitted on the
+    rebuild-time distribution, and an index that has grown 50% past it
+    serves probes from stale cells."""
+    base_rows: int | None = None
+    added = 0
+    for s in reversed(t.snapshots()):
+        if s.extra.get("ivf"):
+            base_rows = max(int(s.num_rows or 0), 1)
+            break
+        if s.extra.get("ivf_add"):
+            added += int(s.extra["ivf_add"].get("n_added", 0))
+    if base_rows is None:
+        raise ValueError(
+            f"{t.namespace}.{t.name} carries no IVF index metadata"
+        )
+    return added / base_rows
+
+
+def ivf_add(
+    spark: SparkSession,
+    t: LakehouseTable,
+    new_em: DataFrame,
+    recluster_threshold: float = 0.5,
+) -> int:
+    """Incremental index maintenance (the FAISS ``add`` split, VERDICT
+    r7 #3): assign ONLY the new vectors to the FROZEN centroids of the
+    current index (one Arrow GEMM pass over the delta — the corpus is
+    never re-read) and append them as cell-clustered files. Cells absent
+    from the delta get no file, so the append touches exactly the cells
+    of its new vectors; probes of untouched cells keep reading their
+    original single file, probes of touched cells read base + delta
+    files for that cell — both via the same manifest-level skipping.
+
+    Every add records its row count in the commit extra; when the rows
+    added since the last rebuild exceed ``recluster_threshold`` of the
+    rebuild-time corpus, the index RECLUSTERS itself: re-fit centroids
+    on the grown corpus (read back from the index table — one pass) and
+    overwrite, resetting the drift counter. Snapshot isolation keeps
+    concurrent searchers on their old index either way.
+
+    Returns the committed version (of the recluster, when triggered)."""
+    centroids, n_cells = load_ivf_centroids(t)
+    import numpy as np
+
+    b_cent = spark.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+    clustered = _cell_clustered(
+        spark, _assign_cells(new_em, b_cent), n_cells
+    )
+    n_added = clustered.count()
+    version = t.append(
+        clustered, extra={"ivf_add": {"n_added": int(n_added)}}
+    )
+    if ivf_drift(t) > recluster_threshold:
+        ivf = None
+        for s in reversed(t.snapshots()):
+            ivf = s.extra.get("ivf")
+            if ivf:
+                break
+        _write_ivf(
+            spark,
+            t,
+            t.read(spark).select("vec_id", "embedding"),
+            n_cells,
+            int(ivf["seed"]) + 1,  # fresh sample draw on the grown corpus
+        )
+        return t.version()
+    return version
 
 
 def load_ivf_centroids(t: LakehouseTable):

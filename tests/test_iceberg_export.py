@@ -559,3 +559,87 @@ def test_export_unclustered_append_keeps_spec_zero(spark, table):
     assert meta["default-spec-id"] == 0
     assert meta["partition-specs"] == [{"spec-id": 0, "fields": []}]
     assert meta["default-sort-order-id"] == 0
+
+
+def test_export_emits_truncate_spec_for_ranged_cluster(spark, tmp_path):
+    """VERDICT r7 #4: a HIGH-cardinality cluster key range-clusters into
+    files that span values, so the identity spec never applies — the
+    export must fall back to a truncate[w] transform (monotonic, hence
+    provable from the same per-file [min, max] bounds) instead of a void
+    spec, giving partition-value pruning to engines that don't read
+    column bounds."""
+    # ids 0..799 range-clustered into 8 files: each spans ~100 ids but
+    # every file is single-valued under truncate[100]
+    df = spark.range(800).select(F.col("id"), F.lit("x").alias("s"))
+    t = LakehouseTable(str(tmp_path), "ns", "ranged")
+    t.append(df, cluster_by=["id"], cluster_partitions=8)
+    meta_dir = export_iceberg_metadata(t)
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    id_fid = next(
+        f["id"]
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        if f["name"] == "id"
+    )
+    # the ranged table exports a NON-VOID spec: truncate, spec-id 2
+    assert meta["default-spec-id"] == 2
+    spec = next(s for s in meta["partition-specs"] if s["spec-id"] == 2)
+    (fld,) = spec["fields"]
+    assert fld["source-id"] == id_fid and fld["field-id"] == 1001
+    assert fld["transform"].startswith("truncate[")
+    w = int(fld["transform"][len("truncate["):-1])
+    assert meta["last-partition-id"] == 1001
+    # every manifest entry carries the truncated tuple = floor(min/w)*w
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, list_entries = avro_io.read_container(snap["manifest-list"])
+    data_entries = [e for e in list_entries if e["content"] == 0]
+    assert data_entries and all(
+        e["partition_spec_id"] == 2 for e in data_entries
+    )
+    assert all(e["partitions"] for e in data_entries)
+    vals = set()
+    for e in data_entries:
+        _, mmeta, records = avro_io.read_container(e["manifest_path"])
+        assert json.loads(mmeta["partition-spec"]) == spec["fields"]
+        assert int(mmeta["partition-spec-id"]) == 2
+        for rec in records:
+            p = rec["data_file"]["partition"]
+            assert set(p) == {"id_trunc"}
+            assert p["id_trunc"] % w == 0
+            vals.add(p["id_trunc"])
+    assert len(vals) > 1  # genuinely discriminating tuples
+    # reader unaffected by partition metadata
+    assert read_iceberg(spark, t.path).count() == 800
+
+
+def test_export_truncate_spec_string_prefix(spark, tmp_path):
+    """String cluster keys truncate to the common-prefix width: files
+    spanning lexicographic ranges stay single-valued under the prefix
+    transform whenever their endpoints share it."""
+    df = spark.range(400).select(
+        F.concat(
+            F.lpad((F.col("id") % 4).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad(F.col("id").cast("string"), 6, "0"),
+        ).alias("k"),
+        F.col("id"),
+    )
+    t = LakehouseTable(str(tmp_path), "ns", "strng")
+    t.append(df, cluster_by=["k"], cluster_partitions=4)
+    meta_dir = export_iceberg_metadata(t)
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    # 4 files, each one "NN-" prefix family -> identity can't apply
+    # (each spans many values) but truncate[>=2] can
+    assert meta["default-spec-id"] == 2
+    spec = next(s for s in meta["partition-specs"] if s["spec-id"] == 2)
+    assert spec["fields"][0]["transform"].startswith("truncate[")
+    assert read_iceberg(spark, t.path).count() == 400
