@@ -11,8 +11,10 @@ query set grows (r5: 36 entries; r6 added q51_event_funnel +
 q54_rolling_active_users -> 38; r7 added the remaining behavioral four
 q52_cohort_retention / q53_user_paths / q58_market_basket /
 q59_audience_overlap -> 42; r7 later added q64_markov_transitions +
-q65_rfm_segments -> 44). Timing policy changed once, in r5
-(single-shot -> min-of-k).
+q65_rfm_segments -> 44; r8 added the temporal flagships
+q60_scd2_build / q61_scd2_point_in_time / q62_attribution_last_touch
+and one hypothesis test stats_mann_whitney -> 48). Timing policy
+changed once, in r5 (single-shot -> min-of-k).
 
 Output contract (VERDICT r6 "what's wrong" #1): the LAST stdout line is
 a compact driver-parseable summary — metric/value/unit/queries/sf only —
@@ -68,8 +70,12 @@ BENCH_QUERIES = [
     "q54_rolling_active_users",
     "q58_market_basket",
     "q59_audience_overlap",
+    "q60_scd2_build",
+    "q61_scd2_point_in_time",
+    "q62_attribution_last_touch",
     "q64_markov_transitions",
     "q65_rfm_segments",
+    "stats_mann_whitney",
     "stats_moments",
     "udf_scalar_pandas",
     "skew_salted_agg",

@@ -197,10 +197,17 @@ def minhash_band_rows(
     B = rng.randint(0, MERSENNE, size=k, dtype=np.int64)
 
     # band-combiner coefficients: fold each band's rows_per_band minhash
-    # values into one key with a seeded polynomial mod M31 — vectorized
-    # across every (doc, band) at once, replacing a per-doc-per-band
-    # Python crc32 loop (~16 interpreter calls per doc)
+    # values into one key with TWO independent seeded polynomials mod
+    # M31, concatenated into a ~62-bit key — vectorized across every
+    # (doc, band) at once, replacing a per-doc-per-band Python crc32
+    # loop. Why two: a single 31-bit key gives ~n^2/2^32 same-bucket
+    # CHANCE collisions per band — measured at 4096x as exactly the
+    # candidate-count excess over linear (15.8k of 118k pairs,
+    # docs/minhash_diagnosis.json) and growing quadratically; at 2^62
+    # the chance term is nil at any realistic corpus size, so candidate
+    # volume scales with the true near-dup answer alone.
     C = rng.randint(1, MERSENNE, size=rows_per_band, dtype=np.int64)
+    C2 = rng.randint(1, MERSENNE, size=rows_per_band, dtype=np.int64)
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -232,7 +239,9 @@ def minhash_band_rows(
             # segmented min over the gathered rows: (docs x k) signatures
             sigs = np.minimum.reduceat(H[codes], offsets, axis=0)
             chunks = sigs.reshape(len(doc_ids), bands, rows_per_band)
-            band_sigs = (chunks * C[None, None, :] % MERSENNE).sum(axis=2) % MERSENNE
+            b1 = (chunks * C[None, None, :] % MERSENNE).sum(axis=2) % MERSENNE
+            b2 = (chunks * C2[None, None, :] % MERSENNE).sum(axis=2) % MERSENNE
+            band_sigs = b1 * MERSENNE + b2  # < 2^62: fits int64 exactly
             yield pd.DataFrame(
                 {
                     "doc_id": np.repeat(doc_ids, bands),

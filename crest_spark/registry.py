@@ -154,34 +154,22 @@ def load_all() -> dict[str, QuerySpec]:
 
 
 # Driver-check rotation memory: the round each query was LAST checked
-# in (union of the CORRECTNESS_r01..r06 rows; absent = never checked).
+# in (union of the CORRECTNESS_r01..r07 rows; absent = never checked).
 # Everything has been checked at least once (r5 closed coverage), so
 # rotation's job is FRESHNESS: each round's fixed-size driver prefix
 # lands on the stalest entries — the ones whose implementation files
 # have churned most since their last check (VERDICT r5 next-round #5).
-# The r6 prefix re-certified all 22 new entries + 28 of the round-2
-# tier; the r7 prefix therefore leads with the 10 remaining r2-stale
-# entries, then the round-3 tier (VERDICT r6 next-round #5). Entries
-# added this round are tier 0 and sort before everything.
+# The r7 prefix cleared the r2 tier entirely and re-certified all 24 of
+# r7's additions; the r8 prefix therefore leads with the 11 remaining
+# r3-stale entries, then the round-4 tier of 45 (VERDICT r7 next-round
+# #6). Entries added this round are tier 0 and sort before everything.
 _LAST_CHECKED: dict[str, int] = {
-    # --- last checked in round 2 (10 entries) ---
-    "q04b_approx_distinct": 2, "q10c_cross_join": 2, "q12b_range_frame": 2,
-    "q17c_to_json": 2, "q18e_posexplode": 2, "q19_tumbling_batch": 2,
-    "q20_asof_join": 2, "q21_dedup_groups": 2, "q21b_distinct": 2,
-    "q27_having": 2,
-    # --- last checked in round 3 (27 entries) ---
-    "ann_ivf_topk": 3, "ann_lsh_topk": 3, "curation_pack_sequences": 3,
-    "curation_train_split": 3, "dedup_components": 3,
-    "dedup_embedding_cosine": 3, "multimodal_features": 3,
-    "multimodal_resize": 3, "q03_agg_pricing_summary": 3,
-    "q04_distinct_agg": 3, "q15c_grouping_sets": 3, "q15d_pivot": 3,
-    "q24c_in_subquery": 3, "q24d_cte": 3,
-    "q28b_order_count_distribution": 3, "q28c_volume_shipping": 3,
-    "q34b_gapfill_interpolate": 3, "q36_priority_count": 3,
-    "q37_local_supplier_volume": 3, "q46_multires_rollup": 3,
-    "stream_session_window": 3, "stream_sliding_window": 3,
-    "text_fingerprint": 3, "text_quality": 3, "text_token_stats": 3,
-    "udf_grouped_agg_pandas": 3, "udf_grouped_map_zscore": 3,
+    # --- last checked in round 3 (11 entries) ---
+    "ann_ivf_topk": 3, "q04_distinct_agg": 3, "q15d_pivot": 3, "q24d_cte": 3,
+    "q28c_volume_shipping": 3, "q34b_gapfill_interpolate": 3,
+    "q37_local_supplier_volume": 3, "stream_session_window": 3,
+    "text_fingerprint": 3, "text_token_stats": 3,
+    "udf_grouped_map_zscore": 3,
     # --- last checked in round 4 (45 entries) ---
     "curation_chunk_documents": 4, "curation_decontaminate": 4,
     "curation_domain_mix": 4, "curation_pii_scrub": 4,
@@ -196,11 +184,11 @@ _LAST_CHECKED: dict[str, int] = {
     "q25_deterministic_sample": 4, "q26_misc_aggs": 4, "q26b_string_agg": 4,
     "q26c_filtered_aggs": 4, "q28d_top_supplier": 4, "q28e_big_orders": 4,
     "q28f_promo_share": 4, "q29_lateral_topk": 4, "q38_revenue_forecast": 4,
-    "q39_market_share": 4, "q40_returned_items": 4,
-    "q41_important_parts": 4, "stats_histogram": 4, "stats_percentiles": 4,
-    "stream_dedup_counts": 4, "stream_static_join": 4,
-    "stream_stream_join": 4, "text_heavy_hitters": 4, "text_repetition": 4,
-    "text_unigram_nll": 4, "text_word_counts": 4, "udtf_ngrams": 4,
+    "q39_market_share": 4, "q40_returned_items": 4, "q41_important_parts": 4,
+    "stats_histogram": 4, "stats_percentiles": 4, "stream_dedup_counts": 4,
+    "stream_static_join": 4, "stream_stream_join": 4,
+    "text_heavy_hitters": 4, "text_repetition": 4, "text_unigram_nll": 4,
+    "text_word_counts": 4, "udtf_ngrams": 4,
     # --- last checked in round 5 (50 entries) ---
     "ann_brute_topk": 5, "curation_oversample": 5,
     "curation_stratified_sample": 5, "dedup_exact": 5,
@@ -244,6 +232,27 @@ _LAST_CHECKED: dict[str, int] = {
     "q56_rolling_median": 6, "q57_pareto_frontier": 6,
     "q58_market_basket": 6, "q59_audience_overlap": 6, "stats_entropy": 6,
     "stats_gini": 6, "text_bm25_topk": 6,
+    # --- last checked in round 7 (50 entries) ---
+    "ann_ivf_indexed_topk": 7, "ann_lsh_topk": 7,
+    "curation_pack_sequences": 7, "curation_paragraph_dedup": 7,
+    "curation_train_split": 7, "dedup_components": 7,
+    "dedup_embedding_cosine": 7, "graph_bfs_distances": 7,
+    "graph_triangle_count": 7, "lake_branch_ff": 7, "lake_constraints": 7,
+    "multimodal_features": 7, "multimodal_png_decode": 7,
+    "multimodal_resize": 7, "q03_agg_pricing_summary": 7,
+    "q04b_approx_distinct": 7, "q10c_cross_join": 7, "q12b_range_frame": 7,
+    "q15c_grouping_sets": 7, "q17c_to_json": 7, "q18e_posexplode": 7,
+    "q19_tumbling_batch": 7, "q20_asof_join": 7, "q21_dedup_groups": 7,
+    "q21b_distinct": 7, "q24c_in_subquery": 7, "q27_having": 7,
+    "q28b_order_count_distribution": 7, "q36_priority_count": 7,
+    "q46_multires_rollup": 7, "q60_scd2_build": 7,
+    "q61_scd2_point_in_time": 7, "q62_attribution_last_touch": 7,
+    "q63_longest_streak": 7, "q64_markov_transitions": 7,
+    "q65_rfm_segments": 7, "q66_attribution_position": 7, "stats_anova_f": 7,
+    "stats_benford": 7, "stats_chi2_independence": 7, "stats_ks_test": 7,
+    "stats_mann_whitney": 7, "stats_welch_ttest": 7, "stats_winsorized": 7,
+    "stream_sliding_window": 7, "text_quality": 7, "ts_cusum_changepoint": 7,
+    "ts_ewma": 7, "ts_zscore_anomaly": 7, "udf_grouped_agg_pandas": 7,
 }
 
 

@@ -49,35 +49,99 @@ sys.path.insert(0, REPO)
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
-# operator -> (expected class, rough description for the doc, max scale).
+# operator -> (expected class, rough description for the doc, max scale,
+# input tables to replicate).
 # max scale: the quadratic baseline is capped — its class is proven by
 # 256x (128k vectors, 22s) and 4096x would be ~100x that; the
 # sub-quadratic rows extend to 4096x (2M vectors) so their compute is
 # well clear of the ~3s fixed session overhead that deflated the r6
 # exponents (dedup_embedding_ann measured -0.13 at <=128k, VERDICT r6
-# what's-wrong #3).
+# what's-wrong #3). The r8 additions (VERDICT r7 #8) extend the sweep
+# beyond the similarity family: the behavioral pair-join (q58, lineitem
+# replicated with offset order/part keys — new orders, constant basket
+# distribution) and the temporal union-window form (q61, events
+# replicated with offset user/event ids — new users, constant per-user
+# history); both claim ~linear in their docstrings, capped at 1024x
+# (61M lineitem rows) to keep corpus build time sane.
 OPERATORS = {
-    "dedup_minhash_lsh": ("sub-quadratic", "minhash signatures -> banded buckets -> verify", None),
-    "dedup_embedding_ann": ("sub-quadratic", "hyperplane-LSH blocking -> exact-cosine verify", None),
-    "ann_lsh_topk": ("sub-quadratic", "LSH-bucketed top-k", None),
-    "dedup_embedding_cosine": ("quadratic", "exact block-pair GEMM (designed O(n^2) baseline)", 256),
+    "dedup_minhash_lsh": ("sub-quadratic", "minhash signatures -> banded buckets -> verify", None, ("documents",)),
+    "dedup_embedding_ann": ("sub-quadratic", "hyperplane-LSH blocking -> exact-cosine verify", None, ("embeddings",)),
+    "ann_lsh_topk": ("sub-quadratic", "LSH-bucketed top-k", None, ("embeddings",)),
+    "dedup_embedding_cosine": ("quadratic", "exact block-pair GEMM (designed O(n^2) baseline)", 256, ("embeddings",)),
+    "q58_market_basket": ("~linear", "basket pair-join + lift (pair expansion per order)", 1024, ("lineitem",)),
+    "q61_scd2_point_in_time": ("~linear", "union-tag + running-last window (join-free PIT)", 1024, ("events",)),
 }
 
 MARK_BEGIN = "<!-- scale-sweep:begin -->"
 MARK_END = "<!-- scale-sweep:end -->"
 
 
-def build_scaled_dir(scale: int, root: str) -> str:
-    """Replicate documents+embeddings `scale` times with deterministic
-    perturbation; returns a directory usable as an sf_dir."""
-    out = os.path.join(root, f"x{scale}")
-    if os.path.exists(os.path.join(out, "embeddings.parquet")):
-        return out
-    os.makedirs(out, exist_ok=True)
+def _build_fact_replica(table: str, scale: int, out: str) -> None:
+    """Replicate a fact table `scale` times with offset entity keys:
+    replica i's keys shift by i*10M, so the scaled corpus means MORE
+    entities with the SAME per-entity distribution (baskets per order,
+    history per user) — which is what 'scaled corpus' must mean for the
+    per-key operators (a key-colliding replication would grow per-key
+    volume, changing the algorithm's answer class, not its input size)."""
+    import pyarrow.compute as pc
 
+    src = pq.read_table(os.path.join(BASE_SF, f"{table}.parquet"))
+    offset_cols = {
+        "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+        "events": ("event_id", "user_id"),
+    }[table]
+    chunks = []
+    for i in range(scale):
+        t = src
+        if i:
+            for c in offset_cols:
+                t = t.set_column(
+                    t.schema.get_field_index(c),
+                    t.schema.field(c),
+                    pc.add(t[c], i * 10_000_000),
+                )
+        chunks.append(t)
+    pq.write_table(
+        pa.concat_tables(chunks).cast(src.schema),
+        os.path.join(out, f"{table}.parquet"),
+        row_group_size=131_072,
+    )
+
+
+def build_scaled_dir(
+    scale: int,
+    root: str,
+    tables: tuple[str, ...] = ("documents", "embeddings"),
+) -> str:
+    """Replicate the requested tables `scale` times with deterministic
+    perturbation; returns a directory usable as an sf_dir. Existing
+    per-table files are reused (one dir serves several op groups)."""
+    out = os.path.join(root, f"x{scale}")
+    os.makedirs(out, exist_ok=True)
+    for t in ("lineitem", "events"):
+        if t in tables and not os.path.exists(
+            os.path.join(out, f"{t}.parquet")
+        ):
+            _build_fact_replica(t, scale, out)
+    need_docs = "documents" in tables and not os.path.exists(
+        os.path.join(out, "documents.parquet")
+    )
+    need_emb = "embeddings" in tables and not os.path.exists(
+        os.path.join(out, "embeddings.parquet")
+    )
+    if not (need_docs or need_emb):
+        return out
+
+    if need_docs:
+        _build_documents_replica(scale, out)
+    if need_emb:
+        _build_embeddings_replica(scale, out)
+    return out
+
+
+def _build_documents_replica(scale: int, out: str) -> None:
     docs = pq.read_table(os.path.join(BASE_SF, "documents.parquet"))
     d = docs.to_pydict()
-    n = len(d["doc_id"])
 
     def perturb_text(t: str, i: int) -> str:
         """Replica i of a document must NOT be a near-dup of replica j
@@ -120,6 +184,8 @@ def build_scaled_dir(scale: int, root: str) -> str:
         row_group_size=32_768,
     )
 
+
+def _build_embeddings_replica(scale: int, out: str) -> None:
     emb = pq.read_table(os.path.join(BASE_SF, "embeddings.parquet"))
     vec_ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
     vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float32)
@@ -160,7 +226,6 @@ def build_scaled_dir(scale: int, root: str) -> str:
         os.path.join(out, "embeddings.parquet"),
         row_group_size=32_768,
     )
-    return out
 
 
 def run_sweep(
@@ -179,24 +244,24 @@ def run_sweep(
         root = tempfile.mkdtemp(prefix="crest_scale_")
     else:
         os.makedirs(root, exist_ok=True)
-    dirs = {s: build_scaled_dir(s, root) for s in scales}
     # session warm-up (JVM, Python worker pool)
     spark.range(1024, numPartitions=32).mapInPandas(
         lambda it: it, "id long"
     ).count()
 
     results: dict[str, dict] = {}
-    for name, (klass, desc, max_scale) in OPERATORS.items():
+    for name, (klass, desc, max_scale, tables) in OPERATORS.items():
         if ops is not None and name not in ops:
             continue
         fn = specs[name].fn
         op_scales = [s for s in scales if max_scale is None or s <= max_scale]
         times: dict[int, float] = {}
         for s in op_scales:
+            d = build_scaled_dir(s, root, tables)
             best = float("inf")
             for _ in range(runs):
                 t0 = time.perf_counter()
-                fn(spark, dirs[s]).count()
+                fn(spark, d).count()
                 best = min(best, time.perf_counter() - t0)
             times[s] = best
             print(f"# {name} x{s}: {best:.3f}s", file=sys.stderr)
@@ -221,7 +286,7 @@ def write_doc(results: dict[str, dict], scales: list[int]) -> None:
     lines = [
         MARK_BEGIN,
         "",
-        "## Measured scaling exponents (r7 sweep)",
+        "## Measured scaling exponents",
         "",
         f"Corpus: sf0.01 documents/embeddings replicated "
         f"{'/'.join(f'{s}x' for s in scales)} with deterministic "
@@ -246,17 +311,41 @@ def write_doc(results: dict[str, dict], scales: list[int]) -> None:
             f"| {name} | {r['class']} | {cells} | {lo}x->{hi}x "
             f"| **{r['exponent']:.2f}** |"
         )
-    lines += [
-        "",
+    # the prose is DERIVED from the table it sits under, never asserted
+    # independently of it (VERDICT r7 what's-wrong #1: a stale
+    # "near-linear" claim survived next to a measured 1.50)
+    sub_q = {
+        n: r
+        for n, r in results.items()
+        if r["class"] != "quadratic"
+    }
+    holding = sorted(n for n, r in sub_q.items() if r["exponent"] <= 1.3)
+    breaching = sorted(n for n, r in sub_q.items() if r["exponent"] > 1.3)
+    reading = (
         "Reading: with the sweep extended until every sub-quadratic "
         "path's compute is well clear of the ~3s fixed session overhead "
-        "(t >= 10s at max scale), the LSH-blocked paths hold a positive "
-        "near-linear exponent — the adaptive band width keeps bucket "
-        "occupancy constant, so candidate work grows ~O(n) — while the "
-        "exact GEMM baseline grows super-linearly on the same corpus. "
-        "The sub-quadratic routing is measured, not asserted.",
-        MARK_END,
-    ]
+        "(t >= 10s at max scale), "
+    )
+    if holding:
+        reading += (
+            f"{', '.join(holding)} hold exponents <= 1.3 over their "
+            "largest measured step"
+        )
+    if breaching:
+        reading += (
+            (";  " if holding else "")
+            + f"**{', '.join(breaching)} measured ABOVE 1.3 — the "
+            "sub-quadratic claim is NOT certified for "
+            + ("it" if len(breaching) == 1 else "them")
+            + " at this scale and the cause must be diagnosed before "
+            "relying on it**"
+        )
+    reading += (
+        ". The exact GEMM baseline grows super-linearly on the same "
+        "corpus — that contrast is what certifies the sub-quadratic "
+        "routes as real rather than flat-overhead artifacts."
+    )
+    lines += ["", reading, MARK_END]
     block = "\n".join(lines)
     if MARK_BEGIN in content:
         pre = content[: content.index(MARK_BEGIN)]

@@ -332,3 +332,79 @@ def test_null_merge_key_parity_cow_vs_mor(spark, tmp_path):
     ) == sorted(
         (tuple(r) for r in t_cow.read(spark).collect()), key=key
     )
+
+
+def test_mor_sync_key_complement_delta(spark, tmp_path):
+    """Full-snapshot sync under strategy='mor' (r7 what's-missing #3):
+    the post-merge key set is exactly the source's, target keys absent
+    from the source are removed via equality-delete keys (the computed
+    complement), and NO existing data file is rewritten."""
+    t, df = _mk(spark, tmp_path, n=100, files=5)
+    before = set(t._state()["files"])
+    # source: keep ids < 60, update val of evens, insert two new keys
+    source = (
+        df.where(F.col("id") < 60)
+        .withColumn(
+            "val",
+            F.when(F.col("id") % 2 == 0, F.lit("synced")).otherwise(
+                F.col("val")
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(500, "new", 1), (501, "new", 2)],
+                "id int, val string, grp int",
+            )
+        )
+    )
+    t.merge(
+        spark,
+        source,
+        key="id",
+        strategy="mor",
+        not_matched_by_source="delete",
+    )
+    state = t._state()
+    assert set(state["files"]) >= before  # nothing rewritten
+    got = {(r["id"], r["val"]) for r in t.read(spark).collect()}
+    want = {(r["id"], r["val"]) for r in source.collect()}
+    assert got == want
+    # compact folds it and semantics survive
+    t.compact(spark, target_partitions=2)
+    assert not t._state()["deletes"]
+    assert {(r["id"], r["val"]) for r in t.read(spark).collect()} == want
+
+
+def test_mor_sync_change_feed_reports_complement_deletes(spark, tmp_path):
+    t, df = _mk(spark, tmp_path, n=60, files=3)
+    source = df.where(F.col("id") % 4 != 0)  # drop every 4th key
+    v = t.merge(
+        spark,
+        source,
+        key="id",
+        strategy="mor",
+        not_matched_by_source="delete",
+        change_feed=True,
+    )
+    feed = t.read_changes(spark, after=v - 1, upto=v, cdf=True)
+    dels = {
+        r["id"]
+        for r in feed.where(F.col("_change_type") == "delete").collect()
+    }
+    assert dels == {i for i in range(60) if i % 4 == 0}
+
+
+def test_mor_sync_refuses_sequence_col(spark, tmp_path):
+    """An unconditional not-matched tombstone has no sound sequence
+    value in a delta — the combination must refuse, CoW must accept."""
+    t, df = _mk(spark, tmp_path, n=20, files=2)
+    src = df.where(F.col("id") < 10).withColumn("seq", F.lit(5))
+    with pytest.raises(ValueError, match="sequence"):
+        t.merge(
+            spark,
+            src,
+            key="id",
+            strategy="mor",
+            sequence_col="seq",
+            not_matched_by_source="delete",
+        )
