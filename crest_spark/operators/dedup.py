@@ -1373,3 +1373,89 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(corpus, "f").select("doc_id", "dup_of").orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via embedding clusters
+# ---------------------------------------------------------------------------
+
+# Within-cluster cosine above tau = semantic dup. 0.35 on THIS corpus
+# for the same reason as _COS_T: the synthetic embeddings' true
+# near-dups sit at ~0.35-0.51 (max pairwise cosine 0.51); on real model
+# embeddings the paper uses 0.95+ — the plan is threshold-independent.
+SEMDEDUP_TAU = 0.35
+SEMDEDUP_CELLS = 16
+SEMDEDUP_MAX_CLUSTER = 8192  # per-cluster pairwise guard (see docstring)
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=None,  # seeded k-means: cluster geometry is approximate by
+    # design; the within-cluster dup contract is exactly verified in
+    # pytest (test_llm_ops.py) against brute-force cosine
+    tags=("llm", "dedup", "semdedup", "embedding"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): k-means cluster
+    the embedding space, then WITHIN each cluster mark as duplicates the
+    vectors whose cosine to a LOWER-id cluster member exceeds tau — the
+    semantic-dedup recipe used on LAION/C4-scale corpora, where global
+    pairwise cosine is unpayable but near-dups concentrate inside
+    clusters.
+
+    Plan: O(sample) seeded driver k-means (the same split FAISS and the
+    paper use), ONE broadcast-GEMM assignment pass over the corpus
+    (Arrow-batched, shared with the IVF index), one shuffle on cluster
+    id, then per-cluster pairwise cosine via applyInPandas — work is
+    sum(|cluster|^2), never corpus^2. Degenerate clusters are guarded:
+    above SEMDEDUP_MAX_CLUSTER members, each vector is compared against
+    the cluster's lowest-id prefix only (O(B*C) not O(B^2) — the
+    canonical keepers live in the prefix, so recall against kept
+    representatives is preserved; at 100 TB you'd recluster hot cells
+    hierarchically instead). Keep-lowest-id policy matches dedup_exact."""
+    import numpy as np
+    import pandas as pd
+
+    from crest_spark.operators.vector_index import (
+        _assign_cells,
+        _fit_centroids,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = _fit_centroids(em, SEMDEDUP_CELLS, seed=29, sample_n=2000)
+    b_cent = spark.sparkContext.broadcast(np.asarray(centroids))
+    assigned = _assign_cells(em, b_cent)
+
+    def mark_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        n = len(pdf)
+        c = min(n, SEMDEDUP_MAX_CLUSTER)
+        # sims[i, j] = cos(vec i, prefix member j); only j < i counts
+        sims = mat @ mat[:c].T
+        best = np.full(n, np.nan)
+        for i in range(1, n):
+            row = sims[i, : min(i, c)]
+            if len(row):
+                best[i] = row.max()
+        is_dup = np.nan_to_num(best, nan=-1.0) > SEMDEDUP_TAU
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cell"],
+                "is_dup": is_dup,
+                "max_sim_lower": np.round(best, 4),
+            }
+        )
+
+    out_schema = (
+        "vec_id long, cluster int, is_dup boolean, max_sim_lower double"
+    )
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(mark_dups, out_schema)
+        .orderBy("vec_id")
+    )

@@ -1542,3 +1542,60 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical SS terms into the identical F formula."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("_anova_ev")
     return spark.sql(_ANOVA_SQL.format(events="_anova_ev"))
+
+
+# Equal-frequency feature binning: NTILE(10) over a numeric feature.
+# Why NTILE and not approx quantile boundaries: the ML-preprocessing
+# contract is "bins of equal row count", which the rank form gives
+# exactly; quantile-boundary binning only approximates it under ties.
+# Determinism: within a tie run NTILE assigns positionally, but every
+# aggregate below depends only on the VALUE (bounds/avg of equal values
+# are equal), so the output is order-independent. SUM over DECIMAL keeps
+# the mean exact before the single 4dp rounding.
+_BINNING_SQL = """
+    WITH ranked AS (
+        SELECT l_extendedprice AS v,
+               NTILE(10) OVER (ORDER BY l_extendedprice) AS bin
+        FROM {lineitem}
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {lo} AS lo,
+           {hi} AS hi,
+           CAST(ROUND(CAST(
+               SUM(CAST(v AS DECIMAL(30,8))) / COUNT(*)
+           AS DECIMAL(30,12)), 4) AS DOUBLE) AS mean
+    FROM ranked
+    GROUP BY bin
+    ORDER BY bin
+"""
+
+
+@register(
+    "stats_quantile_binning",
+    oracle=_BINNING_SQL.format(
+        lineitem="lineitem",
+        lo="CAST(MIN(v) AS DOUBLE)",
+        hi="CAST(MAX(v) AS DOUBLE)",
+    ),
+    tags=("stats", "binning", "ml-prep"),
+)
+def stats_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning of lineitem prices: per bin the
+    row count, value bounds, and exact mean — the feature-discretization
+    primitive every ML feature pipeline runs.
+
+    Scale note: NTILE over a global ORDER BY is a total sort — right
+    for a feature column that needs exact equal-frequency bins, and
+    Spark's range-partitioned sort distributes it (no single-reducer
+    funnel). When approximate bins suffice at 100 TB, approx_percentile
+    boundaries + one hash-join pass is the cheaper route
+    (stats_percentiles_approx covers that contract)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_bin_li")
+    return spark.sql(
+        _BINNING_SQL.format(
+            lineitem="_bin_li",
+            lo="CAST(MIN(v) AS DOUBLE)",
+            hi="CAST(MAX(v) AS DOUBLE)",
+        )
+    )

@@ -611,3 +611,148 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the breach flag are bit-identical."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("_cusum_ev")
     return spark.sql(_CUSUM_SQL.format(day=_SPARK_DAY, events="_cusum_ev"))
+
+
+# Seasonal-trend decomposition (classical additive, STL's role): daily
+# revenue = trend + day-of-week seasonal + remainder. All intermediate
+# arithmetic is exact integers — cents x7 for the centered-MA detrend
+# (7*cents - window_sum is a BIGINT identity, no division until the
+# final projection) and x(7*n_dow) for the seasonal mean — so every
+# reported double is ONE exact-rational-to-double conversion, rounded
+# 4dp, bit-identical across engines. dow = epoch_day % 7 (pure integer;
+# engine day-of-week builtins disagree on week start).
+_STL_SQL = """
+    WITH daily AS (
+        SELECT {day} AS day,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM {events}
+        GROUP BY 1
+    ),
+    tr AS (
+        SELECT day, cents, day % 7 AS dow,
+               COUNT(cents) OVER w AS n7,
+               SUM(cents) OVER w AS s7
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT day, cents, dow, s7,
+               7 * cents - s7 AS det7      -- 7x the detrended value
+        FROM tr
+        WHERE n7 = 7                       -- full centered window only
+    ),
+    seas AS (
+        SELECT dow,
+               SUM(det7) AS sd7,           -- sum of 7x detrended
+               COUNT(*) AS nd
+        FROM det GROUP BY dow
+    )
+    SELECT d.day,
+           CAST(ROUND(CAST(CAST(d.cents AS DOUBLE) / 100 AS DECIMAL(30,8)), 4) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(CAST(d.s7 AS DOUBLE) / 700 AS DECIMAL(30,8)), 4) AS DOUBLE) AS trend,
+           CAST(ROUND(CAST(CAST(s.sd7 AS DOUBLE) / (700 * s.nd) AS DECIMAL(30,12)), 4) AS DOUBLE) AS seasonal,
+           CAST(ROUND(CAST(
+               (CAST(d.det7 AS DOUBLE) / 700)
+               - (CAST(s.sd7 AS DOUBLE) / (700 * s.nd))
+           AS DECIMAL(30,12)), 4) AS DOUBLE) AS remainder
+    FROM det d JOIN seas s ON s.dow = d.dow
+    ORDER BY d.day
+"""
+
+
+@register(
+    "ts_stl_decompose",
+    oracle=_STL_SQL.format(day=_DUCK_DAY_TS, events="events"),
+    tags=("timeseries", "decomposition", "window"),
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue:
+    trend = 7-day centered moving average (full windows only),
+    seasonal = per-day-of-week mean of the detrended series,
+    remainder = what neither explains — the anomaly-detection /
+    forecasting preprocessing primitive.
+
+    One full-fact shuffle (the daily pre-aggregation, map-side
+    combinable); the trend window and the 7-row seasonal join run over
+    the tiny day spine, so cost at 100 TB is the daily rollup and
+    nothing else. Exact-integer arithmetic throughout (see _STL_SQL)
+    keeps even the remainder engine-exact."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_stl_ev")
+    return spark.sql(_STL_SQL.format(day=_SPARK_DAY, events="_stl_ev"))
+
+
+# Merged-interval coverage (gaps-and-islands over half-open intervals):
+# each event opens a fixed-length attention window; overlapping windows
+# merge, and the per-user covered time is the sum of merged island
+# lengths. The scheduling/uptime/ad-exposure primitive.
+_COVERAGE_SQL = """
+    WITH iv AS (
+        SELECT user_id,
+               {sec} AS s,
+               {sec} + {dur} AS e
+        FROM {events}
+    ),
+    marked AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               CAST(SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS island
+        FROM marked
+    ),
+    merged AS (
+        SELECT user_id, island,
+               MIN(s) AS island_start, MAX(e) AS island_end
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_end - island_start) AS BIGINT) AS covered_s
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+_COVERAGE_DUR_S = 300  # each event covers 5 minutes
+
+
+@register(
+    "ts_interval_coverage",
+    oracle=_COVERAGE_SQL.format(
+        dur=_COVERAGE_DUR_S,
+        events="events",
+        sec="CAST(epoch_us(ts) // 1000000 AS BIGINT)",
+    ),
+    tags=("timeseries", "intervals", "gaps-islands"),
+)
+def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage per user: every event opens a 5-minute
+    window, overlapping windows merge (gaps-and-islands via a running
+    MAX of interval ends — the first interval of a user is island 1 by
+    the NULL comparison falling to ELSE 0... see below), and the output
+    is islands + total covered seconds.
+
+    Why window-form and not a self-join: interval merging is the
+    textbook case where the naive overlap self-join is O(k^2) per user;
+    the running-max form is ONE shuffle on user_id + one sort, O(k log
+    k) per user, and AQE splits skewed users. Integer-second epochs
+    keep it engine-exact. NOTE the first-row case: MAX OVER an empty
+    preceding frame is NULL, `s > NULL` is NULL, CASE falls to 0 — so
+    island numbering starts at 0+...cumulative sums make the first
+    island id 0; identical in both engines, and ids are internal."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_cov_ev")
+    return spark.sql(
+        _COVERAGE_SQL.format(
+            dur=_COVERAGE_DUR_S,
+            events="_cov_ev",
+            sec="unix_timestamp(ts)",
+        )
+    )

@@ -570,3 +570,50 @@ def test_substring_spans_short_docs_and_span_shape(spark, tmp_path):
     # doc 2: same block offset by the 2-token prefix -> [3, 22]
     (s2,) = by_doc[2]
     assert (s2.span_start, s2.span_end, s2.n_windows) == (3, 22, 9)
+
+
+def test_semdedup_within_cluster_contract_exact(spark, sf_dir):
+    """dedup_semantic_clusters' flag is EXACTLY the within-cluster
+    SemDeDup contract: is_dup(v) <=> some lower-id member of v's
+    cluster has cosine > tau. Verified against brute-force cosine over
+    the full corpus (500 vectors at sf0.01)."""
+    import numpy as np
+
+    from crest_spark.operators.dedup import (
+        SEMDEDUP_TAU,
+        dedup_semantic_clusters,
+    )
+    from crest_spark.sources.tables import load_table
+
+    out = {
+        r["vec_id"]: (r["cluster"], r["is_dup"])
+        for r in dedup_semantic_clusters(spark, sf_dir).collect()
+    }
+    em = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {}
+    for r in em:
+        v = np.array(r["embedding"], dtype=np.float64)
+        vecs[r["vec_id"]] = v / max(np.linalg.norm(v), 1e-12)
+    assert set(out) == set(vecs)  # every vector classified exactly once
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (c, _) in out.items():
+        by_cluster.setdefault(c, []).append(vid)
+    n_dups = 0
+    for c, members in by_cluster.items():
+        members.sort()
+        for i, vid in enumerate(members):
+            expect = any(
+                float(vecs[vid] @ vecs[lo]) > SEMDEDUP_TAU
+                for lo in members[:i]
+            )
+            assert out[vid][1] == expect, (vid, c)
+            n_dups += out[vid][1]
+    assert n_dups > 0  # the corpus has semantic dups; the op finds them
+
+
+def test_semdedup_is_deterministic(spark, sf_dir):
+    from crest_spark.operators.dedup import dedup_semantic_clusters
+
+    a = dedup_semantic_clusters(spark, sf_dir).collect()
+    b = dedup_semantic_clusters(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
