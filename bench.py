@@ -14,7 +14,17 @@ q59_audience_overlap -> 42; r7 later added q64_markov_transitions +
 q65_rfm_segments -> 44; r8 added the temporal flagships
 q60_scd2_build / q61_scd2_point_in_time / q62_attribution_last_touch
 and one hypothesis test stats_mann_whitney -> 48). Timing policy
-changed once, in r5 (single-shot -> min-of-k).
+changed twice: r5 (single-shot -> min-of-k) and r8 (timing action
+count() -> noop-sink full materialization — count() let Catalyst PRUNE
+every output column the count doesn't need, so projected-only work
+never executed: q61's entire window, q03's aggregate value
+expressions, q17's JSON extraction (5x), udf_scalar_pandas' UDF (3.6x).
+The noop sink consumes every output row with all columns, measuring
+the operator as a downstream consumer would pay for it. r1-r7
+per-query numbers are count()-action and NOT comparable to r8+ without
+that caveat; the filter/join-dominated queries — the dedup/LSH family,
+q58 — moved <5% because their expensive work feeds filters count
+could not prune).
 
 Output contract (VERDICT r6 "what's wrong" #1): the LAST stdout line is
 a compact driver-parseable summary — metric/value/unit/queries/sf only —
@@ -100,8 +110,13 @@ def emit(timings, medians, all_runs, sf, runs, detail_path=None, out=None):
     total = round(sum(timings.values()), 3)
     detail = {
         "runs_per_query": runs,
-        "timing_policy": "min_of_runs; sorted per-query runs in 'runs';"
-        " session warmup excluded (r1-r4 were single-shot)",
+        "timing_policy": "min_of_runs over FULL-PLAN materialization via"
+        " the noop sink (since r8: count() let Catalyst prune"
+        " projected-only work — window outputs, aggregate value"
+        " expressions, scalar/UDF projections — so r1-r7 per-query"
+        " numbers are count()-action and not directly comparable);"
+        " sorted per-query runs in 'runs'; session warmup excluded"
+        " (r1-r4 were single-shot)",
         "median": medians,
         "median_total": round(sum(medians.values()), 3),
         "runs": all_runs,
@@ -169,11 +184,16 @@ def main() -> None:
     all_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         spec = specs[name]
-        times, n = [], 0
+        times = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            n = spec.fn(spark, sf_dir).count()
+            # noop sink: materializes EVERY output column (count() lets
+            # Catalyst prune projected-only work — see module docstring)
+            spec.fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             times.append(time.perf_counter() - t0)
+        n = spec.fn(spark, sf_dir).count()  # rows for the stderr line only
         times.sort()
         timings[name] = round(times[0], 3)
         medians[name] = round(times[len(times) // 2], 3)

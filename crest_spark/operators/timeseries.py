@@ -621,13 +621,15 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reported double is ONE exact-rational-to-double conversion, rounded
 # 4dp, bit-identical across engines. dow = epoch_day % 7 (pure integer;
 # engine day-of-week builtins disagree on week start).
+_STL_DAILY_SQL = """
+    SELECT {day} AS day,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+    FROM {events}
+    GROUP BY 1
+"""
+
 _STL_SQL = """
-    WITH daily AS (
-        SELECT {day} AS day,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
-        FROM {events}
-        GROUP BY 1
-    ),
+    WITH daily AS ({daily}),
     tr AS (
         SELECT day, cents, day % 7 AS dow,
                COUNT(cents) OVER w AS n7,
@@ -662,7 +664,9 @@ _STL_SQL = """
 
 @register(
     "ts_stl_decompose",
-    oracle=_STL_SQL.format(day=_DUCK_DAY_TS, events="events"),
+    oracle=_STL_SQL.format(
+        daily=_STL_DAILY_SQL.format(day=_DUCK_DAY_TS, events="events")
+    ),
     tags=("timeseries", "decomposition", "window"),
 )
 def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,10 +679,19 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     One full-fact shuffle (the daily pre-aggregation, map-side
     combinable); the trend window and the 7-row seasonal join run over
     the tiny day spine, so cost at 100 TB is the daily rollup and
-    nothing else. Exact-integer arithmetic throughout (see _STL_SQL)
-    keeps even the remainder engine-exact."""
+    nothing else. The day spine is PINNED (localCheckpoint — a few
+    hundred rows at any SF) because the decomposition references it
+    from both the seasonal aggregate and the final join: inlined CTEs
+    would re-run the full-fact rollup once per reference
+    (plan-asserted: exactly one fact scan, test_plans.py).
+    Exact-integer arithmetic throughout (see _STL_SQL) keeps even the
+    remainder engine-exact."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("_stl_ev")
-    return spark.sql(_STL_SQL.format(day=_SPARK_DAY, events="_stl_ev"))
+    daily = spark.sql(
+        _STL_DAILY_SQL.format(day=_SPARK_DAY, events="_stl_ev")
+    ).localCheckpoint(eager=False)
+    daily.createOrReplaceTempView("_stl_daily")
+    return spark.sql(_STL_SQL.format(daily="SELECT * FROM _stl_daily"))
 
 
 # Merged-interval coverage (gaps-and-islands over half-open intervals):

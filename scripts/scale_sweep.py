@@ -261,7 +261,12 @@ def run_sweep(
             best = float("inf")
             for _ in range(runs):
                 t0 = time.perf_counter()
-                fn(spark, d).count()
+                # noop sink, not count(): count lets Catalyst prune
+                # projected-only work (q61's whole window ran in 0.27s
+                # FLAT across 64x of data before this fix — nothing was
+                # executing). The LSH family moved <5% under the change
+                # (their expensive work feeds filters).
+                fn(spark, d).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             times[s] = best
             print(f"# {name} x{s}: {best:.3f}s", file=sys.stderr)
@@ -281,6 +286,12 @@ def run_sweep(
 
 def write_doc(results: dict[str, dict], scales: list[int]) -> None:
     doc = os.path.join(REPO, "docs", "SCALE.md")
+    # render the UNION of scales any cached row measured — a partial
+    # rerun (--ops X --scales small) must not drop other rows' top-scale
+    # columns from the table
+    scales = sorted(
+        {int(s) for r in results.values() for s in r["times"]}
+    )
     with open(doc) as fh:
         content = fh.read()
     lines = [
@@ -288,13 +299,16 @@ def write_doc(results: dict[str, dict], scales: list[int]) -> None:
         "",
         "## Measured scaling exponents",
         "",
-        f"Corpus: sf0.01 documents/embeddings replicated "
+        f"Corpus: sf0.01 inputs replicated "
         f"{'/'.join(f'{s}x' for s in scales)} with deterministic "
-        "perturbation (`scripts/scale_sweep.py`); times are min-of-k on "
+        "perturbation (`scripts/scale_sweep.py` — documents get "
+        "per-replica salted text, embeddings direction jitter, "
+        "lineitem/events offset entity keys); times are min-of-k on "
         "local[32]; per-operator exponent = log-log slope over its "
         "largest measured scale step (the quadratic baseline is capped "
         "at 256x — its class was already proven there, and 4096x would "
-        "be ~100x that wall time).",
+        "be ~100x that wall time; the fact-table ops are capped at "
+        "1024x = 61M lineitem rows).",
         "",
         "| Operator | class | "
         + " | ".join(f"t({s}x) s" for s in scales)
@@ -322,9 +336,9 @@ def write_doc(results: dict[str, dict], scales: list[int]) -> None:
     holding = sorted(n for n, r in sub_q.items() if r["exponent"] <= 1.3)
     breaching = sorted(n for n, r in sub_q.items() if r["exponent"] > 1.3)
     reading = (
-        "Reading: with the sweep extended until every sub-quadratic "
-        "path's compute is well clear of the ~3s fixed session overhead "
-        "(t >= 10s at max scale), "
+        "Reading: with the similarity-family sweeps extended until "
+        "compute is well clear of the ~3s fixed session overhead "
+        "(t >= 10s at max scale for the LSH rows), "
     )
     if holding:
         reading += (

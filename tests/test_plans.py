@@ -448,3 +448,57 @@ def test_paragraph_dedup_no_cartesian(spark, sf_dir):
     plan = simple_plan(df)
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_interval_coverage_join_free_single_key_shuffle(spark, sf_dir):
+    """Merged-interval coverage must be the gaps-and-islands window
+    form: zero Join operators (the O(k^2) overlap self-join is the
+    anti-pattern), one user_id shuffle shared by both windows and the
+    aggregations, plus the output sort."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["ts_interval_coverage"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 2  # user_id + final orderBy
+
+
+def test_stl_decompose_day_spine_only(spark, sf_dir):
+    """The decomposition's joins/windows run on the DAY SPINE, never
+    the fact: the daily rollup is pinned (localCheckpoint), so the
+    seasonal aggregate and the final join referencing it cannot re-run
+    the full-fact scan — zero FileScan in the decomposition plan, no
+    cartesian anywhere."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["ts_stl_decompose"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the fact rollup happened once, into the pinned spine; the
+    # decomposition itself reads no file
+    assert plan.count("FileScan") == 0
+
+
+def test_quantile_binning_single_scan_no_join(spark, sf_dir):
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["stats_quantile_binning"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+    # only the feature column is read
+    assert read_schema_columns(df) == {"l_extendedprice"}
+
+
+def test_semdedup_no_pairwise_outside_clusters(spark, sf_dir):
+    """SemDeDup's pairwise work happens INSIDE applyInPandas groups —
+    the plan itself must carry no join/cartesian, just the cluster-id
+    shuffle feeding FlatMapGroupsInPandas."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["dedup_semantic_clusters"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
