@@ -1459,3 +1459,87 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(mark_dups, out_schema)
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric near-dup: one document inside another)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.8  # fraction of the smaller doc's shingles found in the other
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS s
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               {round4("CAST(i AS DOUBLE) / LEAST(sa.n, sb.n)")}
+                   AS containment,
+               CAST(CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END
+                    AS BIGINT) AS contained_id
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) >= {_CONTAIN_T}
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment mining (Broder's containment score):
+    |A∩B| / min(|A|,|B|) — catches the pair Jaccard structurally CANNOT
+    (a short document quoted inside a long one has tiny Jaccard but
+    containment ~1), which is the shape quote-chains, boilerplate
+    wrappers, and partial crawls take in a training corpus. Reports the
+    pair, the score, and WHICH side is the contained one.
+
+    Same inverted-index plan as dedup_ngram_jaccard (one shingle-key
+    shuffle, one pair-key aggregation, per-doc sizes joined back) — the
+    prefilter stays lossless for any threshold > 0 because a pair with
+    zero shared shingles has containment 0. At 100 TB the hot-shingle
+    guard (df-cap the posting lists) applies identically."""
+    d = with_shingles(_docs(spark, sf_dir))
+    sh = d.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    score = F.col("i").cast("double") / F.least("na", "nb")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(score >= _CONTAIN_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                round4("CAST(i AS DOUBLE) / LEAST(na, nb)")
+            ).alias("containment"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .cast("long")
+            .alias("contained_id"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -620,3 +620,113 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+_BIGRAM_LAMBDA = "0.75"  # interpolation weight on the bigram term
+
+# shared SQL shape: cleaned token list -> adjacent bigrams; counts are
+# all integers, the interpolated probability is one rational per
+# position, and ln routes through DECIMAL before averaging (avg4) so
+# 1-ulp ln differences cannot reorder the aggregate
+_BIGRAM_NLL_ORACLE = """
+    WITH ct AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, w1, w2
+        FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> struct_pack(w1 := toks[i], w2 := toks[i+1])
+                   )) AS p
+            FROM ct
+        ) t, LATERAL (SELECT p.w1 AS w1, p.w2 AS w2)
+    ),
+    bfreq AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+    cfreq AS (SELECT w1, SUM(cb) AS c1 FROM bfreq GROUP BY 1),
+    ufreq AS (
+        SELECT w AS w2, COUNT(*) AS cu
+        FROM (SELECT UNNEST(toks) AS w FROM ct)
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cu) AS t FROM ufreq)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           {avg}
+    FROM bg
+    JOIN bfreq USING (w1, w2)
+    JOIN cfreq USING (w1)
+    JOIN ufreq USING (w2)
+    CROSS JOIN tot
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+"""
+
+_BIGRAM_P = (
+    f"-LN({_BIGRAM_LAMBDA} * CAST(cb AS DOUBLE) / c1"
+    f" + (1 - {_BIGRAM_LAMBDA}) * CAST(cu AS DOUBLE) / t)"
+)
+
+
+@register(
+    "text_bigram_nll",
+    oracle=_BIGRAM_NLL_ORACLE.format(avg=avg4(_BIGRAM_P) + " AS nll"),
+    tags=("llm", "text", "quality", "lm"),
+)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM negative log-likelihood per document —
+    the context-aware upgrade of ``text_unigram_nll``: p(w2|w1) =
+    0.75*c(w1,w2)/c(w1·) + 0.25*c(w2)/T, so repeated-but-rare word
+    PAIRS (garbled interleavings, shuffled boilerplate) score badly
+    even when every individual token is common. Same role as the KenLM
+    perplexity filters in CCNet/RedPajama, closed over the corpus so
+    the oracle gate stays exact.
+
+    Plan: one pass builds the cleaned token array JVM-side; adjacent
+    bigrams come from an array zip (no self-join, no window); the
+    bigram/context/unigram count tables hang off the same explode. The
+    count joins are UNHINTED — the bigram vocabulary grows with the
+    corpus (unlike the unigram table), so a forced broadcast would be
+    the q58 OOM anti-pattern; AQE broadcasts while small and
+    shuffle-joins on the fine-grained bigram key once it is not.
+    Per-position ln routes through DECIMAL (avg4) before averaging."""
+    d = _docs(spark, sf_dir)
+    ct = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    n = F.size("toks")
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.col("toks")[i - 1].alias("w1"), F.col("toks")[i].alias("w2")
+        ),
+    )
+    bg = (
+        ct.where(n >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bfreq = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cfreq = bfreq.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    ufreq = (
+        ct.select(F.explode("toks").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = ufreq.agg(F.sum("cu").alias("t"))
+    return (
+        bg.join(bfreq, ["w1", "w2"])
+        .join(cfreq, "w1")
+        .join(ufreq, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(avg4(_BIGRAM_P)).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1178,12 +1178,28 @@ def test_merge_sync_deletes_not_matched_by_source(spark, sf_dir, tmp_path):
             key="n_nationkey",
             not_matched_by_source="delete",
         )
-    with pytest.raises(ValueError, match="copy-on-write"):
+    # r8: sync under strategy='mor' is IMPLEMENTED (key-complement
+    # delta) — re-running the same snapshot as a MoR sync converges to
+    # the same rowset while rewriting nothing
+    before_files = set(t._state()["files"])
+    t.merge(
+        spark,
+        snapshot,
+        key="n_nationkey",
+        strategy="mor",
+        not_matched_by_source="delete",
+    )
+    assert set(t._state()["files"]) >= before_files
+    out2 = {r["n_nationkey"]: r["n_name"] for r in t.read(spark).collect()}
+    assert out2 == out
+    # the one combination with no sound delta form still refuses
+    with pytest.raises(ValueError, match="sequence"):
         t.merge(
             spark,
-            snapshot,
+            snapshot.withColumn("seq", F.lit(1)),
             key="n_nationkey",
             strategy="mor",
+            sequence_col="seq",
             not_matched_by_source="delete",
         )
 
