@@ -179,13 +179,17 @@ def minhash_band_rows(
 ) -> DataFrame:
     """(doc_id, band, sig) LSH bucket rows via Arrow-batched numpy.
 
-    h_i(s) = (a_i * crc32(s) + b_i) mod M31 with seeded constants. One
-    (k x S) affine + min per doc — vectorized C, not per-element JVM
-    lambda evaluation: Catalyst higher-order functions are *interpreted*
-    (no whole-stage codegen inside the lambda), which made the pure-
-    expression formulation ~50x slower. The signature stage is map-only
+    h_i(s) = (a_i * base(s) + b_i) mod M31 with seeded constants; the
+    base hash is pandas' vectorized hash_array over the batch's UNIQUE
+    shingles (C-speed SipHash — replaced an r1-r7 per-string Python
+    crc32 loop). Two rejected alternatives, both measured at the x256
+    sweep corpus: a pure-Catalyst expression formulation of the
+    affine+min is ~50x slower (higher-order-function lambdas are
+    interpreted, no whole-stage codegen), and hashing JVM-side with
+    transform(shingles, xxhash64) to ship int64s across Arrow was 1.6x
+    slower end-to-end — the interpreted per-element HOF eval cost more
+    than the string IPC it saved. The signature stage is map-only
     either way; only the tiny (doc, band, sig) rows are shuffled."""
-    import zlib
     from typing import Iterator
 
     import numpy as np
@@ -215,9 +219,7 @@ def minhash_band_rows(
                 continue
             # Shingle vocabularies overlap heavily across documents, so
             # hash + affine-permute each UNIQUE shingle once per batch
-            # (V x k matrix) and reduce per doc with one segmented min —
-            # the ONLY Python-speed loop left is crc32 over the unique
-            # vocabulary (V << total shingles).
+            # (V x k matrix) and reduce per doc with one segmented min.
             lengths = np.fromiter(
                 (len(x) for x in pdf["shingles"]), dtype=np.int64, count=len(pdf)
             )
@@ -230,9 +232,11 @@ def minhash_band_rows(
                 [np.asarray(x, dtype=object) for x in pdf["shingles"] if len(x)]
             )
             codes, uniques = pd.factorize(flat)
-            h = np.array(
-                [zlib.crc32(s.encode()) for s in uniques], dtype=np.int64
-            )
+            # vectorized C-speed base hash over the unique vocabulary;
+            # uint64 % M31 keeps the affine inputs in [0, M31)
+            h = (
+                pd.util.hash_array(uniques.astype(object)) % MERSENNE
+            ).astype(np.int64)
             H = (A[None, :] * h[:, None] + B[None, :]) % MERSENNE  # (V x k)
             offsets = np.zeros(len(lengths), dtype=np.int64)
             np.cumsum(lengths[:-1], out=offsets[1:])
