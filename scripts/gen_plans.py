@@ -212,6 +212,60 @@ COMMENTARY = {
         "a second fact pass) and broadcast back; exact integer counts "
         "make the statistic bit-stable."
     ),
+    "ts_stl_decompose": (
+        "Seasonal decomposition: ONE fact scan feeds the daily rollup, "
+        "which is PINNED (localCheckpoint) so the seasonal aggregate "
+        "and the final join referencing it cannot re-run the full-fact "
+        "pass (inlined CTEs would) — the decomposition plan itself "
+        "shows zero FileScans; all windows/joins run on the day spine."
+    ),
+    "ts_interval_coverage": (
+        "Merged-interval coverage: gaps-and-islands via a running MAX "
+        "of interval ends — zero Join operators (the overlap self-join "
+        "alternative is O(k^2) per user), one user_id shuffle shared by "
+        "both windows and the aggregations."
+    ),
+    "stats_quantile_binning": (
+        "Equal-frequency binning: NTILE over a range-partitioned "
+        "distributed sort of the single referenced column (ReadSchema "
+        "prunes to l_extendedprice), then a partial-combined per-bin "
+        "aggregate; no join, one scan."
+    ),
+    "dedup_semantic_clusters": (
+        "SemDeDup: broadcast-GEMM centroid assignment (Arrow-batched "
+        "mapInPandas), one shuffle on cluster id, per-cluster pairwise "
+        "cosine inside FlatMapGroupsInPandas — no join or cartesian in "
+        "the plan; pairwise work is bounded by cluster size."
+    ),
+    "dedup_containment": (
+        "Containment mining: same lossless inverted-index shape as the "
+        "exact Jaccard miner — shingle-key shuffle, pair-key partial-"
+        "combined aggregation, per-doc sizes joined back; the score is "
+        "an integer ratio so the threshold cannot flip across engines."
+    ),
+    "text_bigram_nll": (
+        "Bigram-LM scoring: adjacent pairs from an array zip (no self-"
+        "join, no window); bigram/context/unigram count joins are "
+        "UNHINTED — the bigram vocabulary grows with the corpus, so a "
+        "forced broadcast would be the q58 OOM anti-pattern; AQE picks "
+        "broadcast while small."
+    ),
+    "dedup_minhash_lsh": (
+        "MinHash-LSH (r8 verify path): signature mapInPandas ships only "
+        "(doc, band, sig) longs; candidate pairs are pinned once "
+        "(localCheckpoint — answer-scale); the exact-Jaccard verify is "
+        "semi-join-reduced to candidate docs over xxhash64'd shingle "
+        "arrays, so its shuffle scales with the answer, not the corpus "
+        "(the r7 exponent-1.50 cliff was this join shipping full "
+        "string shingles for the whole corpus)."
+    ),
+    "q58_market_basket": (
+        "Market basket: pair expansion is an equi-join on the basket "
+        "key with the inequality residual (never cartesian); the "
+        "per-part singles joins are UNHINTED — singles grows with the "
+        "corpus, and AQE picks broadcast only while measured-small "
+        "(r7 what's-wrong #2 removed the forced broadcast)."
+    ),
 }
 
 
