@@ -342,6 +342,7 @@ def _op_seq(draw):
                     "merge",
                     "merge",
                     "merge",  # merges dominate: they are the machine
+                    "sync",  # full-snapshot sync (r8: MoR form too)
                     "delete",
                     "compact",
                     "rollback",
@@ -375,6 +376,15 @@ def _op_seq(draw):
                     draw(st.booleans()),  # sequence-conditioned?
                 )
             )
+        elif kind == "sync":
+            strategy = draw(st.sampled_from(["cow", "mor"]))
+            # sequence-conditioned sync is CoW-only by contract (an
+            # unconditional not-matched tombstone has no delta form)
+            seq_mode = strategy == "cow" and draw(st.booleans())
+            rows = [
+                (i, v, s) for i, v, s, _tomb in _rowset(draw)
+            ]
+            ops.append(("sync", rows, strategy, seq_mode))
         elif kind == "delete":
             lo = draw(_IDS)
             hi = draw(st.integers(min_value=lo, max_value=9))
@@ -491,6 +501,47 @@ def test_lakehouse_interleaving_matches_duckdb_replay(ops, spark):
                         "INSERT INTO t VALUES (?, ?, ?)",
                         [(i, v, s) for i, v, s, _t in live],
                     )
+        elif op[0] == "sync":
+            _, rows, strategy, seq_mode = op
+            tab.merge(
+                spark,
+                _mk(rows, False),
+                key="id",
+                sequence_col="seq" if seq_mode else None,
+                change_feed=True,
+                strategy=strategy,
+                not_matched_by_source="delete",
+            )
+            if seq_mode:
+                # matched keys resolve per-key by (seq desc, update
+                # wins ties); every key absent from the source dies
+                ids = sorted({r[0] for r in rows})
+                id_list = ",".join(str(i) for i in ids)
+                vals = ",".join(
+                    f"({i},'{v}',{s},1)" for i, v, s in rows
+                )
+                con.execute(
+                    f"""
+                    CREATE OR REPLACE TABLE t AS
+                    SELECT id, val, seq FROM (
+                      SELECT u.*, row_number() OVER (
+                        PARTITION BY id
+                        ORDER BY seq DESC NULLS LAST, is_upd DESC
+                      ) rn
+                      FROM (
+                        SELECT id, val, seq, 0 AS is_upd
+                        FROM t WHERE id IN ({id_list})
+                        UNION ALL
+                        SELECT * FROM (VALUES {vals})
+                          _(id, val, seq, is_upd)
+                      ) u
+                    ) WHERE rn = 1
+                    """
+                )
+            else:
+                # post-state is exactly the source multiset
+                con.execute("DELETE FROM t")
+                con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
         elif op[0] == "delete":
             _, lo, hi, mode = op
             tab.delete(
