@@ -339,6 +339,17 @@ class CommitConflict(Exception):
     """Another writer committed this version first (caller should retry)."""
 
 
+class StagedVersionsGone(ValueError):
+    """Requested staged versions are no longer pending — a racing
+    publisher (concurrent ``publish_staged`` / transaction recovery on
+    the same journal) took them between the caller's read and this
+    attempt. Subclasses ``ValueError`` for callers that treat the
+    stale-request case generically, but is distinct from the OTHER
+    ``ValueError``s publish can raise (late-constraint violation,
+    missing SparkSession), so a retry loop can catch exactly the race
+    and let real failures propagate (ADVICE r8 #1)."""
+
+
 def _record_conflict(table: str, op: str) -> None:
     """Surface optimistic-retry contention to the metrics counters
     (late import: lakehouse must stay importable without streaming)."""
@@ -979,14 +990,20 @@ class LakehouseTable:
         a concurrent commit between the state read and the publish
         retries; a concurrent publish of the same versions resolves to
         one winner (the loser re-reads, finds nothing pending, and
-        returns None)."""
+        returns None). An explicit ``versions`` list naming entries no
+        longer pending raises ``StagedVersionsGone`` (a racer published
+        them first) — distinct from the late-constraint / no-session
+        ``ValueError``s, so retry loops catch exactly the race."""
+        validated: set[int] = set()  # the late-constraint verdict for a
+        # staged version cannot change across conflict retries of one
+        # publish — validate each taken version ONCE, not per retry
         for _ in range(50):
             state = self._state()
             pending = {int(v): e for v, e in (state.get("staged") or {}).items()}
             take = sorted(pending) if versions is None else sorted(versions)
             missing = [v for v in take if v not in pending]
             if versions is not None and missing:
-                raise ValueError(
+                raise StagedVersionsGone(
                     f"versions {missing} are not pending staged commits of "
                     f"{self.namespace}.{self.name}"
                 )
@@ -1005,8 +1022,9 @@ class LakehouseTable:
                     schema, StructType.fromJson(json.loads(e["schema"]))
                 )
             self._validate_late_constraints(
-                {v: pending[v] for v in take}, spark
+                {v: pending[v] for v in take if v not in validated}, spark
             )
+            validated.update(take)
             try:
                 version = self._try_commit(
                     {
@@ -1040,7 +1058,7 @@ class LakehouseTable:
             take = sorted(pending) if versions is None else sorted(versions)
             missing = [v for v in take if v not in pending]
             if versions is not None and missing:
-                raise ValueError(
+                raise StagedVersionsGone(
                     f"versions {missing} are not pending staged commits of "
                     f"{self.namespace}.{self.name}"
                 )
@@ -1190,6 +1208,9 @@ class LakehouseTable:
         dropped either way). Conflict-guarded RMW like publish_staged;
         append-only branches commute with concurrent main appends, so
         no rebase is ever needed."""
+        validated: set[int] = set()  # same once-per-version rule as
+        # publish_staged: the late-constraint read-back must not repeat
+        # across conflict retries of one fast-forward
         for _ in range(50):
             state = self._state()
             info = (state.get("branches") or {}).get(name)
@@ -1210,8 +1231,14 @@ class LakehouseTable:
                     schema, StructType.fromJson(json.loads(e["schema"]))
                 )
             self._validate_late_constraints(
-                {int(v): e for v, e in info["entries"].items()}, spark
+                {
+                    int(v): e
+                    for v, e in info["entries"].items()
+                    if int(v) not in validated
+                },
+                spark,
             )
+            validated.update(int(v) for v in info["entries"])
             try:
                 version = self._try_commit(
                     {
@@ -1385,7 +1412,12 @@ class LakehouseTable:
             if not e.get("files"):
                 continue
             old = self.constraints(version=int(v))
-            late = {n: x for n, x in current.items() if n not in old}
+            # compare (name, expr) pairs, not names: a constraint
+            # dropped and re-added under the same name with a DIFFERENT
+            # expression between staging and landing is late too — the
+            # entry's writer validated the old expression, never this
+            # one (ADVICE r8 #2)
+            late = {n: x for n, x in current.items() if old.get(n) != x}
             if not late:
                 continue
             if spark is None:

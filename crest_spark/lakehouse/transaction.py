@@ -41,31 +41,43 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
-from crest_spark.lakehouse.table import LakehouseTable
+from crest_spark.lakehouse.table import LakehouseTable, StagedVersionsGone
 
 
 def _txn_dir(warehouse: str) -> str:
     return os.path.join(warehouse, "_txns")
 
 
-def _publish_surviving(table: LakehouseTable, svs: list[int]) -> int | None:
+def _publish_surviving(
+    table: LakehouseTable,
+    svs: list[int],
+    spark: SparkSession | None = None,
+) -> int | None:
     """Publish whichever of ``svs`` are STILL pending, tolerating a
     concurrent publisher (another commit() or recovery run racing on the
     same journal): versions already published by the racer are success,
     not failure — re-filter against fresh pending state and retry until
     the set is empty or published. Returns the publish version, or None
     when the racer got everything first (the rows are visible either
-    way, which is the only guarantee a caller holds)."""
+    way, which is the only guarantee a caller holds).
+
+    Retries ONLY on ``StagedVersionsGone`` — the racer signature. Any
+    other failure (a late-added CHECK constraint the staged rows
+    violate, no SparkSession to validate it with) propagates
+    immediately: looping on it would rerun a full read-back scan 50
+    times and then mask the real violation behind a generic error
+    (ADVICE r8 #1). ``spark`` is threaded to ``publish_staged`` so
+    late-constraint validation works even without an active session."""
     for _ in range(50):
         pending = set(table.pending_staged())
         todo = [v for v in svs if v in pending]
         if not todo:
             return None
         try:
-            return table.publish_staged(todo)
-        except ValueError:
+            return table.publish_staged(todo, spark=spark)
+        except StagedVersionsGone:
             continue  # racer published some of todo between read & commit
     raise RuntimeError(
         f"could not publish staged versions {svs} of "
@@ -73,13 +85,20 @@ def _publish_surviving(table: LakehouseTable, svs: list[int]) -> int | None:
     )
 
 
-def recover_transactions(catalog) -> list[str]:
+def recover_transactions(
+    catalog, spark: SparkSession | None = None
+) -> list[str]:
     """Roll forward every journaled-but-unfinished transaction: publish
     the staged versions each journal lists that are still pending, then
     retire the journal. Idempotent and crash-safe (re-crashing during
     recovery just re-runs it); a racing recovery/commit on one journal
     is contained per-journal, so it cannot block the other journals.
-    Returns the retired journal ids."""
+    A journal whose staged rows now violate a late-added constraint is
+    left on disk after ONE validation attempt (not a 50× retry loop) —
+    drop the constraint or discard the staged entries, and the next
+    recovery retires it. Returns the retired journal ids."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
     tdir = _txn_dir(catalog.warehouse)
     if not os.path.isdir(tdir):
         return []
@@ -96,7 +115,7 @@ def recover_transactions(catalog) -> list[str]:
         try:
             for op in rec.get("ops", []):
                 t = catalog.table(op["table"], op["namespace"])
-                _publish_surviving(t, list(op["staged"]))
+                _publish_surviving(t, list(op["staged"]), spark=spark)
             try:
                 os.unlink(path)
             except FileNotFoundError:
@@ -125,6 +144,8 @@ class Transaction:
         # before new work interleaves with its tables
         recover_transactions(catalog)
         self._ops: list[tuple[LakehouseTable, int]] = []
+        self._spark: SparkSession | None = None  # captured from appends,
+        # threaded to publish so late-added constraints can validate
         self._done = False
 
     def append(
@@ -142,6 +163,7 @@ class Transaction:
         t = self.catalog.get_or_create_table(
             name, df.schema, namespace=namespace
         )
+        self._spark = df.sparkSession
         sv = t.append(df, stage=True, **append_kwargs)
         if sv is not None:
             self._ops.append((t, sv))
@@ -181,7 +203,9 @@ class Transaction:
             # a concurrent recover_transactions may have found the
             # journal and published some/all of these already — that is
             # this transaction SUCCEEDING, not a failure
-            out[f"{ns}.{name}"] = _publish_surviving(t, svs)
+            out[f"{ns}.{name}"] = _publish_surviving(
+                t, svs, spark=self._spark
+            )
         try:
             os.unlink(final)
         except FileNotFoundError:

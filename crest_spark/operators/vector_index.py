@@ -183,8 +183,13 @@ def ivf_drift(t: LakehouseTable) -> float:
         if s.extra.get("ivf"):
             base_rows = max(int(s.num_rows or 0), 1)
             break
-        if s.extra.get("ivf_add"):
-            added += int(s.extra["ivf_add"].get("n_added", 0))
+        if "ivf_add" in s.extra:
+            # n_added in the extra is legacy (pre-r9 indexes); current
+            # adds record a bare marker and the commit's own num_rows
+            # is the count — no separate pre-count job ever ran
+            added += int(
+                s.extra["ivf_add"].get("n_added", s.num_rows or 0)
+            )
     if base_rows is None:
         raise ValueError(
             f"{t.namespace}.{t.name} carries no IVF index metadata"
@@ -207,7 +212,9 @@ def ivf_add(
     original single file, probes of touched cells read base + delta
     files for that cell — both via the same manifest-level skipping.
 
-    Every add records its row count in the commit extra; when the rows
+    Every add marks its commit (``extra["ivf_add"]``) and the commit's
+    own footer-derived ``num_rows`` is the drift count — the delta plan
+    executes exactly once, in the append's write; when the rows
     added since the last rebuild exceed ``recluster_threshold`` of the
     rebuild-time corpus, the index RECLUSTERS itself: re-fit centroids
     on the grown corpus (read back from the index table — one pass) and
@@ -224,10 +231,12 @@ def ivf_add(
     clustered = _cell_clustered(
         spark, _assign_cells(new_em, b_cent), n_cells
     )
-    n_added = clustered.count()
-    version = t.append(
-        clustered, extra={"ivf_add": {"n_added": int(n_added)}}
-    )
+    # ONE materialization: append's parquet write is the only execution
+    # of the assignment GEMM + salt-route plan; the drift counter reads
+    # the row count back from the commit's footer-derived num_rows
+    # instead of pre-running the same lazy plan through count()
+    # (ADVICE r8 #3)
+    version = t.append(clustered, extra={"ivf_add": {}})
     if ivf_drift(t) > recluster_threshold:
         ivf = None
         for s in reversed(t.snapshots()):

@@ -195,3 +195,27 @@ def test_late_constraint_gates_branch_fast_forward(spark, cat):
     )
     t.fast_forward("ok")  # no spark needed: no late constraints for it
     assert t.read(spark).where(F.col("id") == 32).count() == 1
+
+
+def test_late_constraint_same_name_new_expr_revalidated(spark, cat):
+    """Regression (r9 advice, low): a constraint dropped and re-added
+    under the SAME name but a different expression between staging and
+    landing is late — the entry's writer validated the old expression,
+    never the new one, so landing must re-validate by (name, expr)
+    pair, not by name."""
+    t = _mk(spark, cat)
+    t.add_constraint(spark, "v_check", "v < 100")
+    bad = spark.createDataFrame([(40, -3.0)], "id int, v double")
+    sv = t.append(bad, stage=True)  # writer validated v < 100: passes
+    t.drop_constraint("v_check")
+    t.add_constraint(spark, "v_check", "v > 0")  # same name, new expr
+    with pytest.raises(ValueError, match="v_check"):
+        t.publish_staged([sv], spark=spark)
+    assert t.read(spark).where(F.col("v") < 0).count() == 0
+    assert sv in t.pending_staged()  # still pending, not lost
+    # unchanged (name, expr) pairs stay metadata-only: re-adding the
+    # ORIGINAL expression publishes without a late gate
+    t.drop_constraint("v_check")
+    t.add_constraint(spark, "v_check", "v < 100")
+    t.publish_staged([sv])  # no spark needed: nothing late
+    assert t.read(spark).where(F.col("v") < 0).count() == 1

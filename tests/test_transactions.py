@@ -208,3 +208,39 @@ def test_recovery_race_does_not_block_later_journals(spark, cat):
     assert cat.table("quarantine").read(spark).count() == 1
     # the broken journal stays for a later (fixed) run
     assert os.path.exists(os.path.join(tdir, "txn-aaa.json"))
+
+
+def test_late_constraint_fails_commit_fast_and_recovery_not_stalled(
+    spark, cat
+):
+    """Regression (r9 advice, medium): a CHECK constraint added while a
+    transaction's appends sit staged must surface AS the constraint
+    violation on commit — immediately, not as a generic RuntimeError
+    after 50 publish attempts — and the surviving journal must not
+    stall recovery: each recovery run makes ONE validation attempt and
+    moves on, and dropping the constraint lets the next recovery roll
+    the transaction forward."""
+    fact, _, _ = _dfs(spark)
+    txn = cat.transaction()
+    txn.append("fact", fact)
+    t = cat.table("fact")
+    t.add_constraint(spark, "id_big", "id > 100")  # staged rows violate
+    with pytest.raises(ValueError, match="id_big"):
+        txn.commit()
+    assert t.read(spark).count() == 0  # nothing became visible
+    tdir = os.path.join(cat.warehouse, "_txns")
+    assert len(os.listdir(tdir)) == 1  # journal survives for roll-forward
+    # a new Transaction runs recovery: one validation attempt, journal
+    # left pending, later work not blocked
+    txn2 = cat.transaction()
+    txn2.append(
+        "other", spark.createDataFrame([(1, "x")], "id int, v string")
+    )
+    txn2.commit()
+    assert cat.table("other").read(spark).count() == 1
+    assert len(os.listdir(tdir)) == 1  # the violating journal persists
+    # resolve the violation: the journaled transaction completes
+    t.drop_constraint("id_big")
+    recover_transactions(cat, spark=spark)
+    assert t.read(spark).count() == 2
+    assert os.listdir(tdir) == []
