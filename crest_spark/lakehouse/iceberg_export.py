@@ -110,15 +110,95 @@ def _spark_to_iceberg_type(t: dict, next_id: list[int]):
     raise NotImplementedError(f"no Iceberg mapping for Spark type {kind!r}")
 
 
-def iceberg_schema(schema_json: str, schema_id: int) -> dict:
-    """Spark StructType JSON string -> Iceberg schema JSON with field ids."""
-    next_id = [1]
-    struct_t = _spark_to_iceberg_type(json.loads(schema_json), next_id)
-    return {
-        "type": "struct",
-        "schema-id": schema_id,
-        "fields": struct_t["fields"],
-    }
+def iceberg_schema(
+    schema_json: str, schema_id: int, top_ids: dict[str, int] | None = None
+) -> dict:
+    """Spark StructType JSON string -> Iceberg schema JSON with field ids.
+
+    ``top_ids`` pins the TOP-LEVEL field ids to the table's stable
+    assignment (``LakehouseTable.field_ids``): renames keep their id,
+    dropped ids never come back, re-adds get fresh ids — what lets an
+    external engine track columns across in-place evolution. Nested ids
+    are allocated deterministically after the top-level ids per schema
+    (top-level stability is the evolution contract; nested types cannot
+    be renamed in place here). Without ``top_ids`` the historical
+    depth-first 1..n assignment is emitted unchanged."""
+    t = json.loads(schema_json)
+    if top_ids is None:
+        next_id = [1]
+        struct_t = _spark_to_iceberg_type(t, next_id)
+        return {
+            "type": "struct",
+            "schema-id": schema_id,
+            "fields": struct_t["fields"],
+        }
+    next_id = [max(list(top_ids.values()) or [0]) + 1]
+    fields = []
+    for f in t["fields"]:
+        fields.append(
+            {
+                "id": int(top_ids[f["name"]]),
+                "name": f["name"],
+                "required": not f.get("nullable", True),
+                "type": _spark_to_iceberg_type(f["type"], next_id),
+            }
+        )
+    return {"type": "struct", "schema-id": schema_id, "fields": fields}
+
+
+def _replay_field_ids(snaps) -> tuple[dict[int, dict[str, int]], bool]:
+    """Per-snapshot stable top-level field ids, replayed from the commit
+    extras with the same rules the table state fold uses (rename moves,
+    drop retires, expire/rollback boundaries carry absolute maps).
+    Returns ({version: {name: id}}, table_has_evolution_events)."""
+    from crest_spark.lakehouse.table import _fold_field_ids
+
+    fid_by_version: dict[int, dict[str, int]] = {}
+    ss: dict = {"field_ids": {}, "next_field_id": 1}
+    prev: str | None = None
+    has_events = False
+    for s in snaps:
+        ex = s.extra
+        if "schema_state" in ex:
+            st = ex["schema_state"]
+            ss["field_ids"] = dict(st.get("field_ids") or {})
+            ss["next_field_id"] = max(
+                int(st.get("next_field_id", 1)), int(ss["next_field_id"])
+            )
+            has_events = has_events or bool(st.get("events"))
+        if ex.get("rename_column") or ex.get("drop_column"):
+            has_events = True
+        if not (
+            ex.get("staged")
+            or ex.get("branch")
+            or ex.get("create_branch")
+            or ex.get("drop_branch")
+        ):
+            if s.schema_json != prev:
+                _fold_field_ids(ss, ex, s.schema_json)
+                prev = s.schema_json
+        fid_by_version[s.version] = dict(ss["field_ids"])
+    return fid_by_version, has_events
+
+
+def _field_aliases(name: str, events: list[dict]) -> list[str]:
+    """All physical names the current field ``name`` has had, newest
+    first — the names list of its Iceberg name-mapping entry, which is
+    how engines resolve parquet files written (id-less) under the old
+    name. Stops at the event that created the field (a re-add must not
+    alias the dead column's name history)."""
+    out = [name]
+    n = name
+    for e in reversed(events):
+        if e["op"] == "rename":
+            if n == e["to"]:
+                n = e["from"]
+                out.append(n)
+            elif n == e["from"]:
+                break
+        elif e["op"] == "drop" and n == e["name"]:
+            break
+    return out
 
 
 def _single_value_bytes(iceberg_type, value) -> bytes | None:
@@ -512,13 +592,39 @@ def export_iceberg_metadata(
             table, spark, snaps[-1].version, meta_dir
         )
 
-    # schema registry: distinct schemas in commit order -> schema-ids
+    # schema registry: distinct schemas in commit order -> schema-ids.
+    # With in-place evolution (rename/drop) the registry keys on
+    # (schema json, stable field-id assignment): the same column layout
+    # before and after a drop/re-add is TWO schemas to Iceberg because
+    # the re-added column carries a fresh id.
+    fid_by_version, has_evolution = _replay_field_ids(snaps)
+    _evo_events = table.schema_events() if has_evolution else []
+
+    def _skey(s: Snapshot) -> str:
+        if not has_evolution:
+            return s.schema_json
+        return s.schema_json + "|" + json.dumps(
+            sorted(fid_by_version[s.version].items())
+        )
+
     schema_ids: dict[str, int] = {}
+    schema_of_key: dict[str, "Snapshot"] = {}
     for s in snaps:
-        if s.schema_json not in schema_ids:
-            schema_ids[s.schema_json] = len(schema_ids)
+        k = _skey(s)
+        if k not in schema_ids:
+            schema_ids[k] = len(schema_ids)
+            schema_of_key[k] = s
     iceberg_schemas = [
-        iceberg_schema(sj, sid) for sj, sid in schema_ids.items()
+        iceberg_schema(
+            schema_of_key[k].schema_json,
+            sid,
+            top_ids=(
+                fid_by_version[schema_of_key[k].version]
+                if has_evolution
+                else None
+            ),
+        )
+        for k, sid in schema_ids.items()
     ]
 
     folded = _fold_add_versions(snaps)
@@ -538,8 +644,8 @@ def export_iceberg_metadata(
     # snapshots sharing the subset reuse the filtered file too.
     manifest_info: dict[tuple, dict] = {}  # (add_version, files) -> entry
 
-    def _field_ids(schema_json: str) -> dict[str, tuple[int, str]]:
-        isch = iceberg_schemas[schema_ids[schema_json]]
+    def _field_ids(snap: Snapshot) -> dict[str, tuple[int, str]]:
+        isch = iceberg_schemas[schema_ids[_skey(snap)]]
         return {
             f["name"]: (f["id"], f["type"])
             for f in isch["fields"]
@@ -558,7 +664,7 @@ def export_iceberg_metadata(
         if cb:
             cluster_cols = list(cb)
             break
-    head_field_ids = _field_ids(snaps[-1].schema_json)
+    head_field_ids = _field_ids(snaps[-1])
     sort_fields = [
         {
             "transform": "identity",
@@ -569,31 +675,21 @@ def export_iceberg_metadata(
         for c in cluster_cols
         if c in head_field_ids
     ]
-    # Identity partition spec on the leading cluster column, applied
-    # PER MANIFEST only when every file in it is single-valued on that
-    # column (min == max) — the one case where a partition tuple is
-    # provably correct for range-clustered files. A low-cardinality
-    # leading cluster key gives exactly that; otherwise the manifest
-    # stays on spec 0 and engines prune via the file-level bounds.
+    # Partition specs derived from range-clustered files, applied PER
+    # MANIFEST only when every file's partition tuple is provable from
+    # its min/max stats. Spec 1 leads with IDENTITY on the first
+    # cluster column (single-valued files — the low-cardinality case);
+    # spec 2 is its truncate[w] fallback for a high-cardinality leading
+    # key (truncate is MONOTONIC — ints floor(v/w)*w, strings w-prefix
+    # — so a file spanning [min, max] still has one provable truncated
+    # value whenever the endpoints agree; bucket[n] has no such
+    # derivation, murmur3 is not monotonic). Multi-column cluster_by
+    # (VERDICT r8 #4): every SUBSEQUENT cluster column derivable the
+    # same way joins BOTH specs — identity when globally single-valued
+    # per file, its own truncate[w] otherwise, omitted (bounds-only
+    # pruning) when neither is provable.
     _PART_AVRO = {"int": "int", "long": "long", "string": "string"}
     part_col = cluster_cols[0] if cluster_cols else None
-    part_spec = None
-    if (
-        part_col
-        and part_col in head_field_ids
-        and head_field_ids[part_col][1] in _PART_AVRO
-    ):
-        part_spec = {
-            "spec-id": 1,
-            "fields": [
-                {
-                    "name": part_col,
-                    "transform": "identity",
-                    "source-id": head_field_ids[part_col][0],
-                    "field-id": 1000,
-                }
-            ],
-        }
 
     def _commit_stats(version: int) -> dict:
         snap = snaps_by_v[version]
@@ -606,62 +702,96 @@ def export_iceberg_metadata(
                 stats = {}
         return stats
 
-    # Truncate-transform fallback (VERDICT r7 #4): a HIGH-cardinality
-    # cluster key range-clusters into files that SPAN values, so the
-    # identity spec above never applies and engines that don't read
-    # column bounds lose partition pruning entirely. But truncate[w] is
-    # MONOTONIC (ints: floor(v/w)*w; strings: the w-prefix — every value
-    # between a file's [min, max] truncates to the same thing whenever
-    # the endpoints do), so a per-file partition tuple is provable from
-    # the SAME min/max stats: pick one width w under which every
-    # clustered file is single-valued, and emit spec 2. bucket[n] has no
-    # such derivation — murmur3 is not monotonic, so a file's bucket is
-    # only knowable when min == max on the raw value, where identity is
-    # strictly better — hence truncate is the only range-file transform.
-    trunc_width: int | None = None
-    trunc_spec = None
-    if part_spec is not None:
-        itype = head_field_ids[part_col][1]
-        ranged: list[tuple] = []  # (lo, hi) of every clustered file
-        usable = True
+    type_ok = {
+        c: c in head_field_ids and head_field_ids[c][1] in _PART_AVRO
+        for c in cluster_cols
+    }
+    stats_ok = dict(type_ok)  # falsified per column on missing/null stats
+    col_ranges: dict[str, list[tuple]] = {c: [] for c in cluster_cols}
+    if part_col is not None and type_ok.get(part_col):
         for s in snaps:
             if (s.extra.get("cluster_by") or [None])[0] != part_col:
                 continue
             stats = _commit_stats(s.version)
             for f in folded[s.version]["added"]:
-                mnmx = (stats.get(f) or {}).get(part_col)
-                fnulls = (stats.get(f) or {}).get("__nulls__") or {}
-                if not mnmx or fnulls.get(part_col, 0) != 0:
-                    usable = False
-                    break
-                ranged.append((mnmx[0], mnmx[1]))
-            if not usable:
-                break
-        if usable and ranged and any(lo != hi for lo, hi in ranged):
-            if itype in ("int", "long"):
-                for w in (10**p for p in range(1, 16)):
-                    if all(lo // w == hi // w for lo, hi in ranged):
-                        trunc_width = w
-                        break
-            elif itype == "string":
-                cpl = min(
-                    len(os.path.commonprefix([lo, hi])) for lo, hi in ranged
-                )
-                if cpl >= 1:
-                    trunc_width = cpl
-        if trunc_width is not None:
-            trunc_spec = {
-                "spec-id": 2,
-                "fields": [
-                    {
-                        "name": f"{part_col}_trunc",
-                        "transform": f"truncate[{trunc_width}]",
-                        "source-id": head_field_ids[part_col][0],
-                        # v2: partition field ids are unique ACROSS specs
-                        "field-id": 1001,
-                    }
-                ],
-            }
+                fstats = stats.get(f) or {}
+                fnulls = fstats.get("__nulls__") or {}
+                for c in cluster_cols:
+                    if not stats_ok[c]:
+                        continue
+                    mnmx = fstats.get(c)
+                    if not mnmx or fnulls.get(c, 0) != 0:
+                        stats_ok[c] = False
+                        continue
+                    col_ranges[c].append((mnmx[0], mnmx[1]))
+
+    def _derive_width(c: str) -> int | None:
+        itype = head_field_ids[c][1]
+        ranged = col_ranges[c]
+        if itype in ("int", "long"):
+            for w in (10**p for p in range(1, 16)):
+                if all(lo // w == hi // w for lo, hi in ranged):
+                    return w
+            return None
+        cpl = min(
+            len(os.path.commonprefix([lo, hi])) for lo, hi in ranged
+        )
+        return cpl if cpl >= 1 else None
+
+    col_ident: dict[str, bool] = {}
+    col_width: dict[str, int | None] = {}
+    for c in cluster_cols:
+        ok = stats_ok.get(c) and col_ranges[c]
+        col_ident[c] = bool(ok) and all(lo == hi for lo, hi in col_ranges[c])
+        col_width[c] = (
+            _derive_width(c) if ok and not col_ident[c] else None
+        )
+
+    # (col, transform, width) plans for the columns after the leading
+    # one — shared by both specs
+    extra_fields: list[tuple[str, str, int | None]] = []
+    for c in cluster_cols[1:]:
+        if col_ident[c]:
+            extra_fields.append((c, "identity", None))
+        elif col_width[c] is not None:
+            extra_fields.append((c, "truncate", col_width[c]))
+
+    def _spec_field(col: str, transform: str, width, fid: int) -> dict:
+        return {
+            "name": col if transform == "identity" else f"{col}_trunc",
+            "transform": (
+                "identity" if transform == "identity" else f"truncate[{width}]"
+            ),
+            "source-id": head_field_ids[col][0],
+            # v2: partition field ids are unique ACROSS specs
+            "field-id": fid,
+        }
+
+    part_spec = None
+    spec1_cols: list[tuple[str, str, int | None]] = []
+    if part_col is not None and type_ok.get(part_col):
+        spec1_cols = [(part_col, "identity", None)] + extra_fields
+        part_spec = {
+            "spec-id": 1,
+            "fields": [
+                _spec_field(c, tr, w, 1000 + i)
+                for i, (c, tr, w) in enumerate(spec1_cols)
+            ],
+        }
+
+    trunc_width = col_width.get(part_col) if part_col is not None else None
+    trunc_spec = None
+    spec2_cols: list[tuple[str, str, int | None]] = []
+    if part_spec is not None and trunc_width is not None:
+        spec2_cols = [(part_col, "truncate", trunc_width)] + extra_fields
+        base = 1000 + len(spec1_cols)
+        trunc_spec = {
+            "spec-id": 2,
+            "fields": [
+                _spec_field(c, tr, w, base + i)
+                for i, (c, tr, w) in enumerate(spec2_cols)
+            ],
+        }
 
     def _truncate(itype: str, w: int, v):
         # Iceberg truncate: ints floor to the width multiple (Python //
@@ -685,12 +815,14 @@ def export_iceberg_metadata(
             if f["name"] == "partition"
         )
         spec = part_spec if spec_id == 1 else trunc_spec
+        plan = spec1_cols if spec_id == 1 else spec2_cols
         part["type"]["fields"] = [
             {
-                "name": spec["fields"][0]["name"],
-                "type": _PART_AVRO[head_field_ids[part_col][1]],
-                "field-id": spec["fields"][0]["field-id"],
+                "name": sf["name"],
+                "type": _PART_AVRO[head_field_ids[c][1]],
+                "field-id": sf["field-id"],
             }
+            for sf, (c, _tr, _w) in zip(spec["fields"], plan)
         ]
         return entry
 
@@ -701,52 +833,50 @@ def export_iceberg_metadata(
         snap = snaps_by_v[add_version]
         added = list(live_subset)
         full = tuple(sorted(folded[add_version]["added"])) == live_subset
-        ids = _field_ids(snap.schema_json)
+        ids = _field_ids(snap)
         stats = _commit_stats(add_version)
-        # identity-partition eligibility: the commit declared cluster_by
-        # leading with part_col AND every file is single-valued on it;
-        # files that SPAN raw values fall back to the truncate spec when
-        # one was derivable (single-valued under truncate[w])
-        part_values: dict[str, object] | None = None
+        # partition-spec eligibility per manifest: every file must have
+        # a provable tuple for EVERY field of the spec — identity needs
+        # min == max, truncate needs agreeing truncated endpoints, both
+        # need null-free stats. Spec 1 first, truncate fallback, else
+        # spec 0 (bounds-only pruning).
+        part_values: dict[str, dict] | None = None
+        spec_id = 0
         clustered_commit = part_spec is not None and (
             (snap.extra.get("cluster_by") or [None])[0] == part_col
         )
+
+        def _try_spec(cols_plan):
+            vals: dict[str, dict] = {}
+            for f in added:
+                fstats = stats.get(f) or {}
+                fnulls = fstats.get("__nulls__") or {}
+                tup: dict = {}
+                for c, tr, w in cols_plan:
+                    mnmx = fstats.get(c)
+                    if not mnmx or fnulls.get(c, 0) != 0:
+                        return None
+                    if tr == "identity":
+                        if mnmx[0] != mnmx[1]:
+                            return None
+                        tup[c] = mnmx[0]
+                    else:
+                        it = head_field_ids[c][1]
+                        ta = _truncate(it, w, mnmx[0])
+                        if ta != _truncate(it, w, mnmx[1]):
+                            return None
+                        tup[f"{c}_trunc"] = ta
+                vals[f] = tup
+            return vals
+
         if clustered_commit:
-            vals = {}
-            for f in added:
-                mnmx = (stats.get(f) or {}).get(part_col)
-                fnulls = ((stats.get(f) or {}).get("__nulls__") or {})
-                if (
-                    not mnmx
-                    or mnmx[0] != mnmx[1]
-                    or fnulls.get(part_col, 0) != 0
-                ):
-                    vals = None
-                    break
-                vals[f] = mnmx[0]
-            part_values = vals
-        if part_values is None and clustered_commit and trunc_spec:
-            itype_t = head_field_ids[part_col][1]
-            vals = {}
-            for f in added:
-                mnmx = (stats.get(f) or {}).get(part_col)
-                fnulls = ((stats.get(f) or {}).get("__nulls__") or {})
-                if not mnmx or fnulls.get(part_col, 0) != 0:
-                    vals = None
-                    break
-                ta = _truncate(itype_t, trunc_width, mnmx[0])
-                tb = _truncate(itype_t, trunc_width, mnmx[1])
-                if ta != tb:
-                    vals = None
-                    break
-                vals[f] = ta
-            if vals:
-                part_values = vals
-                spec_id = 2
-            else:
-                spec_id = 0
-        else:
-            spec_id = 1 if part_values else 0
+            part_values = _try_spec(spec1_cols)
+            if part_values is not None:
+                spec_id = 1
+            elif trunc_spec is not None:
+                part_values = _try_spec(spec2_cols)
+                if part_values is not None:
+                    spec_id = 2
         entries = []
         total_rows = 0
         for f in added:
@@ -782,15 +912,7 @@ def export_iceberg_metadata(
                         "file_path": os.path.abspath(f),
                         "file_format": "PARQUET",
                         "partition": (
-                            {
-                                (
-                                    part_col
-                                    if spec_id == 1
-                                    else f"{part_col}_trunc"
-                                ): part_values[f]
-                            }
-                            if part_values
-                            else {}
+                            part_values[f] if part_values else {}
                         ),
                         "record_count": nrows,
                         "file_size_in_bytes": fsize,
@@ -828,9 +950,9 @@ def export_iceberg_metadata(
             entries,
             metadata={
                 "schema": json.dumps(
-                    iceberg_schemas[schema_ids[snap.schema_json]]
+                    iceberg_schemas[schema_ids[_skey(snap)]]
                 ),
-                "schema-id": str(schema_ids[snap.schema_json]),
+                "schema-id": str(schema_ids[_skey(snap)]),
                 "partition-spec": json.dumps(spec_fields),
                 "partition-spec-id": str(spec_id),
                 "format-version": "2",
@@ -846,18 +968,22 @@ def export_iceberg_metadata(
             "spec_id": spec_id,
         }
         if spec_id in (1, 2):
-            # field summary for the manifest-list entry: bounds over the
-            # partition values (external planners prune manifests on it)
-            itype = head_field_ids[part_col][1]
-            pvals = list(part_values.values())
-            info["partitions"] = [
-                {
-                    "contains_null": False,
-                    "contains_nan": False,
-                    "lower_bound": _single_value_bytes(itype, min(pvals)),
-                    "upper_bound": _single_value_bytes(itype, max(pvals)),
-                }
-            ]
+            # field summaries for the manifest-list entry, one per spec
+            # field in order (external planners prune manifests on them)
+            spec = part_spec if spec_id == 1 else trunc_spec
+            plan = spec1_cols if spec_id == 1 else spec2_cols
+            info["partitions"] = []
+            for sf, (c, _tr, _w) in zip(spec["fields"], plan):
+                itype = head_field_ids[c][1]
+                pv = [part_values[f][sf["name"]] for f in added]
+                info["partitions"].append(
+                    {
+                        "contains_null": False,
+                        "contains_nan": False,
+                        "lower_bound": _single_value_bytes(itype, min(pv)),
+                        "upper_bound": _single_value_bytes(itype, max(pv)),
+                    }
+                )
         manifest_info[key] = info
         return info
 
@@ -874,7 +1000,7 @@ def export_iceberg_metadata(
         ver = int(entry["ver"])
         dseq = int(entry["seq"]) + 1  # spec: applies to data seq < this
         snap = snaps_by_v[ver]
-        ids = _field_ids(snap.schema_json)
+        ids = _field_ids(snap)
         try:
             eq_ids = [ids[k][0] for k in entry["keys"]]
         except KeyError as exc:
@@ -920,9 +1046,9 @@ def export_iceberg_metadata(
             records,
             metadata={
                 "schema": json.dumps(
-                    iceberg_schemas[schema_ids[snap.schema_json]]
+                    iceberg_schemas[schema_ids[_skey(snap)]]
                 ),
-                "schema-id": str(schema_ids[snap.schema_json]),
+                "schema-id": str(schema_ids[_skey(snap)]),
                 "partition-spec": "[]",
                 "partition-spec-id": "0",
                 "format-version": "2",
@@ -980,9 +1106,9 @@ def export_iceberg_metadata(
             records,
             metadata={
                 "schema": json.dumps(
-                    iceberg_schemas[schema_ids[snap.schema_json]]
+                    iceberg_schemas[schema_ids[_skey(snap)]]
                 ),
-                "schema-id": str(schema_ids[snap.schema_json]),
+                "schema-id": str(schema_ids[_skey(snap)]),
                 "partition-spec": "[]",
                 "partition-spec-id": "0",
                 "format-version": "2",
@@ -1108,7 +1234,7 @@ def export_iceberg_metadata(
                     "total-data-files": str(len(live)),
                     "total-records": str(total_rows_at[s.version]),
                 },
-                "schema-id": schema_ids[s.schema_json],
+                "schema-id": schema_ids[_skey(s)],
             }
             if prev_version is not None:
                 rec["parent-snapshot-id"] = prev_version
@@ -1122,7 +1248,7 @@ def export_iceberg_metadata(
         prev_version = s.version
 
     head = snaps[-1]
-    current_schema_id = schema_ids[head.schema_json]
+    current_schema_id = schema_ids[_skey(head)]
     # last-column-id = highest id assigned in ANY schema
     last_col = 0
     for isch in iceberg_schemas:
@@ -1168,10 +1294,18 @@ def export_iceberg_metadata(
             + ([part_spec] if 1 in _used_spec_ids else [])
             + ([trunc_spec] if 2 in _used_spec_ids else [])
         ),
-        "last-partition-id": (
-            1001
-            if 2 in _used_spec_ids
-            else (1000 if 1 in _used_spec_ids else 999)
+        "last-partition-id": max(
+            [999]
+            + (
+                [f["field-id"] for f in part_spec["fields"]]
+                if 1 in _used_spec_ids
+                else []
+            )
+            + (
+                [f["field-id"] for f in trunc_spec["fields"]]
+                if 2 in _used_spec_ids
+                else []
+            )
         ),
         "default-sort-order-id": 1 if sort_fields else 0,
         "sort-orders": (
@@ -1182,7 +1316,39 @@ def export_iceberg_metadata(
             if sort_fields
             else [{"order-id": 0, "fields": []}]
         ),
-        "properties": {"write.format.default": "parquet"},
+        "properties": {
+            "write.format.default": "parquet",
+            # In-place evolution interop: the data files carry no
+            # embedded field ids, so the spec's fallback for resolving
+            # them is a name mapping listing every physical name each
+            # field ever had (renamed-away names resolve old files to
+            # the same stable id). The raw event log rides along as an
+            # engine-specific property so this engine's own reader can
+            # additionally scope drop/re-add by file sequence number —
+            # strictly stronger than name mapping, which is name-based
+            # and cannot distinguish a re-added column from its dead
+            # namesake in pre-drop files.
+            **(
+                {
+                    "schema.name-mapping.default": json.dumps(
+                        [
+                            {
+                                "field-id": int(
+                                    fid_by_version[head.version][f_name]
+                                ),
+                                "names": _field_aliases(
+                                    f_name, _evo_events
+                                ),
+                            }
+                            for f_name in fid_by_version[head.version]
+                        ]
+                    ),
+                    "crest.schema-events": json.dumps(_evo_events),
+                }
+                if has_evolution
+                else {}
+            ),
+        },
         "current-snapshot-id": head.version,
         "snapshots": snapshot_records,
         "snapshot-log": snapshot_log,
@@ -1297,12 +1463,79 @@ def sync_to_rest(table: LakehouseTable, client, *, export: bool = True) -> list[
 
 
 # -------------------------------------------------------------------- reader
+def _decode_bound(itype: str, b: bytes):
+    """Inverse of _single_value_bytes for the prunable primitive types."""
+    if b is None:
+        return None
+    try:
+        if itype == "int":
+            return struct.unpack("<i", b)[0]
+        if itype == "long":
+            return struct.unpack("<q", b)[0]
+        if itype == "string":
+            return b.decode("utf-8")
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _partition_admits(
+    spec_fields: list[dict],
+    source_names: dict[int, str],
+    part: dict,
+    predicates: dict[str, tuple],
+) -> bool:
+    """False only when a file's partition tuple PROVABLY excludes some
+    ``{col: (lo, hi)}`` range — identity is a point, truncate[w] bounds
+    the raw values to [v, v+w) for ints / the prefix block for strings.
+    Unknown transforms/missing values admit (pruning is one-sided)."""
+    for sf in spec_fields:
+        col = source_names.get(sf["source-id"])
+        if col is None or col not in predicates:
+            continue
+        lo, hi = predicates[col]
+        v = part.get(sf["name"])
+        if v is None:
+            continue
+        tr = sf["transform"]
+        if tr == "identity":
+            try:
+                if (lo is not None and v < lo) or (
+                    hi is not None and v > hi
+                ):
+                    return False
+            except TypeError:
+                continue
+        elif tr.startswith("truncate[") and isinstance(v, int):
+            w = int(tr[len("truncate[") : -1])
+            try:
+                if (lo is not None and v + w <= lo) or (
+                    hi is not None and v > hi
+                ):
+                    return False
+            except TypeError:
+                continue
+        elif tr.startswith("truncate[") and isinstance(v, str):
+            # values carry prefix v: all >= v, and < lo whenever
+            # v < lo[:len(v)]
+            if hi is not None and isinstance(hi, str) and v > hi:
+                return False
+            if (
+                lo is not None
+                and isinstance(lo, str)
+                and v < lo[: len(v)]
+            ):
+                return False
+    return True
+
+
 def read_iceberg(
     spark,
     table_dir: str,
     *,
     snapshot_id: int | None = None,
     tag: str | None = None,
+    predicates: dict[str, tuple] | None = None,
 ):
     """Read a table THROUGH its exported Iceberg metadata, never touching
     the commit log: version-hint -> metadata.json -> snapshot (current,
@@ -1312,7 +1545,14 @@ def read_iceberg(
     reader does with the same directory; having it in-engine makes the
     export a verified interchange path (write side: commit log; read
     side: pure spec metadata) and gives metadata-level time travel/tag
-    reads to consumers that only see the exported directory."""
+    reads to consumers that only see the exported directory.
+
+    ``predicates`` (``{col: (lo, hi)}``, either bound None) prunes with
+    the EXPORTED partition metadata the way an external planner does:
+    manifests are skipped on their manifest-list field summaries, data
+    files on their partition tuples (identity and truncate[w] fields,
+    multi-column specs included), then the exact range filters apply so
+    the result matches the unpruned read filtered bit-for-bit."""
     from crest_spark.functions.schema_convert import iceberg_to_spark_schema
 
     meta_dir = os.path.join(table_dir, "metadata")
@@ -1338,6 +1578,56 @@ def read_iceberg(
         schemas[snap.get("schema-id", meta["current-schema-id"])]
     )
     _, _, list_entries = avro_io.read_container(snap["manifest-list"])
+    # partition pruning setup: spec fields by spec-id, source-id ->
+    # (current name, iceberg type) from the snapshot's schema
+    specs_by_id = {
+        sp["spec-id"]: sp.get("fields", [])
+        for sp in meta.get("partition-specs", [])
+    }
+    src_names: dict[int, str] = {}
+    src_types: dict[int, str] = {}
+    for f in schemas[snap.get("schema-id", meta["current-schema-id"])][
+        "fields"
+    ]:
+        src_names[f["id"]] = f["name"]
+        if isinstance(f["type"], str):
+            src_types[f["id"]] = f["type"]
+
+    def _summary_admits(entry) -> bool:
+        """Manifest-level skip via the manifest-list field summaries
+        (aligned with the entry's spec fields in order)."""
+        if not predicates:
+            return True
+        sfs = specs_by_id.get(entry.get("partition_spec_id", 0)) or []
+        sums = entry.get("partitions") or []
+        for sf, summ in zip(sfs, sums):
+            col = src_names.get(sf["source-id"])
+            if col is None or col not in predicates:
+                continue
+            itype = src_types.get(sf["source-id"])
+            if itype is None:
+                continue
+            lo, hi = predicates[col]
+            slo = _decode_bound(itype, summ.get("lower_bound"))
+            shi = _decode_bound(itype, summ.get("upper_bound"))
+            if slo is None or shi is None or summ.get("contains_null"):
+                continue
+            tr = sf["transform"]
+            if tr.startswith("truncate[") and isinstance(shi, int):
+                shi = shi + int(tr[len("truncate[") : -1]) - 1
+            elif tr.startswith("truncate[") and isinstance(shi, str):
+                continue  # open-ended prefix block upper bound: admit
+            elif tr != "identity":
+                continue
+            try:
+                if (lo is not None and shi < lo) or (
+                    hi is not None and slo > hi
+                ):
+                    return False
+            except TypeError:
+                continue
+        return True
+
     files: list[str] = []
     file_seq: dict[str, int] = {}
     # (sequence_number, equality_ids, delete file paths) per delete entry
@@ -1345,6 +1635,8 @@ def read_iceberg(
     # (sequence_number, delete file paths) per position-delete group
     pos_deletes: list[tuple[int, list[str]]] = []
     for entry in list_entries:
+        if entry.get("content", 0) == 0 and not _summary_admits(entry):
+            continue  # every file in it is provably outside the range
         _, _, records = avro_io.read_container(entry["manifest_path"])
         if entry.get("content", 0) == 1:  # delete manifest
             by_ids: dict[tuple[int, int], list[str]] = {}
@@ -1371,8 +1663,22 @@ def read_iceberg(
             for seq, paths in by_seq.items():
                 pos_deletes.append((seq, paths))
             continue
+        mf_spec_fields = specs_by_id.get(
+            entry.get("partition_spec_id", 0)
+        ) or []
         for rec in records:
             if rec["status"] in (0, 1):  # EXISTING or ADDED
+                if (
+                    predicates
+                    and mf_spec_fields
+                    and not _partition_admits(
+                        mf_spec_fields,
+                        src_names,
+                        rec["data_file"].get("partition") or {},
+                        predicates,
+                    )
+                ):
+                    continue  # file's partition tuple excludes the range
                 files.append(rec["data_file"]["file_path"])
                 # minimal v1-ish manifests may omit sequence numbers;
                 # 0 = "oldest" is the conservative side for delete scope
@@ -1381,18 +1687,81 @@ def read_iceberg(
                 )
     if not files:
         return spark.createDataFrame([], schema)
-    out = (
-        spark.read.schema(schema)
-        .option("mergeSchema", "false")
-        .parquet(*sorted(files))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    evo_events = json.loads(
+        meta.get("properties", {}).get("crest.schema-events", "[]")
     )
+    if evo_events:
+        # In-place rename/drop evolution: resolve each data file's
+        # physical column names BY VINTAGE (its sequence number vs the
+        # event log — the engine-specific property; strictly stronger
+        # than the also-exported name mapping, which cannot scope a
+        # drop/re-add). Same resolution the commit-log reader does.
+        groups: dict[tuple, list[str]] = {}
+        for p in sorted(files):
+            vf = int(file_seq.get(p, 0))
+            key = tuple(
+                (
+                    fl.name,
+                    LakehouseTable._vintage_source(fl.name, evo_events, vf),
+                )
+                for fl in schema.fields
+            )
+            groups.setdefault(key, []).append(p)
+        parts = []
+        for key, fs in groups.items():
+            src = dict(key)
+            phys = StructType(
+                [
+                    StructField(src[fl.name], fl.dataType, fl.nullable)
+                    for fl in schema.fields
+                    if src[fl.name] is not None
+                ]
+            )
+            df = (
+                spark.read.schema(phys)
+                .option("mergeSchema", "false")
+                .parquet(*fs)
+            )
+            cols = [
+                F.col(src[fl.name]).alias(fl.name)
+                if src[fl.name] is not None
+                else F.lit(None).cast(fl.dataType).alias(fl.name)
+                for fl in schema.fields
+            ]
+            if pos_deletes:
+                # _metadata is scan-scoped: capture the row index inside
+                # each vintage scan, before the union projects it away
+                cols.append(F.col("_metadata.row_index").alias("__ice_pos"))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for part_df in parts[1:]:
+            out = out.unionByName(part_df)
+    else:
+        out = (
+            spark.read.schema(schema)
+            .option("mergeSchema", "false")
+            .parquet(*sorted(files))
+        )
+    def _exact(df):
+        # pruning is file-granular; the exact range filters keep the
+        # result identical to the unpruned read filtered row-by-row
+        if predicates:
+            for col, (lo, hi) in predicates.items():
+                if lo is not None:
+                    df = df.where(F.col(col) >= lo)
+                if hi is not None:
+                    df = df.where(F.col(col) <= hi)
+        return df
+
     if not eq_deletes and not pos_deletes:
-        return out
+        return _exact(out)
     # apply deletes per the spec: an EQUALITY delete file with sequence
     # number S removes matching rows of data files with sequence < S; a
     # POSITION delete file removes its (file_path, pos) rows from data
     # files with sequence <= S.
-    from pyspark.sql import functions as F
 
     field_names = {
         f["id"]: f["name"]
@@ -1407,7 +1776,7 @@ def read_iceberg(
         [(f"file://{os.path.abspath(p)}", int(sq)) for p, sq in file_seq.items()],
         "__ice_path string, __ice_seq long",
     )
-    if pos_deletes:
+    if pos_deletes and "__ice_pos" not in out.columns:
         out = out.withColumn("__ice_pos", F.col("_metadata.row_index"))
     out = (
         out.withColumn("__ice_path", decoded)
@@ -1442,7 +1811,7 @@ def read_iceberg(
             & (F.col("__ice_pos") == F.col("__ice_dpos"))
         )
         out = out.join(pd, on=cond, how="left_anti")
-    return out.drop("__ice_seq", "__ice_path", "__ice_pos")
+    return _exact(out.drop("__ice_seq", "__ice_path", "__ice_pos"))
 
 
 # ------------------------------------------------------------------- verifier

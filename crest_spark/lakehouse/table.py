@@ -283,6 +283,35 @@ def _stats_admit(fstats: dict[str, list], predicates: dict[str, tuple]) -> bool:
     return True
 
 
+def _fold_field_ids(state: dict, extra: dict, schema_json: str) -> None:
+    """Advance the table's stable field-id assignment across one schema
+    commit (Iceberg's field-id model: a rename MOVES the id, a drop
+    RETIRES it, a new column — including a re-add under a dropped name —
+    gets a FRESH id that was never used before). Ids are assigned in
+    field order at table creation, so event-free tables get the same
+    1..n numbering the Iceberg export always emitted."""
+    fids = state.setdefault("field_ids", {})
+    nxt = int(state.get("next_field_id", 1))
+    rc = extra.get("rename_column")
+    if rc and rc.get("from") in fids:
+        fids[rc["to"]] = fids.pop(rc["from"])
+    dc = extra.get("drop_column")
+    if dc:
+        fids.pop(dc, None)
+    names = [f["name"] for f in json.loads(schema_json)["fields"]]
+    nameset = set(names)
+    for n in list(fids):
+        if n not in nameset:
+            # overwrite with a narrower schema: the column is gone the
+            # same way a drop retires it
+            fids.pop(n)
+    for n in names:
+        if n not in fids:
+            fids[n] = nxt
+            nxt += 1
+    state["next_field_id"] = max(nxt, int(state.get("next_field_id", 1)))
+
+
 def _merge_committed(
     *maps: dict[str, list[int]],
 ) -> dict[str, list[int]]:
@@ -479,6 +508,14 @@ class LakehouseTable:
             "staged": {},
             "branches": {},
             "constraints": {},
+            # in-place schema evolution (rename/drop): the ordered event
+            # log that lets readers resolve OLD files' physical column
+            # names to current names by file vintage, plus the
+            # Iceberg-style stable field-id assignment (ids move with
+            # renames, retire with drops, never get reused)
+            "schema_events": [],
+            "field_ids": {},
+            "next_field_id": 1,
         }
         start_after = 0
         for cv in reversed(self._checkpoint_versions()):
@@ -494,6 +531,17 @@ class LakehouseTable:
                     state.setdefault("staged", {})
                     state.setdefault("branches", {})
                     state.setdefault("constraints", {})
+                    state.setdefault("schema_events", [])
+                    # pre-r9 checkpoints lack field ids: derive the
+                    # initial assignment from the checkpointed schema
+                    # (field order), exactly what the from-scratch fold
+                    # would have produced for an event-free history
+                    if state.get("schema") and not state.get("field_ids"):
+                        state["field_ids"] = {}
+                        state["next_field_id"] = 1
+                        _fold_field_ids(state, {}, state["schema"])
+                    state.setdefault("field_ids", {})
+                    state.setdefault("next_field_id", 1)
                     start_after = cv
                     break
                 except (OSError, json.JSONDecodeError):
@@ -510,6 +558,19 @@ class LakehouseTable:
             # through to the generic fold (they carry no files).
             if "constraint_state" in extra:
                 state["constraints"] = dict(extra["constraint_state"])
+            # absolute schema-evolution state (rollback / expire fold
+            # boundaries): replaces the running event log + field ids;
+            # the commit's OWN rename/drop extras still apply after it.
+            # next_field_id only ratchets UP — ids are never reused,
+            # even across a rollback that retires a column.
+            if "schema_state" in extra:
+                ss = extra["schema_state"]
+                state["schema_events"] = list(ss.get("events") or [])
+                state["field_ids"] = dict(ss.get("field_ids") or {})
+                state["next_field_id"] = max(
+                    int(ss.get("next_field_id", 1)),
+                    int(state.get("next_field_id", 1)),
+                )
             if extra.get("set_constraint"):
                 state.setdefault("constraints", {}).update(
                     extra["set_constraint"]
@@ -625,6 +686,21 @@ class LakehouseTable:
                     state.get("branches", {}).pop(
                         extra["publish_branch"], None
                     )
+            if extra.get("rename_column"):
+                state.setdefault("schema_events", []).append(
+                    {
+                        "op": "rename",
+                        "from": extra["rename_column"]["from"],
+                        "to": extra["rename_column"]["to"],
+                        "v": v,
+                    }
+                )
+            if extra.get("drop_column"):
+                state.setdefault("schema_events", []).append(
+                    {"op": "drop", "name": extra["drop_column"], "v": v}
+                )
+            if d["schema"] != state["schema"]:
+                _fold_field_ids(state, extra, d["schema"])
             state["schema"] = d["schema"]
             if d.get("writer_id") is not None and d.get("batch_id") is not None:
                 state["committed"].setdefault(d["writer_id"], []).append(
@@ -1346,6 +1422,175 @@ class LakehouseTable:
         self._maybe_checkpoint(version)
         return version
 
+    # ------------------------------------------- schema evolution (in place)
+    def _guard_schema_evolution(self, state: dict, cols: list[str]) -> None:
+        """Rename/drop preconditions. Pending staged entries, branch
+        commits, and merge-on-read deltas all carry column references
+        resolved at THEIR write time; landing them across an in-place
+        rename would either resurrect the old name as a fresh column
+        (the publish-time schema union) or mis-bind delta predicates —
+        so evolution waits until the table has no in-flight writes
+        (publish/discard the staged set, land/drop branches, compact
+        the deltas). A CHECK constraint referencing the column must be
+        dropped first (its expression is a SQL string bound by name,
+        the Delta rule)."""
+        import re as _re
+
+        if state.get("staged"):
+            raise ValueError(
+                f"{self.namespace}.{self.name} has pending staged "
+                "commits: publish or discard them before renaming or "
+                "dropping columns"
+            )
+        if any(
+            b.get("entries")
+            for b in (state.get("branches") or {}).values()
+        ):
+            raise ValueError(
+                f"{self.namespace}.{self.name} has pending branch "
+                "commits: fast-forward or drop the branches before "
+                "renaming or dropping columns"
+            )
+        if state.get("deletes"):
+            raise ValueError(
+                f"{self.namespace}.{self.name} has pending merge-on-read "
+                "deltas: compact() before renaming or dropping columns"
+            )
+        for cname, expr in (state.get("constraints") or {}).items():
+            for c in cols:
+                if _re.search(rf"\b{_re.escape(c)}\b", expr):
+                    raise ValueError(
+                        f"constraint {cname!r} references column {c!r}: "
+                        "drop the constraint before evolving the column"
+                    )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """In-place column rename (Iceberg field-id semantics, the
+        reference README's promised-but-unimplemented schema evolution,
+        ``/root/reference/README.md:24``): ONE metadata-only commit —
+        no data files rewritten. The stable field id moves to the new
+        name; readers resolve files written before the rename through
+        the schema event log (old physical name aliased to the new
+        one, by file vintage), so old and new files read back as one
+        schema and commit-log stats keep pruning under the old
+        physical key."""
+        if old == new:
+            raise ValueError("rename_column: old and new name are equal")
+        for _ in range(50):
+            state = self._state()
+            if state["schema"] is None:
+                raise FileNotFoundError(
+                    f"table {self.namespace}.{self.name} does not exist"
+                )
+            schema = StructType.fromJson(json.loads(state["schema"]))
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(
+                    f"no column {old!r} on {self.namespace}.{self.name}"
+                )
+            if new in names:
+                raise ValueError(
+                    f"column {new!r} already exists on "
+                    f"{self.namespace}.{self.name}"
+                )
+            self._guard_schema_evolution(state, [old])
+            evolved = StructType(
+                [
+                    StructField(new, f.dataType, f.nullable)
+                    if f.name == old
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            try:
+                version = self._try_commit(
+                    {
+                        "operation": "append",
+                        "files": [],
+                        "stats": {},
+                        "schema": json.dumps(evolved.jsonValue()),
+                        "commit_ts": time.time(),
+                        "num_rows": 0,
+                        "extra": {
+                            "rename_column": {"from": old, "to": new}
+                        },
+                    },
+                    expected_base=state["version"],
+                )
+            except CommitConflict:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise CommitConflict(
+            f"could not rename column on {self.namespace}.{self.name}"
+        )
+
+    def drop_column(self, name: str) -> int:
+        """In-place column drop: ONE metadata-only commit; the field id
+        retires and is never reused. Old files keep the physical bytes
+        (snapshot isolation / time travel read them at old versions),
+        but the live schema no longer selects them — and a column
+        RE-ADDED later under the same name gets a fresh field id, so
+        pre-drop files read NULL for it instead of resurrecting the
+        dead column's data (the Iceberg drop/re-add contract)."""
+        for _ in range(50):
+            state = self._state()
+            if state["schema"] is None:
+                raise FileNotFoundError(
+                    f"table {self.namespace}.{self.name} does not exist"
+                )
+            schema = StructType.fromJson(json.loads(state["schema"]))
+            names = [f.name for f in schema.fields]
+            if name not in names:
+                raise ValueError(
+                    f"no column {name!r} on {self.namespace}.{self.name}"
+                )
+            if len(names) == 1:
+                raise ValueError(
+                    "cannot drop the only column of "
+                    f"{self.namespace}.{self.name}"
+                )
+            self._guard_schema_evolution(state, [name])
+            evolved = StructType(
+                [f for f in schema.fields if f.name != name]
+            )
+            try:
+                version = self._try_commit(
+                    {
+                        "operation": "append",
+                        "files": [],
+                        "stats": {},
+                        "schema": json.dumps(evolved.jsonValue()),
+                        "commit_ts": time.time(),
+                        "num_rows": 0,
+                        "extra": {"drop_column": name},
+                    },
+                    expected_base=state["version"],
+                )
+            except CommitConflict:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise CommitConflict(
+            f"could not drop column on {self.namespace}.{self.name}"
+        )
+
+    def field_ids(self, version: int | None = None) -> dict[str, int]:
+        """Stable Iceberg-style field ids of the top-level columns at
+        ``version`` (or latest): assigned in field order at creation,
+        moved by renames, retired by drops, fresh on (re)adds. The
+        export uses these so external engines see id-stable schema
+        evolution."""
+        return dict(self._state(upto=version).get("field_ids") or {})
+
+    def schema_events(self, version: int | None = None) -> list[dict]:
+        """The ordered rename/drop event log up to ``version`` — what
+        read-side vintage resolution and the export's name-mapping are
+        derived from."""
+        return list(
+            self._state(upto=version).get("schema_events") or []
+        )
+
     def _enforce_constraints(
         self,
         spark: SparkSession,
@@ -1792,6 +2037,7 @@ class LakehouseTable:
         sequence_col: str | None = None,
         change_files: list[str] | None = None,
         extra_delete_keys: DataFrame | None = None,
+        caller_extra: dict | None = None,
     ) -> int:
         """Commit one merge as a row delta (Iceberg v2 merge-on-read):
         the update rows land as ordinary data files, plus a small set of
@@ -1917,6 +2163,9 @@ class LakehouseTable:
         if bounds:
             entry["bounds"] = bounds
         extra: dict = {
+            # caller metadata first (same contract as append/overwrite's
+            # extra=); the MoR bookkeeping keys below always win
+            **(caller_extra or {}),
             "merge_on_read": True,
             # an empty key set deletes nothing: emitting it anyway would
             # produce a bound-less entry that makes _delete_affected
@@ -2265,7 +2514,7 @@ class LakehouseTable:
                     # CoW CDC) but rewrite nothing
                     current = self._apply_pending_deletes(
                         spark,
-                        self._read_files(spark, touch, state["schema"]),
+                        self._read_files(spark, touch, state["schema"], state=state),
                         touch,
                         state,
                     )
@@ -2282,7 +2531,10 @@ class LakehouseTable:
                     cur_keys = self._apply_pending_deletes(
                         spark,
                         self._read_files(
-                            spark, state["files"], state["schema"]
+                            spark,
+                            state["files"],
+                            state["schema"],
+                            state=state,
                         ),
                         state["files"],
                         state,
@@ -2303,6 +2555,7 @@ class LakehouseTable:
                         sequence_col=sequence_col,
                         change_files=cf,
                         extra_delete_keys=extra_del,
+                        caller_extra=extra,
                     )
                 except CommitConflict as e:
                     last_err = e
@@ -2312,7 +2565,7 @@ class LakehouseTable:
                     continue
             current = self._apply_pending_deletes(
                 spark,
-                self._read_files(spark, touch, state["schema"]),
+                self._read_files(spark, touch, state["schema"], state=state),
                 touch,
                 state,
             )
@@ -2429,7 +2682,7 @@ class LakehouseTable:
                     current = self._apply_pending_deletes(
                         spark,
                         self._read_files(
-                            spark, affected, state["schema"]
+                            spark, affected, state["schema"], state=state
                         ),
                         affected,
                         state,
@@ -2509,7 +2762,7 @@ class LakehouseTable:
                     touch.append(f)  # may hold matching rows: rewrite
             current = self._apply_pending_deletes(
                 spark,
-                self._read_files(spark, touch, state["schema"]),
+                self._read_files(spark, touch, state["schema"], state=state),
                 touch,
                 state,
             )
@@ -2535,7 +2788,7 @@ class LakehouseTable:
                     removed = removed.unionByName(
                         self._apply_pending_deletes(
                             spark,
-                            self._read_files(spark, drop, state["schema"]),
+                            self._read_files(spark, drop, state["schema"], state=state),
                             drop,
                             state,
                         )
@@ -2605,7 +2858,7 @@ class LakehouseTable:
                     keep.append(f)
             current = self._apply_pending_deletes(
                 spark,
-                self._read_files(spark, touch, state["schema"]),
+                self._read_files(spark, touch, state["schema"], state=state),
                 touch,
                 state,
             )
@@ -2735,7 +2988,7 @@ class LakehouseTable:
                 keep = [f for f in state["files"] if f not in rewrite_set]
                 df = self._apply_pending_deletes(
                     spark,
-                    self._read_files(spark, rewrite, state["schema"]),
+                    self._read_files(spark, rewrite, state["schema"], state=state),
                     rewrite,
                     state,
                 )
@@ -2993,6 +3246,16 @@ class LakehouseTable:
             # and for CHECK constraints: the restored snapshot enforces
             # the constraint set of its day
             "constraint_state": dict(state.get("constraints") or {}),
+            # and for schema evolution: the restored files resolve
+            # through the event log OF THEIR DAY (a rename after the
+            # target must not remap them); field ids rewind with the
+            # schema but next_field_id ratchets in the fold, so a
+            # column re-added post-rollback still gets a fresh id
+            "schema_state": {
+                "events": list(state.get("schema_events") or []),
+                "field_ids": dict(state.get("field_ids") or {}),
+                "next_field_id": int(state.get("next_field_id", 1)),
+            },
         }
         if state.get("deletes"):
             extra["deletes"] = list(state["deletes"])
@@ -3095,12 +3358,49 @@ class LakehouseTable:
         # CHECK constraints accumulated over the expired prefix — losing
         # a set_constraint commit to expiry must not un-gate the table
         folded_constraints: dict[str, str] = {}
+        # schema-evolution state over the expired prefix: losing a
+        # rename event would make retained old-vintage files read NULL
+        # under the new name; losing the field-id map would re-number
+        # ids in the Iceberg export
+        folded_schema_events: list[dict] = []
+        sstate: dict = {"field_ids": {}, "next_field_id": 1}
+        prev_schema_json: str | None = None
         for v in versions:
             if v >= cutoff:
                 break
             s = by_version[v]
             if "constraint_state" in s.extra:
                 folded_constraints = dict(s.extra["constraint_state"])
+            if "schema_state" in s.extra:
+                ss = s.extra["schema_state"]
+                folded_schema_events = list(ss.get("events") or [])
+                sstate["field_ids"] = dict(ss.get("field_ids") or {})
+                sstate["next_field_id"] = max(
+                    int(ss.get("next_field_id", 1)),
+                    int(sstate["next_field_id"]),
+                )
+            if not (
+                s.extra.get("staged")
+                or s.extra.get("branch")
+                or s.extra.get("create_branch")
+                or s.extra.get("drop_branch")
+            ):
+                if s.extra.get("rename_column"):
+                    folded_schema_events.append(
+                        {
+                            "op": "rename",
+                            "from": s.extra["rename_column"]["from"],
+                            "to": s.extra["rename_column"]["to"],
+                            "v": v,
+                        }
+                    )
+                if s.extra.get("drop_column"):
+                    folded_schema_events.append(
+                        {"op": "drop", "name": s.extra["drop_column"], "v": v}
+                    )
+                if s.schema_json != prev_schema_json:
+                    _fold_field_ids(sstate, s.extra, s.schema_json)
+                    prev_schema_json = s.schema_json
             if s.extra.get("set_constraint"):
                 folded_constraints.update(s.extra["set_constraint"])
             if s.extra.get("drop_constraint"):
@@ -3212,6 +3512,23 @@ class LakehouseTable:
                     )
                     else {}
                 ),
+                # prefix-folded schema evolution (same absolute-map rule
+                # as constraints: a rollback at the cutoff already
+                # carries its own)
+                **(
+                    {
+                        "schema_state": {
+                            "events": folded_schema_events,
+                            "field_ids": sstate["field_ids"],
+                            "next_field_id": sstate["next_field_id"],
+                        }
+                    }
+                    if (
+                        sstate["field_ids"]
+                        and "schema_state" not in first_keep.extra
+                    )
+                    else {}
+                ),
                 "checkpointed": expired,
                 "committed": _merge_committed(
                     folded_committed, first_keep.extra.get("committed", {})
@@ -3309,19 +3626,97 @@ class LakehouseTable:
         return removed
 
     # ----------------------------------------------------------------- reads
+    @staticmethod
+    def _vintage_source(
+        name: str, events: list[dict], vintage: int
+    ) -> str | None:
+        """The PHYSICAL column name that current field ``name`` had in a
+        file committed at version ``vintage``, or None when the field
+        did not exist yet (files older than the field read NULL — a
+        column re-added after a drop must NOT resurrect the dead
+        field's bytes). Walks the rename/drop event log newest-first:
+        a rename INTO the tracked name rewinds it; an event that
+        VACATED the tracked name (renamed it away, or dropped it)
+        proves the current field was born after that event."""
+        n = name
+        for e in reversed(events):
+            if int(e["v"]) <= vintage:
+                break
+            if e["op"] == "rename":
+                if n == e["to"]:
+                    n = e["from"]
+                elif n == e["from"]:
+                    return None
+            elif e["op"] == "drop" and n == e["name"]:
+                return None
+        return n
+
     def _read_files(
-        self, spark: SparkSession, files: list[str], schema_json: str
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema_json: str,
+        state: dict | None = None,
     ) -> DataFrame:
         """Read an explicit file subset with the pinned schema (the
-        copy-on-write paths scan only the files they will rewrite)."""
+        copy-on-write paths scan only the files they will rewrite).
+
+        With ``state`` (and a non-empty rename/drop event log), files
+        are resolved BY VINTAGE: a file committed before a rename still
+        holds the old physical column name, so its vintage class is
+        read with the old names and aliased to the current schema —
+        pure metadata (file_seq + the event log), no footer reads, and
+        the per-class alias is a projection Catalyst pushes the scan
+        pruning straight through. Event-free tables (almost all) take
+        the single-scan fast path unchanged."""
         schema = StructType.fromJson(json.loads(schema_json))
         if not files:
             return spark.createDataFrame([], schema)
-        return (
-            spark.read.schema(schema)
-            .option("mergeSchema", "false")
-            .parquet(*files)
-        )
+        events = (state or {}).get("schema_events") or []
+        if not events:
+            return (
+                spark.read.schema(schema)
+                .option("mergeSchema", "false")
+                .parquet(*files)
+            )
+        fseq = state.get("file_seq") or {}
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            vf = int(fseq.get(f, 0))
+            key = tuple(
+                (fl.name, self._vintage_source(fl.name, events, vf))
+                for fl in schema.fields
+            )
+            groups.setdefault(key, []).append(f)
+        parts: list[DataFrame] = []
+        for key, fs in groups.items():
+            src = dict(key)
+            phys = StructType(
+                [
+                    StructField(src[fl.name], fl.dataType, fl.nullable)
+                    for fl in schema.fields
+                    if src[fl.name] is not None
+                ]
+            )
+            df = (
+                spark.read.schema(phys)
+                .option("mergeSchema", "false")
+                .parquet(*fs)
+            )
+            parts.append(
+                df.select(
+                    *[
+                        F.col(src[fl.name]).alias(fl.name)
+                        if src[fl.name] is not None
+                        else F.lit(None).cast(fl.dataType).alias(fl.name)
+                        for fl in schema.fields
+                    ]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: exactly the files committed at ``version`` (or
@@ -3329,7 +3724,9 @@ class LakehouseTable:
         anti-applied. Later/concurrent commits are invisible to this
         scan."""
         state = self._state(upto=version)
-        df = self._read_files(spark, state["files"], state["schema"])
+        df = self._read_files(
+            spark, state["files"], state["schema"], state=state
+        )
         return self._apply_pending_deletes(spark, df, state["files"], state)
 
     def pruned_files(
@@ -3337,14 +3734,49 @@ class LakehouseTable:
     ) -> list[str]:
         """Live files whose commit-log min/max stats can satisfy every
         ``{col: (lo, hi)}`` range (either bound may be None). Files with
-        no recorded stats for a column are conservatively kept."""
+        no recorded stats for a column are conservatively kept.
+
+        Rename-aware: a file written before a rename recorded its stats
+        under the OLD physical name — the vintage resolver maps each
+        predicate column to that file's physical name so old files keep
+        pruning. A file older than the column itself (drop + re-add)
+        reads all-NULL for it, and NULL satisfies no range bound, so any
+        bounded predicate on the column prunes the file outright."""
         state = self._state(upto=version)
         stats: dict = state.get("stats", {})
-        return [
-            f
-            for f in state["files"]
-            if _stats_admit(stats.get(f, {}), predicates)
-        ]
+        events = state.get("schema_events") or []
+        if not events:
+            return [
+                f
+                for f in state["files"]
+                if _stats_admit(stats.get(f, {}), predicates)
+            ]
+        fseq = state.get("file_seq") or {}
+        out: list[str] = []
+        for f in state["files"]:
+            st = stats.get(f, {})
+            vf = int(fseq.get(f, 0))
+            tstats: dict = {}
+            skip = False
+            for c, (lo, hi) in predicates.items():
+                if c == _BLOOM_KEY:
+                    continue
+                p = self._vintage_source(c, events, vf)
+                if p is None:
+                    if lo is not None or hi is not None:
+                        skip = True
+                        break
+                    continue
+                if p in st:
+                    tstats[c] = st[p]
+                bloom = (st.get(_BLOOM_KEY) or {}).get(p)
+                if bloom is not None:
+                    tstats.setdefault(_BLOOM_KEY, {})[c] = bloom
+            if skip:
+                continue
+            if _stats_admit(tstats, predicates):
+                out.append(f)
+        return out
 
     def scan(
         self,
@@ -3379,15 +3811,14 @@ class LakehouseTable:
                 if f not in pruned
                 and self._delete_affected(state, f, seq_only=True)
             ]
-        schema = StructType.fromJson(json.loads(state["schema"]))
         if not files:
             df = self.read(spark, version=version).limit(0)
         else:
             df = self._apply_pending_deletes(
                 spark,
-                spark.read.schema(schema)
-                .option("mergeSchema", "false")
-                .parquet(*files),
+                self._read_files(
+                    spark, files, state["schema"], state=state
+                ),
                 files,
                 state,
             )

@@ -172,10 +172,10 @@ def build_ivf_index(
 
 
 def ivf_drift(t: LakehouseTable) -> float:
-    """Fraction of the index added since the last full (re)build:
-    sum(rows of ivf_add commits after the last rebuild) / rows at the
-    rebuild. The recluster trigger — centroids were fitted on the
-    rebuild-time distribution, and an index that has grown 50% past it
+    """Fraction of the index CHANGED since the last full (re)build:
+    (rows added + rows deleted after it) / rows at the rebuild. The
+    recluster trigger — centroids were fitted on the rebuild-time
+    distribution, and an index that has grown or shrunk 50% past it
     serves probes from stale cells."""
     base_rows: int | None = None
     added = 0
@@ -183,6 +183,8 @@ def ivf_drift(t: LakehouseTable) -> float:
         if s.extra.get("ivf"):
             base_rows = max(int(s.num_rows or 0), 1)
             break
+        if "ivf_delete" in s.extra:
+            added += int(s.extra["ivf_delete"].get("n_deleted", 0))
         if "ivf_add" in s.extra:
             # n_added in the extra is legacy (pre-r9 indexes); current
             # adds record a bare marker and the commit's own num_rows
@@ -249,6 +251,63 @@ def ivf_add(
             t.read(spark).select("vec_id", "embedding"),
             n_cells,
             int(ivf["seed"]) + 1,  # fresh sample draw on the grown corpus
+        )
+        return t.version()
+    return version
+
+
+def ivf_delete(
+    spark: SparkSession,
+    t: LakehouseTable,
+    keys,
+    recluster_threshold: float = 0.5,
+) -> int:
+    """Incremental index deletes (VERDICT r8 #3): vectors removed
+    upstream (dedup, takedowns) leave the index WITHOUT a rebuild — a
+    merge-on-read equality-delete delta lands on the index table via
+    the lakehouse's existing MoR machinery (tombstone merge, no data
+    file rewritten), and every probe path already anti-applies pending
+    deltas at scan time, so deleted vectors stop surfacing immediately
+    under snapshot isolation.
+
+    ``keys`` is a list of vec_ids or a DataFrame with a ``vec_id``
+    column. Deletes count toward DRIFT like adds do (a cell that lost
+    half its members serves probes from a stale centroid just as a
+    doubled cell does); past ``recluster_threshold`` the index refits
+    on the surviving corpus — one snapshot-isolated overwrite that also
+    folds the accumulated delete deltas away."""
+    if isinstance(keys, (list, tuple)):
+        kdf = spark.createDataFrame(
+            [(int(k),) for k in keys], "vec_id long"
+        )
+    else:
+        kdf = keys.select("vec_id")
+    n_del = kdf.count()  # bounded: the delete key set, never the corpus
+    tomb = (
+        kdf.withColumn("embedding", F.lit(None).cast("array<float>"))
+        .withColumn("cell", F.lit(None).cast("int"))
+        .withColumn("_del", F.lit(True))
+    )
+    version = t.merge(
+        spark,
+        tomb,
+        key="vec_id",
+        delete_col="_del",
+        strategy="mor",
+        extra={"ivf_delete": {"n_deleted": int(n_del)}},
+    )
+    if ivf_drift(t) > recluster_threshold:
+        ivf = None
+        for s in reversed(t.snapshots()):
+            ivf = s.extra.get("ivf")
+            if ivf:
+                break
+        _write_ivf(
+            spark,
+            t,
+            t.read(spark).select("vec_id", "embedding"),
+            int(ivf["n_cells"]),
+            int(ivf["seed"]) + 1,
         )
         return t.version()
     return version

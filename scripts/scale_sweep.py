@@ -70,6 +70,11 @@ OPERATORS = {
     "dedup_embedding_cosine": ("quadratic", "exact block-pair GEMM (designed O(n^2) baseline)", 256, ("embeddings",)),
     "q58_market_basket": ("~linear", "basket pair-join + lift (pair expansion per order)", 1024, ("lineitem",)),
     "q61_scd2_point_in_time": ("~linear", "union-tag + running-last window (join-free PIT)", 1024, ("events",)),
+    # r9 additions (VERDICT r8 #1, #6): the containment scale route and
+    # the two remaining asymptotic-claim holders without a measured row
+    "dedup_containment_capped": ("sub-quadratic", "df-capped inverted index -> exact containment verify", 1024, ("documents",)),
+    "text_bigram_nll": ("~linear", "array-zip bigrams + unhinted count joins (KenLM-role NLL)", 1024, ("documents",)),
+    "dedup_substring_spans": ("~linear", "window-hash shuffle -> gaps-and-islands span merge", 1024, ("documents",)),
 }
 
 MARK_BEGIN = "<!-- scale-sweep:begin -->"
@@ -307,8 +312,8 @@ def write_doc(results: dict[str, dict], scales: list[int]) -> None:
         "local[32]; per-operator exponent = log-log slope over its "
         "largest measured scale step (the quadratic baseline is capped "
         "at 256x — its class was already proven there, and 4096x would "
-        "be ~100x that wall time; the fact-table ops are capped at "
-        "1024x = 61M lineitem rows).",
+        "be ~100x that wall time; the fact-table ops and the r9 rows "
+        "are capped at 1024x = 61M lineitem rows / 512k docs).",
         "",
         "| Operator | class | "
         + " | ".join(f"t({s}x) s" for s in scales)

@@ -617,3 +617,68 @@ def test_semdedup_is_deterministic(spark, sf_dir):
     a = dedup_semantic_clusters(spark, sf_dir).collect()
     b = dedup_semantic_clusters(spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_containment_capped_matches_exact_on_corpus(spark, sf_dir):
+    """The df-capped containment route is EXACT-after-prefilter: on the
+    test corpus (where every true pair shares at least one sub-cap
+    shingle) its output equals the exact twin's, scores included."""
+    exact = {
+        (r["doc_a"], r["doc_b"], r["containment"], r["contained_id"])
+        for r in SPECS["dedup_containment"].fn(spark, sf_dir).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"], r["containment"], r["contained_id"])
+        for r in SPECS["dedup_containment_capped"].fn(spark, sf_dir).collect()
+    }
+    assert capped <= exact  # precision 1.0: verify recomputes full sets
+    assert capped == exact, (
+        f"capped dropped {len(exact - capped)} of {len(exact)} pairs "
+        "on a corpus whose pairs all share a rare shingle"
+    )
+    assert len(exact) > 0  # non-vacuous
+
+
+def test_containment_capped_recall_contract_engineered_miss(
+    spark, tmp_path
+):
+    """The documented recall contract, pinned on an engineered corpus:
+    a pair whose EVERY shared shingle has df > cap (pure corpus
+    boilerplate) is ceded by the capped route, while pairs sharing any
+    rare shingle survive with exact scores."""
+    import crest_spark.operators.dedup as dd
+
+    boiler = " ".join(f"b{i}" for i in range(12))  # 10 shared shingles
+    rows = [
+        # df of every boilerplate shingle = cap + 2 > _CONTAIN_DF_CAP
+        # 12 boiler + 2 unique tokens -> 12 shingles, 10 shared:
+        # containment 10/12 = 0.833 >= the 0.8 threshold
+        *[
+            (i, boiler + f" u{i}x u{i}y")
+            for i in range(dd._CONTAIN_DF_CAP + 2)
+        ],
+        # a rare-shingle containment pair: 100 is fully inside 101
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota"),
+    ]
+    staged = str(tmp_path / "contain_docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(staged)
+    orig = dd._docs
+    try:
+        dd._docs = lambda s, _sf: s.read.parquet(staged).repartition(
+            2, "doc_id"
+        )
+        exact = _pairs(SPECS["dedup_containment"].fn(spark, "unused"))
+        capped = _pairs(
+            SPECS["dedup_containment_capped"].fn(spark, "unused")
+        )
+    finally:
+        dd._docs = orig
+    # the exact twin sees the boilerplate pairs AND the rare pair
+    assert (100, 101) in exact
+    boiler_pairs = {p for p in exact if p[0] < 100 and p[1] < 100}
+    assert len(boiler_pairs) > 0
+    # capped: rare pair kept, all-boilerplate pairs are the documented miss
+    assert (100, 101) in capped
+    assert capped & boiler_pairs == set()
+    assert capped <= exact
