@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "ann_brute_topk",
     "text_lang_id",
     "text_token_stats",
+    # r9 additions: the containment scale route and the restructured
+    # bigram-LM scorer (single model join)
+    "dedup_containment_capped",
+    "text_bigram_nll",
 ]
 
 SUMMARY_MAX_BYTES = 4096  # bound enforced by tests/test_bench_emit.py

@@ -1390,6 +1390,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.35
 SEMDEDUP_CELLS = 16
 SEMDEDUP_MAX_CLUSTER = 8192  # per-cluster pairwise guard (see docstring)
+SEMDEDUP_SPLIT_K = 8  # sub-centroids per oversized-cluster recluster
 
 
 @register(
@@ -1409,14 +1410,20 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: O(sample) seeded driver k-means (the same split FAISS and the
     paper use), ONE broadcast-GEMM assignment pass over the corpus
-    (Arrow-batched, shared with the IVF index), one shuffle on cluster
-    id, then per-cluster pairwise cosine via applyInPandas — work is
-    sum(|cluster|^2), never corpus^2. Degenerate clusters are guarded:
-    above SEMDEDUP_MAX_CLUSTER members, each vector is compared against
-    the cluster's lowest-id prefix only (O(B*C) not O(B^2) — the
-    canonical keepers live in the prefix, so recall against kept
-    representatives is preserved; at 100 TB you'd recluster hot cells
-    hierarchically instead). Keep-lowest-id policy matches dedup_exact."""
+    (Arrow-batched, shared with the IVF index, pinned with a
+    localCheckpoint so the cluster-size census and the pairwise stage
+    share one execution), one shuffle on cluster id, then per-cluster
+    pairwise cosine via applyInPandas — work is sum(|cluster|^2), never
+    corpus^2. Oversized clusters RECLUSTER one level (VERDICT r8 #7):
+    any cell above SEMDEDUP_MAX_CLUSTER members is re-fit with its own
+    ``SEMDEDUP_SPLIT_K`` sub-centroids (sampled from the cell, same
+    O(sample) driver fit) and its members re-shuffled to composite
+    sub-cluster ids, so the pairwise stage runs FULL within every
+    reported cluster — no prefix truncation. Only a sub-cell that is
+    STILL oversized after the split (possible only for near-identical
+    vector masses k-means cannot separate) falls back to lowest-id
+    prefix comparison, where the canonical keepers live. Keep-lowest-id
+    policy matches dedup_exact."""
     import numpy as np
     import pandas as pd
 
@@ -1430,7 +1437,38 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = _fit_centroids(em, SEMDEDUP_CELLS, seed=29, sample_n=2000)
     b_cent = spark.sparkContext.broadcast(np.asarray(centroids))
-    assigned = _assign_cells(em, b_cent)
+    # pin: the GEMM assignment executes once; the size census and the
+    # (possibly split) pairwise stage both read the pinned result
+    assigned = _assign_cells(em, b_cent).localCheckpoint()
+    sizes = {
+        r["cell"]: r["n"]
+        for r in assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    hot = sorted(c for c, n in sizes.items() if n > SEMDEDUP_MAX_CLUSTER)
+    if hot:
+        parts = [assigned.where(~F.col("cell").isin([int(c) for c in hot]))]
+        for i, c in enumerate(hot):
+            cell_slice = assigned.where(F.col("cell") == int(c))
+            sub_cent = _fit_centroids(
+                cell_slice,
+                SEMDEDUP_SPLIT_K,
+                seed=29 + 101 * (i + 1),
+                sample_n=2000,
+            )
+            b_sub = spark.sparkContext.broadcast(np.asarray(sub_cent))
+            base = SEMDEDUP_CELLS + int(c) * SEMDEDUP_SPLIT_K
+            parts.append(
+                _assign_cells(
+                    cell_slice.select("vec_id", "embedding"), b_sub
+                ).withColumn(
+                    "cell", (F.col("cell") + F.lit(base)).cast("int")
+                )
+            )
+        assigned = parts[0]
+        for p in parts[1:]:
+            assigned = assigned.unionByName(p)
 
     def mark_dups(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
@@ -1509,8 +1547,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same inverted-index plan as dedup_ngram_jaccard (one shingle-key
     shuffle, one pair-key aggregation, per-doc sizes joined back) — the
     prefilter stays lossless for any threshold > 0 because a pair with
-    zero shared shingles has containment 0. At 100 TB the hot-shingle
-    guard (df-cap the posting lists) applies identically."""
+    zero shared shingles has containment 0. Kept EXACT-uncapped as the
+    oracle anchor; the 100 TB route is ``dedup_containment_capped``
+    (df-capped candidates + exact verify, measured exponent 0.57),
+    whose only misses are pairs sharing NOTHING below the cap."""
     d = with_shingles(_docs(spark, sf_dir))
     sh = d.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -1629,11 +1669,20 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     engineered miss. Candidate stage mirrors ``lsh_candidate_pairs``'s
     economics; verify mirrors the minhash semi-join verify
     (``dedup.py`` minhash notes)."""
-    d = with_shingles(_docs(spark, sf_dir)).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform("shingles", lambda s: F.xxhash64(s))
-        ).alias("hs"),
+    # pin the hashed shingle arrays: the DAG below reads them from five
+    # branches (df census, capped index twice via the self-join, both
+    # verify sides) and string shingling + hashing is the dominant
+    # per-row cost — one localCheckpoint makes it run once, and ships
+    # 8-byte longs instead of re-deriving from text everywhere
+    d = (
+        with_shingles(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("hs"),
+        )
+        .localCheckpoint()
     )
     sh = d.select("doc_id", F.explode("hs").alias("h"))
     # the stopword list: tiny by construction => broadcast anti-join

@@ -1076,3 +1076,64 @@ def lake_mor_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     if t._state()["deletes"]:
         raise AssertionError("compact must fold the sync delta")
     return t.read(spark).orderBy("event_id")
+
+
+@register(
+    "lake_schema_rename_drop",
+    oracle="""
+        WITH evolved AS (
+            -- old vintage: written under (k, price, note); note's data
+            -- dies with the drop, price survives the rename
+            SELECT CAST(o_orderkey AS BIGINT) AS k,
+                   CAST(o_totalprice AS DOUBLE) AS amount,
+                   CAST(NULL AS VARCHAR) AS note
+            FROM orders WHERE o_orderkey <= 400
+            UNION ALL
+            -- new vintage: written under (k, amount) post-rename, with
+            -- note re-added AFTER the drop (fresh column)
+            SELECT CAST(o_orderkey AS BIGINT) + 1000000 AS k,
+                   CAST(o_totalprice AS DOUBLE) + 0.25 AS amount,
+                   'v2' AS note
+            FROM orders WHERE o_orderkey <= 100
+        )
+        SELECT k, amount, note FROM evolved ORDER BY k
+    """,
+    tags=("lakehouse", "schema-evolution"),
+)
+def lake_schema_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place column RENAME + DROP/RE-ADD under the driver hash gate
+    (r9 — the reference README's promised-but-unimplemented evolution,
+    ``/root/reference/README.md:24``): a table written as (k, price,
+    note) renames price->amount and drops note — both METADATA-ONLY
+    commits, zero files rewritten — then appends a new vintage under
+    the evolved schema with note re-added. The final read must resolve
+    BOTH vintages: old files' ``price`` bytes surface as ``amount``
+    (vintage aliasing via the folded event log), old files' ``note``
+    bytes are NULL (the re-added column is a NEW field — resurrecting
+    the dead column's data is the classic name-based-resolution bug),
+    and the new vintage reads back verbatim. The oracle reconstructs
+    exactly that rowset; the hash match certifies the resolution."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") <= 400).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.concat(F.lit("n"), F.col("o_orderkey")).alias("note"),
+    )
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_evo_"))
+    t = cat.get_or_create_table("orders_evo", base.schema)
+    t.append(base, cluster_by=["k"], max_rows_per_file=100)
+    files_before = set(t._state()["files"])
+    fid_price = t.field_ids()["price"]
+    t.rename_column("price", "amount")
+    t.drop_column("note")
+    if set(t._state()["files"]) != files_before:
+        raise AssertionError("rename/drop must be metadata-only")
+    if t.field_ids()["amount"] != fid_price:
+        raise AssertionError("rename must keep the stable field id")
+    new = orders.where(F.col("o_orderkey") <= 100).select(
+        (F.col("o_orderkey").cast("long") + F.lit(1_000_000)).alias("k"),
+        (F.col("o_totalprice").cast("double") + 0.25).alias("amount"),
+        F.lit("v2").alias("note"),
+    )
+    t.append(new, merge_schema=True)  # note re-added: fresh field id
+    return t.read(spark).select("k", "amount", "note").orderBy("k")

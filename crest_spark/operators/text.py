@@ -687,41 +687,68 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one pass builds the cleaned token array JVM-side; adjacent
     bigrams come from an array zip (no self-join, no window); the
-    bigram/context/unigram count tables hang off the same explode. The
-    count joins are UNHINTED — the bigram vocabulary grows with the
-    corpus (unlike the unigram table), so a forced broadcast would be
-    the q58 OOM anti-pattern; AQE broadcasts while small and
-    shuffle-joins on the fine-grained bigram key once it is not.
-    Per-position ln routes through DECIMAL (avg4) before averaging."""
+    bigram/context/unigram count tables hang off the same explode.
+    The per-occurrence stream joins the MODEL TABLE exactly once, and
+    every shuffle ships 8-BYTE HASH KEYS, never the strings (r9 — the
+    same lesson as the minhash verify path): occurrences reduce to
+    (doc_id, xxhash64(w1·w2)) and the (bigram, context, unigram) count
+    tables key on xxhash64 of their tokens, so the corpus-scale
+    exchanges move 16-byte rows instead of ~100-byte string pairs.
+    (The previous string-keyed shape joined the occurrence stream three
+    times — on (w1,w2), then w1, then w2 — and still measured a
+    1.26-1.33 sweep step at 512k docs from shuffle byte volume alone.)
+    The model is assembled by joining the VOCABULARY-sized count tables
+    among themselves first; all model joins stay UNHINTED — the bigram
+    vocabulary grows with the corpus (unlike the unigram table), so a
+    forced broadcast would be the q58 OOM anti-pattern; AQE broadcasts
+    while small and shuffle-joins on the fine-grained key once it is
+    not. 64-bit keys make counts collide only at ~n²/2⁶⁴ odds —
+    immaterial against the scoring role (and the sf0.01 oracle gate
+    exercises the exact same keyed plan). Per-position ln routes
+    through DECIMAL (avg4) before averaging."""
     d = _docs(spark, sf_dir)
     ct = d.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
     )
     n = F.size("toks")
+    sep = F.lit(" ")  # token-boundary-safe pair key
     pairs = F.transform(
         F.sequence(F.lit(1), n - 1),
         lambda i: F.struct(
-            F.col("toks")[i - 1].alias("w1"), F.col("toks")[i].alias("w2")
+            F.xxhash64(
+                F.concat(F.col("toks")[i - 1], sep, F.col("toks")[i])
+            ).alias("b"),
+            F.xxhash64(F.col("toks")[i - 1]).alias("k1"),
+            F.xxhash64(F.col("toks")[i]).alias("k2"),
         ),
     )
     bg = (
         ct.where(n >= 2)
         .select("doc_id", F.explode(pairs).alias("p"))
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select(
+            "doc_id",
+            F.col("p.b").alias("b"),
+            F.col("p.k1").alias("k1"),
+            F.col("p.k2").alias("k2"),
+        )
     )
-    bfreq = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    cfreq = bfreq.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    # k1/k2 are functionally dependent on b: carrying them through the
+    # bigram-count aggregate costs 16 bytes/row and saves re-deriving
+    # them for the context/unigram joins
+    bfreq = bg.groupBy("b", "k1", "k2").agg(F.count(F.lit(1)).alias("cb"))
+    cfreq = bfreq.groupBy("k1").agg(F.sum("cb").alias("c1"))
     ufreq = (
-        ct.select(F.explode("toks").alias("w2"))
-        .groupBy("w2")
+        ct.select(F.explode("toks").alias("w"))
+        .select(F.xxhash64("w").alias("k2"))
+        .groupBy("k2")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
     tot = ufreq.agg(F.sum("cu").alias("t"))
+    model = bfreq.join(cfreq, "k1").join(ufreq, "k2")
     return (
-        bg.join(bfreq, ["w1", "w2"])
-        .join(cfreq, "w1")
-        .join(ufreq, "w2")
+        bg.select("doc_id", "b")
+        .join(model, "b")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

@@ -154,70 +154,50 @@ def load_all() -> dict[str, QuerySpec]:
 
 
 # Driver-check rotation memory: the round each query was LAST checked
-# in (union of the CORRECTNESS_r01..r07 rows; absent = never checked).
+# in (union of the CORRECTNESS_r01..r08 rows; absent = never checked).
 # Everything has been checked at least once (r5 closed coverage), so
 # rotation's job is FRESHNESS: each round's fixed-size driver prefix
 # lands on the stalest entries — the ones whose implementation files
 # have churned most since their last check (VERDICT r5 next-round #5).
-# The r7 prefix cleared the r2 tier entirely and re-certified all 24 of
-# r7's additions; the r8 prefix therefore leads with the 11 remaining
-# r3-stale entries, then the round-4 tier of 45 (VERDICT r7 next-round
-# #6). Entries added this round are tier 0 and sort before everything.
+# The r8 prefix cleared the r3 tier entirely, certified all 7 r8
+# additions, and took 32 of the 45 r4-stale entries; the r9 prefix
+# therefore leads with this round's additions (tier 0), the 13
+# remaining r4-stale entries, then the round-5 tier of 50 (VERDICT r8
+# next-round #5).
 _LAST_CHECKED: dict[str, int] = {
-    # --- last checked in round 3 (11 entries) ---
-    "ann_ivf_topk": 3, "q04_distinct_agg": 3, "q15d_pivot": 3, "q24d_cte": 3,
-    "q28c_volume_shipping": 3, "q34b_gapfill_interpolate": 3,
-    "q37_local_supplier_volume": 3, "stream_session_window": 3,
-    "text_fingerprint": 3, "text_token_stats": 3,
-    "udf_grouped_map_zscore": 3,
-    # --- last checked in round 4 (45 entries) ---
-    "curation_chunk_documents": 4, "curation_decontaminate": 4,
-    "curation_domain_mix": 4, "curation_pii_scrub": 4,
-    "curation_shuffle_order": 4, "dedup_canonical": 4,
-    "dedup_embedding_ann": 4, "dedup_embedding_components": 4,
-    "dedup_remove_spans": 4, "dedup_substring_spans": 4,
-    "lake_retention_delete": 4, "multimodal_audio_chunks": 4,
-    "multimodal_audio_chunks_real": 4, "multimodal_audio_decode": 4,
-    "mv_cdc_fold": 4, "mv_topk_rollup": 4, "q05b_shuffle_hash_join": 4,
-    "q11b_window_zoo": 4, "q14d_intersect_all": 4, "q14e_except_all": 4,
-    "q15e_unpivot": 4, "q16d_null_zoo": 4, "q24e_correlated_max": 4,
-    "q25_deterministic_sample": 4, "q26_misc_aggs": 4, "q26b_string_agg": 4,
-    "q26c_filtered_aggs": 4, "q28d_top_supplier": 4, "q28e_big_orders": 4,
-    "q28f_promo_share": 4, "q29_lateral_topk": 4, "q38_revenue_forecast": 4,
-    "q39_market_share": 4, "q40_returned_items": 4, "q41_important_parts": 4,
-    "stats_histogram": 4, "stats_percentiles": 4, "stream_dedup_counts": 4,
-    "stream_static_join": 4, "stream_stream_join": 4,
-    "text_heavy_hitters": 4, "text_repetition": 4, "text_unigram_nll": 4,
-    "text_word_counts": 4, "udtf_ngrams": 4,
+    # --- last checked in round 4 (13 entries) ---
+    "curation_chunk_documents": 4, "curation_shuffle_order": 4,
+    "dedup_embedding_ann": 4, "dedup_remove_spans": 4,
+    "q24e_correlated_max": 4, "q26c_filtered_aggs": 4, "q29_lateral_topk": 4,
+    "q40_returned_items": 4, "q41_important_parts": 4, "stats_histogram": 4,
+    "stats_percentiles": 4, "stream_static_join": 4, "text_unigram_nll": 4,
     # --- last checked in round 5 (50 entries) ---
     "ann_brute_topk": 5, "curation_oversample": 5,
-    "curation_stratified_sample": 5, "dedup_exact": 5,
-    "dedup_fuzzy_pairs": 5, "dedup_ngram_jaccard": 5, "lake_mor_upsert": 5,
-    "llm_curation_pipeline": 5, "multimodal_binary_meta": 5,
-    "multimodal_features_hex": 5, "multimodal_image_decode": 5,
-    "multimodal_image_resize": 5, "mv_hourly_rollup": 5,
-    "mv_percentile_rollup": 5, "q01_filter_project": 5, "q02_predicates": 5,
-    "q15f_grouping_id": 5, "q16e_regex_zoo": 5, "q18f_explode_outer": 5,
-    "q18g_array_ops": 5, "q20b_asof_forward_tolerance": 5,
-    "q22_cosine_topk": 5, "q24_scalar_subquery": 5,
-    "q24b_correlated_scalar": 5, "q26d_regression_aggs": 5,
-    "q28_profit_by_nation_year": 5, "q30_small_qty_revenue": 5,
-    "q31_waiting_suppliers": 5, "q32_dormant_customers": 5,
-    "q33_sessionize": 5, "q34_gapfill": 5, "q35_min_acctbal_supplier": 5,
-    "q42_ship_class_priority": 5, "q43_part_supplier_count": 5,
-    "q44_disjunctive_revenue": 5, "q45_dominant_suppliers": 5,
-    "q47_recursive_hierarchy": 5, "q48_mode": 5, "q49_ntile_buckets": 5,
-    "skew_salted_agg": 5, "skew_salted_join": 5, "stats_correlation": 5,
-    "stats_minmax_percentile": 5, "stats_moments": 5,
+    "curation_stratified_sample": 5, "dedup_exact": 5, "dedup_fuzzy_pairs": 5,
+    "dedup_ngram_jaccard": 5, "lake_mor_upsert": 5, "llm_curation_pipeline": 5,
+    "multimodal_binary_meta": 5, "multimodal_features_hex": 5,
+    "multimodal_image_decode": 5, "multimodal_image_resize": 5,
+    "mv_hourly_rollup": 5, "mv_percentile_rollup": 5, "q01_filter_project": 5,
+    "q02_predicates": 5, "q15f_grouping_id": 5, "q16e_regex_zoo": 5,
+    "q18f_explode_outer": 5, "q18g_array_ops": 5,
+    "q20b_asof_forward_tolerance": 5, "q22_cosine_topk": 5,
+    "q24_scalar_subquery": 5, "q24b_correlated_scalar": 5,
+    "q26d_regression_aggs": 5, "q28_profit_by_nation_year": 5,
+    "q30_small_qty_revenue": 5, "q31_waiting_suppliers": 5,
+    "q32_dormant_customers": 5, "q33_sessionize": 5, "q34_gapfill": 5,
+    "q35_min_acctbal_supplier": 5, "q42_ship_class_priority": 5,
+    "q43_part_supplier_count": 5, "q44_disjunctive_revenue": 5,
+    "q45_dominant_suppliers": 5, "q47_recursive_hierarchy": 5, "q48_mode": 5,
+    "q49_ntile_buckets": 5, "skew_salted_agg": 5, "skew_salted_join": 5,
+    "stats_correlation": 5, "stats_minmax_percentile": 5, "stats_moments": 5,
     "stats_percentiles_approx": 5, "stats_profile": 5,
     "stream_tumbling_window": 5, "text_lang_id": 5, "text_tfidf": 5,
     "udf_scalar_pandas": 5,
     # --- last checked in round 6 (50 entries) ---
     "dedup_incremental": 6, "dedup_minhash_lsh": 6, "dedup_simhash": 6,
-    "dedup_simhash_weighted": 6, "graph_pagerank": 6,
-    "knn_self_join_topk": 6, "lake_mor_cdf": 6, "lake_schema_widening": 6,
-    "lake_time_travel": 6, "lake_wap_publish": 6,
-    "multimodal_video_frames": 6, "mv_mor_cdc_fold": 6,
+    "dedup_simhash_weighted": 6, "graph_pagerank": 6, "knn_self_join_topk": 6,
+    "lake_mor_cdf": 6, "lake_schema_widening": 6, "lake_time_travel": 6,
+    "lake_wap_publish": 6, "multimodal_video_frames": 6, "mv_mor_cdc_fold": 6,
     "q05_join_groupby": 6, "q06_join3_topk": 6, "q07_left_outer": 6,
     "q07b_full_outer": 6, "q08_semi_join": 6, "q08b_anti_join": 6,
     "q09_broadcast_dim": 6, "q10_range_join": 6, "q10b_theta_join": 6,
@@ -229,23 +209,22 @@ _LAST_CHECKED: dict[str, int] = {
     "q50_percent_rank_cume_dist": 6, "q51_event_funnel": 6,
     "q52_cohort_retention": 6, "q53_user_paths": 6,
     "q54_rolling_active_users": 6, "q55_union_harmonize": 6,
-    "q56_rolling_median": 6, "q57_pareto_frontier": 6,
-    "q58_market_basket": 6, "q59_audience_overlap": 6, "stats_entropy": 6,
-    "stats_gini": 6, "text_bm25_topk": 6,
+    "q56_rolling_median": 6, "q57_pareto_frontier": 6, "q58_market_basket": 6,
+    "q59_audience_overlap": 6, "stats_entropy": 6, "stats_gini": 6,
+    "text_bm25_topk": 6,
     # --- last checked in round 7 (50 entries) ---
-    "ann_ivf_indexed_topk": 7, "ann_lsh_topk": 7,
-    "curation_pack_sequences": 7, "curation_paragraph_dedup": 7,
-    "curation_train_split": 7, "dedup_components": 7,
-    "dedup_embedding_cosine": 7, "graph_bfs_distances": 7,
-    "graph_triangle_count": 7, "lake_branch_ff": 7, "lake_constraints": 7,
-    "multimodal_features": 7, "multimodal_png_decode": 7,
-    "multimodal_resize": 7, "q03_agg_pricing_summary": 7,
-    "q04b_approx_distinct": 7, "q10c_cross_join": 7, "q12b_range_frame": 7,
-    "q15c_grouping_sets": 7, "q17c_to_json": 7, "q18e_posexplode": 7,
-    "q19_tumbling_batch": 7, "q20_asof_join": 7, "q21_dedup_groups": 7,
-    "q21b_distinct": 7, "q24c_in_subquery": 7, "q27_having": 7,
-    "q28b_order_count_distribution": 7, "q36_priority_count": 7,
-    "q46_multires_rollup": 7, "q60_scd2_build": 7,
+    "ann_ivf_indexed_topk": 7, "ann_lsh_topk": 7, "curation_pack_sequences": 7,
+    "curation_paragraph_dedup": 7, "curation_train_split": 7,
+    "dedup_components": 7, "dedup_embedding_cosine": 7,
+    "graph_bfs_distances": 7, "graph_triangle_count": 7, "lake_branch_ff": 7,
+    "lake_constraints": 7, "multimodal_features": 7,
+    "multimodal_png_decode": 7, "multimodal_resize": 7,
+    "q03_agg_pricing_summary": 7, "q04b_approx_distinct": 7,
+    "q10c_cross_join": 7, "q12b_range_frame": 7, "q15c_grouping_sets": 7,
+    "q17c_to_json": 7, "q18e_posexplode": 7, "q19_tumbling_batch": 7,
+    "q20_asof_join": 7, "q21_dedup_groups": 7, "q21b_distinct": 7,
+    "q24c_in_subquery": 7, "q27_having": 7, "q28b_order_count_distribution": 7,
+    "q36_priority_count": 7, "q46_multires_rollup": 7, "q60_scd2_build": 7,
     "q61_scd2_point_in_time": 7, "q62_attribution_last_touch": 7,
     "q63_longest_streak": 7, "q64_markov_transitions": 7,
     "q65_rfm_segments": 7, "q66_attribution_position": 7, "stats_anova_f": 7,
@@ -253,6 +232,26 @@ _LAST_CHECKED: dict[str, int] = {
     "stats_mann_whitney": 7, "stats_welch_ttest": 7, "stats_winsorized": 7,
     "stream_sliding_window": 7, "text_quality": 7, "ts_cusum_changepoint": 7,
     "ts_ewma": 7, "ts_zscore_anomaly": 7, "udf_grouped_agg_pandas": 7,
+    # --- last checked in round 8 (50 entries) ---
+    "ann_ivf_topk": 8, "curation_decontaminate": 8, "curation_domain_mix": 8,
+    "curation_pii_scrub": 8, "dedup_canonical": 8, "dedup_containment": 8,
+    "dedup_embedding_components": 8, "dedup_semantic_clusters": 8,
+    "dedup_substring_spans": 8, "lake_mor_sync": 8, "lake_retention_delete": 8,
+    "multimodal_audio_chunks": 8, "multimodal_audio_chunks_real": 8,
+    "multimodal_audio_decode": 8, "mv_cdc_fold": 8, "mv_topk_rollup": 8,
+    "q04_distinct_agg": 8, "q05b_shuffle_hash_join": 8, "q11b_window_zoo": 8,
+    "q14d_intersect_all": 8, "q14e_except_all": 8, "q15d_pivot": 8,
+    "q15e_unpivot": 8, "q16d_null_zoo": 8, "q24d_cte": 8,
+    "q25_deterministic_sample": 8, "q26_misc_aggs": 8, "q26b_string_agg": 8,
+    "q28c_volume_shipping": 8, "q28d_top_supplier": 8, "q28e_big_orders": 8,
+    "q28f_promo_share": 8, "q34b_gapfill_interpolate": 8,
+    "q37_local_supplier_volume": 8, "q38_revenue_forecast": 8,
+    "q39_market_share": 8, "stats_quantile_binning": 8,
+    "stream_dedup_counts": 8, "stream_session_window": 8,
+    "stream_stream_join": 8, "text_bigram_nll": 8, "text_fingerprint": 8,
+    "text_heavy_hitters": 8, "text_repetition": 8, "text_token_stats": 8,
+    "text_word_counts": 8, "ts_interval_coverage": 8, "ts_stl_decompose": 8,
+    "udf_grouped_map_zscore": 8, "udtf_ngrams": 8,
 }
 
 

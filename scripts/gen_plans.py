@@ -243,6 +243,15 @@ COMMENTARY = {
         "combined aggregation, per-doc sizes joined back; the score is "
         "an integer ratio so the threshold cannot flip across engines."
     ),
+    "dedup_containment_capped": (
+        "Containment SCALE route (r9): the hot-shingle stopword list "
+        "(df > cap — at most |index|/cap entries) rides a BROADCAST "
+        "anti-join; the capped inverted-index self-join emits at most "
+        "cap rows per posting list, so the candidate-pair stream is "
+        "linear in the corpus; the exact verify re-intersects FULL "
+        "hashed-shingle arrays of candidate docs only (array_intersect, "
+        "JVM-side) — work proportional to candidates, never corpus²."
+    ),
     "text_bigram_nll": (
         "Bigram-LM scoring: adjacent pairs from an array zip (no self-"
         "join, no window); bigram/context/unigram count joins are "

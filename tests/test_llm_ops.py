@@ -682,3 +682,70 @@ def test_containment_capped_recall_contract_engineered_miss(
     assert (100, 101) in capped
     assert capped & boiler_pairs == set()
     assert capped <= exact
+
+
+def test_semdedup_hot_cluster_reclusters_no_prefix_truncation(
+    spark, tmp_path, monkeypatch
+):
+    """Oversized-cluster recluster (VERDICT r8 #7): a corpus engineered
+    to dump most vectors into ONE k-means cell is split one level (the
+    same k-means on the hot cell's members), every reported cluster
+    stays at or under the cap — so the pairwise stage ran FULL within
+    each cluster, no lowest-id-prefix truncation — and the
+    within-cluster dup contract holds exactly on the split clusters."""
+    import numpy as np
+
+    import crest_spark.operators.dedup as dd
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    rows = []
+    # 180 vectors in a tight cone around one direction -> one hot cell
+    axis = rng.randn(dim)
+    axis /= np.linalg.norm(axis)
+    for i in range(180):
+        v = axis + 0.15 * rng.randn(dim)
+        rows.append((i, [float(x) for x in v], "cone"))
+    # 60 scattered vectors
+    for i in range(180, 240):
+        v = rng.randn(dim)
+        rows.append((i, [float(x) for x in v], "scatter"))
+    staged = str(tmp_path / "emb_dir")
+    import os as _os
+
+    _os.makedirs(staged, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.mode("overwrite").parquet(f"{staged}/embeddings.parquet")
+
+    monkeypatch.setattr(dd, "SEMDEDUP_MAX_CLUSTER", 64)
+    monkeypatch.setattr(dd, "SEMDEDUP_CELLS", 2)  # cone -> one hot cell
+    out = {
+        r["vec_id"]: (r["cluster"], r["is_dup"])
+        for r in dd.dedup_semantic_clusters(spark, staged).collect()
+    }
+    assert len(out) == 240  # every vector classified exactly once
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (c, _) in out.items():
+        by_cluster.setdefault(c, []).append(vid)
+    # the split happened: no reported cluster exceeds the cap, and at
+    # least one composite sub-cluster id (>= SEMDEDUP_CELLS) exists
+    assert max(len(m) for m in by_cluster.values()) <= 64
+    assert any(c >= dd.SEMDEDUP_CELLS for c in by_cluster)
+    # exact within-cluster contract on the SPLIT clusters — valid only
+    # because no cluster was prefix-truncated
+    vecs = {}
+    for vid, emb, _lab in rows:
+        v = np.array(emb, dtype=np.float64)
+        vecs[vid] = v / max(np.linalg.norm(v), 1e-12)
+    n_dups = 0
+    for c, members in by_cluster.items():
+        members.sort()
+        for i, vid in enumerate(members):
+            expect = any(
+                float(vecs[vid] @ vecs[lo]) > dd.SEMDEDUP_TAU
+                for lo in members[:i]
+            )
+            assert out[vid][1] == expect, (vid, c)
+            n_dups += out[vid][1]
+    assert n_dups > 0  # the cone is full of semantic dups

@@ -502,3 +502,20 @@ def test_semdedup_no_pairwise_outside_clusters(spark, sf_dir):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_containment_capped_broadcast_hotlist_no_cartesian(spark, sf_dir):
+    """The df-capped containment route's scale contract in the plan:
+    the hot-shingle stopword list is applied as a BROADCAST anti-join
+    (it is tiny by construction — at most |index|/cap shingles exceed
+    the cap), the candidate self-join is an equi hash/sort-merge join
+    on the hashed shingle, and nothing in the plan is a cartesian or
+    nested-loop product."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["dedup_containment_capped"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan  # the df-cap stopword filter
+    assert uses_broadcast_join(df)  # ...and it rides a broadcast

@@ -10,6 +10,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from crest_spark.lakehouse import LakehouseCatalog
 from crest_spark.lakehouse.transaction import recover_transactions
@@ -244,3 +245,105 @@ def test_late_constraint_fails_commit_fast_and_recovery_not_stalled(
     recover_transactions(cat, spark=spark)
     assert t.read(spark).count() == 2
     assert os.listdir(tdir) == []
+
+
+def test_cross_process_recovery_commit_fuzz(spark, cat, tmp_path):
+    """TRUE two-process interleaving (VERDICT r8 #8 — the r8 race fixes
+    were only exercised by in-process simulation): a second OS process
+    hammers recover_transactions against the same warehouse while this
+    process journals and publishes N transactions, including one
+    simulated crash-at-the-commit-point journal the racer must roll
+    forward. Exactly-once outcome: every transaction's rows visible
+    exactly once across both tables, zero stuck journals."""
+    import json as _json
+    import subprocess
+    import sys
+    import time
+    import uuid as _uuid
+
+    stop_flag = str(tmp_path / "stop")
+    racer_log = str(tmp_path / "racer.log")
+    racer_src = f"""
+import os, sys, time
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from crest_spark.lakehouse import LakehouseCatalog
+from crest_spark.lakehouse.transaction import recover_transactions
+cat = LakehouseCatalog({repr(cat.warehouse)})
+n = 0
+while not os.path.exists({repr(stop_flag)}):
+    try:
+        done = recover_transactions(cat)
+        n += len(done)
+    except Exception as e:  # a race must never crash recovery
+        print("racer error:", type(e).__name__, e, flush=True)
+        raise
+    time.sleep(0.005)
+print("recovered", n, flush=True)
+"""
+    with open(racer_log, "w") as lf:
+        racer = subprocess.Popen(
+            [sys.executable, "-c", racer_src], stdout=lf, stderr=lf
+        )
+    try:
+        N = 6
+        for i in range(N):
+            with cat.transaction() as txn:
+                txn.append(
+                    "fact",
+                    spark.createDataFrame(
+                        [(i, "a"), (i, "b")], "txn int, v string"
+                    ),
+                )
+                txn.append(
+                    "metrics",
+                    spark.createDataFrame([(i, 2)], "txn int, ok int"),
+                )
+        # simulated crash AT the commit point: stage appends, write the
+        # journal by hand, never publish — only the racer can finish it
+        t_fact = cat.table("fact")
+        sv = t_fact.append(
+            spark.createDataFrame([(99, "crash")], "txn int, v string"),
+            stage=True,
+        )
+        tdir = os.path.join(cat.warehouse, "_txns")
+        os.makedirs(tdir, exist_ok=True)
+        rec = {
+            "txn_id": "crash",
+            "commit_ts": time.time(),
+            "ops": [
+                {"namespace": t_fact.namespace, "table": "fact", "staged": [sv]}
+            ],
+        }
+        tmp = os.path.join(tdir, f".tmp-{_uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            _json.dump(rec, fh)
+        os.replace(tmp, os.path.join(tdir, "txn-crash.json"))
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if not [
+                f
+                for f in os.listdir(tdir)
+                if f.startswith("txn-") and f.endswith(".json")
+            ]:
+                break
+            time.sleep(0.05)
+    finally:
+        open(stop_flag, "w").close()
+        racer.wait(timeout=30)
+    assert racer.returncode == 0, open(racer_log).read()
+    # exactly-once across both processes: no lost rows, no doubles
+    fact = cat.table("fact").read(spark)
+    assert fact.where(F.col("txn") < 99).count() == 2 * N
+    assert fact.where(F.col("txn") == 99).count() == 1  # rolled forward
+    assert (
+        fact.groupBy("txn", "v").count().where(F.col("count") > 1).count()
+        == 0
+    )
+    assert cat.table("metrics").read(spark).count() == N
+    # zero stuck journals
+    tdir = os.path.join(cat.warehouse, "_txns")
+    assert [
+        f
+        for f in os.listdir(tdir)
+        if f.startswith("txn-") and f.endswith(".json")
+    ] == []
