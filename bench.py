@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     # bigram-LM scorer (single model join)
     "dedup_containment_capped",
     "text_bigram_nll",
+    "curation_dsir_weights",
 ]
 
 SUMMARY_MAX_BYTES = 4096  # bound enforced by tests/test_bench_emit.py

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from crest_spark.functions.stable import sum4
 from crest_spark.operators.dedup import _DUCK_SHINGLES, _docs, with_shingles
 from crest_spark.registry import register
 
@@ -823,6 +824,127 @@ def curation_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 " ",
             ).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169) — the hashed-n-gram importance weights used to pick
+# web data that "looks like" a target domain.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 512  # hashed feature buckets (the paper uses 10k; fixed B makes
+# the bucket model a CONSTANT-size table at any corpus scale)
+_DSIR_TARGET_LANG = "en"  # target distribution: the English slice
+
+# engine-agnostic bucket hash: first 6 hex chars of md5 -> int -> mod B.
+# (Spark's xxhash64/hash and DuckDB's hash() are different functions;
+# md5 is bit-identical in both.)
+_DUCK_BUCKET = (
+    f"CAST(('0x' || substring(md5(f), 1, 6)) AS BIGINT) % {_DSIR_B}"
+)
+
+_DSIR_ORACLE = f"""
+    WITH ct AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang, UNNEST(list_concat(
+            toks,
+            list_transform(generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1])
+        )) AS f
+        FROM ct
+    ),
+    bucketed AS (SELECT doc_id, lang, {_DUCK_BUCKET} AS b FROM feats),
+    model AS (
+        SELECT b,
+               COUNT(*) AS cr,
+               COUNT(*) FILTER (lang = '{_DSIR_TARGET_LANG}') AS ct_
+        FROM bucketed GROUP BY b
+    ),
+    tot AS (SELECT SUM(cr) AS tr, SUM(ct_) AS tt FROM model)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           {sum4("LN(CAST(ct_ + 1 AS DOUBLE) / (tt + " + str(_DSIR_B) + ")) - LN(CAST(cr + 1 AS DOUBLE) / (tr + " + str(_DSIR_B) + "))")} AS dsir_logw
+    FROM bucketed JOIN model USING (b) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "curation_dsir_weights",
+    oracle=_DSIR_ORACLE,
+    tags=("llm", "curation", "dsir", "sampling"),
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: log w(x) = Σ_features ln p_target(b) −
+    ln p_raw(b) over hashed unigram+bigram buckets, add-1 smoothed —
+    the importance-resampling selector that upgrades heuristic quality
+    gates when a trusted target corpus exists (here: the corpus's
+    English slice stands in as the target distribution).
+
+    Scale contract: the bucket space is FIXED (B=512), so the model
+    table is constant-size at any corpus — its groupBy is map-side
+    combinable down to <= B rows per task, and the stream->model join
+    is a broadcast BY CONSTRUCTION (unlike the bigram-NLL model, which
+    grows with the corpus and must stay unhinted). One corpus-scale
+    shuffle total: the per-doc aggregation; the bucket hash is md5-hex
+    (bit-identical across engines) so the gate stays exact, and the
+    per-feature log terms route through DECIMAL so the sum is
+    order-independent."""
+    d = _docs(spark, sf_dir)
+    ct = d.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    n = F.size("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat(
+            F.col("toks")[i - 1], F.lit(" "), F.col("toks")[i]
+        ),
+    )
+    feats = ct.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(F.col("toks"), F.when(n >= 2, bigrams).otherwise(F.array()))
+        ).alias("f"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 6), 16, 10)
+        .cast("long")
+        % _DSIR_B
+    )
+    bucketed = feats.select("doc_id", "lang", bucket.alias("b"))
+    model = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.lit(1))
+        ).alias("ct_"),
+    )
+    tot = model.agg(
+        F.sum("cr").alias("tr"), F.sum("ct_").alias("tt")
+    )
+    v = (
+        f"LN(CAST(ct_ + 1 AS DOUBLE) / (tt + {_DSIR_B}))"
+        f" - LN(CAST(cr + 1 AS DOUBLE) / (tr + {_DSIR_B}))"
+    )
+    return (
+        bucketed.join(F.broadcast(model), "b")  # <= B rows: broadcast by
+        # construction, never corpus-dependent
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.expr(sum4(v)).alias("dsir_logw"),
         )
         .orderBy("doc_id")
     )

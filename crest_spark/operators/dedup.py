@@ -1393,6 +1393,21 @@ SEMDEDUP_MAX_CLUSTER = 8192  # per-cluster pairwise guard (see docstring)
 SEMDEDUP_SPLIT_K = 8  # sub-centroids per oversized-cluster recluster
 
 
+def _semdedup_k(n_total: int) -> int:
+    """Cluster count SCALED TO THE CORPUS (r9): with a fixed k, cluster
+    sizes grow linearly in n and the per-cluster pairwise stage goes
+    quadratic — the paper's regime is k ∝ n / target-cluster-size.
+    Target half the recluster cap so ordinary skew stays under it;
+    floor at SEMDEDUP_CELLS (small corpora keep their historical
+    geometry), cap at 4096 (the driver k-means fit stays O(sample))."""
+    return int(
+        min(
+            4096,
+            max(SEMDEDUP_CELLS, -(-n_total // (SEMDEDUP_MAX_CLUSTER // 2))),
+        )
+    )
+
+
 @register(
     "dedup_semantic_clusters",
     oracle=None,  # seeded k-means: cluster geometry is approximate by
@@ -1435,7 +1450,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    centroids = _fit_centroids(em, SEMDEDUP_CELLS, seed=29, sample_n=2000)
+    # k scales with the corpus (one cheap count pass): constant k would
+    # make cluster sizes — and the pairwise stage — grow linearly
+    k = _semdedup_k(em.count())
+    centroids = _fit_centroids(
+        em, k, seed=29, sample_n=max(2000, 8 * k)
+    )
     b_cent = spark.sparkContext.broadcast(np.asarray(centroids))
     # pin: the GEMM assignment executes once; the size census and the
     # (possibly split) pairwise stage both read the pinned result
@@ -1458,7 +1478,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sample_n=2000,
             )
             b_sub = spark.sparkContext.broadcast(np.asarray(sub_cent))
-            base = SEMDEDUP_CELLS + int(c) * SEMDEDUP_SPLIT_K
+            base = k + int(c) * SEMDEDUP_SPLIT_K
             parts.append(
                 _assign_cells(
                     cell_slice.select("vec_id", "embedding"), b_sub

@@ -718,8 +718,8 @@ def test_semdedup_hot_cluster_reclusters_no_prefix_truncation(
         rows, "vec_id long, embedding array<float>, label string"
     ).write.mode("overwrite").parquet(f"{staged}/embeddings.parquet")
 
-    monkeypatch.setattr(dd, "SEMDEDUP_MAX_CLUSTER", 64)
-    monkeypatch.setattr(dd, "SEMDEDUP_CELLS", 2)  # cone -> one hot cell
+    monkeypatch.setattr(dd, "SEMDEDUP_MAX_CLUSTER", 100)
+    monkeypatch.setattr(dd, "_semdedup_k", lambda n: 2)  # cone -> hot cell
     out = {
         r["vec_id"]: (r["cluster"], r["is_dup"])
         for r in dd.dedup_semantic_clusters(spark, staged).collect()
@@ -729,9 +729,9 @@ def test_semdedup_hot_cluster_reclusters_no_prefix_truncation(
     for vid, (c, _) in out.items():
         by_cluster.setdefault(c, []).append(vid)
     # the split happened: no reported cluster exceeds the cap, and at
-    # least one composite sub-cluster id (>= SEMDEDUP_CELLS) exists
-    assert max(len(m) for m in by_cluster.values()) <= 64
-    assert any(c >= dd.SEMDEDUP_CELLS for c in by_cluster)
+    # least one composite sub-cluster id (>= k = 2 base cells) exists
+    assert max(len(m) for m in by_cluster.values()) <= 100
+    assert any(c >= 2 for c in by_cluster)
     # exact within-cluster contract on the SPLIT clusters — valid only
     # because no cluster was prefix-truncated
     vecs = {}

@@ -519,3 +519,18 @@ def test_containment_capped_broadcast_hotlist_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan  # the df-cap stopword filter
     assert uses_broadcast_join(df)  # ...and it rides a broadcast
+
+
+def test_dsir_model_broadcast_by_construction(spark, sf_dir):
+    """DSIR's bucket model is a CONSTANT-size table (fixed B hashed
+    buckets), so the stream->model join must be a broadcast hash join
+    — legitimately hinted, unlike the corpus-growing bigram-NLL model
+    — and nothing in the plan is a cartesian beyond the single-row
+    totals crossJoin."""
+    from crest_spark.plans.checks import simple_plan
+
+    df = SPECS["curation_dsir_weights"].fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # both joins ride broadcasts
