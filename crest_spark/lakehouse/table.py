@@ -3114,15 +3114,36 @@ class LakehouseTable:
             files.extend(d["files"])
             for f in d["files"]:
                 ver_of[os.path.abspath(f)] = v
-        schema = self.schema(upto)
+        st = self._state(upto=upto)
+        if st["schema"] is None:
+            raise FileNotFoundError(
+                f"table {self.namespace}.{self.name} does not exist"
+            )
+        schema = StructType.fromJson(json.loads(st["schema"]))
+        events = st.get("schema_events") or []
+
+        def _vread(fs: list[str], sch: StructType) -> DataFrame:
+            # vintage-aware: a rename INSIDE the window must not NULL
+            # the renamed column for the window's older commits — each
+            # file resolves through the event log at ITS commit version
+            # (the window's own map, which also covers change-set files
+            # that never enter the live file list)
+            return self._read_files(
+                spark,
+                fs,
+                json.dumps(sch.jsonValue()),
+                state={
+                    "schema_events": events,
+                    "file_seq": {
+                        f: ver_of.get(os.path.abspath(f), 0) for f in fs
+                    },
+                },
+            )
+
         if not cdf:
             if not files:
                 return spark.createDataFrame([], schema)
-            return (
-                spark.read.schema(schema)
-                .option("mergeSchema", "false")
-                .parquet(*files)
-            )
+            return _vread(files, schema)
         from pyspark.sql.types import LongType, StringType
 
         cdf_schema = StructType(
@@ -3134,17 +3155,12 @@ class LakehouseTable:
         parts = []
         if files:
             parts.append(
-                spark.read.schema(schema)
-                .option("mergeSchema", "false")
-                .parquet(*files)
-                .withColumn("_change_type", F.lit("insert"))
+                _vread(files, schema).withColumn(
+                    "_change_type", F.lit("insert")
+                )
             )
         if change_files:
-            parts.append(
-                spark.read.schema(cdf_schema)
-                .option("mergeSchema", "false")
-                .parquet(*change_files)
-            )
+            parts.append(_vread(change_files, cdf_schema))
         if not parts:
             return spark.createDataFrame([], out_schema)
         out = parts[0]

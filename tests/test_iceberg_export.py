@@ -643,3 +643,28 @@ def test_export_truncate_spec_string_prefix(spark, tmp_path):
     spec = next(s for s in meta["partition-specs"] if s["spec-id"] == 2)
     assert spec["fields"][0]["transform"].startswith("truncate[")
     assert read_iceberg(spark, t.path).count() == 400
+
+
+def test_read_iceberg_predicate_prunes_truncate_spec_files(spark, tmp_path):
+    """read_iceberg(predicates=...) prunes data files through the
+    truncate[w] partition tuples (r9): a narrow id range reads only the
+    file(s) whose truncated value block intersects it, and the result
+    matches the unpruned read filtered exactly."""
+    df = spark.range(800).select(F.col("id"), F.lit("x").alias("s"))
+    t = LakehouseTable(str(tmp_path), "ns", "ranged_prune")
+    t.append(df, cluster_by=["id"], cluster_partitions=8)
+    export_iceberg_metadata(t)
+    got = read_iceberg(spark, t.path, predicates={"id": (250, 260)})
+    rows = sorted(r["id"] for r in got.collect())
+    assert rows == list(range(250, 261))
+    n_files = (
+        got.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert n_files <= 2  # ~1 of 8 truncate blocks admitted
+    # bound-only predicates prune too (lo-only)
+    lo_only = read_iceberg(spark, t.path, predicates={"id": (700, None)})
+    assert sorted(r["id"] for r in lo_only.collect()) == list(range(700, 800))
+    assert (
+        lo_only.select(F.input_file_name().alias("f")).distinct().count()
+        <= 2
+    )

@@ -184,3 +184,31 @@ def test_append_old_name_after_rename_is_new_column(spark, cat):
                 [(4, 4.0, "d")], "id int, v double, tag string"
             )
         )
+
+
+def test_read_changes_across_rename_resolves_vintages(spark, cat):
+    """A rename INSIDE an incremental-read window: the window's older
+    commits' files still hold the old physical name — the change feed
+    must surface their values under the CURRENT name, not NULL them
+    (the name-based-read CDF corruption)."""
+    t = _mk(spark, cat)  # v1: (id, v, tag)
+    base = t.version()
+    t.append(
+        spark.createDataFrame([(3, 30.0, "c")], "id int, v double, tag string")
+    )
+    t.rename_column("v", "value")
+    t.append(
+        spark.createDataFrame(
+            [(4, 40.0, "d")], "id int, value double, tag string"
+        )
+    )
+    delta = t.read_changes(spark, after=base)
+    rows = {r["id"]: r["value"] for r in delta.collect()}
+    assert rows == {3: 30.0, 4: 40.0}
+    cdf = t.read_changes(spark, after=base, cdf=True)
+    got = {
+        (r["id"], r["value"], r["_change_type"], r["_commit_version"])
+        for r in cdf.collect()
+    }
+    assert (3, 30.0, "insert", base + 1) in got
+    assert (4, 40.0, "insert", base + 3) in got
