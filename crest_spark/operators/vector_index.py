@@ -35,6 +35,18 @@ IVF_NPROBE = 4
 IVF_SEED = 13
 IVF_SAMPLE = 2000
 IVF_LLOYD = 5
+IVF_TARGET_CELL = 4096  # corpus rows per cell the auto-sized index aims at
+
+
+def _ivf_k(n_total: int) -> int:
+    """Auto-sized cell count: k ∝ n / target-cell-size (floor IVF_CELLS,
+    cap 4096) — the FAISS sizing rule. A FIXED k makes cell sizes, and
+    probe cost, grow linearly with the corpus; scaling k keeps a probe's
+    work at O(nprobe · target) rows no matter the corpus (same rule as
+    SemDeDup's ``_semdedup_k``)."""
+    return int(
+        min(4096, max(IVF_CELLS, -(-n_total // IVF_TARGET_CELL)))
+    )
 
 
 def _fit_centroids(em: DataFrame, n_cells: int, seed: int, sample_n: int):
@@ -136,7 +148,9 @@ def _write_ivf(
 ) -> None:
     """Fit centroids, assign the full corpus, overwrite the index table
     as cell-clustered files with centroids in the commit extra."""
-    centroids = _fit_centroids(em, n_cells, seed, IVF_SAMPLE)
+    centroids = _fit_centroids(
+        em, n_cells, seed, max(IVF_SAMPLE, 8 * n_cells)
+    )
     b_cent = spark.sparkContext.broadcast(centroids)
     clustered = _cell_clustered(spark, _assign_cells(em, b_cent), n_cells)
     t.overwrite(
@@ -157,16 +171,20 @@ def build_ivf_index(
     catalog: LakehouseCatalog,
     name: str = "emb_ivf",
     namespace: str | None = None,
-    n_cells: int = IVF_CELLS,
+    n_cells: int | None = None,
     seed: int = IVF_SEED,
 ) -> LakehouseTable:
     """Build (or fully rebuild) the IVF index table for ``em``
     (vec_id, embedding). One ``overwrite`` commit: cell-clustered data
-    files + centroids in the commit extra."""
+    files + centroids in the commit extra. ``n_cells=None`` (default)
+    auto-sizes the cell count to the corpus (``_ivf_k``: one cheap
+    count pass; small corpora keep the historical 16)."""
     schema = "vec_id long, embedding array<float>, cell int"
     t = catalog.get_or_create_table(
         name, spark.createDataFrame([], schema).schema, namespace
     )
+    if n_cells is None:
+        n_cells = _ivf_k(em.count())
     _write_ivf(spark, t, em, n_cells, seed)
     return t
 
@@ -245,11 +263,12 @@ def ivf_add(
             ivf = s.extra.get("ivf")
             if ivf:
                 break
+        corpus = t.read(spark).select("vec_id", "embedding")
         _write_ivf(
             spark,
             t,
-            t.read(spark).select("vec_id", "embedding"),
-            n_cells,
+            corpus,
+            _ivf_k(corpus.count()),  # re-size k to the grown corpus
             int(ivf["seed"]) + 1,  # fresh sample draw on the grown corpus
         )
         return t.version()
@@ -302,11 +321,12 @@ def ivf_delete(
             ivf = s.extra.get("ivf")
             if ivf:
                 break
+        corpus = t.read(spark).select("vec_id", "embedding")
         _write_ivf(
             spark,
             t,
-            t.read(spark).select("vec_id", "embedding"),
-            int(ivf["n_cells"]),
+            corpus,
+            _ivf_k(corpus.count()),  # re-size k to the survivors
             int(ivf["seed"]) + 1,
         )
         return t.version()

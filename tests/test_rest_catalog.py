@@ -267,3 +267,44 @@ def test_sync_mirrors_schema_evolution(fake_server, spark, tmp_path):
     assert len(
         client.load_table("default", "evo")["metadata"]["schemas"]
     ) == 2
+
+
+def test_sync_mirrors_rename_with_stable_field_id(fake_server, spark, tmp_path):
+    """An in-place rename pushes the evolved schema on the next sync,
+    and the pushed schema carries the STABLE field id (the rename moved
+    the id, not retired it) — what lets REST-side engines track the
+    column across the rename."""
+    from pyspark.sql import functions as F
+
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.lakehouse.iceberg_export import sync_to_rest
+    from crest_spark.lakehouse.rest_catalog import RestCatalogClient
+
+    url, state = fake_server
+    client = RestCatalogClient(url)
+    t = LakehouseCatalog(str(tmp_path / "wh")).get_or_create_table(
+        "evo_rn", spark.range(0).withColumn("v", F.col("id")).schema
+    )
+    t.append(spark.range(10).withColumn("v", F.col("id")))
+    sync_to_rest(t, client)
+    before = client.load_table("default", "evo_rn")["metadata"]
+    cur0 = next(
+        s
+        for s in before["schemas"]
+        if s.get("schema-id", 0) == before["current-schema-id"]
+    )
+    v_id = next(f["id"] for f in cur0["fields"] if f["name"] == "v")
+
+    t.rename_column("v", "value")
+    sync_to_rest(t, client)
+    after = client.load_table("default", "evo_rn")["metadata"]
+    cur = next(
+        s
+        for s in after["schemas"]
+        if s.get("schema-id", 0) == after["current-schema-id"]
+    )
+    names = {f["name"] for f in cur["fields"]}
+    assert "value" in names and "v" not in names
+    assert (
+        next(f["id"] for f in cur["fields"] if f["name"] == "value") == v_id
+    )

@@ -212,3 +212,35 @@ def test_read_changes_across_rename_resolves_vintages(spark, cat):
     }
     assert (3, 30.0, "insert", base + 1) in got
     assert (4, 40.0, "insert", base + 3) in got
+
+
+def test_compact_update_export_after_rename(spark, cat, tmp_path):
+    """Maintenance verbs compose with evolution: an UPDATE addressed by
+    the NEW name rewrites the right rows across vintages, a compact
+    folds every vintage into current-name files (the vintage groups
+    disappear), and the export after all of it round-trips through
+    read_iceberg."""
+    from crest_spark.lakehouse.iceberg_export import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+
+    t = _mk(spark, cat)
+    t.rename_column("v", "value")
+    t.append(
+        spark.createDataFrame(
+            [(3, 30.0, "c")], "id int, value double, tag string"
+        )
+    )
+    t.update(spark, {"id": (2, 2)}, {"value": "value + 100"})
+    rows = {r["id"]: r["value"] for r in t.read(spark).collect()}
+    assert rows == {1: 10.0, 2: 120.0, 3: 30.0}
+    t.compact(spark)
+    assert not t._state()["deletes"]
+    rows = {r["id"]: r["value"] for r in t.read(spark).collect()}
+    assert rows == {1: 10.0, 2: 120.0, 3: 30.0}
+    export_iceberg_metadata(t)
+    got = {
+        r["id"]: r["value"] for r in read_iceberg(spark, t.path).collect()
+    }
+    assert got == rows
