@@ -74,6 +74,7 @@ OPERATORS = {
     # the two remaining asymptotic-claim holders without a measured row
     "dedup_containment_capped": ("sub-quadratic", "df-capped inverted index -> exact containment verify", 1024, ("documents",)),
     "dedup_semantic_clusters": ("sub-quadratic", "corpus-scaled k-means cells -> within-cluster pairwise (SemDeDup)", 1024, ("embeddings",)),
+    "curation_dsir_weights": ("~linear", "hashed-bucket DSIR weights (constant-size model, broadcast join)", 1024, ("documents",)),
     "text_bigram_nll": ("~linear", "array-zip bigrams + unhinted count joins (KenLM-role NLL)", 1024, ("documents",)),
     "dedup_substring_spans": ("~linear", "window-hash shuffle -> gaps-and-islands span merge", 1024, ("documents",)),
 }
