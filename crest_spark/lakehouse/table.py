@@ -700,8 +700,33 @@ class LakehouseTable:
                     {"op": "drop", "name": extra["drop_column"], "v": v}
                 )
             if d["schema"] != state["schema"]:
-                _fold_field_ids(state, extra, d["schema"])
-            state["schema"] = d["schema"]
+                # Appends may only WIDEN the schema (new nullable
+                # columns, type promotion) — union-evolve instead of
+                # trusting the commit's recorded json, so an append
+                # whose writer read the schema BEFORE a concurrent
+                # rename/drop landed cannot silently revert the
+                # evolution (and retire the moved field id) by
+                # re-recording the stale pre-evolution schema. Replaces
+                # and the evolution commits themselves legitimately
+                # remove/rename and keep raw assignment; in every
+                # non-racy history the union equals the recorded json,
+                # so folded schemas are unchanged.
+                if (
+                    d.get("operation") == "replace"
+                    or extra.get("rename_column")
+                    or extra.get("drop_column")
+                    or state["schema"] is None
+                ):
+                    folded_schema = d["schema"]
+                else:
+                    union = self._evolved_schema(
+                        StructType.fromJson(json.loads(state["schema"])),
+                        StructType.fromJson(json.loads(d["schema"])),
+                    )
+                    folded_schema = json.dumps(union.jsonValue())
+                if folded_schema != state["schema"]:
+                    _fold_field_ids(state, extra, folded_schema)
+                state["schema"] = folded_schema
             if d.get("writer_id") is not None and d.get("batch_id") is not None:
                 state["committed"].setdefault(d["writer_id"], []).append(
                     d["batch_id"]

@@ -244,3 +244,40 @@ def test_compact_update_export_after_rename(spark, cat, tmp_path):
         r["id"]: r["value"] for r in read_iceberg(spark, t.path).collect()
     }
     assert got == rows
+
+
+def test_stale_schema_append_cannot_revert_rename(spark, cat):
+    """Race regression (r9 self-review): an append whose writer read
+    the schema BEFORE a concurrent rename landed commits the stale
+    pre-rename schema json. The state fold must union-evolve, not
+    trust it — otherwise the rename silently reverts and the moved
+    field id is retired."""
+    import json as _json
+    import time as _time
+
+    t = _mk(spark, cat)
+    old_schema_json = t._state()["schema"]  # (id, v, tag)
+    t.rename_column("v", "value")
+    fid_value = t.field_ids()["value"]
+    # simulate the racer's commit landing AFTER the rename with the
+    # stale schema (a metadata-only append is enough to exercise fold)
+    t._try_commit(
+        {
+            "operation": "append",
+            "files": [],
+            "stats": {},
+            "schema": old_schema_json,
+            "commit_ts": _time.time(),
+            "num_rows": 0,
+            "extra": {},
+        }
+    )
+    cols = {f.name for f in t.schema().fields}
+    assert "value" in cols  # the rename survives the stale commit
+    assert t.field_ids()["value"] == fid_value  # id not retired
+    # the stale append's 'v' surfaces as a NEW nullable column (its
+    # files' data stays reachable), never as the renamed one
+    assert "v" in cols
+    assert t.field_ids()["v"] != fid_value
+    rows = sorted((r["id"], r["value"]) for r in t.read(spark).collect())
+    assert rows == [(1, 10.0), (2, 20.0)]
