@@ -1817,7 +1817,7 @@ class LakehouseTable:
             dels = [d for d in dels if d.get("seqcol")]
         if not dels:
             return False
-        fs = (state.get("stats") or {}).get(f) or {}
+        fs = self._file_stats(state, f)
         fseq = int((state.get("file_seq") or {}).get(f, 0))
         for d in dels:
             # a sequence-aware entry's scope INCLUDES its own commit
@@ -2453,7 +2453,7 @@ class LakehouseTable:
             keep: list[str] = []
             touch: list[str] = []
             for f in state["files"]:
-                fs = stats.get(f) or {}
+                fs = self._file_stats(state, f)
                 disjoint = not sync and any(
                     key_bounds[k][0] is not None
                     and k in fs
@@ -2701,7 +2701,7 @@ class LakehouseTable:
                     affected = [
                         f
                         for f in state["files"]
-                        if _stats_admit(stats.get(f) or {}, predicates)
+                        if _stats_admit(self._file_stats(state, f), predicates)
                         or self._delete_affected(state, f, seq_only=True)
                     ]
                     current = self._apply_pending_deletes(
@@ -2763,7 +2763,7 @@ class LakehouseTable:
             touch: list[str] = []
             drop: list[str] = []
             for f in state["files"]:
-                fs = stats.get(f) or {}
+                fs = self._file_stats(state, f)
                 affected = self._delete_affected(state, f)
                 if not _stats_admit(fs, predicates) and not affected:
                     keep.append(f)  # provably no matching row
@@ -2876,7 +2876,7 @@ class LakehouseTable:
             touch: list[str] = []
             for f in state["files"]:
                 if _stats_admit(
-                    stats.get(f) or {}, predicates
+                    self._file_stats(state, f), predicates
                 ) or self._delete_affected(state, f):
                     touch.append(f)
                 else:
@@ -3691,6 +3691,45 @@ class LakehouseTable:
             elif e["op"] == "drop" and n == e["name"]:
                 return None
         return n
+
+    def _file_stats(self, state: dict, f: str) -> dict:
+        """Per-file pruning stats re-keyed to CURRENT column names by
+        the file's vintage (files written before a rename recorded
+        their min/max, Bloom filters, and null counts under the OLD
+        physical name). Identity — no copy — for event-free tables, so
+        the hot pruning loops of merge/delete/update pay nothing until
+        a table actually evolves; per-vintage name maps are memoized on
+        the state dict (one per distinct vintage class, not per file)."""
+        st = (state.get("stats") or {}).get(f) or {}
+        events = state.get("schema_events") or []
+        if not events or not st:
+            return st
+        vf = int((state.get("file_seq") or {}).get(f, 0))
+        cache = state.setdefault("_vintage_stat_maps", {})
+        m = cache.get(vf)
+        if m is None:
+            schema = StructType.fromJson(json.loads(state["schema"]))
+            m = {
+                fl.name: self._vintage_source(fl.name, events, vf)
+                for fl in schema.fields
+            }
+            cache[vf] = m
+        out: dict = {}
+        for cur, phys in m.items():
+            if phys is not None and phys in st:
+                out[cur] = st[phys]
+        for slot in (_BLOOM_KEY, _NULLS_KEY):
+            sub = st.get(slot)
+            if not sub:
+                continue
+            tsub = {
+                cur: sub[phys]
+                for cur, phys in m.items()
+                if phys is not None and phys in sub
+            }
+            if tsub:
+                out[slot] = tsub
+        return out
 
     def _read_files(
         self,

@@ -1399,7 +1399,14 @@ def _semdedup_k(n_total: int) -> int:
     quadratic — the paper's regime is k ∝ n / target-cluster-size.
     Target half the recluster cap so ordinary skew stays under it;
     floor at SEMDEDUP_CELLS (small corpora keep their historical
-    geometry), cap at 4096 (the driver k-means fit stays O(sample))."""
+    geometry), cap at 4096 — the driver k-means fit stays O(sample)
+    and one Lloyd pass stays a sample×k GEMM the driver can afford.
+    Capacity math past the cap: the oversized-cell recluster is the
+    second clustering level (4096 cells × SEMDEDUP_SPLIT_K sub-cells =
+    32k effective cells), carrying the within-cap guarantee to ~134M
+    vectors; beyond that, raise SEMDEDUP_SPLIT_K (each +8 multiplies
+    capacity 8x at one extra per-hot-cell fit) before reaching the
+    terminal prefix fallback."""
     return int(
         min(
             4096,

@@ -43,7 +43,12 @@ def _ivf_k(n_total: int) -> int:
     cap 4096) — the FAISS sizing rule. A FIXED k makes cell sizes, and
     probe cost, grow linearly with the corpus; scaling k keeps a probe's
     work at O(nprobe · target) rows no matter the corpus (same rule as
-    SemDeDup's ``_semdedup_k``)."""
+    SemDeDup's ``_semdedup_k``). Past the cap (~16M vectors) cells grow
+    linearly again — the production escalation is IVF's own second
+    level (coarse cell -> per-cell sub-quantizer, i.e. run this index
+    recursively per hot cell), the same two-level shape the SemDeDup
+    recluster already implements; the cap itself is what keeps the
+    driver-side Lloyd fit a sample×k GEMM."""
     return int(
         min(4096, max(IVF_CELLS, -(-n_total // IVF_TARGET_CELL)))
     )

@@ -281,3 +281,30 @@ def test_stale_schema_append_cannot_revert_rename(spark, cat):
     assert t.field_ids()["v"] != fid_value
     rows = sorted((r["id"], r["value"]) for r in t.read(spark).collect())
     assert rows == [(1, 10.0), (2, 20.0)]
+
+
+def test_merge_prunes_old_vintage_files_on_renamed_key(spark, cat):
+    """CoW merge keyed on a RENAMED column must keep pruning: old files
+    recorded their key stats under the old physical name, and the
+    vintage-aware stats view maps them — without it every old file is
+    conservatively rewritten and a 100 TB CDC merge becomes a table
+    rewrite."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "k int, v double"
+    )
+    t = cat.get_or_create_table("mk", df.schema)
+    t.append(df, cluster_by=["k"], cluster_partitions=4)
+    t.rename_column("k", "key")
+    files_before = set(t._state()["files"])
+    # update one narrow key range: only the file whose old-vintage 'k'
+    # stats admit it may be rewritten
+    t.merge(
+        spark,
+        spark.createDataFrame([(5, 500.0)], "key int, v double"),
+        key="key",
+    )
+    state = t._state()
+    kept = files_before & set(state["files"])
+    assert len(kept) == len(files_before) - 1  # 3 of 4 carried by ref
+    rows = {r["key"]: r["v"] for r in t.read(spark).collect()}
+    assert rows[5] == 500.0 and rows[6] == 6.0 and len(rows) == 100
