@@ -259,6 +259,13 @@ COMMENTARY = {
         "forced broadcast would be the q58 OOM anti-pattern; AQE picks "
         "broadcast while small."
     ),
+    "curation_dsir_weights": (
+        "DSIR importance weights: the hashed-bucket model is a "
+        "CONSTANT-size table (fixed B), so its join is a legitimate "
+        "broadcast at any corpus scale (contrast the bigram-NLL model, "
+        "which grows with the corpus and must stay unhinted); one "
+        "corpus-scale shuffle total — the per-doc aggregation."
+    ),
     "dedup_minhash_lsh": (
         "MinHash-LSH (r8 verify path): signature mapInPandas ships only "
         "(doc, band, sig) longs; candidate pairs are pinned once "
