@@ -1695,14 +1695,34 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``test_llm_ops.py`` pins both the subset property and the
     engineered miss. Candidate stage mirrors ``lsh_candidate_pairs``'s
     economics; verify mirrors the minhash semi-join verify
-    (``dedup.py`` minhash notes)."""
+    (``dedup.py`` minhash notes). Library form with the cap/threshold
+    as real parameters: ``containment_capped_pairs`` (this registry
+    entry pins the oracle's constants)."""
+    return containment_capped_pairs(
+        _docs(spark, sf_dir), cap=_CONTAIN_DF_CAP, threshold=_CONTAIN_T
+    )
+
+
+def containment_capped_pairs(
+    docs: DataFrame,
+    cap: int = _CONTAIN_DF_CAP,
+    threshold: float = _CONTAIN_T,
+    text_col: str = "text",
+) -> DataFrame:
+    """The df-capped containment miner as a LIBRARY function: ``cap``
+    is the production knob (`dedup_containment_capped`'s docstring
+    gives the calibration guidance — ~10k at 100 TB bounds per-shingle
+    pair fan-out at 10^8 while only corpus-stopword boilerplate
+    exceeds it), ``threshold`` the Broder containment floor. Recall
+    contract is cap-parametric: a true pair is reported unless EVERY
+    shared shingle has df > cap."""
     # pin the hashed shingle arrays: the DAG below reads them from five
     # branches (df census, capped index twice via the self-join, both
     # verify sides) and string shingling + hashing is the dominant
     # per-row cost — one localCheckpoint makes it run once, and ships
     # 8-byte longs instead of re-deriving from text everywhere
     d = (
-        with_shingles(_docs(spark, sf_dir))
+        with_shingles(docs, text_col=text_col)
         .select(
             "doc_id",
             F.array_distinct(
@@ -1716,7 +1736,7 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = (
         sh.groupBy("h")
         .agg(F.count("*").alias("df"))
-        .where(F.col("df") > _CONTAIN_DF_CAP)
+        .where(F.col("df") > cap)
         .select("h")
     )
     kept = sh.join(F.broadcast(hot), "h", "left_anti")
@@ -1754,7 +1774,7 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.where(
-            F.col("i").cast("double") / F.least("na", "nb") >= _CONTAIN_T
+            F.col("i").cast("double") / F.least("na", "nb") >= threshold
         )
         .select(
             "doc_a",

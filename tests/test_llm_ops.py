@@ -749,3 +749,30 @@ def test_semdedup_hot_cluster_reclusters_no_prefix_truncation(
             assert out[vid][1] == expect, (vid, c)
             n_dups += out[vid][1]
     assert n_dups > 0  # the cone is full of semantic dups
+
+
+def test_containment_cap_is_a_real_parameter(spark, tmp_path):
+    """The production knob exists as code, not prose: raising the cap
+    on the engineered-boilerplate corpus recovers the all-boilerplate
+    pairs the default cap cedes (the cap-parametric recall contract)."""
+    import crest_spark.operators.dedup as dd
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        *[
+            (i, boiler + f" u{i}x u{i}y")
+            for i in range(dd._CONTAIN_DF_CAP + 2)
+        ],
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(
+        2, "doc_id"
+    )
+    low = _pairs(dd.containment_capped_pairs(docs, cap=dd._CONTAIN_DF_CAP))
+    high = _pairs(dd.containment_capped_pairs(docs, cap=1000))
+    boiler_ids = set(range(dd._CONTAIN_DF_CAP + 2))
+    assert not {p for p in low if set(p) <= boiler_ids}  # default: ceded
+    assert {p for p in high if set(p) <= boiler_ids}  # raised cap: found
+    assert (100, 101) in low and (100, 101) in high
+    assert low <= high  # raising the cap only ADDS pairs
