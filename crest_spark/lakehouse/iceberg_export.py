@@ -146,14 +146,27 @@ def iceberg_schema(
     return {"type": "struct", "schema-id": schema_id, "fields": fields}
 
 
-def _replay_field_ids(snaps) -> tuple[dict[int, dict[str, int]], bool]:
-    """Per-snapshot stable top-level field ids, replayed from the commit
-    extras with the same rules the table state fold uses (rename moves,
-    drop retires, expire/rollback boundaries carry absolute maps).
-    Returns ({version: {name: id}}, table_has_evolution_events)."""
-    from crest_spark.lakehouse.table import _fold_field_ids
+def _replay_field_ids(
+    snaps,
+) -> tuple[dict[int, dict[str, int]], dict[int, str], bool]:
+    """Per-snapshot stable top-level field ids AND the folded schema
+    json they belong to, replayed from the commit extras with the SAME
+    rules the table state fold uses (rename moves, drop retires,
+    append schemas union-evolve onto the fold so a stale-append race
+    cannot retire a moved id — shared via ``_folded_schema_json``,
+    ADVICE r9 #4; expire/rollback boundaries carry absolute maps).
+    Staged/branch commits don't advance the fold: their effective
+    schema is the last landed one (their files enter at publish, whose
+    commit carries the evolved schema itself — ADVICE r9 #2).
+    Returns ({version: {name: id}}, {version: folded_schema_json},
+    table_has_evolution_events)."""
+    from crest_spark.lakehouse.table import (
+        _fold_field_ids,
+        _folded_schema_json,
+    )
 
     fid_by_version: dict[int, dict[str, int]] = {}
+    fjson_by_version: dict[int, str] = {}
     ss: dict = {"field_ids": {}, "next_field_id": 1}
     prev: str | None = None
     has_events = False
@@ -175,10 +188,15 @@ def _replay_field_ids(snaps) -> tuple[dict[int, dict[str, int]], bool]:
             or ex.get("drop_branch")
         ):
             if s.schema_json != prev:
-                _fold_field_ids(ss, ex, s.schema_json)
-                prev = s.schema_json
+                folded = _folded_schema_json(
+                    prev, s.schema_json, s.operation, ex
+                )
+                if folded != prev:
+                    _fold_field_ids(ss, ex, folded)
+                prev = folded
         fid_by_version[s.version] = dict(ss["field_ids"])
-    return fid_by_version, has_events
+        fjson_by_version[s.version] = prev if prev is not None else s.schema_json
+    return fid_by_version, fjson_by_version, has_events
 
 
 def _field_aliases(name: str, events: list[dict]) -> list[str]:
@@ -187,18 +205,54 @@ def _field_aliases(name: str, events: list[dict]) -> list[str]:
     how engines resolve parquet files written (id-less) under the old
     name. Stops at the event that created the field (a re-add must not
     alias the dead column's name history)."""
-    out = [name]
+    return [n for n, _ in _alias_spans(name, events)]
+
+
+def _alias_spans(
+    name: str, events: list[dict]
+) -> list[tuple[str, float]]:
+    """``[(alias, held_until_event_index)]`` newest first: each physical
+    name the field has had, paired with the index of the event that took
+    the name away (the current name is held until +inf). The hold-end
+    orders competing claims on a reused name — see ``_name_mapping``."""
+    out: list[tuple[str, float]] = [(name, float("inf"))]
     n = name
-    for e in reversed(events):
+    for i in range(len(events) - 1, -1, -1):
+        e = events[i]
         if e["op"] == "rename":
             if n == e["to"]:
                 n = e["from"]
-                out.append(n)
+                out.append((n, float(i)))
             elif n == e["from"]:
                 break
         elif e["op"] == "drop" and n == e["name"]:
             break
     return out
+
+
+def _name_mapping(live_ids: dict[str, int], events: list[dict]) -> list[dict]:
+    """The ``schema.name-mapping.default`` entries for the live fields,
+    with duplicate names resolved: a physical name may have been borne
+    by several fields over the table's life (rename a->b then re-add a;
+    rename chains through a reused name), but the spec requires mapping
+    names to be unambiguous — so each name goes to its LATEST bearer
+    (current names always win over another field's alias; between two
+    aliases the later-relinquished one wins). Files older than the
+    winner's tenure resolve via the engine-specific event log, which is
+    sequence-scoped and never ambiguous (ADVICE r9 #3)."""
+    spans = {name: _alias_spans(name, events) for name in live_ids}
+    best: dict[str, tuple[float, str]] = {}  # alias -> (hold_end, field)
+    for name, sp in spans.items():
+        for alias, until in sp:
+            if alias not in best or until > best[alias][0]:
+                best[alias] = (until, name)
+    return [
+        {
+            "field-id": int(live_ids[name]),
+            "names": [a for a, _ in sp if best[a][1] == name],
+        }
+        for name, sp in spans.items()
+    ]
 
 
 def _single_value_bytes(iceberg_type, value) -> bytes | None:
@@ -597,31 +651,36 @@ def export_iceberg_metadata(
     # (schema json, stable field-id assignment): the same column layout
     # before and after a drop/re-add is TWO schemas to Iceberg because
     # the re-added column carries a fresh id.
-    fid_by_version, has_evolution = _replay_field_ids(snaps)
+    fid_by_version, fjson_by_version, has_evolution = _replay_field_ids(snaps)
     _evo_events = table.schema_events() if has_evolution else []
 
+    # The registry keys on the FOLDED schema + fold ids (never a
+    # snapshot's raw recorded json): a staged widening's own json names
+    # columns whose ids are minted at publish, and a stale-append race's
+    # raw json would resurrect a renamed-away column — both crash or
+    # diverge from LakehouseTable.field_ids() (ADVICE r9 #2/#4). The
+    # fold has already resolved each version to the schema that was
+    # actually LIVE there.
     def _skey(s: Snapshot) -> str:
         if not has_evolution:
-            return s.schema_json
-        return s.schema_json + "|" + json.dumps(
+            return fjson_by_version[s.version]
+        return fjson_by_version[s.version] + "|" + json.dumps(
             sorted(fid_by_version[s.version].items())
         )
 
     schema_ids: dict[str, int] = {}
-    schema_of_key: dict[str, "Snapshot"] = {}
+    schema_src: dict[str, tuple[str, int]] = {}  # key -> (json, version)
     for s in snaps:
         k = _skey(s)
         if k not in schema_ids:
             schema_ids[k] = len(schema_ids)
-            schema_of_key[k] = s
+            schema_src[k] = (fjson_by_version[s.version], s.version)
     iceberg_schemas = [
         iceberg_schema(
-            schema_of_key[k].schema_json,
+            schema_src[k][0],
             sid,
             top_ids=(
-                fid_by_version[schema_of_key[k].version]
-                if has_evolution
-                else None
+                fid_by_version[schema_src[k][1]] if has_evolution else None
             ),
         )
         for k, sid in schema_ids.items()
@@ -1331,17 +1390,9 @@ def export_iceberg_metadata(
             **(
                 {
                     "schema.name-mapping.default": json.dumps(
-                        [
-                            {
-                                "field-id": int(
-                                    fid_by_version[head.version][f_name]
-                                ),
-                                "names": _field_aliases(
-                                    f_name, _evo_events
-                                ),
-                            }
-                            for f_name in fid_by_version[head.version]
-                        ]
+                        _name_mapping(
+                            fid_by_version[head.version], _evo_events
+                        )
                     ),
                     "crest.schema-events": json.dumps(_evo_events),
                 }

@@ -312,6 +312,35 @@ def _fold_field_ids(state: dict, extra: dict, schema_json: str) -> None:
     state["next_field_id"] = max(nxt, int(state.get("next_field_id", 1)))
 
 
+def _folded_schema_json(
+    prev: str | None, schema_json: str, operation: str | None, extra: dict
+) -> str:
+    """The schema the fold records for one commit — SHARED by the table
+    state fold and the Iceberg export's field-id replay so both resolve
+    the append-vs-rename race identically (ADVICE r9 #4). Appends may
+    only WIDEN the schema (new nullable columns, type promotion) —
+    union-evolve instead of trusting the commit's recorded json, so an
+    append whose writer read the schema BEFORE a concurrent rename/drop
+    landed cannot silently revert the evolution (and retire the moved
+    field id) by re-recording the stale pre-evolution schema. Replaces
+    and the evolution commits themselves legitimately remove/rename and
+    keep raw assignment; in every non-racy history the union equals the
+    recorded json, so folded schemas are unchanged."""
+    if (
+        operation == "replace"
+        or extra.get("rename_column")
+        or extra.get("drop_column")
+        or prev is None
+        or schema_json == prev
+    ):
+        return schema_json
+    union = LakehouseTable._evolved_schema(
+        StructType.fromJson(json.loads(prev)),
+        StructType.fromJson(json.loads(schema_json)),
+    )
+    return json.dumps(union.jsonValue())
+
+
 def _merge_committed(
     *maps: dict[str, list[int]],
 ) -> dict[str, list[int]]:
@@ -700,30 +729,12 @@ class LakehouseTable:
                     {"op": "drop", "name": extra["drop_column"], "v": v}
                 )
             if d["schema"] != state["schema"]:
-                # Appends may only WIDEN the schema (new nullable
-                # columns, type promotion) — union-evolve instead of
-                # trusting the commit's recorded json, so an append
-                # whose writer read the schema BEFORE a concurrent
-                # rename/drop landed cannot silently revert the
-                # evolution (and retire the moved field id) by
-                # re-recording the stale pre-evolution schema. Replaces
-                # and the evolution commits themselves legitimately
-                # remove/rename and keep raw assignment; in every
-                # non-racy history the union equals the recorded json,
-                # so folded schemas are unchanged.
-                if (
-                    d.get("operation") == "replace"
-                    or extra.get("rename_column")
-                    or extra.get("drop_column")
-                    or state["schema"] is None
-                ):
-                    folded_schema = d["schema"]
-                else:
-                    union = self._evolved_schema(
-                        StructType.fromJson(json.loads(state["schema"])),
-                        StructType.fromJson(json.loads(d["schema"])),
-                    )
-                    folded_schema = json.dumps(union.jsonValue())
+                # union-evolve appends / keep raw for replaces and
+                # evolution commits — rationale and the append-vs-rename
+                # race story live on the shared _folded_schema_json
+                folded_schema = _folded_schema_json(
+                    state["schema"], d["schema"], d.get("operation"), extra
+                )
                 if folded_schema != state["schema"]:
                     _fold_field_ids(state, extra, folded_schema)
                 state["schema"] = folded_schema
@@ -840,13 +851,14 @@ class LakehouseTable:
         ("date", "timestamp_ntz"),
     }
 
-    def _evolved_schema(self, current: StructType, incoming: StructType) -> StructType:
+    @staticmethod
+    def _evolved_schema(current: StructType, incoming: StructType) -> StructType:
         in_types = {f.name: f.dataType for f in incoming.fields}
         evolved = [
             StructField(f.name, in_types[f.name], nullable=f.nullable)
             if f.name in in_types
             and (f.dataType.typeName(), in_types[f.name].typeName())
-            in self._TYPE_PROMOTIONS
+            in LakehouseTable._TYPE_PROMOTIONS
             else f
             for f in current.fields
         ]
@@ -1095,9 +1107,12 @@ class LakehouseTable:
         longer pending raises ``StagedVersionsGone`` (a racer published
         them first) — distinct from the late-constraint / no-session
         ``ValueError``s, so retry loops catch exactly the race."""
-        validated: set[int] = set()  # the late-constraint verdict for a
-        # staged version cannot change across conflict retries of one
-        # publish — validate each taken version ONCE, not per retry
+        validated: set[tuple[int, frozenset]] = set()  # late-constraint
+        # verdicts are cached per (staged version, constraint-set
+        # signature): a retry under the SAME constraints skips the
+        # read-back, but a retry whose conflict was an add_constraint
+        # (or drop+re-add) sees a new signature and re-validates — the
+        # new constraint must gate the publish (ADVICE r9 #1)
         for _ in range(50):
             state = self._state()
             pending = {int(v): e for v, e in (state.get("staged") or {}).items()}
@@ -1122,10 +1137,14 @@ class LakehouseTable:
                 schema = self._evolved_schema(
                     schema, StructType.fromJson(json.loads(e["schema"]))
                 )
+            cons = dict(state.get("constraints") or {})
+            sig = frozenset(cons.items())
             self._validate_late_constraints(
-                {v: pending[v] for v in take if v not in validated}, spark
+                {v: pending[v] for v in take if (v, sig) not in validated},
+                spark,
+                current=cons,
             )
-            validated.update(take)
+            validated.update((v, sig) for v in take)
             try:
                 version = self._try_commit(
                     {
@@ -1309,9 +1328,10 @@ class LakehouseTable:
         dropped either way). Conflict-guarded RMW like publish_staged;
         append-only branches commute with concurrent main appends, so
         no rebase is ever needed."""
-        validated: set[int] = set()  # same once-per-version rule as
-        # publish_staged: the late-constraint read-back must not repeat
-        # across conflict retries of one fast-forward
+        validated: set[tuple[int, frozenset]] = set()  # same
+        # (version, constraint-signature) cache rule as publish_staged:
+        # a retry under unchanged constraints skips the read-back, a
+        # retry whose conflict added/changed a constraint re-validates
         for _ in range(50):
             state = self._state()
             info = (state.get("branches") or {}).get(name)
@@ -1331,15 +1351,18 @@ class LakehouseTable:
                 schema = self._evolved_schema(
                     schema, StructType.fromJson(json.loads(e["schema"]))
                 )
+            cons = dict(state.get("constraints") or {})
+            sig = frozenset(cons.items())
             self._validate_late_constraints(
                 {
                     int(v): e
                     for v, e in info["entries"].items()
-                    if int(v) not in validated
+                    if (int(v), sig) not in validated
                 },
                 spark,
+                current=cons,
             )
-            validated.update(int(v) for v in info["entries"])
+            validated.update((int(v), sig) for v in info["entries"])
             try:
                 version = self._try_commit(
                     {
@@ -1666,6 +1689,7 @@ class LakehouseTable:
         self,
         entries: dict[int, dict],
         spark: SparkSession | None = None,
+        current: dict[str, str] | None = None,
     ) -> None:
         """Gate a staged/branch LANDING against constraints added after
         the pending entries were written: each entry's own writer already
@@ -1674,8 +1698,13 @@ class LakehouseTable:
         needs a read-back — the metadata-only publish stays metadata-only
         in the common no-new-constraints case. A violation aborts the
         landing; the entries stay pending (nothing is lost — drop the
-        constraint or discard the entry to resolve)."""
-        current = self.constraints()
+        constraint or discard the entry to resolve). ``current`` is the
+        constraint set of the snapshot the landing commits AGAINST
+        (callers in a conflict-retry loop pass their state read so the
+        validated set matches what the commit's expected_base enforces);
+        default: latest."""
+        if current is None:
+            current = self.constraints()
         if not current:
             return
         for v, e in entries.items():

@@ -219,3 +219,59 @@ def test_late_constraint_same_name_new_expr_revalidated(spark, cat):
     t.add_constraint(spark, "v_check", "v < 100")
     t.publish_staged([sv])  # no spark needed: nothing late
     assert t.read(spark).where(F.col("v") < 0).count() == 1
+
+
+def test_constraint_added_mid_publish_retry_revalidates(spark, cat):
+    """Regression (r9 advice, high): a constraint that lands BETWEEN the
+    publish loop's state read and its commit attempt forces a
+    CommitConflict retry — and the retry must re-validate the staged
+    rows against the NEW constraint, not reuse the verdict cached under
+    the old (empty) constraint set. Pre-fix, the version-keyed
+    ``validated`` cache let amount<0 rows publish past a concurrent
+    ``add_constraint('v > 0')``."""
+    t = _mk(spark, cat)
+    bad = spark.createDataFrame([(50, -5.0)], "id int, v double")
+    sv = t.append(bad, stage=True)
+    racer = cat.table("t")
+    real = type(t)._try_commit
+    fired = {"done": False}
+
+    def racing(self, record, expected_base=None):
+        # interleave exactly once, at the publish commit point: the
+        # racer's add_constraint advances the head, conflicting us
+        if not fired["done"] and (record.get("extra") or {}).get("publish_of"):
+            fired["done"] = True
+            racer.add_constraint(spark, "v_positive", "v > 0")
+        return real(self, record, expected_base=expected_base)
+
+    t._try_commit = racing.__get__(t)
+    with pytest.raises(ValueError, match="v_positive"):
+        t.publish_staged([sv], spark=spark)
+    assert fired["done"]
+    assert t.read(spark).where(F.col("v") < 0).count() == 0
+    assert sv in t.pending_staged()  # aborted landing loses nothing
+
+
+def test_constraint_added_mid_fast_forward_retry_revalidates(spark, cat):
+    """Same mid-retry race on the branch landing path."""
+    t = _mk(spark, cat)
+    t.create_branch("b")
+    t.append(spark.createDataFrame([(51, -6.0)], "id int, v double"), branch="b")
+    racer = cat.table("t")
+    real = type(t)._try_commit
+    fired = {"done": False}
+
+    def racing(self, record, expected_base=None):
+        if not fired["done"] and (record.get("extra") or {}).get(
+            "publish_branch"
+        ):
+            fired["done"] = True
+            racer.add_constraint(spark, "v_positive", "v > 0")
+        return real(self, record, expected_base=expected_base)
+
+    t._try_commit = racing.__get__(t)
+    with pytest.raises(ValueError, match="v_positive"):
+        t.fast_forward("b", spark=spark)
+    assert fired["done"]
+    assert t.read(spark).where(F.col("v") < 0).count() == 0
+    assert "b" in t.branches()

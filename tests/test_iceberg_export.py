@@ -668,3 +668,117 @@ def test_read_iceberg_predicate_prunes_truncate_spec_files(spark, tmp_path):
         lo_only.select(F.input_file_name().alias("f")).distinct().count()
         <= 2
     )
+
+
+def test_export_survives_staged_widening_plus_rename(spark, table):
+    """Regression (r9 advice, medium): a WAP-staged schema-widening
+    snapshot's schema_json holds a column the field-id fold deliberately
+    hasn't assigned yet (the fold skips staged commits; the id lands at
+    publish). Once ANY rename/drop exists in history the registry keys
+    on fold ids, and pre-fix the export crashed with KeyError on the
+    staged column. Staged commits export as empty deltas over main's
+    live set, so their effective schema is the last LANDED one."""
+    wide = spark.range(3).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.lit("x").alias("s"),
+        F.lit(1.5).alias("c"),
+    )
+    sv = table.append(wide, stage=True, merge_schema=True)
+    table.publish_staged([sv], spark=spark)
+    table.rename_column("grp", "grp2")
+    meta_dir = export_iceberg_metadata(table)
+    files = read_current_snapshot_files(meta_dir)
+    assert files == _live_state(table)
+    v = table.version()
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    # the staged snapshot's record carries the schema that was LIVE at
+    # its commit (no 'c'); the publish snapshot introduces 'c'
+    by_id = {s["schema-id"]: s for s in meta["schemas"]}
+    snap_schema = {
+        r["snapshot-id"]: {
+            f["name"] for f in by_id[r["schema-id"]]["fields"]
+        }
+        for r in meta["snapshots"]
+    }
+    assert "c" not in snap_schema[sv]
+    assert "c" in snap_schema[sv + 1]  # the publish commit
+    # the rename kept grp's field id under the new name
+    head_fields = {
+        f["name"]: f["id"] for f in by_id[meta["current-schema-id"]]["fields"]
+    }
+    assert "grp2" in head_fields and "grp" not in head_fields
+
+
+def test_export_with_pending_staged_head_and_rename(spark, table):
+    """A STILL-PENDING staged widening (head of the log) must not crash
+    the export either: the current snapshot/schema are main's."""
+    table.rename_column("s", "s2")
+    wide = spark.range(2).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.lit("x").alias("s2"),
+        F.lit(9).alias("d"),
+    )
+    table.append(wide, stage=True, merge_schema=True)
+    meta_dir = export_iceberg_metadata(table)
+    files = read_current_snapshot_files(meta_dir)
+    assert files == _live_state(table)
+    v = table.version()
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    by_id = {s["schema-id"]: s for s in meta["schemas"]}
+    head_names = {
+        f["name"] for f in by_id[meta["current-schema-id"]]["fields"]
+    }
+    assert head_names == {"id", "grp", "s2"}  # no phantom 'd'
+
+
+def test_name_mapping_no_duplicate_names_after_readd(spark, table):
+    """Regression (r9 advice, low): after rename grp->g2 and a re-add of
+    a new 'grp', the physical name 'grp' must appear in exactly ONE
+    mapping entry (the live field's — its latest bearer); a duplicate
+    makes the spec mapping ambiguous for external engines."""
+    table.rename_column("grp", "g2")
+    readd = spark.range(2).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("g2"),
+        F.lit("x").alias("s"),
+        F.lit(4).alias("grp"),
+    )
+    table.append(readd, merge_schema=True)
+    meta_dir = export_iceberg_metadata(table)
+    v = table.version()
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    counts: dict[str, int] = {}
+    for e in nm:
+        for n in e["names"]:
+            counts[n] = counts.get(n, 0) + 1
+    assert all(c == 1 for c in counts.values()), counts
+    by_names = {e["field-id"]: set(e["names"]) for e in nm}
+    ids = {f["name"]: f["id"] for s in meta["schemas"]
+           for f in s["fields"] if s["schema-id"] == meta["current-schema-id"]}
+    # 'grp' belongs to the re-added column, not to g2's alias history
+    assert "grp" in by_names[ids["grp"]]
+    assert "grp" not in by_names[ids["g2"]]
+    assert ids["grp"] != ids["g2"]
+
+
+def test_name_mapping_rename_chain_latest_bearer_wins():
+    """Pure-function check: in a rename chain where the name 'a' was
+    borne by two fields (a->b, then c->a, then a->d), the mapping gives
+    'a' to its LATEST bearer (d) and never lists it twice."""
+    from crest_spark.lakehouse.iceberg_export import _name_mapping
+
+    events = [
+        {"op": "rename", "from": "a", "to": "b"},
+        {"op": "rename", "from": "c", "to": "a"},
+        {"op": "rename", "from": "a", "to": "d"},
+    ]
+    nm = _name_mapping({"b": 1, "d": 2}, events)
+    by_id = {e["field-id"]: e["names"] for e in nm}
+    assert by_id[1] == ["b"]          # 'a' stripped from b's history
+    assert by_id[2] == ["d", "a", "c"]

@@ -308,3 +308,44 @@ def test_merge_prunes_old_vintage_files_on_renamed_key(spark, cat):
     assert len(kept) == len(files_before) - 1  # 3 of 4 carried by ref
     rows = {r["key"]: r["v"] for r in t.read(spark).collect()}
     assert rows[5] == 500.0 and rows[6] == 6.0 and len(rows) == 100
+
+
+def test_export_field_ids_match_table_after_stale_append_race(spark, cat):
+    """Regression (r9 advice, low): the Iceberg export's field-id
+    replay must union-evolve append schemas exactly like the table
+    state fold (shared _folded_schema_json) — in the append-vs-rename
+    racy history the old replay folded the RAW stale json, retired the
+    renamed column's id and minted a fresh one, so exported ids
+    diverged from LakehouseTable.field_ids()."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from crest_spark.lakehouse.iceberg_export import export_iceberg_metadata
+
+    t = _mk(spark, cat)
+    old_schema_json = t._state()["schema"]
+    t.rename_column("v", "value")
+    t._try_commit(
+        {
+            "operation": "append",
+            "files": [],
+            "stats": {},
+            "schema": old_schema_json,
+            "commit_ts": _time.time(),
+            "num_rows": 0,
+            "extra": {},
+        }
+    )
+    meta_dir = export_iceberg_metadata(t)
+    with open(
+        _os.path.join(meta_dir, f"v{t.version()}.metadata.json")
+    ) as fh:
+        meta = _json.load(fh)
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    exported_ids = {f["name"]: f["id"] for f in cur["fields"]}
+    assert exported_ids == t.field_ids()  # incl. value keeping its id
+    assert "value" in exported_ids and "v" in exported_ids
