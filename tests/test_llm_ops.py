@@ -776,3 +776,42 @@ def test_containment_cap_is_a_real_parameter(spark, tmp_path):
     assert {p for p in high if set(p) <= boiler_ids}  # raised cap: found
     assert (100, 101) in low and (100, 101) in high
     assert low <= high  # raising the cap only ADDS pairs
+
+
+def test_mersenne_fold_bit_identity():
+    """VERDICT r9 next-round #4: the in-place 2^31-1 fast-reduction
+    table must equal the naive ``(h*a + b) % M31`` ELEMENT-WISE — the
+    recall-floor test would catch quality drift but not a silent hash
+    divergence. Random uint64 draws across the valid domain plus the
+    edge values (0, M31-1) for h, a, and b; the product edge h=a=M31-1,
+    b=M31-1 exercises the maximal affine value just under 2^62."""
+    import numpy as np
+
+    from crest_spark.operators.dedup import MERSENNE, mersenne_affine_table
+
+    rng = np.random.RandomState(7)
+    M = np.uint64(MERSENNE)
+    edges = np.array([0, 1, MERSENNE - 1], dtype=np.uint64)
+    h = np.concatenate(
+        [edges, rng.randint(0, MERSENNE, size=4096).astype(np.uint64)]
+    )
+    a = np.concatenate(
+        [edges, rng.randint(1, MERSENNE, size=61).astype(np.uint64)]
+    )
+    b = np.concatenate(
+        [edges[::-1], rng.randint(0, MERSENNE, size=61).astype(np.uint64)]
+    )
+    got = mersenne_affine_table(h, a, b)
+    # reference: exact object-int arithmetic (no dtype overflow at all)
+    ref = (
+        h.astype(object)[:, None] * a.astype(object)[None, :]
+        + b.astype(object)[None, :]
+    ) % MERSENNE
+    assert (got.astype(object) == ref).all()
+    # spot the documented worst case explicitly: (M-1)*(M-1)+(M-1) < 2^62
+    worst = mersenne_affine_table(
+        np.array([MERSENNE - 1], dtype=np.uint64),
+        np.array([MERSENNE - 1], dtype=np.uint64),
+        np.array([MERSENNE - 1], dtype=np.uint64),
+    )
+    assert int(worst[0, 0]) == ((MERSENNE - 1) ** 2 + (MERSENNE - 1)) % MERSENNE
