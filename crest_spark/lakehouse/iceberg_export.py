@@ -48,9 +48,14 @@ _NS_UUID = uuid.UUID("a53437a2-97c5-4a62-a56b-8f6e3f9a3b11")  # arbitrary, fixed
 
 
 # ------------------------------------------------------------- schema mapping
-def _spark_to_iceberg_type(t: dict, next_id: list[int]):
-    """Spark StructType JSON fragment -> Iceberg type JSON (ids assigned
-    depth-first in field order, matching fresh-table assignment)."""
+def _spark_to_iceberg_type(
+    t: dict, next_id: list[int], path: str = "", ids: dict | None = None
+):
+    """Spark StructType JSON fragment -> Iceberg type JSON. Without
+    ``ids``, ids are assigned depth-first in field order (fresh-table
+    assignment). With ``ids`` (dotted-path -> id, the fold's stable
+    nested assignment), each position reuses its table-global id and
+    only unknown paths fall back to the sequential counter."""
     if isinstance(t, str):
         prim = {
             "long": "long",
@@ -71,40 +76,56 @@ def _spark_to_iceberg_type(t: dict, next_id: list[int]):
         if t.startswith("decimal"):
             return t  # decimal(p,s) spells identically in both specs
         raise NotImplementedError(f"no Iceberg mapping for Spark type {t!r}")
+
+    def alloc(p: str) -> int:
+        # stable path-keyed id when the fold tracked one (r10: nested
+        # ids are table-global, allocated once and reused across
+        # schemas — ADVICE r9 #5); sequential fallback otherwise
+        if ids is not None and p in ids:
+            return int(ids[p])
+        v = next_id[0]
+        next_id[0] += 1
+        return v
+
     kind = t["type"]
     if kind == "struct":
         fields = []
         for f in t["fields"]:
-            fid = next_id[0]
-            next_id[0] += 1
+            p = f"{path}.{f['name']}" if path else f["name"]
             fields.append(
                 {
-                    "id": fid,
+                    "id": alloc(p),
                     "name": f["name"],
                     "required": not f.get("nullable", True),
-                    "type": _spark_to_iceberg_type(f["type"], next_id),
+                    "type": _spark_to_iceberg_type(
+                        f["type"], next_id, path=p, ids=ids
+                    ),
                 }
             )
         return {"type": "struct", "fields": fields}
     if kind == "array":
-        eid = next_id[0]
-        next_id[0] += 1
+        ep = f"{path}.element" if path else "element"
         return {
             "type": "list",
-            "element-id": eid,
-            "element": _spark_to_iceberg_type(t["elementType"], next_id),
+            "element-id": alloc(ep),
+            "element": _spark_to_iceberg_type(
+                t["elementType"], next_id, path=ep, ids=ids
+            ),
             "element-required": not t.get("containsNull", True),
         }
     if kind == "map":
-        kid = next_id[0]
-        vid = next_id[0] + 1
-        next_id[0] += 2
+        kp = f"{path}.key" if path else "key"
+        vp = f"{path}.value" if path else "value"
+        kid = alloc(kp)
+        vid = alloc(vp)
         return {
             "type": "map",
             "key-id": kid,
-            "key": _spark_to_iceberg_type(t["keyType"], next_id),
+            "key": _spark_to_iceberg_type(t["keyType"], next_id, path=kp, ids=ids),
             "value-id": vid,
-            "value": _spark_to_iceberg_type(t["valueType"], next_id),
+            "value": _spark_to_iceberg_type(
+                t["valueType"], next_id, path=vp, ids=ids
+            ),
             "value-required": not t.get("valueContainsNull", True),
         }
     raise NotImplementedError(f"no Iceberg mapping for Spark type {kind!r}")
@@ -115,13 +136,15 @@ def iceberg_schema(
 ) -> dict:
     """Spark StructType JSON string -> Iceberg schema JSON with field ids.
 
-    ``top_ids`` pins the TOP-LEVEL field ids to the table's stable
-    assignment (``LakehouseTable.field_ids``): renames keep their id,
-    dropped ids never come back, re-adds get fresh ids — what lets an
-    external engine track columns across in-place evolution. Nested ids
-    are allocated deterministically after the top-level ids per schema
-    (top-level stability is the evolution contract; nested types cannot
-    be renamed in place here). Without ``top_ids`` the historical
+    ``top_ids`` pins the field ids to the table's stable assignment
+    (``LakehouseTable.field_ids`` + dotted-path nested ids in the same
+    map): renames keep their id, dropped ids never come back, re-adds
+    get fresh ids — what lets an external engine track columns across
+    in-place evolution. Nested positions (struct members, list
+    elements, map keys/values) resolve by dotted path from the SAME
+    fold assignment, so a nested field keeps one table-global id across
+    every schema (r10; pre-r10 the export re-allocated nested ids per
+    schema — ADVICE r9 #5). Without ``top_ids`` the historical
     depth-first 1..n assignment is emitted unchanged."""
     t = json.loads(schema_json)
     if top_ids is None:
@@ -132,6 +155,7 @@ def iceberg_schema(
             "schema-id": schema_id,
             "fields": struct_t["fields"],
         }
+    nested_ids = {k: v for k, v in top_ids.items() if "." in k}
     next_id = [max(list(top_ids.values()) or [0]) + 1]
     fields = []
     for f in t["fields"]:
@@ -140,7 +164,9 @@ def iceberg_schema(
                 "id": int(top_ids[f["name"]]),
                 "name": f["name"],
                 "required": not f.get("nullable", True),
-                "type": _spark_to_iceberg_type(f["type"], next_id),
+                "type": _spark_to_iceberg_type(
+                    f["type"], next_id, path=f["name"], ids=nested_ids
+                ),
             }
         )
     return {"type": "struct", "schema-id": schema_id, "fields": fields}
@@ -212,47 +238,77 @@ def _alias_spans(
     name: str, events: list[dict]
 ) -> list[tuple[str, float]]:
     """``[(alias, held_until_event_index)]`` newest first: each physical
-    name the field has had, paired with the index of the event that took
-    the name away (the current name is held until +inf). The hold-end
-    orders competing claims on a reused name — see ``_name_mapping``."""
+    (possibly dotted) path the field has had, paired with the index of
+    the event that took the name away (the current name is held until
+    +inf). PREFIX-aware like the read-side vintage resolver: an event on
+    an ancestor rewinds/vacates the whole subtree. The hold-end orders
+    competing claims on a reused name — see ``_name_mapping``."""
     out: list[tuple[str, float]] = [(name, float("inf"))]
     n = name
     for i in range(len(events) - 1, -1, -1):
         e = events[i]
         if e["op"] == "rename":
-            if n == e["to"]:
-                n = e["from"]
+            to, frm = e["to"], e["from"]
+            if n == to or n.startswith(to + "."):
+                n = frm + n[len(to):]
                 out.append((n, float(i)))
-            elif n == e["from"]:
+            elif n == frm or n.startswith(frm + "."):
                 break
-        elif e["op"] == "drop" and n == e["name"]:
-            break
+        elif e["op"] == "drop":
+            d = e["name"]
+            if n == d or n.startswith(d + "."):
+                break
     return out
 
 
 def _name_mapping(live_ids: dict[str, int], events: list[dict]) -> list[dict]:
     """The ``schema.name-mapping.default`` entries for the live fields,
-    with duplicate names resolved: a physical name may have been borne
-    by several fields over the table's life (rename a->b then re-add a;
-    rename chains through a reused name), but the spec requires mapping
-    names to be unambiguous — so each name goes to its LATEST bearer
-    (current names always win over another field's alias; between two
-    aliases the later-relinquished one wins). Files older than the
-    winner's tenure resolve via the engine-specific event log, which is
-    sequence-scoped and never ambiguous (ADVICE r9 #3)."""
-    spans = {name: _alias_spans(name, events) for name in live_ids}
-    best: dict[str, tuple[float, str]] = {}  # alias -> (hold_end, field)
-    for name, sp in spans.items():
+    HIERARCHICAL per the spec (nested entries ride their parent's
+    ``fields`` list, so names are scoped per level), with duplicate
+    names resolved: a physical name may have been borne by several
+    fields over the table's life (rename a->b then re-add a; rename
+    chains through a reused name), but the spec requires mapping names
+    to be unambiguous within a scope — so each name goes to its LATEST
+    bearer (current names always win over another field's alias;
+    between two aliases the later-relinquished one wins). An ancestor
+    rename changes no leaf name, so a member's entry lists only the
+    names IT has had at its level. Files older than the winner's tenure
+    resolve via the engine-specific event log, which is sequence-scoped
+    and never ambiguous (ADVICE r9 #3)."""
+    spans = {path: _alias_spans(path, events) for path in live_ids}
+
+    def _leaf(p: str) -> str:
+        return p.rsplit(".", 1)[-1]
+
+    def _scope(p: str) -> str:
+        return p.rsplit(".", 1)[0] if "." in p else ""
+
+    # latest bearer of each leaf name, per (current) scope
+    best: dict[tuple[str, str], tuple[float, str]] = {}
+    for path, sp in spans.items():
+        sc = _scope(path)
         for alias, until in sp:
-            if alias not in best or until > best[alias][0]:
-                best[alias] = (until, name)
-    return [
-        {
-            "field-id": int(live_ids[name]),
-            "names": [a for a, _ in sp if best[a][1] == name],
-        }
-        for name, sp in spans.items()
-    ]
+            key = (sc, _leaf(alias))
+            if key not in best or until > best[key][0]:
+                best[key] = (until, path)
+
+    def _entry(path: str) -> dict:
+        sc = _scope(path)
+        names: list[str] = []
+        for alias, _ in spans[path]:
+            ln = _leaf(alias)
+            if ln not in names and best[(sc, ln)][1] == path:
+                names.append(ln)
+        e = {"field-id": int(live_ids[path]), "names": names}
+        children = sorted(
+            (p for p in live_ids if _scope(p) == path),
+            key=lambda p: live_ids[p],
+        )
+        if children:
+            e["fields"] = [_entry(c) for c in children]
+        return e
+
+    return [_entry(p) for p in live_ids if "." not in p]
 
 
 def _single_value_bytes(iceberg_type, value) -> bytes | None:
@@ -1749,43 +1805,25 @@ def read_iceberg(
         # physical column names BY VINTAGE (its sequence number vs the
         # event log — the engine-specific property; strictly stronger
         # than the also-exported name mapping, which cannot scope a
-        # drop/re-add). Same resolution the commit-log reader does.
-        groups: dict[tuple, list[str]] = {}
-        for p in sorted(files):
-            vf = int(file_seq.get(p, 0))
-            key = tuple(
-                (
-                    fl.name,
-                    LakehouseTable._vintage_source(fl.name, evo_events, vf),
-                )
-                for fl in schema.fields
-            )
-            groups.setdefault(key, []).append(p)
+        # drop/re-add). Same shared resolution the commit-log reader
+        # uses — incl. nested struct-member rebuilds (r10).
+        from .table import vintage_scan_groups
+
         parts = []
-        for key, fs in groups.items():
-            src = dict(key)
-            phys = StructType(
-                [
-                    StructField(src[fl.name], fl.dataType, fl.nullable)
-                    for fl in schema.fields
-                    if src[fl.name] is not None
-                ]
-            )
+        for fs, phys, cols in vintage_scan_groups(
+            schema, evo_events, file_seq, sorted(files)
+        ):
             df = (
                 spark.read.schema(phys)
                 .option("mergeSchema", "false")
                 .parquet(*fs)
             )
-            cols = [
-                F.col(src[fl.name]).alias(fl.name)
-                if src[fl.name] is not None
-                else F.lit(None).cast(fl.dataType).alias(fl.name)
-                for fl in schema.fields
-            ]
             if pos_deletes:
                 # _metadata is scan-scoped: capture the row index inside
                 # each vintage scan, before the union projects it away
-                cols.append(F.col("_metadata.row_index").alias("__ice_pos"))
+                cols = list(cols) + [
+                    F.col("_metadata.row_index").alias("__ice_pos")
+                ]
             parts.append(df.select(*cols))
         out = parts[0]
         for part_df in parts[1:]:

@@ -1137,3 +1137,79 @@ def lake_schema_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.append(new, merge_schema=True)  # note re-added: fresh field id
     return t.read(spark).select("k", "amount", "note").orderBy("k")
+
+
+@register(
+    "lake_nested_evolution",
+    oracle="""
+        WITH evolved AS (
+            -- old vintage: struct written as meta(price, note); note's
+            -- bytes die with the member drop, price survives the
+            -- member rename
+            SELECT CAST(o_orderkey AS BIGINT) AS k,
+                   CAST(o_totalprice AS DOUBLE) AS amount,
+                   CAST(NULL AS VARCHAR) AS note
+            FROM orders WHERE o_orderkey <= 400
+            UNION ALL
+            -- new vintage: written post-evolution as info(amount, note)
+            SELECT CAST(o_orderkey AS BIGINT) + 1000000 AS k,
+                   CAST(o_totalprice AS DOUBLE) + 0.5 AS amount,
+                   'v2' AS note
+            FROM orders WHERE o_orderkey <= 100
+        )
+        SELECT k, amount, note FROM evolved ORDER BY k
+    """,
+    tags=("lakehouse", "schema-evolution", "nested"),
+)
+def lake_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-field evolution under the driver hash gate (r10, VERDICT
+    r9 next-round #3): a table written as (k, meta struct<price, note>)
+    renames the MEMBER meta.price->meta.amount, drops meta.note,
+    re-adds it via a merge_schema append (fresh nested field id — the
+    old bytes must NOT resurrect), then renames the struct itself
+    meta->info — all metadata-only commits, zero files rewritten. The
+    read rebuilds the struct per vintage class (prefix-aware event
+    log): old files' meta.price bytes surface as info.amount, old
+    meta.note reads NULL, the new vintage reads verbatim. Flattened for
+    the oracle; the hash match certifies the nested resolution.
+    Iceberg's recursive field-id model; the reference's conversion
+    matrix is recursive too (schema_conversion.go:114-124)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") <= 400).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.struct(
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.concat(F.lit("n"), F.col("o_orderkey")).alias("note"),
+        ).alias("meta"),
+    )
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_nevo_"))
+    t = cat.get_or_create_table("orders_nevo", base.schema)
+    t.append(base, cluster_by=["k"], max_rows_per_file=100)
+    files_before = set(t._state()["files"])
+    nid_price = t.nested_field_ids()["meta.price"]
+    t.rename_column("meta.price", "meta.amount")
+    t.drop_column("meta.note")
+    if set(t._state()["files"]) != files_before:
+        raise AssertionError("nested rename/drop must be metadata-only")
+    if t.nested_field_ids()["meta.amount"] != nid_price:
+        raise AssertionError("member rename must keep the stable field id")
+    new = orders.where(F.col("o_orderkey") <= 100).select(
+        (F.col("o_orderkey").cast("long") + F.lit(1_000_000)).alias("k"),
+        F.struct(
+            (F.col("o_totalprice").cast("double") + 0.5).alias("amount"),
+            F.lit("v2").alias("note"),
+        ).alias("meta"),
+    )
+    t.append(new, merge_schema=True)  # note re-added: fresh nested id
+    t.rename_column("meta", "info")  # subtree ids move with the parent
+    if t.nested_field_ids()["info.amount"] != nid_price:
+        raise AssertionError("parent rename must carry the subtree ids")
+    return (
+        t.read(spark)
+        .select(
+            "k",
+            F.col("info.amount").alias("amount"),
+            F.col("info.note").alias("note"),
+        )
+        .orderBy("k")
+    )

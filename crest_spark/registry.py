@@ -154,45 +154,48 @@ def load_all() -> dict[str, QuerySpec]:
 
 
 # Driver-check rotation memory: the round each query was LAST checked
-# in (union of the CORRECTNESS_r01..r08 rows; absent = never checked).
+# in (union of the CORRECTNESS_r01..r09 rows; absent = never checked).
 # Everything has been checked at least once (r5 closed coverage), so
 # rotation's job is FRESHNESS: each round's fixed-size driver prefix
 # lands on the stalest entries — the ones whose implementation files
 # have churned most since their last check (VERDICT r5 next-round #5).
-# The r8 prefix cleared the r3 tier entirely, certified all 7 r8
-# additions, and took 32 of the 45 r4-stale entries; the r9 prefix
-# therefore leads with this round's additions (tier 0), the 13
-# remaining r4-stale entries, then the round-5 tier of 50 (VERDICT r8
-# next-round #5).
+# The r9 prefix cleared the r4 tier entirely, certified the 3 r9
+# additions, and took 34 of the 50 r5-stale entries; the r10 prefix
+# therefore leads with this round's additions (tier 0), the 16
+# remaining r5-stale entries, then the round-6 tier of 50 (VERDICT r9
+# next-round #6).
 _LAST_CHECKED: dict[str, int] = {
+    # --- r9 additions, first-checked in round 9 ---
+    "dedup_containment_capped": 9, "curation_dsir_weights": 9,
+    "lake_schema_rename_drop": 9,
     # --- last checked in round 4 (13 entries) ---
-    "curation_chunk_documents": 4, "curation_shuffle_order": 4,
-    "dedup_embedding_ann": 4, "dedup_remove_spans": 4,
-    "q24e_correlated_max": 4, "q26c_filtered_aggs": 4, "q29_lateral_topk": 4,
-    "q40_returned_items": 4, "q41_important_parts": 4, "stats_histogram": 4,
-    "stats_percentiles": 4, "stream_static_join": 4, "text_unigram_nll": 4,
+    "curation_chunk_documents": 9, "curation_shuffle_order": 9,
+    "dedup_embedding_ann": 9, "dedup_remove_spans": 9,
+    "q24e_correlated_max": 9, "q26c_filtered_aggs": 9, "q29_lateral_topk": 9,
+    "q40_returned_items": 9, "q41_important_parts": 9, "stats_histogram": 9,
+    "stats_percentiles": 9, "stream_static_join": 9, "text_unigram_nll": 9,
     # --- last checked in round 5 (50 entries) ---
-    "ann_brute_topk": 5, "curation_oversample": 5,
-    "curation_stratified_sample": 5, "dedup_exact": 5, "dedup_fuzzy_pairs": 5,
-    "dedup_ngram_jaccard": 5, "lake_mor_upsert": 5, "llm_curation_pipeline": 5,
-    "multimodal_binary_meta": 5, "multimodal_features_hex": 5,
-    "multimodal_image_decode": 5, "multimodal_image_resize": 5,
-    "mv_hourly_rollup": 5, "mv_percentile_rollup": 5, "q01_filter_project": 5,
-    "q02_predicates": 5, "q15f_grouping_id": 5, "q16e_regex_zoo": 5,
+    "ann_brute_topk": 9, "curation_oversample": 9,
+    "curation_stratified_sample": 9, "dedup_exact": 9, "dedup_fuzzy_pairs": 9,
+    "dedup_ngram_jaccard": 9, "lake_mor_upsert": 9, "llm_curation_pipeline": 9,
+    "multimodal_binary_meta": 9, "multimodal_features_hex": 9,
+    "multimodal_image_decode": 9, "multimodal_image_resize": 9,
+    "mv_hourly_rollup": 9, "mv_percentile_rollup": 9, "q01_filter_project": 9,
+    "q02_predicates": 9, "q15f_grouping_id": 5, "q16e_regex_zoo": 9,
     "q18f_explode_outer": 5, "q18g_array_ops": 5,
-    "q20b_asof_forward_tolerance": 5, "q22_cosine_topk": 5,
-    "q24_scalar_subquery": 5, "q24b_correlated_scalar": 5,
-    "q26d_regression_aggs": 5, "q28_profit_by_nation_year": 5,
+    "q20b_asof_forward_tolerance": 5, "q22_cosine_topk": 9,
+    "q24_scalar_subquery": 9, "q24b_correlated_scalar": 9,
+    "q26d_regression_aggs": 5, "q28_profit_by_nation_year": 9,
     "q30_small_qty_revenue": 5, "q31_waiting_suppliers": 5,
-    "q32_dormant_customers": 5, "q33_sessionize": 5, "q34_gapfill": 5,
-    "q35_min_acctbal_supplier": 5, "q42_ship_class_priority": 5,
+    "q32_dormant_customers": 5, "q33_sessionize": 9, "q34_gapfill": 9,
+    "q35_min_acctbal_supplier": 9, "q42_ship_class_priority": 9,
     "q43_part_supplier_count": 5, "q44_disjunctive_revenue": 5,
-    "q45_dominant_suppliers": 5, "q47_recursive_hierarchy": 5, "q48_mode": 5,
-    "q49_ntile_buckets": 5, "skew_salted_agg": 5, "skew_salted_join": 5,
-    "stats_correlation": 5, "stats_minmax_percentile": 5, "stats_moments": 5,
+    "q45_dominant_suppliers": 5, "q47_recursive_hierarchy": 9, "q48_mode": 5,
+    "q49_ntile_buckets": 5, "skew_salted_agg": 9, "skew_salted_join": 9,
+    "stats_correlation": 5, "stats_minmax_percentile": 9, "stats_moments": 9,
     "stats_percentiles_approx": 5, "stats_profile": 5,
-    "stream_tumbling_window": 5, "text_lang_id": 5, "text_tfidf": 5,
-    "udf_scalar_pandas": 5,
+    "stream_tumbling_window": 9, "text_lang_id": 9, "text_tfidf": 9,
+    "udf_scalar_pandas": 9,
     # --- last checked in round 6 (50 entries) ---
     "dedup_incremental": 6, "dedup_minhash_lsh": 6, "dedup_simhash": 6,
     "dedup_simhash_weighted": 6, "graph_pagerank": 6, "knn_self_join_topk": 6,

@@ -349,3 +349,127 @@ def test_export_field_ids_match_table_after_stale_append_race(spark, cat):
     exported_ids = {f["name"]: f["id"] for f in cur["fields"]}
     assert exported_ids == t.field_ids()  # incl. value keeping its id
     assert "value" in exported_ids and "v" in exported_ids
+
+
+# --------------------------------------------------- nested-field evolution
+def _mk_nested(spark, cat, name="nt"):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [(1, Row(b=10.0, z="x")), (2, Row(b=20.0, z="y"))],
+        "id int, a struct<b double, z string>",
+    )
+    t = cat.get_or_create_table(name, df.schema)
+    t.append(df)
+    return t
+
+
+def test_nested_member_rename_reads_across_vintages(spark, cat):
+    """VERDICT r9 next-round #3: rename a.b -> a.c between appends; the
+    read rebuilds the struct per vintage class so both file vintages
+    resolve to ONE current schema, and the member's field id moves with
+    the rename."""
+    t = _mk_nested(spark, cat)
+    id_b = t.nested_field_ids()["a.b"]
+    t.rename_column("a.b", "a.c")
+    assert t.nested_field_ids()["a.c"] == id_b
+    assert "a.b" not in t.nested_field_ids()
+    t.append(
+        spark.createDataFrame(
+            [(3, {"c": 30.0, "z": "z"})], "id int, a struct<c double, z string>"
+        )
+    )
+    rows = sorted(
+        (r["id"], r["a"]["c"], r["a"]["z"]) for r in t.read(spark).collect()
+    )
+    assert rows == [(1, 10.0, "x"), (2, 20.0, "y"), (3, 30.0, "z")]
+    # time travel before the rename still reads the old member name
+    old = sorted((r["id"], r["a"]["b"]) for r in t.read(spark, version=2).collect())
+    assert old == [(1, 10.0), (2, 20.0)]
+
+
+def test_nested_member_drop_and_readd_gets_fresh_id(spark, cat):
+    """Dropping a.z retires its id; a re-added a.z is a NEW field: old
+    files read NULL for it instead of resurrecting the dead bytes."""
+    t = _mk_nested(spark, cat)
+    old_id = t.nested_field_ids()["a.z"]
+    t.drop_column("a.z")
+    assert "a.z" not in t.nested_field_ids()
+    assert [f.name for f in t.schema()["a"].dataType.fields] == ["b"]
+    t.append(
+        spark.createDataFrame(
+            [(3, {"b": 30.0, "z": "NEW"})],
+            "id int, a struct<b double, z string>",
+        ),
+        merge_schema=True,
+    )
+    assert t.nested_field_ids()["a.z"] != old_id
+    rows = sorted(
+        (r["id"], r["a"]["b"], r["a"]["z"]) for r in t.read(spark).collect()
+    )
+    assert rows == [(1, 10.0, None), (2, 20.0, None), (3, 30.0, "NEW")]
+
+
+def test_parent_struct_rename_moves_subtree_ids(spark, cat):
+    """Renaming the struct itself re-keys the whole subtree's ids and
+    old files resolve through the prefix-aware vintage source."""
+    t = _mk_nested(spark, cat)
+    before = dict(t.nested_field_ids())
+    t.rename_column("a", "meta")
+    after = t.nested_field_ids()
+    assert after["meta.b"] == before["a.b"]
+    assert after["meta.z"] == before["a.z"]
+    rows = sorted((r["id"], r["meta"]["b"]) for r in t.read(spark).collect())
+    assert rows == [(1, 10.0), (2, 20.0)]
+    # chained: member rename UNDER the renamed parent
+    t.rename_column("meta.b", "meta.score")
+    t.append(
+        spark.createDataFrame(
+            [(3, {"score": 30.0, "z": "z"})],
+            "id int, meta struct<score double, z string>",
+        )
+    )
+    rows = sorted(
+        (r["id"], r["meta"]["score"]) for r in t.read(spark).collect()
+    )
+    assert rows == [(1, 10.0), (2, 20.0), (3, 30.0)]
+    assert t.nested_field_ids()["meta.score"] == before["a.b"]
+
+
+def test_nested_rename_rejects_reparent_and_array_interior(spark, cat):
+    t = _mk_nested(spark, cat)
+    with pytest.raises(ValueError, match="parent path"):
+        t.rename_column("a.b", "c")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("a.nope", "a.x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("a.b", "a.z")
+    df = spark.createDataFrame(
+        [(1, [{"x": 1}])], "id int, arr array<struct<x int>>"
+    )
+    ta = cat.get_or_create_table("arrt", df.schema)
+    ta.append(df)
+    with pytest.raises(ValueError, match="arrays/maps"):
+        ta.rename_column("arr.element.x", "arr.element.y")
+    t.drop_column("a.b")
+    with pytest.raises(ValueError, match="only member"):
+        t.drop_column("a.z")  # would leave an empty struct
+
+
+def test_nested_widening_merge_schema_no_events(spark, cat):
+    """A merge_schema append may ADD a struct member (recursive union-
+    evolve): old files null-fill the missing subfield on the fast path
+    (no events, single scan)."""
+    t = _mk_nested(spark, cat)
+    t.append(
+        spark.createDataFrame(
+            [(3, {"b": 30.0, "z": "z", "w": 7})],
+            "id int, a struct<b double, z string, w int>",
+        ),
+        merge_schema=True,
+    )
+    rows = sorted((r["id"], r["a"]["w"]) for r in t.read(spark).collect())
+    assert rows == [(1, None), (2, None), (3, 7)]
+    assert t.nested_field_ids()["a.w"] > max(
+        v for k, v in t.field_ids().items()
+    )
