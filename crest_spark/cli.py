@@ -262,6 +262,33 @@ def query(argv: list[str]) -> int:
     return 0
 
 
+def curate(argv: list[str]) -> int:
+    """Config-first curation pipeline: ``python -m crest_spark.cli
+    curate recipe.yaml`` — composes the certified curation operators
+    (dedup / quality gate / decontamination / DSIR / PII scrub /
+    packing) over a documents source per the recipe, writes a curated
+    lakehouse table with provenance columns, and prints ONE JSON report
+    line (per-stage row counts) on stdout."""
+    import json
+
+    import yaml
+
+    parser = argparse.ArgumentParser(
+        prog="crest_spark.cli curate", description="run a curation recipe"
+    )
+    parser.add_argument("recipe", help="YAML recipe path")
+    args = parser.parse_args(argv)
+    with open(args.recipe) as fh:
+        recipe = yaml.safe_load(fh) or {}
+    from crest_spark.curation_recipe import run_recipe
+
+    spark = get_spark("crest-spark-curate")
+    spark.sparkContext.setLogLevel("ERROR")
+    report = run_recipe(spark, recipe)
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -269,6 +296,8 @@ def main(argv: list[str] | None = None) -> int:
         return maintain(argv[1:])
     if argv and argv[0] == "query":
         return query(argv[1:])
+    if argv and argv[0] == "curate":
+        return curate(argv[1:])
     parser = argparse.ArgumentParser(description="crest_spark ingestion service")
     parser.add_argument("--config", required=True, help="YAML config path")
     parser.add_argument(

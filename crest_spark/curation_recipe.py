@@ -1,0 +1,367 @@
+"""Config-first training-data curation pipeline (VERDICT r9 next-round
+#8): ``python -m crest_spark.cli curate recipe.yaml`` composes the
+curation operators this engine already certifies one-by-one —
+exact/containment dedup, quality gate, benchmark decontamination, DSIR
+importance weighting, PII scrub, token-budget packing — into ONE
+pipeline over a lakehouse (or parquet) documents table, writing a
+curated lakehouse table with per-row provenance columns and returning a
+per-stage row-count report. Crest-parity: the reference is config-first
+(``/root/reference/cmd/ingestor/main.go`` loads YAML and runs), this is
+the same shape for the curation role.
+
+Recipe YAML::
+
+    source:
+      parquet: /root/testdata/sf0.001      # documents.parquet dir, OR
+      # warehouse: /wh            + table: ns.docs (lakehouse source)
+    output:
+      warehouse: /wh
+      table: default.docs_curated
+    stages:                        # ordered; each optional
+      - op: exact_dedup
+      - op: containment_dedup
+        cap: 1000
+        threshold: 0.9
+      - op: quality_gate
+        min_chars: 40
+        max_repeat_ratio: 0.6
+      - op: decontaminate
+        eval_parquet: /path/eval   # or eval_table + warehouse; or
+        eval_doc_ids_below: 10     # fixture mode
+        ngram: 8
+      - op: pii_scrub
+      - op: dsir
+        target_lang: en
+      - op: pack
+        budget: 512
+
+Every stage is a pure DataFrame -> DataFrame function here (library
+forms; the registry entries pin each one against the DuckDB oracle), so
+the composition inherits the per-operator scale plans: the only
+broadcast-hinted relations are bounded by construction (the <= B-bucket
+DSIR model, the eval-suite gram set), dedup pair generation is the
+df-capped linear route, and packing is the two-level prefix sum."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crest_spark.operators.curation import (
+    _DECON_N,
+    _DSIR_B,
+    _PII_EMAIL,
+    _PII_IP,
+    _PII_PHONE,
+)
+from crest_spark.operators.dedup import containment_capped_pairs
+from crest_spark.registry import ensure_session_confs
+
+
+# --------------------------------------------------------------- stages
+def stage_exact_dedup(df: DataFrame, **_: object) -> DataFrame:
+    """Keep one representative (min doc_id) per exact text; hash
+    groupBy — the cheapest dedup tier."""
+    keep = df.groupBy(F.xxhash64("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return df.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+
+def stage_containment_dedup(
+    df: DataFrame,
+    cap: int = 1000,
+    threshold: float = 0.9,
+    **_: object,
+) -> DataFrame:
+    """Drop near-duplicate CONTAINED documents via the df-capped
+    containment miner (linear candidate stage; exact verify)."""
+    pairs = containment_capped_pairs(df, cap=int(cap), threshold=float(threshold))
+    contained = pairs.select(
+        F.col("contained_id").alias("doc_id")
+    ).distinct()
+    return df.join(contained, "doc_id", "left_anti")
+
+
+def stage_quality_gate(
+    df: DataFrame,
+    min_chars: int = 40,
+    max_repeat_ratio: float = 0.6,
+    **_: object,
+) -> DataFrame:
+    """Heuristic quality floor: minimum length + a repetition ceiling
+    (1 - distinct/total words). Adds ``quality_repeat_ratio``."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    out = df.withColumn(
+        "quality_repeat_ratio",
+        F.when(
+            F.size(toks) > 0,
+            1.0
+            - F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks),
+        ).otherwise(F.lit(1.0)),
+    )
+    return out.where(
+        (F.length("text") >= int(min_chars))
+        & (F.col("quality_repeat_ratio") <= float(max_repeat_ratio))
+    )
+
+
+def stage_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame | None = None,
+    eval_doc_ids_below: int | None = None,
+    ngram: int = _DECON_N,
+    **_: object,
+) -> DataFrame:
+    """Remove training docs sharing ANY word n-gram with the eval
+    corpus. Eval grams are distinct-ed and broadcast (eval suites are
+    tiny at any corpus scale); flagging is map-side."""
+    n = int(ngram)
+    toks = "split(text, ' ')"
+    gram_expr = F.explode(
+        F.expr(
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n - 1}),"
+            f" i -> concat_ws(' ', slice({toks}, i, {n})))"
+            f" ELSE array() END"
+        )
+    ).alias("gram")
+    if eval_df is None:
+        if eval_doc_ids_below is None:
+            raise ValueError(
+                "decontaminate needs eval_parquet/eval_table or "
+                "eval_doc_ids_below"
+            )
+        eval_df = df.where(F.col("doc_id") < int(eval_doc_ids_below))
+        df = df.where(F.col("doc_id") >= int(eval_doc_ids_below))
+    bench = (
+        eval_df.select(gram_expr)
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    flagged = (
+        df.select("doc_id", gram_expr)
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
+        .join(F.broadcast(bench), "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return df.join(flagged, "doc_id", "left_anti")
+
+
+def stage_pii_scrub(df: DataFrame, **_: object) -> DataFrame:
+    """Mask emails / IPs / phone numbers in place (RE2-safe patterns)."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return df.withColumn("text", cleaned)
+
+
+def stage_dsir(
+    df: DataFrame, target_lang: str = "en", **_: object
+) -> DataFrame:
+    """DSIR importance log-weights (arXiv:2302.03169) over hashed
+    unigram+bigram buckets; the <= B-row model is broadcast BY
+    CONSTRUCTION. Adds ``dsir_logw``. Needs a ``lang`` column for the
+    target slice (absent -> the stage is a clear error, not a guess)."""
+    if "lang" not in df.columns:
+        raise ValueError("dsir stage needs a 'lang' column on the source")
+    ct = df.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    n = F.size("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat(F.col("toks")[i - 1], F.lit(" "), F.col("toks")[i]),
+    )
+    feats = ct.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(F.col("toks"), F.when(n >= 2, bigrams).otherwise(F.array()))
+        ).alias("f"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 6), 16, 10)
+        .cast("long")
+        % _DSIR_B
+    )
+    bucketed = feats.select("doc_id", "lang", bucket.alias("b"))
+    model = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == target_lang, F.lit(1))).alias("ct_"),
+    )
+    tot = model.agg(F.sum("cr").alias("tr"), F.sum("ct_").alias("tt"))
+    logw = (
+        bucketed.join(F.broadcast(model), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log((F.col("ct_") + 1).cast("double") / (F.col("tt") + _DSIR_B))
+                - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + _DSIR_B))
+            ).alias("dsir_logw")
+        )
+    )
+    return df.join(logw, "doc_id", "left").fillna({"dsir_logw": 0.0})
+
+
+def stage_pack(df: DataFrame, budget: int = 512, **_: object) -> DataFrame:
+    """Token-budget sequence packing by the scalable two-level prefix
+    sum (per-partition cumsum + broadcast partition offsets). Adds
+    ``n_tokens`` and ``seq_id``."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    d = df.withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("bigint")
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = d.repartitionByRange(n_parts, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("_local_cum", F.sum("n_tokens").over(w_local))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_ptot"))
+        .withColumn("_offset", F.sum("_ptot").over(w_off) - F.col("_ptot"))
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "seq_id",
+            F.floor(
+                (F.col("_offset") + F.col("_local_cum") - F.col("n_tokens"))
+                / float(int(budget))
+            ).cast("bigint"),
+        )
+        .drop("_pid", "_local_cum")
+    )
+
+
+STAGES = {
+    "exact_dedup": stage_exact_dedup,
+    "containment_dedup": stage_containment_dedup,
+    "quality_gate": stage_quality_gate,
+    "decontaminate": stage_decontaminate,
+    "pii_scrub": stage_pii_scrub,
+    "dsir": stage_dsir,
+    "pack": stage_pack,
+}
+
+
+# --------------------------------------------------------------- runner
+def _load_source(spark: SparkSession, src: dict) -> DataFrame:
+    if src.get("parquet"):
+        import os
+
+        p = src["parquet"]
+        if os.path.isdir(p):
+            p = os.path.join(p, "documents.parquet")
+        return spark.read.parquet(p)
+    if src.get("warehouse") and src.get("table"):
+        from crest_spark.lakehouse import LakehouseCatalog
+
+        ns, _, name = str(src["table"]).rpartition(".")
+        return (
+            LakehouseCatalog(src["warehouse"])
+            .table(name, namespace=ns or "default")
+            .read(spark)
+        )
+    raise ValueError("source needs parquet: DIR or warehouse: + table:")
+
+
+def run_recipe(spark: SparkSession, recipe: dict) -> dict:
+    """Execute the recipe; write the curated lakehouse table; return the
+    per-stage report (rows in/out, wall seconds, output version)."""
+    ensure_session_confs(spark)
+    df = _load_source(spark, recipe.get("source") or {})
+    if "doc_id" not in df.columns or "text" not in df.columns:
+        raise ValueError("source must have doc_id and text columns")
+    applied: list[str] = []
+    report: dict = {"stages": []}
+    rows_in = df.count()
+    for st in recipe.get("stages") or []:
+        op = st.get("op")
+        if op not in STAGES:
+            raise ValueError(
+                f"unknown stage {op!r}; known: {sorted(STAGES)}"
+            )
+        kwargs = {k: v for k, v in st.items() if k != "op"}
+        if op == "decontaminate" and (
+            kwargs.get("eval_parquet") or kwargs.get("eval_table")
+        ):
+            kwargs["eval_df"] = _load_source(
+                spark,
+                {
+                    "parquet": kwargs.pop("eval_parquet", None),
+                    "warehouse": kwargs.pop(
+                        "eval_warehouse",
+                        (recipe.get("output") or {}).get("warehouse"),
+                    ),
+                    "table": kwargs.pop("eval_table", None),
+                },
+            )
+        t0 = time.time()
+        df = STAGES[op](df, **kwargs)
+        # checkpoint each stage's survivors: truncates the growing
+        # lineage AND makes the stage row counts one job each
+        df = df.localCheckpoint()
+        n = df.count()
+        report["stages"].append(
+            {
+                "op": op,
+                "rows_out": n,
+                "sec": round(time.time() - t0, 3),
+            }
+        )
+        applied.append(op)
+    out_cfg = recipe.get("output") or {}
+    curated = df.withColumn(
+        "provenance",
+        F.struct(
+            F.lit(str(recipe.get("name", "recipe"))).alias("recipe"),
+            F.lit(applied).alias("stages"),
+            F.current_timestamp().cast("long").alias("curated_at"),
+        ),
+    )
+    report["rows_in"] = rows_in
+    report["rows_out"] = curated.count()
+    if out_cfg.get("warehouse") and out_cfg.get("table"):
+        from crest_spark.lakehouse import LakehouseCatalog
+
+        ns, _, name = str(out_cfg["table"]).rpartition(".")
+        cat = LakehouseCatalog(out_cfg["warehouse"])
+        t = cat.get_or_create_table(
+            name, curated.schema, namespace=ns or "default"
+        )
+        if t.version() > 1:
+            v = t.overwrite(curated)
+        else:
+            v = t.append(curated)
+        report["output"] = {
+            "table": out_cfg["table"],
+            "version": v,
+            "warehouse": out_cfg["warehouse"],
+        }
+    return report

@@ -77,7 +77,77 @@ OPERATORS = {
     "curation_dsir_weights": ("~linear", "hashed-bucket DSIR weights (constant-size model, broadcast join)", 1024, ("documents",)),
     "text_bigram_nll": ("~linear", "array-zip bigrams + unhinted count joins (KenLM-role NLL)", 1024, ("documents",)),
     "dedup_substring_spans": ("~linear", "window-hash shuffle -> gaps-and-islands span merge", 1024, ("documents",)),
+    # r10 addition (VERDICT r9 #7): the first LAKEHOUSE row — a narrow
+    # CoW CDC merge against a RENAMED clustered table must cost
+    # O(touched files), not O(table): wall time should stay ~FLAT as
+    # the table scales 16x -> 1024x (exponent ~0), because the
+    # vintage-aware commit-log stats prune every untouched file without
+    # opening it and only the admitted file(s) rewrite.
+    "lake_merge_after_rename": ("O(touched-files)", "stats-pruned CoW merge on a renamed clustered key (flat = proof)", 1024, ("lineitem",)),
 }
+
+# ops timed by a CUSTOM routine rather than registry-fn + noop sink
+# (the lakehouse scenario separates table BUILD — cached per scale —
+# from the timed merge, and rolls back between runs)
+
+
+def _lake_merge_after_rename(spark, d: str, work: str) -> float:
+    """One timed narrow-key copy-on-write CDC merge against a clustered
+    lakehouse table built from the scaled lineitem, AFTER a column
+    rename (the vintage-aware pruning path: old files' key stats live
+    under the old physical name). Table build is cached per scale and
+    excluded from timing; every run rolls back to the pre-merge
+    version so reruns hit identical state. Returns seconds."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from crest_spark.lakehouse import LakehouseCatalog
+
+    cat = LakehouseCatalog(os.path.join(work, "wh"))
+    t = cat.table("li_evo")
+    if t.version() == 0:  # not built yet for this scale
+        li = (
+            spark.read.parquet(os.path.join(d, "lineitem.parquet"))
+            .groupBy(F.col("l_orderkey").cast("long").alias("k"))
+            .agg(
+                F.sum("l_quantity").cast("double").alias("qty"),
+                F.sum("l_extendedprice").cast("double").alias("price"),
+            )
+        )
+        t = cat.get_or_create_table(
+            "li_evo",
+            li.schema,
+        )
+        # constant-size files, scale-proportional file COUNT — the
+        # shape under which "O(touched files)" and "O(table)" diverge
+        t.append(li, cluster_by=["k"], max_rows_per_file=60_000)
+        t.rename_column("qty", "quantity")
+    src = spark.createDataFrame(
+        [(k, 99.0, 9999.0) for k in range(1, 101)],
+        "k long, quantity double, price double",
+    )
+    pre = t.version()
+    files_before = set(t._state()["files"])
+    t0 = _time.perf_counter()
+    t.merge(spark, src, key="k")
+    dt = _time.perf_counter() - t0
+    kept = files_before & set(t._state()["files"])
+    touched = len(files_before) - len(kept)
+    print(
+        f"#   merge touched {touched}/{len(files_before)} files",
+        file=sys.stderr,
+    )
+    if len(files_before) > 8 and touched > max(4, len(files_before) // 8):
+        raise AssertionError(
+            f"merge rewrote {touched} of {len(files_before)} files — "
+            "pruning is not holding, the timing would be meaningless"
+        )
+    t.rollback(pre)
+    return dt
+
+
+CUSTOM_OPS = {"lake_merge_after_rename": _lake_merge_after_rename}
 
 MARK_BEGIN = "<!-- scale-sweep:begin -->"
 MARK_END = "<!-- scale-sweep:end -->"
@@ -260,13 +330,20 @@ def run_sweep(
     for name, (klass, desc, max_scale, tables) in OPERATORS.items():
         if ops is not None and name not in ops:
             continue
-        fn = specs[name].fn
+        custom = CUSTOM_OPS.get(name)
+        fn = None if custom else specs[name].fn
         op_scales = [s for s in scales if max_scale is None or s <= max_scale]
         times: dict[int, float] = {}
         for s in op_scales:
             d = build_scaled_dir(s, root, tables)
             best = float("inf")
             for _ in range(runs):
+                if custom is not None:
+                    # custom routine returns its own timed section
+                    # (setup cached per scale, rolled back per run)
+                    work = os.path.join(root, f"{name}_x{s}")
+                    best = min(best, custom(spark, d, work))
+                    continue
                 t0 = time.perf_counter()
                 # noop sink, not count(): count lets Catalyst prune
                 # projected-only work (q61's whole window ran in 0.27s
