@@ -760,12 +760,24 @@ def export_iceberg_metadata(
     manifest_info: dict[tuple, dict] = {}  # (add_version, files) -> entry
 
     def _field_ids(snap: Snapshot) -> dict[str, tuple[int, str]]:
+        """(dotted path -> (field id, primitive type)) for every bound-
+        carrying position of the snapshot's schema: top-level primitives
+        AND struct-nested leaves (r10 — commit stats key by the same
+        dotted paths, so nested bounds export like flat ones). List/map
+        interiors carry repeated values with no scalar bounds."""
         isch = iceberg_schemas[schema_ids[_skey(snap)]]
-        return {
-            f["name"]: (f["id"], f["type"])
-            for f in isch["fields"]
-            if isinstance(f["type"], str)  # bounds only for primitives
-        }
+        out: dict[str, tuple[int, str]] = {}
+
+        def walk(fields: list[dict], prefix: str) -> None:
+            for f in fields:
+                p = f"{prefix}.{f['name']}" if prefix else f["name"]
+                if isinstance(f["type"], str):
+                    out[p] = (f["id"], f["type"])
+                elif f["type"].get("type") == "struct":
+                    walk(f["type"]["fields"], p)
+
+        walk(isch["fields"], "")
+        return out
 
     # ---- clustering metadata (VERDICT r6 next-round #6): the most
     # recent cluster_by declaration is the table's sort layout — emitted

@@ -67,16 +67,28 @@ def _footer_stats(files: list[str]) -> dict[str, dict[str, list]]:
     float / str / bool). This is the Iceberg-manifest role: file-level
     pruning happens against the commit log without opening any footer at
     scan time — at 100 TB that's the difference between listing metadata
-    and issuing an object-store GET per file."""
+    and issuing an object-store GET per file.
+
+    Columns are keyed by their FULL dotted path (``a.b`` for a struct
+    leaf), matching the logical predicate paths ``scan``/``pruned_files``
+    take — pyarrow's bare leaf ``names`` are ambiguous, and a struct
+    leaf sharing a top-level column's name used to SHADOW its stats
+    (found r10: ``scan({"b": ...})`` on a table with both ``b`` and
+    ``a.b`` pruned against the struct leaf's bounds and returned wrong
+    rows). Leaves under lists/maps (``.list.`` / ``.key_value.`` path
+    segments) carry repeated values with no scalar-range semantics and
+    are not recorded."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict[str, list]] = {}
     for f in files:
         md = pq.ParquetFile(f).metadata
-        names = md.schema.names
+        names = [md.schema.column(i).path for i in range(md.num_columns)]
         cols: dict[str, list] = {}
         nulls: dict[str, int] = {}
         for i, name in enumerate(names):
+            if ".list." in name or ".key_value." in name:
+                continue
             mn = mx = None
             ok = True
             nc = 0
@@ -4018,9 +4030,22 @@ class LakehouseTable:
         m = cache.get(vf)
         if m is None:
             schema = StructType.fromJson(json.loads(state["schema"]))
+
+            def _paths(dtype, prefix: str, out: list[str]) -> None:
+                # struct leaves carry dotted stat keys (r10); arrays/
+                # maps record no scalar stats, so no paths under them
+                if isinstance(dtype, StructType):
+                    for ch in dtype.fields:
+                        p = f"{prefix}.{ch.name}"
+                        out.append(p)
+                        _paths(ch.dataType, p, out)
+
+            all_paths: list[str] = []
+            for fl in schema.fields:
+                all_paths.append(fl.name)
+                _paths(fl.dataType, fl.name, all_paths)
             m = {
-                fl.name: self._vintage_source(fl.name, events, vf)
-                for fl in schema.fields
+                p: self._vintage_source(p, events, vf) for p in all_paths
             }
             cache[vf] = m
         out: dict = {}

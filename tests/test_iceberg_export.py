@@ -782,3 +782,48 @@ def test_name_mapping_rename_chain_latest_bearer_wins():
     by_id = {e["field-id"]: e["names"] for e in nm}
     assert by_id[1] == ["b"]          # 'a' stripped from b's history
     assert by_id[2] == ["d", "a", "c"]
+
+
+def test_export_emits_nested_leaf_bounds(spark, tmp_path):
+    """Struct-nested primitive leaves export per-file lower/upper bounds
+    under their own (table-global) field ids — commit stats key by
+    dotted path (r10), so nested bounds flow like flat ones."""
+    from pyspark.sql import Row
+
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.lakehouse.avro_io import read_container
+
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, Row(b=float(i), z="x")) for i in range(1, 51)],
+        "id int, a struct<b double, z string>",
+    )
+    t = cat.get_or_create_table("nb", df.schema)
+    t.append(df, cluster_by=["id"], max_rows_per_file=25)
+    meta_dir = export_iceberg_metadata(t)
+    v = t.version()
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    a_struct = next(f for f in cur["fields"] if f["name"] == "a")
+    nested_b = next(
+        ch for ch in a_struct["type"]["fields"] if ch["name"] == "b"
+    )
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, lentries = read_container(snap["manifest-list"])
+    lows = []
+    for e in lentries:
+        _, _, recs = read_container(e["manifest_path"])
+        for rec in recs:
+            for kv in rec["data_file"]["lower_bounds"] or []:
+                if kv["key"] == nested_b["id"]:
+                    import struct as _s
+
+                    lows.append(_s.unpack("<d", kv["value"])[0])
+    assert sorted(lows) == [1.0, 26.0]  # one bound per clustered file

@@ -1257,3 +1257,48 @@ def test_merge_sync_change_feed_stages_deletes(spark, tmp_path):
         ("delete", 3),
     }
     assert {r["id"] for r in t.read(spark).collect()} == {1, 4}
+
+
+def test_stats_keyed_by_full_path_no_leaf_shadowing(spark, tmp_path):
+    """Regression (found r10): parquet footers report LEAF names, so a
+    struct member sharing a top-level column's name used to SHADOW its
+    commit-log stats — scan({'b': ...}) on a table with both 'b' and
+    'a.b' pruned against the struct leaf's bounds and returned WRONG
+    rows. Stats now key by full dotted path."""
+    from pyspark.sql import Row
+
+    from crest_spark.lakehouse import LakehouseCatalog
+
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, float(i), Row(b=1000.0 + i)) for i in range(1, 101)],
+        "id int, b double, a struct<b double>",
+    )
+    t = cat.get_or_create_table("shadow", df.schema)
+    t.append(df, cluster_by=["id"], max_rows_per_file=50)
+    st = next(iter(t._state()["stats"].values()))
+    assert st["b"][1] <= 100.0  # top-level bounds, not the leaf's
+    assert "a.b" in st
+    assert t.scan(spark, {"b": (1.0, 5.0)}).count() == 5
+
+
+def test_nested_leaf_stats_prune_and_survive_member_rename(spark, tmp_path):
+    """Struct-leaf predicates prune files from commit-log stats (dotted
+    stat keys) and keep pruning after the member is renamed — the
+    vintage stat map covers nested paths."""
+    from pyspark.sql import Row
+
+    from crest_spark.lakehouse import LakehouseCatalog
+
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, Row(b=float(i), z="x")) for i in range(1, 101)],
+        "id int, a struct<b double, z string>",
+    )
+    t = cat.get_or_create_table("nested", df.schema)
+    t.append(df, cluster_by=["id"], max_rows_per_file=25)
+    assert len(t.pruned_files({"a.b": (10.0, 20.0)})) == 1
+    t.rename_column("a.b", "a.score")
+    files = t.pruned_files({"a.score": (10.0, 20.0)})
+    assert len(files) == 1  # old-vintage stats resolved via 'a.b'
+    assert t.scan(spark, {"a.score": (10.0, 20.0)}).count() == 11

@@ -473,3 +473,51 @@ def test_nested_widening_merge_schema_no_events(spark, cat):
     assert t.nested_field_ids()["a.w"] > max(
         v for k, v in t.field_ids().items()
     )
+
+
+def test_nested_member_type_promotion_merge_schema(spark, cat):
+    """Recursive union-evolve also PROMOTES widenable member types
+    (int -> long inside a struct), same lattice as top-level."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [(1, Row(n=7, z="x"))], "id int, a struct<n int, z string>"
+    )
+    t = cat.get_or_create_table("tp", df.schema)
+    t.append(df)
+    t.append(
+        spark.createDataFrame(
+            [(2, Row(n=2**40, z="y"))], "id int, a struct<n long, z string>"
+        ),
+        merge_schema=True,
+    )
+    assert (
+        t.schema()["a"].dataType["n"].dataType.typeName() == "long"
+    )
+    rows = sorted((r["id"], r["a"]["n"]) for r in t.read(spark).collect())
+    assert rows == [(1, 7), (2, 2**40)]
+
+
+def test_change_feed_resolves_nested_member_rename(spark, cat):
+    """An incremental-read window SPANNING a nested member rename: the
+    window's older commits' files hold the old member name — the feed
+    surfaces their values under the CURRENT name via the per-vintage
+    struct rebuild, not as NULLs."""
+    t = _mk_nested(spark, cat)
+    base = t.version()
+    t.append(
+        spark.createDataFrame(
+            [(3, {"b": 30.0, "z": "q"})],
+            "id int, a struct<b double, z string>",
+        )
+    )
+    t.rename_column("a.b", "a.c")
+    t.append(
+        spark.createDataFrame(
+            [(4, {"c": 40.0, "z": "r"})],
+            "id int, a struct<c double, z string>",
+        )
+    )
+    feed = t.read_changes(spark, after=base)
+    rows = {r["id"]: r["a"]["c"] for r in feed.collect()}
+    assert rows == {3: 30.0, 4: 40.0}
