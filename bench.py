@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_brute_topk",
+    "ann_pq_topk",
     "text_lang_id",
     "text_token_stats",
     # r9 additions: the containment scale route and the restructured

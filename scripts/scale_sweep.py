@@ -67,6 +67,9 @@ OPERATORS = {
     "dedup_minhash_lsh": ("sub-quadratic", "minhash signatures -> banded buckets -> verify", None, ("documents",)),
     "dedup_embedding_ann": ("sub-quadratic", "hyperplane-LSH blocking -> exact-cosine verify", None, ("embeddings",)),
     "ann_lsh_topk": ("sub-quadratic", "LSH-bucketed top-k", None, ("embeddings",)),
+    # r10: the PQ route — one encode pass + a codes-only ADC scan, both
+    # linear; 64x memory compression is the point (codes vs float64s)
+    "ann_pq_topk": ("~linear", "product-quantization codes -> ADC scan -> exact re-rank", None, ("embeddings",)),
     "dedup_embedding_cosine": ("quadratic", "exact block-pair GEMM (designed O(n^2) baseline)", 256, ("embeddings",)),
     "q58_market_basket": ("~linear", "basket pair-join + lift (pair expansion per order)", 1024, ("lineitem",)),
     "q61_scd2_point_in_time": ("~linear", "union-tag + running-last window (join-free PIT)", 1024, ("events",)),

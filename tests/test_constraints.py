@@ -275,3 +275,35 @@ def test_constraint_added_mid_fast_forward_retry_revalidates(spark, cat):
     assert fired["done"]
     assert t.read(spark).where(F.col("v") < 0).count() == 0
     assert "b" in t.branches()
+
+
+def test_constraint_on_nested_member_gates_and_guards(spark, cat):
+    """CHECK constraints may reference struct members by dotted path:
+    enforcement reads the committed bytes (expr binds a.b), and the
+    evolution guard blocks renaming/dropping a referenced member (or
+    its parent) until the constraint drops."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [(1, Row(amount=5.0, note="x"))],
+        "id int, a struct<amount double, note string>",
+    )
+    t = cat.get_or_create_table("nc", df.schema)
+    t.append(df)
+    t.add_constraint(spark, "amt_pos", "a.amount > 0")
+    bad = spark.createDataFrame(
+        [(2, Row(amount=-1.0, note="y"))],
+        "id int, a struct<amount double, note string>",
+    )
+    with pytest.raises(ValueError, match="amt_pos"):
+        t.append(bad)
+    assert t.read(spark).count() == 1
+    with pytest.raises(ValueError, match="amt_pos"):
+        t.rename_column("a.amount", "a.amt")
+    with pytest.raises(ValueError, match="amt_pos"):
+        t.drop_column("a.amount")
+    t.drop_constraint("amt_pos")
+    t.rename_column("a.amount", "a.amt")
+    assert [f.name for f in t.schema()["a"].dataType.fields] == [
+        "amt", "note"
+    ]

@@ -815,3 +815,29 @@ def test_mersenne_fold_bit_identity():
         np.array([MERSENNE - 1], dtype=np.uint64),
     )
     assert int(worst[0, 0]) == ((MERSENNE - 1) ** 2 + (MERSENNE - 1)) % MERSENNE
+
+
+def test_ann_pq_recall_vs_brute(spark, sf_dir):
+    """Product-quantization ANN: 8-byte codes + exact re-rank must hold
+    a much higher floor than the LSH path (measured 0.76 at sf0.01 on
+    near-random vectors; chance ~5/500), return full per-query result
+    sets with EXACT sims (re-ranked), and be deterministic (seeded
+    codebooks, rounded-sim tie-breaks)."""
+    brute = SPECS["ann_brute_topk"].fn(spark, sf_dir).collect()
+    pq1 = SPECS["ann_pq_topk"].fn(spark, sf_dir).collect()
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    a = {(r["query_id"], r["vec_id"]) for r in pq1}
+    assert len(a & b) / len(b) >= 0.5
+    by_q = {}
+    for r in pq1:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 5 for v in by_q.values())
+    # sims are EXACT cosines: every overlapping pair agrees with brute
+    bsim = {(r["query_id"], r["vec_id"]): r["sim"] for r in brute}
+    for r in pq1:
+        key = (r["query_id"], r["vec_id"])
+        if key in bsim:
+            assert r["sim"] == bsim[key]
+    pq2 = SPECS["ann_pq_topk"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, pq1)) == sorted(map(tuple, pq2))
