@@ -244,13 +244,25 @@ COMMENTARY = {
         "an integer ratio so the threshold cannot flip across engines."
     ),
     "dedup_containment_capped": (
-        "Containment SCALE route (r9): the hot-shingle stopword list "
-        "(df > cap — at most |index|/cap entries) rides a BROADCAST "
-        "anti-join; the capped inverted-index self-join emits at most "
-        "cap rows per posting list, so the candidate-pair stream is "
-        "linear in the corpus; the exact verify re-intersects FULL "
-        "hashed-shingle arrays of candidate docs only (array_intersect, "
-        "JVM-side) — work proportional to candidates, never corpus²."
+        "Containment SCALE route (r9; r10 unforced): the hot-shingle "
+        "stopword list is bounded by |postings|/cap — a bound that "
+        "GROWS with the corpus — so its anti-join is UNHINTED (AQE has "
+        "exact sizes for the aggregate output; plan pin asserts no "
+        "forced broadcast); the capped inverted-index self-join emits "
+        "at most cap rows per posting list, so the candidate-pair "
+        "stream is linear in the corpus; the exact verify re-intersects "
+        "FULL hashed-shingle arrays of candidate docs only "
+        "(array_intersect, JVM-side) — work proportional to "
+        "candidates, never corpus²."
+    ),
+    "ann_pq_topk": (
+        "Product-quantization ANN (r10): one Arrow encode pass emits "
+        "m=8 one-byte codes per vector (the 64x-compressed index, "
+        "pinned once); the query scan reads ONLY the codes — per-query "
+        "(m x k) ADC tables ride the closure, each batch scores as m "
+        "gathers + a sum; the 8xK shortlist re-ranks EXACTLY through a "
+        "semi-join-sized fetch of the original vectors. At 100 TB the "
+        "float vectors are read once (encode) and never again."
     ),
     "text_bigram_nll": (
         "Bigram-LM scoring: adjacent pairs from an array zip (no self-"
@@ -280,7 +292,11 @@ COMMENTARY = {
         "key with the inequality residual (never cartesian); the "
         "per-part singles joins are UNHINTED — singles grows with the "
         "corpus, and AQE picks broadcast only while measured-small "
-        "(r7 what's-wrong #2 removed the forced broadcast)."
+        "(r7 what's-wrong #2 removed the forced broadcast). r10: the "
+        "1-row basket census rides the DAG as an unhinted broadcast "
+        "scalar instead of a separate driver count() job (min-of-5 at "
+        "sf0.1: 2.39s -> 1.76s); a global aggregate is one row at any "
+        "corpus size, so its BNLJ never grows."
     ),
 }
 
