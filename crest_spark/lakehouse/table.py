@@ -46,7 +46,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import ArrayType, MapType, StructField, StructType
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
@@ -375,17 +375,40 @@ def _fold_field_ids(state: dict, extra: dict, schema_json: str) -> None:
 
 
 def _edit_struct_path(dtype, parts: list[str], edit):
-    """Rebuild a StructType applying ``edit(fields, leaf) -> fields`` at
-    the struct that holds the final path component. Traversal is
-    STRUCT-ONLY: in-place evolution inside arrays/maps (``x.element.y``)
-    is not supported — their member layout is fixed at write time and a
-    rename there would need element-wise data transforms at read."""
+    """Rebuild a schema type applying ``edit(fields, leaf) -> fields``
+    at the struct that holds the final path component. Traversal
+    follows Iceberg's nested paths: struct members by name, array
+    elements via the ``element`` component, map values via ``value``
+    (``x.element.y`` renames member y of the structs inside array x —
+    reads rebuild element-wise with ``transform``). Map KEYS cannot be
+    evolved (they define map identity — the Iceberg rule), and the
+    ``element``/``key``/``value`` positions themselves are not
+    renamable fields."""
     head = parts[0]
-    if not isinstance(dtype, StructType):
-        raise ValueError(
-            f"path component {head!r} is not a struct member (evolution "
-            "inside arrays/maps is not supported)"
+    if isinstance(dtype, ArrayType):
+        if head != "element" or len(parts) == 1:
+            raise ValueError(
+                "array interiors evolve via '...element.<member>' paths"
+            )
+        return ArrayType(
+            _edit_struct_path(dtype.elementType, parts[1:], edit),
+            dtype.containsNull,
         )
+    if isinstance(dtype, MapType):
+        if head == "key" or (head == "value" and len(parts) == 1) or (
+            head not in ("key", "value")
+        ):
+            raise ValueError(
+                "map keys cannot be evolved; map interiors evolve via "
+                "'...value.<member>' paths"
+            )
+        return MapType(
+            dtype.keyType,
+            _edit_struct_path(dtype.valueType, parts[1:], edit),
+            dtype.valueContainsNull,
+        )
+    if not isinstance(dtype, StructType):
+        raise ValueError(f"path component {head!r} is not a struct member")
     names = [f.name for f in dtype.fields]
     if head not in names:
         raise ValueError(f"no field {head!r}")
@@ -428,13 +451,22 @@ def vintage_scan_groups(
         return p.rsplit(".", 1)[-1]
 
     def _spaths(dtype, prefix: str, out: list[str]) -> None:
-        # struct-traversal paths only: evolution inside arrays/maps is
-        # rejected at the DDL, so their interiors never remap
+        # nested vintage positions: struct members by name, array
+        # elements / map values by their Iceberg path components (map
+        # keys cannot evolve, so no key paths)
         if isinstance(dtype, StructType):
             for ch in dtype.fields:
                 p = f"{prefix}.{ch.name}"
                 out.append(p)
                 _spaths(ch.dataType, p, out)
+        elif isinstance(dtype, ArrayType):
+            p = f"{prefix}.element"
+            out.append(p)
+            _spaths(dtype.elementType, p, out)
+        elif isinstance(dtype, MapType):
+            p = f"{prefix}.value"
+            out.append(p)
+            _spaths(dtype.valueType, p, out)
 
     all_paths: list[str] = []
     for fl in schema.fields:
@@ -454,56 +486,92 @@ def vintage_scan_groups(
             """True when every member of the subtree exists at this
             vintage under the SAME leaf name — the whole column then
             resolves with a single top-level alias, no rebuild."""
-            if not isinstance(dtype, StructType):
+            if isinstance(dtype, StructType):
+                for ch in dtype.fields:
+                    p = f"{path}.{ch.name}"
+                    sp = src.get(p)
+                    if sp is None or _leaf(sp) != ch.name:
+                        return False
+                    if not _interior_same(ch.dataType, p):
+                        return False
                 return True
-            for ch in dtype.fields:
-                p = f"{path}.{ch.name}"
-                sp = src.get(p)
-                if sp is None or _leaf(sp) != ch.name:
-                    return False
-                if not _interior_same(ch.dataType, p):
-                    return False
+            if isinstance(dtype, ArrayType):
+                return _interior_same(dtype.elementType, f"{path}.element")
+            if isinstance(dtype, MapType):
+                return _interior_same(dtype.valueType, f"{path}.value")
             return True
 
         def _phys(dtype, path: str):
             """Physical dtype of an existing path at this vintage (old
             member names, members newer than the file omitted); None
             when nothing under a struct is physically present."""
-            if not isinstance(dtype, StructType):
-                return dtype
-            kids = []
-            for ch in dtype.fields:
-                p = f"{path}.{ch.name}"
-                sp = src.get(p)
-                if sp is None:
-                    continue
-                pd = _phys(ch.dataType, p)
-                if pd is None:
-                    continue
-                kids.append(StructField(_leaf(sp), pd, True))
-            return StructType(kids) if kids else None
+            if isinstance(dtype, StructType):
+                kids = []
+                for ch in dtype.fields:
+                    p = f"{path}.{ch.name}"
+                    sp = src.get(p)
+                    if sp is None:
+                        continue
+                    pd = _phys(ch.dataType, p)
+                    if pd is None:
+                        continue
+                    kids.append(StructField(_leaf(sp), pd, True))
+                return StructType(kids) if kids else None
+            if isinstance(dtype, ArrayType):
+                pe = _phys(dtype.elementType, f"{path}.element")
+                return (
+                    None
+                    if pe is None
+                    else ArrayType(pe, dtype.containsNull)
+                )
+            if isinstance(dtype, MapType):
+                pv = _phys(dtype.valueType, f"{path}.value")
+                return (
+                    None
+                    if pv is None
+                    else MapType(dtype.keyType, pv, dtype.valueContainsNull)
+                )
+            return dtype
 
         def _resolve(col, dtype, path: str):
             """Current-schema value from the physical column."""
-            if not isinstance(dtype, StructType) or _interior_same(
-                dtype, path
-            ):
+            if _interior_same(dtype, path):
                 return col
-            kids = []
-            for ch in dtype.fields:
-                p = f"{path}.{ch.name}"
-                sp = src.get(p)
-                if sp is None or _phys(ch.dataType, p) is None:
-                    kids.append(F.lit(None).cast(ch.dataType).alias(ch.name))
-                else:
-                    kids.append(
-                        _resolve(
-                            col.getField(_leaf(sp)), ch.dataType, p
-                        ).alias(ch.name)
-                    )
-            return F.when(col.isNotNull(), F.struct(*kids)).otherwise(
-                F.lit(None).cast(dtype)
-            )
+            if isinstance(dtype, StructType):
+                kids = []
+                for ch in dtype.fields:
+                    p = f"{path}.{ch.name}"
+                    sp = src.get(p)
+                    if sp is None or _phys(ch.dataType, p) is None:
+                        kids.append(
+                            F.lit(None).cast(ch.dataType).alias(ch.name)
+                        )
+                    else:
+                        kids.append(
+                            _resolve(
+                                col.getField(_leaf(sp)), ch.dataType, p
+                            ).alias(ch.name)
+                        )
+                return F.when(col.isNotNull(), F.struct(*kids)).otherwise(
+                    F.lit(None).cast(dtype)
+                )
+            if isinstance(dtype, ArrayType):
+                # element-wise rebuild; NULL arrays stay NULL (transform
+                # is null-propagating)
+                return F.transform(
+                    col,
+                    lambda x: _resolve(
+                        x, dtype.elementType, f"{path}.element"
+                    ),
+                )
+            if isinstance(dtype, MapType):
+                return F.transform_values(
+                    col,
+                    lambda _k, v: _resolve(
+                        v, dtype.valueType, f"{path}.value"
+                    ),
+                )
+            return col
 
         phys_fields: list[StructField] = []
         exprs: list = []
@@ -1061,40 +1129,56 @@ class LakehouseTable:
     }
 
     @staticmethod
+    def _evolved_type(cur, inc):
+        """Union-evolve one type position: struct members union
+        recursively (new members append nullable), arrays/maps evolve
+        their element/value types in place, widenable primitives
+        promote; anything else keeps the current type (the append-side
+        cast then raises on a genuine narrowing)."""
+        if isinstance(cur, StructType) and isinstance(inc, StructType):
+            return LakehouseTable._evolved_schema(cur, inc)
+        if isinstance(cur, ArrayType) and isinstance(inc, ArrayType):
+            return ArrayType(
+                LakehouseTable._evolved_type(
+                    cur.elementType, inc.elementType
+                ),
+                cur.containsNull,
+            )
+        if isinstance(cur, MapType) and isinstance(inc, MapType):
+            return MapType(
+                cur.keyType,
+                LakehouseTable._evolved_type(cur.valueType, inc.valueType),
+                cur.valueContainsNull,
+            )
+        if (
+            cur.typeName(),
+            inc.typeName(),
+        ) in LakehouseTable._TYPE_PROMOTIONS:
+            return inc
+        return cur
+
+    @staticmethod
     def _evolved_schema(current: StructType, incoming: StructType) -> StructType:
         """Union-evolve ``current`` with ``incoming``: new columns append
         as nullable, widenable primitive types promote, and (r10)
-        STRUCT members union-evolve RECURSIVELY with the same rules —
+        nested positions union-evolve RECURSIVELY with the same rules —
         a merge_schema append may add a nullable member inside a
-        struct; old files read NULL for it (the parquet reader
-        null-fills missing subfields just like missing columns)."""
+        struct, an array's element struct, or a map's value struct; old
+        files read NULL for it (the parquet reader null-fills missing
+        subfields at any nesting depth, just like missing columns)."""
         in_fields = {f.name: f for f in incoming.fields}
-        evolved = []
-        for f in current.fields:
-            inf = in_fields.get(f.name)
-            if inf is None:
-                evolved.append(f)
-            elif isinstance(f.dataType, StructType) and isinstance(
-                inf.dataType, StructType
-            ):
-                evolved.append(
-                    StructField(
-                        f.name,
-                        LakehouseTable._evolved_schema(
-                            f.dataType, inf.dataType
-                        ),
-                        f.nullable,
-                    )
-                )
-            elif (
-                f.dataType.typeName(),
-                inf.dataType.typeName(),
-            ) in LakehouseTable._TYPE_PROMOTIONS:
-                evolved.append(
-                    StructField(f.name, inf.dataType, nullable=f.nullable)
-                )
-            else:
-                evolved.append(f)
+        evolved = [
+            StructField(
+                f.name,
+                LakehouseTable._evolved_type(
+                    f.dataType, in_fields[f.name].dataType
+                ),
+                f.nullable,
+            )
+            if f.name in in_fields
+            else f
+            for f in current.fields
+        ]
         names = {f.name for f in current.fields}
         added = [
             StructField(f.name, f.dataType, nullable=True)
@@ -1761,8 +1845,11 @@ class LakehouseTable:
         path must be identical (a rename cannot move a field between
         structs), the subtree's field ids move with it, and old files
         resolve through the same vintage log (the read rebuilds the
-        struct per vintage class). Struct-only traversal; evolution
-        inside arrays/maps is rejected."""
+        struct per vintage class). Paths traverse array elements and
+        map values via Iceberg's ``element``/``value`` components
+        (``arr.element.x -> arr.element.y`` renames member x of the
+        structs inside array arr; reads rebuild element-wise with
+        ``transform``/``transform_values``); map KEYS cannot evolve."""
         if old == new:
             raise ValueError("rename_column: old and new name are equal")
         po, pn = old.split("."), new.split(".")

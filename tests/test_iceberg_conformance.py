@@ -1016,3 +1016,56 @@ def test_nested_id_stability_across_unrelated_drop_readd(spark, tmp_path):
                 seen.add(f["type"]["fields"][0]["id"])
     assert len(seen) == 1  # one table-global id for a.b in ALL schemas
     assert seen == {t.nested_field_ids()["a.b"]}
+
+
+def test_array_element_rename_export_ids_and_mapping(spark, tmp_path):
+    """arr.element.x -> arr.element.y: the element-struct member keeps
+    ONE table-global id across all exported schemas and the
+    hierarchical name-mapping nests arr -> element -> member with the
+    old leaf aliased."""
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.lakehouse.iceberg_export import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, [{"x": 10, "w": "a"}])],
+        "id int, arr array<struct<x int, w string>>",
+    )
+    t = cat.get_or_create_table("aev", df.schema)
+    t.append(df)
+    nid = t.nested_field_ids()["arr.element.x"]
+    t.rename_column("arr.element.x", "arr.element.y")
+    t.append(
+        spark.createDataFrame(
+            [(2, [{"y": 20, "w": "b"}])],
+            "id int, arr array<struct<y int, w string>>",
+        )
+    )
+    meta_dir = export_iceberg_metadata(t)
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    seen = {}
+    for s in meta["schemas"]:
+        arr = next(f for f in s["fields"] if f["name"] == "arr")
+        for ch in arr["type"]["element"]["fields"]:
+            seen.setdefault(ch["name"], set()).add(ch["id"])
+    # the renamed member holds the SAME id under both names; 'w' stable
+    assert seen["x" if "x" in seen else "y"] == {nid}
+    assert seen.get("x", {nid}) == {nid} and seen.get("y", {nid}) == {nid}
+    assert len(seen["w"]) == 1
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    arr_e = next(e for e in nm if "arr" in e["names"])
+    elem_e = next(e for e in arr_e["fields"] if "element" in e["names"])
+    y_e = next(e for e in elem_e["fields"] if e["field-id"] == nid)
+    assert set(y_e["names"]) == {"y", "x"}
+    # the repo's exported-metadata reader resolves both vintages
+    rows = {
+        r["id"]: [(e["y"], e["w"]) for e in r["arr"]]
+        for r in read_iceberg(spark, t.path).collect()
+    }
+    assert rows == {1: [(10, "a")], 2: [(20, "b")]}

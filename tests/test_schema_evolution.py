@@ -436,7 +436,7 @@ def test_parent_struct_rename_moves_subtree_ids(spark, cat):
     assert t.nested_field_ids()["meta.score"] == before["a.b"]
 
 
-def test_nested_rename_rejects_reparent_and_array_interior(spark, cat):
+def test_nested_rename_rejects_reparent_and_reserved(spark, cat):
     t = _mk_nested(spark, cat)
     with pytest.raises(ValueError, match="parent path"):
         t.rename_column("a.b", "c")
@@ -449,11 +449,90 @@ def test_nested_rename_rejects_reparent_and_array_interior(spark, cat):
     )
     ta = cat.get_or_create_table("arrt", df.schema)
     ta.append(df)
-    with pytest.raises(ValueError, match="arrays/maps"):
-        ta.rename_column("arr.element.x", "arr.element.y")
+    with pytest.raises(ValueError, match="element"):
+        ta.rename_column("arr.element", "arr.e2")
+    mdf = spark.createDataFrame(
+        [(1, {"k": {"x": 1}})], "id int, m map<string, struct<x int>>"
+    )
+    tm = cat.get_or_create_table("mapt", mdf.schema)
+    tm.append(mdf)
+    with pytest.raises(ValueError, match="keys cannot"):
+        tm.rename_column("m.key", "m.k2")
     t.drop_column("a.b")
     with pytest.raises(ValueError, match="only member"):
         t.drop_column("a.z")  # would leave an empty struct
+
+
+def test_rename_inside_array_of_structs_across_vintages(spark, cat):
+    """arr.element.x -> arr.element.y: metadata-only; old files rebuild
+    element-wise (transform) so both vintages read as one schema; the
+    member's field id moves; drop of an element member reads NULL from
+    old files after a re-add."""
+    df = spark.createDataFrame(
+        [(1, [{"x": 10, "w": "a"}, {"x": 11, "w": "b"}])],
+        "id int, arr array<struct<x int, w string>>",
+    )
+    t = cat.get_or_create_table("arrv", df.schema)
+    t.append(df)
+    nid = t.nested_field_ids()["arr.element.x"]
+    t.rename_column("arr.element.x", "arr.element.y")
+    assert t.nested_field_ids()["arr.element.y"] == nid
+    t.append(
+        spark.createDataFrame(
+            [(2, [{"y": 20, "w": "c"}])],
+            "id int, arr array<struct<y int, w string>>",
+        )
+    )
+    rows = {
+        r["id"]: [(e["y"], e["w"]) for e in r["arr"]]
+        for r in t.read(spark).collect()
+    }
+    assert rows == {1: [(10, "a"), (11, "b")], 2: [(20, "c")]}
+    # time travel before the rename: old member name intact
+    old = t.read(spark, version=2).collect()[0]
+    assert old["arr"][0]["x"] == 10
+    # drop + re-add of an element member: fresh id, old bytes dead
+    old_w = t.nested_field_ids()["arr.element.w"]
+    t.drop_column("arr.element.w")
+    t.append(
+        spark.createDataFrame(
+            [(3, [{"y": 30, "w": "NEW"}])],
+            "id int, arr array<struct<y int, w string>>",
+        ),
+        merge_schema=True,
+    )
+    assert t.nested_field_ids()["arr.element.w"] != old_w
+    rows = {
+        r["id"]: [(e["y"], e["w"]) for e in r["arr"]]
+        for r in t.read(spark).collect()
+    }
+    assert rows == {
+        1: [(10, None), (11, None)],
+        2: [(20, None)],
+        3: [(30, "NEW")],
+    }
+
+
+def test_rename_inside_map_values_across_vintages(spark, cat):
+    """m.value.x -> m.value.y: map values rebuild via transform_values;
+    map keys are untouched."""
+    mdf = spark.createDataFrame(
+        [(1, {"k1": {"x": 1.5}})], "id int, m map<string, struct<x double>>"
+    )
+    t = cat.get_or_create_table("mapv", mdf.schema)
+    t.append(mdf)
+    t.rename_column("m.value.x", "m.value.y")
+    t.append(
+        spark.createDataFrame(
+            [(2, {"k2": {"y": 2.5}})],
+            "id int, m map<string, struct<y double>>",
+        )
+    )
+    rows = {
+        r["id"]: {k: v["y"] for k, v in r["m"].items()}
+        for r in t.read(spark).collect()
+    }
+    assert rows == {1: {"k1": 1.5}, 2: {"k2": 2.5}}
 
 
 def test_nested_widening_merge_schema_no_events(spark, cat):
