@@ -609,3 +609,225 @@ def test_lakehouse_interleaving_matches_duckdb_replay(ops, spark):
         (r["id"], r["val"], r["seq"]) for r in tab.read(spark).collect()
     )
     assert got2 == want, f"post-compact scan != replay after {ops}"
+
+
+# --------------------------------------------------------- evolution fuzz
+class _Node:
+    """Model schema node with a stable IDENTITY token: the reference
+    implementation the fold/vintage machinery is checked against."""
+
+    _seq = [0]
+
+    def __init__(self, kind: str, children=None):
+        self.kind = kind  # 'leaf' | 'struct' | 'array' | 'map'
+        self.children = children or {}  # name -> _Node (struct members)
+        self.element = None
+        self.value = None
+        _Node._seq[0] += 1
+        self.ident = _Node._seq[0]
+
+
+def _model_schema(rng, depth=0):
+    kind = rng.choice(
+        ["leaf"] if depth >= 2 else ["leaf", "struct", "array", "map"]
+    )
+    n = _Node(kind)
+    if kind == "struct":
+        for i in range(rng.randint(1, 3)):
+            n.children[f"f{i}"] = _model_schema(rng, depth + 1)
+    elif kind == "array":
+        n.element = _model_schema(rng, depth + 1)
+    elif kind == "map":
+        n.value = _model_schema(rng, depth + 1)
+    return n
+
+
+def _walk(node, prefix, out):
+    """{dotted path: identity} for every nested position."""
+    if node.kind == "struct":
+        for name, ch in node.children.items():
+            p = f"{prefix}.{name}" if prefix else name
+            out[p] = ch.ident
+            _walk(ch, p, out)
+    elif node.kind == "array":
+        p = f"{prefix}.element"
+        out[p] = ("elem", node.ident)
+        _walk(node.element, p, out)
+    elif node.kind == "map":
+        p = f"{prefix}.value"
+        out[p] = ("val", node.ident)
+        _walk(node.value, p, out)
+
+
+def _to_json(root):
+    """Model tree -> Spark StructType json (leaves are longs)."""
+
+    def ty(node):
+        if node.kind == "leaf":
+            return "long"
+        if node.kind == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {"name": k, "type": ty(v), "nullable": True,
+                     "metadata": {}}
+                    for k, v in node.children.items()
+                ],
+            }
+        if node.kind == "array":
+            return {"type": "array", "elementType": ty(node.element),
+                    "containsNull": True}
+        return {"type": "map", "keyType": "string",
+                "valueType": ty(node.value), "valueContainsNull": True}
+
+    import json as _json
+
+    return _json.dumps(ty(root))
+
+
+def _struct_paths_of(root):
+    """Renamable/droppable struct-member paths of the model tree."""
+    out = []
+
+    def go(node, prefix):
+        if node.kind == "struct":
+            for name, ch in node.children.items():
+                p = f"{prefix}.{name}" if prefix else name
+                out.append((p, node, name))
+                go(ch, p)
+        elif node.kind == "array":
+            go(node.element, f"{prefix}.element")
+        elif node.kind == "map":
+            go(node.value, f"{prefix}.value")
+
+    go(root, "")
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_evolution_fold_and_vintage_match_identity_model(seed):
+    """Model-based fuzz (r10): apply a random rename/drop/add history to
+    a random nested schema and check, at EVERY (current path, vintage):
+
+    1. ``_vintage_source`` returns exactly the dotted path the SAME
+       identity had at that vintage (or None if it did not exist) —
+       the reference semantics vintage reads depend on;
+    2. ``_fold_field_ids`` keeps one stable id per identity across its
+       whole life, never reuses a retired id, and covers every live
+       path."""
+    import json as _json
+    import random
+
+    from crest_spark.lakehouse.table import (
+        LakehouseTable,
+        _fold_field_ids,
+    )
+
+    rng = random.Random(seed)
+    root = _Node("struct")
+    for i in range(rng.randint(2, 4)):
+        root.children[f"c{i}"] = _model_schema(rng)
+
+    state: dict = {"field_ids": {}, "next_field_id": 1}
+    _fold_field_ids(state, {}, _to_json(root))
+    events: list[dict] = []
+    paths_at: dict[int, dict] = {}  # version -> {path: identity}
+    snap0: dict = {}
+    _walk(root, "", snap0)
+    for name, ch in root.children.items():
+        snap0[name] = ch.ident
+    paths_at[1] = snap0
+    id_of_identity: dict = {}  # identity -> set of fold ids ever seen
+
+    def record_ids(version):
+        cur: dict = {}
+        _walk(root, "", cur)
+        for name, ch in root.children.items():
+            cur[name] = ch.ident
+        for p, ident in cur.items():
+            fid = state["field_ids"].get(p)
+            assert fid is not None, f"live path {p} has no id"
+            id_of_identity.setdefault(ident, set()).add(fid)
+        paths_at[version] = cur
+
+    record_ids(1)
+    version = 1
+    for _ in range(rng.randint(1, 8)):
+        version += 1
+        sp = _struct_paths_of(root)
+        op = rng.choice(["rename", "drop", "add"])
+        extra: dict = {}
+        if op == "rename" and sp:
+            path, parent, leaf = rng.choice(sp)
+            new_leaf = f"r{version}"
+            parent.children[new_leaf] = parent.children.pop(leaf)
+            new_path = ".".join(path.split(".")[:-1] + [new_leaf]) \
+                if "." in path else new_leaf
+            extra = {"rename_column": {"from": path, "to": new_path}}
+            events.append(
+                {"op": "rename", "from": path, "to": new_path, "v": version}
+            )
+        elif op == "drop" and sp:
+            droppable = [
+                (p, par, lf) for p, par, lf in sp if len(par.children) > 1
+            ]
+            if not droppable:
+                version -= 1
+                continue
+            path, parent, leaf = rng.choice(droppable)
+            del parent.children[leaf]
+            extra = {"drop_column": path}
+            events.append({"op": "drop", "name": path, "v": version})
+        else:
+            structs = [root]
+
+            def collect(n):
+                if n.kind == "struct":
+                    structs.append(n)
+                    for ch in n.children.values():
+                        collect(ch)
+                elif n.kind == "array":
+                    collect(n.element)
+                elif n.kind == "map":
+                    collect(n.value)
+
+            for ch in root.children.values():
+                collect(ch)
+            target = rng.choice(structs)
+            target.children[f"a{version}"] = _Node("leaf")
+        _fold_field_ids(state, extra, _to_json(root))
+        record_ids(version)
+
+    # 2. one stable id per identity, never shared across identities
+    for ident, ids in id_of_identity.items():
+        assert len(ids) == 1, f"identity {ident} changed ids: {ids}"
+    seen: dict = {}
+    for ident, ids in id_of_identity.items():
+        fid = next(iter(ids))
+        assert fid not in seen or seen[fid] == ident, (
+            f"id {fid} reused across identities"
+        )
+        seen[fid] = ident
+
+    # 1. vintage resolution == identity model, for every path x vintage:
+    # an identity alive at the vintage must resolve to ITS path of that
+    # day (rename correctness); an identity born later must resolve to
+    # None or to a path UNOCCUPIED at that vintage (the physical read
+    # then null-fills) — never to another identity's bytes
+    # (resurrection safety)
+    head = paths_at[version]
+    for vintage, old in paths_at.items():
+        ident_to_old = {i: p for p, i in old.items()}
+        for p, ident in head.items():
+            got = LakehouseTable._vintage_source(p, events, vintage)
+            if ident in ident_to_old:
+                assert got == ident_to_old[ident], (
+                    f"path {p} vintage {vintage}: got {got}, expected "
+                    f"{ident_to_old[ident]} (seed {seed})"
+                )
+            else:
+                assert got is None or got not in old, (
+                    f"path {p} vintage {vintage}: resolved to {got}, "
+                    f"which another identity occupied (seed {seed})"
+                )
