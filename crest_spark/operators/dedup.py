@@ -1841,3 +1841,148 @@ def containment_capped_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------------ incremental minhash
+def minhash_index_append(index, docs: DataFrame, **append_kw) -> int | None:
+    """Append (doc_id, band, sig) MinHash band rows for ``docs`` to a
+    persistent lakehouse signature index — the corpus is SIGNED ONCE at
+    arrival and never again (the continuous-ingestion contract; same
+    role as the IVF index table in ``vector_index.py``). Band rows are
+    3 longs/row, clustered by band so per-band scans prune."""
+    bands = minhash_band_rows(with_shingles(docs))
+    return index.append(bands, cluster_by=["band"], **append_kw)
+
+
+def minhash_incremental_pairs(
+    spark: SparkSession,
+    index,
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    append: bool = True,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs involving the NEW arrival batch, against a
+    persisted signature index (``dedup_incremental``'s minhash analog —
+    the scale path for continuous ingestion: per batch, only the new
+    docs are shingled+signed; candidates are new-vs-index equi-joined
+    on (band, sig) plus new-vs-new via ``lsh_candidate_pairs``; the
+    exact-Jaccard verify is semi-join-reduced to candidate docs only,
+    over 8-byte hashed shingles). The index side of each bucket is
+    CAPPED at ``max_bucket`` members (deterministic lowest-doc_id
+    order) — the same degenerate-bucket guard the batch miner applies:
+    a boilerplate bucket with 10^5 indexed members must not emit 10^5
+    pairs per new arrival. ``append=True`` commits the new band rows to
+    the index after mining (idempotent via the table's batch ids when
+    passed through ``minhash_index_append`` kwargs).
+
+    ``corpus_docs`` supplies (doc_id, text) for the verify step's
+    candidate docs (old docs' shingles are NOT stored in the index —
+    3 longs/row stays 3 longs/row); only candidate-pair members are
+    ever re-shingled, so verify input scales with the answer."""
+    from pyspark.sql.window import Window
+
+    new_bands = minhash_band_rows(with_shingles(new_docs)).localCheckpoint()
+    try:
+        old_bands = index.read(spark).select("doc_id", "band", "sig")
+    except FileNotFoundError:
+        old_bands = None
+    nvn = lsh_candidate_pairs(new_bands, max_bucket=max_bucket)
+    if old_bands is not None:
+        w = Window.partitionBy("band", "sig").orderBy("doc_id")
+        capped_old = (
+            old_bands.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= max_bucket)
+            .drop("_r")
+        )
+        nvo = (
+            new_bands.alias("n")
+            .join(capped_old.alias("o"), ["band", "sig"])
+            .where(F.col("n.doc_id") != F.col("o.doc_id"))
+            .select(
+                F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+                F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias(
+                    "doc_b"
+                ),
+            )
+        )
+        cand = nvn.unionByName(nvo).dropDuplicates(["doc_a", "doc_b"])
+    else:
+        cand = nvn
+    cand = cand.localCheckpoint(eager=False)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        with_shingles(corpus_docs)
+        .join(cand_docs, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias(
+                "hsh"
+            ),
+        )
+    )
+    sh_a = sh.select(F.col("doc_id").alias("_ja"), F.col("hsh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("_jb"), F.col("hsh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    out = (
+        cand.join(sh_a, F.col("doc_a") == F.col("_ja"))
+        .join(sh_b, F.col("doc_b") == F.col("_jb"))
+        .withColumn("jaccard_raw", inter.cast("double") / union.cast("double"))
+        .where(F.col("jaccard_raw") >= _JACCARD_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(round4("jaccard_raw")).alias("jaccard"),
+        )
+    )
+    out = out.localCheckpoint()  # mine BEFORE the index advances
+    if append:
+        index.append(new_bands, cluster_by=["band"])
+    return out
+
+
+@register(
+    "dedup_minhash_incr",
+    oracle=None,
+    tags=("llm", "dedup", "lsh", "incremental"),
+)
+def dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup over THREE arrival batches against
+    a persisted lakehouse signature index: each batch signs ONLY its
+    own docs, mines new-vs-index + new-vs-new candidates, verifies
+    exact Jaccard on candidates only, then commits its band rows — the
+    union of the three batches' pairs must cover what the one-shot
+    batch miner finds (pinned in ``test_llm_ops.py::
+    test_minhash_incremental_matches_batch``). Rows-only by design
+    (seeded signatures, like ``dedup_minhash_lsh``)."""
+    import tempfile
+
+    from crest_spark.lakehouse import LakehouseCatalog
+
+    docs = _docs(spark, sf_dir)
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_mh_idx_"))
+    from pyspark.sql.types import LongType, StructField as SF, StructType as ST
+
+    index = cat.get_or_create_table(
+        "mh_index",
+        ST([SF("doc_id", LongType()), SF("band", LongType()),
+            SF("sig", LongType())]),
+    )
+    n = docs.count()
+    b1 = docs.where(F.col("doc_id") % 3 == 0)
+    b2 = docs.where(F.col("doc_id") % 3 == 1)
+    b3 = docs.where(F.col("doc_id") % 3 == 2)
+    parts = []
+    for batch in (b1, b2, b3):
+        parts.append(
+            minhash_incremental_pairs(spark, index, batch, docs)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["doc_a", "doc_b"]).orderBy("doc_a", "doc_b")

@@ -841,3 +841,67 @@ def test_ann_pq_recall_vs_brute(spark, sf_dir):
             assert r["sim"] == bsim[key]
     pq2 = SPECS["ann_pq_topk"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, pq1)) == sorted(map(tuple, pq2))
+
+
+def test_minhash_incremental_matches_batch(spark, sf_dir):
+    """Three-arrival incremental mining against the persisted signature
+    index finds EXACTLY the one-shot batch miner's pairs with identical
+    verified Jaccards (same seeds, same bands; every cross-arrival pair
+    is caught when its later member arrives), and each doc is signed
+    exactly once (index = n_docs x LSH_BANDS rows)."""
+    inc = SPECS["dedup_minhash_incr"].fn(spark, sf_dir).collect()
+    bat = SPECS["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    si = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in inc}
+    sb = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in bat}
+    assert si == sb
+
+
+def test_minhash_incremental_index_and_cap(spark, sf_dir, tmp_path):
+    """Library contract: the index accumulates one batch of band rows
+    per arrival (signed once); a degenerate indexed bucket (engineered:
+    many identical docs) emits at most max_bucket pairs per new
+    arrival, not one per indexed member."""
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.operators.dedup import (
+        LSH_BANDS,
+        minhash_incremental_pairs,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(10)
+        .select("doc_id", "text")
+    )
+    boiler = base.limit(1).collect()[0]["text"]
+    hot = spark.createDataFrame(
+        [(1000 + i, boiler) for i in range(200)], "doc_id long, text string"
+    )
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    index = cat.get_or_create_table(
+        "idx",
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("band", LongType()),
+                StructField("sig", LongType()),
+            ]
+        ),
+    )
+    corpus = base.unionByName(hot)
+    p1 = minhash_incremental_pairs(spark, index, hot, corpus, max_bucket=16)
+    n1 = p1.count()
+    assert index.read(spark).count() == 200 * LSH_BANDS
+    new_one = spark.createDataFrame(
+        [(5000, boiler)], "doc_id long, text string"
+    )
+    corpus2 = corpus.unionByName(new_one)
+    p2 = minhash_incremental_pairs(
+        spark, index, new_one, corpus2, max_bucket=16
+    )
+    n2 = p2.count()
+    # 200 identical indexed docs, cap 16: the new arrival pairs with at
+    # most 16 indexed members per bucket, never all 200
+    assert 1 <= n2 <= 16
+    assert index.read(spark).count() == 201 * LSH_BANDS
+    assert n1 > 0  # the hot batch itself chains internally
