@@ -65,6 +65,9 @@ BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # (61M lineitem rows) to keep corpus build time sane.
 OPERATORS = {
     "dedup_minhash_lsh": ("sub-quadratic", "minhash signatures -> banded buckets -> verify", None, ("documents",)),
+    # r10: the incremental twin — three arrival batches against a
+    # persisted signature index; same kernel class as the batch miner
+    "dedup_minhash_incr": ("sub-quadratic", "sign-once arrivals vs persisted band index -> verify", 1024, ("documents",)),
     "dedup_embedding_ann": ("sub-quadratic", "hyperplane-LSH blocking -> exact-cosine verify", None, ("embeddings",)),
     "ann_lsh_topk": ("sub-quadratic", "LSH-bucketed top-k", None, ("embeddings",)),
     # r10: the PQ route — one encode pass + a codes-only ADC scan, both
