@@ -19,6 +19,8 @@ Recipe YAML::
       table: default.docs_curated
     stages:                        # ordered; each optional
       - op: exact_dedup
+      - op: minhash_dedup          # near-dup tier (MinHash+LSH, verified)
+        threshold: 0.5
       - op: containment_dedup
         cap: 1000
         threshold: 0.9
@@ -83,6 +85,52 @@ def stage_containment_dedup(
         F.col("contained_id").alias("doc_id")
     ).distinct()
     return df.join(contained, "doc_id", "left_anti")
+
+
+def stage_minhash_dedup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    **_: object,
+) -> DataFrame:
+    """Drop the higher-doc_id member of every verified MinHash near-dup
+    pair (the sub-quadratic near-dup tier; exact-Jaccard verified at
+    ``threshold`` over candidates only). Greedy lowest-id survivor —
+    the same canonical rule as ``dedup_canonical``."""
+    from crest_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_band_rows,
+        with_shingles,
+    )
+
+    bands = minhash_band_rows(with_shingles(df))
+    cand = lsh_candidate_pairs(bands).localCheckpoint(eager=False)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        with_shingles(df)
+        .join(cand_docs, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias(
+                "hsh"
+            ),
+        )
+    )
+    sh_a = sh.select(F.col("doc_id").alias("_ja"), F.col("hsh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("_jb"), F.col("hsh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    drop = (
+        cand.join(sh_a, F.col("doc_a") == F.col("_ja"))
+        .join(sh_b, F.col("doc_b") == F.col("_jb"))
+        .where(inter / union >= float(threshold))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return df.join(drop, "doc_id", "left_anti")
 
 
 def stage_quality_gate(
@@ -261,6 +309,7 @@ def stage_pack(df: DataFrame, budget: int = 512, **_: object) -> DataFrame:
 
 STAGES = {
     "exact_dedup": stage_exact_dedup,
+    "minhash_dedup": stage_minhash_dedup,
     "containment_dedup": stage_containment_dedup,
     "quality_gate": stage_quality_gate,
     "decontaminate": stage_decontaminate,

@@ -198,6 +198,8 @@ output:
   table: default.docs_curated
 stages:
   - op: exact_dedup
+  - op: minhash_dedup
+    threshold: 0.5
   - op: containment_dedup
     cap: 500
     threshold: 0.9
@@ -216,12 +218,12 @@ stages:
     assert main(["curate", str(recipe)]) == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [s["op"] for s in report["stages"]] == [
-        "exact_dedup", "containment_dedup", "quality_gate",
-        "decontaminate", "pii_scrub", "dsir", "pack",
+        "exact_dedup", "minhash_dedup", "containment_dedup",
+        "quality_gate", "decontaminate", "pii_scrub", "dsir", "pack",
     ]
     # monotone non-increasing through the filter stages
     counts = [report["rows_in"]] + [
-        s["rows_out"] for s in report["stages"][:4]
+        s["rows_out"] for s in report["stages"][:5]
     ]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert report["rows_out"] > 0
