@@ -788,6 +788,23 @@ class LakehouseTable:
                     continue
         return sorted(out)
 
+    def _check_horizon(self, version: int, action: str) -> None:
+        """Raise a typed, accurate error when ``version`` precedes the
+        expiry fold horizon: ``expire_snapshots`` removed it from the
+        log, so time travel / rollback to it is impossible BY CONTRACT,
+        not because the table is missing. (Without this check the
+        fold in ``_state(upto=version)`` finds zero surviving versions
+        and surfaces a misleading ``FileNotFoundError: table ... does
+        not exist`` for a table that exists — the model/engine
+        divergence the round-10 interleaving fuzz caught.)"""
+        versions = self.versions()
+        if versions and version < versions[0]:
+            raise ValueError(
+                f"cannot {action} {self.namespace}.{self.name} to version "
+                f"{version}: it has been expired; oldest available is "
+                f"{versions[0]}"
+            )
+
     def _state(self, upto: int | None = None) -> dict:
         """Folded table state at ``upto`` (or latest): live files, schema,
         row count, and the committed (writer_id -> batch_ids) map.
@@ -3669,7 +3686,14 @@ class LakehouseTable:
         commit together with the restored files' original sequence
         numbers — without that, the replace would clear the deltas and
         re-sequence the files out of their scope, resurrecting deleted
-        rows."""
+        rows.
+
+        Rolling back to a version that ``expire_snapshots`` has folded
+        away raises a typed ``ValueError`` (Iceberg's refusal semantic:
+        "cannot roll back to unknown snapshot") rather than pretending
+        the table is missing — expiry is irreversible by contract, and
+        the caller should learn the oldest version that IS available."""
+        self._check_horizon(version, "roll back")
         state = self._state(upto=version)
         extra: dict = {
             "rollback_of": version,
@@ -4205,7 +4229,10 @@ class LakehouseTable:
         """Snapshot read: exactly the files committed at ``version`` (or
         latest), with any pending merge-on-read deletes of that snapshot
         anti-applied. Later/concurrent commits are invisible to this
-        scan."""
+        scan. Time travel to an expired version raises the same typed
+        error as ``rollback`` (see ``_check_horizon``)."""
+        if version is not None:
+            self._check_horizon(version, "time-travel")
         state = self._state(upto=version)
         df = self._read_files(
             spark, state["files"], state["schema"], state=state

@@ -87,6 +87,34 @@ def test_expire_snapshots_preserves_current_read(spark, sf_dir, tmp_path):
     assert len(t.versions()) == 2
 
 
+def test_rollback_to_expired_version_refuses_typed(spark, sf_dir, tmp_path):
+    """Round-10 fuzz finding: append -> expire_snapshots(1) ->
+    rollback(<expired version>) must raise a typed, accurate ValueError
+    (Iceberg's "cannot roll back to unknown snapshot" refusal), NOT a
+    misleading FileNotFoundError claiming the table doesn't exist. The
+    refusal is also a no-op: no commit, version unchanged."""
+    import pytest
+
+    src = load_table(spark, sf_dir, "region")
+    t = _cat(tmp_path).get_or_create_table("region_rbx", src.schema)
+    v1 = t.append(src)
+    v2 = t.append(src)
+    assert t.expire_snapshots(keep_last=1)
+    oldest = t.versions()[0]
+    assert v1 < oldest
+    before = t.version()
+    with pytest.raises(ValueError, match=rf"version {v1}.*expired.*{oldest}"):
+        t.rollback(v1)
+    assert t.version() == before  # refusal committed nothing
+    # same typed error for time travel to the expired version
+    with pytest.raises(ValueError, match="expired"):
+        t.read(spark, version=v1)
+    # rollback to a SURVIVING version still works after expiry
+    t.append(src)
+    t.rollback(v2)
+    assert t.read(spark).count() == 2 * src.count()
+
+
 def test_double_expire_preserves_batch_id_memory(spark, sf_dir, tmp_path):
     """Idempotence memory must survive REPEATED expirations: the first
     expiration folds old (writer, batch) ids into the boundary commit's

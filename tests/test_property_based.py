@@ -7,6 +7,7 @@ from __future__ import annotations
 from decimal import Decimal
 
 import pyarrow as pa
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -553,10 +554,19 @@ def test_lakehouse_interleaving_matches_duckdb_replay(ops, spark):
         elif op[0] == "rollback":
             _, pick = op
             k = pick % len(ver_after)
-            tab.rollback(ver_after[k])
-            con.execute(f"CREATE OR REPLACE TABLE t AS SELECT * FROM snap_{k}")
-            pending_rows = [list(r) for r in snap_pending[k]]
-            foldable = False
+            if ver_after[k] < min(tab.versions()):
+                # target predates the expiry fold horizon: the engine
+                # contract (Iceberg refusal semantic) is a typed error
+                # and NO state change — model table stays put too
+                with pytest.raises(ValueError, match="expired"):
+                    tab.rollback(ver_after[k])
+            else:
+                tab.rollback(ver_after[k])
+                con.execute(
+                    f"CREATE OR REPLACE TABLE t AS SELECT * FROM snap_{k}"
+                )
+                pending_rows = [list(r) for r in snap_pending[k]]
+                foldable = False
         elif op[0] == "expire":
             _, keep = op
             tab.expire_snapshots(keep_last=keep)
