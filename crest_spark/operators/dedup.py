@@ -1854,6 +1854,37 @@ def minhash_index_append(index, docs: DataFrame, **append_kw) -> int | None:
     return index.append(bands, cluster_by=["band"], **append_kw)
 
 
+def capped_index_bands(
+    old_bands: DataFrame,
+    new_bands: DataFrame,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Index-side bucket members for the ARRIVAL's buckets only, capped
+    at ``max_bucket`` per (band, sig) in deterministic lowest-doc_id
+    order.
+
+    The left-semi join to the arrival's distinct bucket keys comes
+    BEFORE the row_number cap window: Catalyst cannot push a join below
+    a window, so capping first would materialize row numbers for every
+    bucket in the index — an O(|index|) shuffle on EVERY arrival batch,
+    exactly the per-batch cost the sign-once index exists to avoid.
+    row_number within a (band, sig) bucket is independent of all other
+    buckets, so dropping non-matching buckets first leaves the capped
+    membership bit-identical while the window's input scales with the
+    arrival's bucket footprint, not the corpus (plan-pinned in
+    ``test_plans.py::test_minhash_incr_cap_window_join_reduced``)."""
+    from pyspark.sql.window import Window
+
+    arrival_keys = new_bands.select("band", "sig").distinct()
+    matched = old_bands.join(arrival_keys, ["band", "sig"], "left_semi")
+    w = Window.partitionBy("band", "sig").orderBy("doc_id")
+    return (
+        matched.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= max_bucket)
+        .select("doc_id", "band", "sig")
+    )
+
+
 def minhash_incremental_pairs(
     spark: SparkSession,
     index,
@@ -1861,6 +1892,7 @@ def minhash_incremental_pairs(
     corpus_docs: DataFrame,
     append: bool = True,
     max_bucket: int = LSH_MAX_BUCKET,
+    **append_kw,
 ) -> DataFrame:
     """Near-dup pairs involving the NEW arrival batch, against a
     persisted signature index (``dedup_incremental``'s minhash analog —
@@ -1873,15 +1905,14 @@ def minhash_incremental_pairs(
     order) — the same degenerate-bucket guard the batch miner applies:
     a boilerplate bucket with 10^5 indexed members must not emit 10^5
     pairs per new arrival. ``append=True`` commits the new band rows to
-    the index after mining (idempotent via the table's batch ids when
-    passed through ``minhash_index_append`` kwargs).
+    the index after mining; extra ``**append_kw`` (``writer_id`` /
+    ``batch_id``) flow to that commit so a retried batch is an
+    idempotent no-op instead of a double-sign.
 
     ``corpus_docs`` supplies (doc_id, text) for the verify step's
     candidate docs (old docs' shingles are NOT stored in the index —
     3 longs/row stays 3 longs/row); only candidate-pair members are
     ever re-shingled, so verify input scales with the answer."""
-    from pyspark.sql.window import Window
-
     new_bands = minhash_band_rows(with_shingles(new_docs)).localCheckpoint()
     try:
         old_bands = index.read(spark).select("doc_id", "band", "sig")
@@ -1889,12 +1920,7 @@ def minhash_incremental_pairs(
         old_bands = None
     nvn = lsh_candidate_pairs(new_bands, max_bucket=max_bucket)
     if old_bands is not None:
-        w = Window.partitionBy("band", "sig").orderBy("doc_id")
-        capped_old = (
-            old_bands.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= max_bucket)
-            .drop("_r")
-        )
+        capped_old = capped_index_bands(old_bands, new_bands, max_bucket)
         nvo = (
             new_bands.alias("n")
             .join(capped_old.alias("o"), ["band", "sig"])
@@ -1942,7 +1968,11 @@ def minhash_incremental_pairs(
     )
     out = out.localCheckpoint()  # mine BEFORE the index advances
     if append:
-        index.append(new_bands, cluster_by=["band"])
+        # idempotency kwargs (writer_id/batch_id) pass straight through
+        # to the table commit: a retried batch must NOT double-sign its
+        # docs — duplicate band rows inflate (band, sig) buckets and
+        # break the n_docs * LSH_BANDS index invariant
+        index.append(new_bands, cluster_by=["band"], **append_kw)
     return out
 
 

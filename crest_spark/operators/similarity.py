@@ -532,6 +532,40 @@ _PQ_TRAIN = 4096  # bounded driver-side training sample
 _PQ_RERANK = 8  # exact re-rank width, x _ANN_K candidates per query
 
 
+def pq_m_for(dim: int, want: int = _PQ_M) -> int:
+    """Largest m in {want, 4, 2, 1} dividing dim — every dimension
+    participates in quantization (ADVICE r10)."""
+    return next(mm for mm in (want, 4, 2, 1) if dim % mm == 0)
+
+
+def fit_pq_codebooks(X, m: int, k: int, iters: int, seed: int = 7):
+    """Per-subspace k-means codebooks on a bounded driver-side sample
+    (rows of ``X`` are already unit-normalized): returns an
+    (m, k, dim//m) array. Fully vectorized Lloyd rounds — the
+    256-centroid Python loop was measured at 1.9 s and removed in r10.
+    Shared by ``ann_pq_topk`` (raw vectors) and the IVF-PQ index
+    (cell residuals, vector_index.py)."""
+    import numpy as np
+
+    dim = X.shape[1]
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
+        C = sub[rng.choice(len(sub), k, replace=False)]
+        for _ in range(iters):
+            # ||x-c||^2 up to the x^2 constant: argmin(c^2 - 2xc)
+            assign = ((C**2).sum(1)[None, :] - 2.0 * (sub @ C.T)).argmin(1)
+            sums = np.zeros((k, dsub))
+            np.add.at(sums, assign, sub)
+            counts = np.bincount(assign, minlength=k)
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
+        books[j] = C
+    return books
+
+
 @register("ann_pq_topk", oracle=None, tags=("llm", "similarity", "ann", "pq"))
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate K-NN via PRODUCT QUANTIZATION (Jégou et al., "Product
@@ -570,27 +604,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     X = np.array([r[0] for r in sample], dtype=np.float64)
     X /= np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
     dim = X.shape[1]
-    m = _PQ_M if dim % _PQ_M == 0 else 4
+    m = pq_m_for(dim)
     dsub = dim // m
     k = int(min(256, max(16, len(X) // 8)))
-    rng = np.random.RandomState(7)
-    books = np.empty((m, k, dsub), dtype=np.float64)
-    for j in range(m):
-        sub = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
-        C = sub[rng.choice(len(sub), k, replace=False)]
-        for _ in range(_PQ_ITERS):
-            # ||x-c||^2 up to the x^2 constant: argmin(c^2 - 2xc)
-            assign = (
-                (C**2).sum(1)[None, :] - 2.0 * (sub @ C.T)
-            ).argmin(1)
-            # vectorized centroid update (a 256-centroid python loop was
-            # 1.9s of the op's 2.9s bench time — r10 measured)
-            sums = np.zeros((k, dsub))
-            np.add.at(sums, assign, sub)
-            counts = np.bincount(assign, minlength=k)
-            nz = counts > 0
-            C[nz] = sums[nz] / counts[nz, None]
-        books[j] = C
+    books = fit_pq_codebooks(X, m, k, _PQ_ITERS, seed=7)
     code_cols = ", ".join(f"c{j} int" for j in range(m))
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

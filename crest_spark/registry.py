@@ -257,6 +257,39 @@ _LAST_CHECKED: dict[str, int] = {
     "udf_grouped_map_zscore": 8, "udtf_ngrams": 8,
 }
 
+# --- round-10 driver check (CORRECTNESS_r10.json: 44/44 oracle rows
+# green + 6 rows-only; covers the r10 additions and the full r5-stale
+# remainder plus most of the r6 tier) ---
+for _n in (
+    "dedup_minhash_incr", "lake_nested_evolution", "ann_pq_topk",
+    "q20b_asof_forward_tolerance", "stats_profile", "q18f_explode_outer",
+    "q18g_array_ops", "q43_part_supplier_count", "q15f_grouping_id",
+    "q26d_regression_aggs", "q44_disjunctive_revenue", "q48_mode",
+    "q30_small_qty_revenue", "q45_dominant_suppliers", "q49_ntile_buckets",
+    "q31_waiting_suppliers", "stats_correlation", "q32_dormant_customers",
+    "stats_percentiles_approx", "q52_cohort_retention", "dedup_incremental",
+    "graph_pagerank", "lake_mor_cdf", "multimodal_video_frames",
+    "q05_join_groupby", "knn_self_join_topk", "q50_percent_rank_cume_dist",
+    "text_bm25_topk", "q53_user_paths", "dedup_minhash_lsh",
+    "mv_mor_cdc_fold", "q06_join3_topk", "stats_entropy",
+    "q54_rolling_active_users", "dedup_simhash", "lake_schema_widening",
+    "q07_left_outer", "q51_event_funnel", "q58_market_basket",
+    "dedup_simhash_weighted", "lake_time_travel", "q07b_full_outer",
+    "q56_rolling_median", "q59_audience_overlap", "lake_wap_publish",
+    "q08_semi_join", "q57_pareto_frontier", "q08b_anti_join", "stats_gini",
+    "q09_broadcast_dim",
+):
+    _LAST_CHECKED[_n] = 10
+
+# --- round-11 fix-affected force-recheck (VERDICT r10 next-round #5):
+# entries whose implementation changed THIS round jump the staleness
+# queue — tier 1 sorts right after the never-checked tier 0 (this
+# round: ann_ivfpq_topk), ahead of the 19 r6-stale and the r7 tier.
+# dedup_minhash_incr: join-reduced index cap; ann_pq_topk: shared
+# codebook fit + m-coverage fix; lake_time_travel: read() horizon check.
+for _n in ("dedup_minhash_incr", "ann_pq_topk", "lake_time_travel"):
+    _LAST_CHECKED[_n] = 1
+
 
 def ordered_registry() -> dict[str, QuerySpec]:
     """The registry re-ordered so the driver's fixed-size prefix is

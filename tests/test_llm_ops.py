@@ -905,3 +905,74 @@ def test_minhash_incremental_index_and_cap(spark, sf_dir, tmp_path):
     assert 1 <= n2 <= 16
     assert index.read(spark).count() == 201 * LSH_BANDS
     assert n1 > 0  # the hot batch itself chains internally
+
+
+def test_minhash_incremental_append_idempotent(spark, sf_dir, tmp_path):
+    """ADVICE r10: a RETRIED arrival batch must not double-sign its
+    docs — writer_id/batch_id kwargs flow through to the index commit,
+    so the replay is a no-op and the n_docs * LSH_BANDS invariant
+    holds."""
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.operators.dedup import (
+        LSH_BANDS,
+        minhash_incremental_pairs,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(20)
+        .select("doc_id", "text")
+    )
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    index = cat.get_or_create_table(
+        "idx",
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("band", LongType()),
+                StructField("sig", LongType()),
+            ]
+        ),
+    )
+    n = docs.count()
+    minhash_incremental_pairs(
+        spark, index, docs, docs, writer_id="ing", batch_id=1
+    )
+    assert index.read(spark).count() == n * LSH_BANDS
+    # retry of the same batch id: index unchanged
+    minhash_incremental_pairs(
+        spark, index, docs, docs, writer_id="ing", batch_id=1
+    )
+    assert index.read(spark).count() == n * LSH_BANDS
+
+
+def test_capped_index_bands_bit_identical_to_full_cap(spark):
+    """The join-reduced cap (semi-join BEFORE the window) returns
+    bit-identical bucket membership to the naive full-index cap
+    restricted to the arrival's buckets — row_number within a bucket
+    does not depend on other buckets."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from crest_spark.operators.dedup import capped_index_bands
+
+    old = spark.range(5000).selectExpr(
+        "id as doc_id", "id % 8 as band", "id % 37 as sig"
+    )
+    new = spark.range(40).selectExpr(
+        "id + 9000 as doc_id", "id % 8 as band", "id % 5 as sig"
+    )
+    got = sorted(
+        map(tuple, capped_index_bands(old, new, max_bucket=9).collect())
+    )
+    w = Window.partitionBy("band", "sig").orderBy("doc_id")
+    naive = (
+        old.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= 9)
+        .drop("_r")
+        .join(new.select("band", "sig").distinct(), ["band", "sig"], "left_semi")
+        .select("doc_id", "band", "sig")
+    )
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want

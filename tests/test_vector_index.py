@@ -86,6 +86,82 @@ def test_search_recall_vs_brute(spark, index):
     assert recall >= 0.6, f"IVF recall {recall} below floor"
 
 
+@pytest.fixture(scope="module")
+def pq_index(spark, sf_dir, tmp_path_factory):
+    from crest_spark.operators.vector_index import build_ivfpq_index
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cat = LakehouseCatalog(str(tmp_path_factory.mktemp("whpq")))
+    t = build_ivfpq_index(spark, em, cat)
+    return t, em
+
+
+def test_ivfpq_layout_codes_only_cell_clustered(pq_index):
+    """The IVF-PQ artifact is pure codes — no float column at all (the
+    64x compression claim), cell-clustered so a probe's pruned file set
+    is a strict subset, with centroids+codebooks in commit metadata."""
+    from crest_spark.operators.vector_index import load_ivfpq_meta
+
+    t, _ = pq_index
+    state = t._state()
+    import json
+
+    schema = json.dumps(state["schema"])
+    assert "embedding" not in schema and "float" not in schema.lower()
+    stats = state["stats"]
+    assert all(
+        tuple(stats[f]["cell"])[0] == tuple(stats[f]["cell"])[1]
+        for f in state["files"]
+    )
+    assert 0 < len(t.pruned_files({"cell": (0, 0)})) < len(state["files"])
+    centroids, books, m, n_cells = load_ivfpq_meta(t)
+    assert centroids.shape == (n_cells, centroids.shape[1])
+    assert books.shape[0] == m
+    assert centroids.shape[1] % m == 0  # every dim participates
+
+
+def test_ivfpq_recall_and_determinism(spark, pq_index):
+    """IVF-PQ top-5 (residual ADC over probed cells + exact re-rank)
+    meets the flat-PQ recall floor (>= 0.5 vs brute) and is
+    deterministic run-over-run; overlapping pairs report EXACT cosine
+    (the re-rank contract)."""
+    import numpy as np
+
+    from crest_spark.operators.vector_index import ivfpq_search
+
+    t, em = pq_index
+    queries = em.where(F.col("vec_id") < 5)
+    r1 = ivfpq_search(spark, t, em, queries, k=5, nprobe=8).collect()
+    mine = {(r["query_id"], r["vec_id"]) for r in r1}
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in em.collect()
+    }
+    for vid in vecs:
+        vecs[vid] = vecs[vid] / max(np.linalg.norm(vecs[vid]), 1e-12)
+    exact = set()
+    sim_of = {}
+    for q in range(5):
+        sims = sorted(
+            (
+                (float(vecs[q] @ v), vid)
+                for vid, v in vecs.items()
+                if vid != q
+            ),
+            key=lambda t2: (-t2[0], t2[1]),
+        )[:5]
+        exact |= {(q, vid) for _, vid in sims}
+        sim_of.update({(q, vid): s for s, vid in sims})
+    recall = len(mine & exact) / len(exact)
+    assert recall >= 0.5, f"IVF-PQ recall {recall} below floor"
+    for r in r1:
+        key = (r["query_id"], r["vec_id"])
+        if key in sim_of:
+            assert abs(r["sim"] - round(sim_of[key], 4)) < 1e-9
+    r2 = ivfpq_search(spark, t, em, queries, k=5, nprobe=8).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
 def test_rebuild_is_snapshot_isolated(spark, index):
     """A rebuild overwrites in one commit; a reader pinned to the old
     snapshot keeps a consistent index (files + centroids of its day)."""
