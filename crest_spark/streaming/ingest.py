@@ -148,6 +148,27 @@ class SourceSpec:
     #       mode only — a merge cannot be staged).
     expect_batch: dict[str, str] | None = None
     on_batch_violation: str = "fail"
+    # Maintained secondary indexes (append mode only): after each
+    # committed micro-batch, derive-style index maintenance runs under
+    # the same (writer, batch)-id idempotence protocol as the main sink
+    # — a replayed micro-batch signs/adds exactly once. The crest-parity
+    # end state: source -> Iceberg table -> maintained dedup/ANN indexes,
+    # all inside one exactly-once write path. Each spec is a dict:
+    #   {"kind": "minhash", "name": ..., "id_col": "doc_id",
+    #    "text_col": "text", "mine_pairs": True}
+    #     signs ONLY the batch's docs into a band-clustered signature
+    #     index (minhash_index_append — the sign-once contract) and,
+    #     when mine_pairs, mines this arrival's verified near-dup pairs
+    #     (new-vs-index + new-vs-new, join-reduced cap) into
+    #     <name>__pairs. The pairs table accumulates exactly the batch
+    #     miner's pair set over the ingested corpus
+    #     (test_streaming.py::test_ingest_maintains_minhash_index).
+    #   {"kind": "ivf", "name": ..., "id_col": "vec_id",
+    #    "vec_col": "embedding"}
+    #     FAISS add-split: the first batch builds the IVF index, later
+    #     batches assign only their own vectors to the frozen centroids
+    #     (ivf_add; drift past threshold reclusters).
+    indexes: list[dict] | None = None
     # Provenance columns stamped at ingest: `_source_file` (the staged
     # file each row came from — file sources only; Flight streams have
     # no file identity) and `_ingest_batch` (the micro-batch id). The
@@ -409,8 +430,119 @@ class IngestionService:
                 stage=stage_this,
                 branch=source.branch,
             )
+            if source.indexes and not stage_this and source.branch is None:
+                # maintained indexes track PUBLISHED rows only: a staged
+                # or branched batch indexes when it lands on main
+                self._maintain_indexes(
+                    source, table, df, ns, writer_id, batch_id
+                )
 
         return write_batch
+
+    def _maintain_indexes(
+        self, source: SourceSpec, table, df, ns: str, writer_id: str,
+        batch_id: int,
+    ) -> None:
+        """Incremental secondary-index maintenance for one committed
+        micro-batch (see ``SourceSpec.indexes``). Runs AFTER the main
+        append inside the same serial foreachBatch hook, so the corpus
+        read below already contains this batch and a crash before any
+        index commit replays the whole batch idempotently."""
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        if df.isEmpty():
+            return
+        for spec in source.indexes:
+            kind = spec.get("kind")
+            name = spec.get("name", f"{source.name}__{kind}_idx")
+            if kind == "minhash":
+                from pyspark.sql.types import (
+                    LongType,
+                    StructField,
+                    StructType,
+                )
+
+                from crest_spark.operators.dedup import (
+                    minhash_incremental_pairs,
+                    minhash_index_append,
+                )
+
+                id_col = spec.get("id_col", "doc_id")
+                text_col = spec.get("text_col", "text")
+                idx = self.catalog.get_or_create_table(
+                    name,
+                    StructType(
+                        [
+                            StructField("doc_id", LongType()),
+                            StructField("band", LongType()),
+                            StructField("sig", LongType()),
+                        ]
+                    ),
+                    ns,
+                )
+                batch_docs = df.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"),
+                )
+                if spec.get("mine_pairs", True):
+                    corpus = table.read(spark).select(
+                        F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("text"),
+                    )
+                    pairs = minhash_incremental_pairs(
+                        spark,
+                        idx,
+                        batch_docs,
+                        corpus,
+                        writer_id=f"{writer_id}-{name}",
+                        batch_id=batch_id,
+                    )
+                    pt = self.catalog.get_or_create_table(
+                        f"{name}__pairs", pairs.schema, ns
+                    )
+                    pt.append(
+                        pairs,
+                        writer_id=f"{writer_id}-{name}-pairs",
+                        batch_id=batch_id,
+                    )
+                else:
+                    minhash_index_append(
+                        idx,
+                        batch_docs,
+                        writer_id=f"{writer_id}-{name}",
+                        batch_id=batch_id,
+                    )
+            elif kind == "ivf":
+                from crest_spark.operators.vector_index import (
+                    build_ivf_index,
+                    ivf_add,
+                )
+
+                id_col = spec.get("id_col", "vec_id")
+                vec_col = spec.get("vec_col", "embedding")
+                new_em = df.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding"),
+                )
+                t = self.catalog.table(name, ns)
+                if not t.exists():
+                    build_ivf_index(
+                        spark, new_em, self.catalog, name=name, namespace=ns
+                    )
+                else:
+                    ivf_add(
+                        spark,
+                        t,
+                        new_em,
+                        writer_id=f"{writer_id}-{name}",
+                        batch_id=batch_id,
+                    )
+            else:
+                raise ValueError(
+                    f"unknown index kind {kind!r} on {ns}.{source.name}; "
+                    "known: minhash, ivf"
+                )
 
     def start(self) -> None:
         """Start every source's streaming query (reference Start(),

@@ -982,6 +982,135 @@ def test_nested_schema_evolution_export_resolves_both_vintages(
     assert rows == [(1, 10.0, "x"), (2, 20.0, "y"), (3, 30.0, "z")]
 
 
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_fuzzed_nested_evolution_external_reader_walk(
+    seed, spark, tmp_path_factory
+):
+    """VERDICT r10 next-round #8: the independent external-reader
+    conformance walk over a FUZZED nested-evolution history, not just
+    the hand-built one. A random sequence of struct-member rename /
+    drop / add ops (append between each) runs against a real table;
+    then EVERY vintage is resolved through exported metadata + pyarrow
+    alone — current schema record for field ids, hierarchical
+    name-mapping for per-file physical member names, manifest walk for
+    the file set — and the reconstructed (id, member...) rows must
+    equal an identity-tracking model (a member's value is whatever its
+    IDENTITY held at that row's vintage; identities born later read
+    null; renamed members keep their bytes; dropped ones never
+    resurrect)."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.lakehouse.iceberg_export import export_iceberg_metadata
+
+    rng = random.Random(seed)
+    tmp = tmp_path_factory.mktemp(f"fz{seed}")
+    cat = LakehouseCatalog(str(tmp / "wh"))
+
+    # model: ordered live members as (identity, current_name)
+    next_ident = [0]
+
+    def new_member():
+        next_ident[0] += 1
+        return (next_ident[0], f"m{next_ident[0]}")
+
+    members = [new_member() for _ in range(rng.randint(2, 3))]
+    ddl = lambda: (  # noqa: E731
+        "id long, a struct<"
+        + ", ".join(f"{nm}: long" for _i, nm in members)
+        + ">"
+    )
+
+    def append_rows(t, base_id):
+        rows = []
+        for i in range(2):
+            rid = base_id + i
+            rows.append((rid, {nm: ident * 1000 + rid for ident, nm in members}))
+        df = spark.createDataFrame(rows, ddl())
+        t.append(df, merge_schema=True)
+        # model rows: id -> {identity: value}
+        return [
+            (rid, {ident: ident * 1000 + rid for ident, _nm in members})
+            for rid in (base_id, base_id + 1)
+        ]
+
+    df0 = spark.createDataFrame([], ddl())
+    t = cat.get_or_create_table("fz", df0.schema)
+    model_rows = append_rows(t, 0)
+    for step in range(1, rng.randint(2, 5) + 1):
+        op = rng.choice(["rename", "drop", "add"])
+        if op == "rename":
+            k = rng.randrange(len(members))
+            ident, old = members[k]
+            new = f"r{step}_{ident}"
+            t.rename_column(f"a.{old}", f"a.{new}")
+            members[k] = (ident, new)
+        elif op == "drop" and len(members) > 1:
+            k = rng.randrange(len(members))
+            ident, old = members.pop(k)
+            t.drop_column(f"a.{old}")
+        else:
+            members.append(new_member())
+        model_rows += append_rows(t, step * 100)
+
+    meta_dir = export_iceberg_metadata(t)
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    cur = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    a_fields = next(
+        f for f in cur["fields"] if f["name"] == "a"
+    )["type"]["fields"]
+    # head members resolve by NAME -> field id in the current schema
+    fid_of = {ch["name"]: ch["id"] for ch in a_fields}
+    assert set(fid_of) == {nm for _i, nm in members}
+    nm_map = json.loads(meta["properties"]["schema.name-mapping.default"])
+    a_entry = next(e for e in nm_map if "a" in e["names"])
+    names_of_fid = {e["field-id"]: set(e["names"]) for e in a_entry["fields"]}
+
+    # independent manifest walk: reconstruct (id, head member values)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, lentries = _decode_container(fh.read())
+    got: dict = {}
+    for e in lentries:
+        if e.get("content", 0) != 0:
+            continue
+        with open(e["manifest_path"], "rb") as fh:
+            _, _, records = _decode_container(fh.read())
+        for rec in records:
+            if rec["status"] not in (0, 1):
+                continue
+            tbl = pq.read_table(rec["data_file"]["file_path"])
+            ids = tbl.column("id").to_pylist()
+            a_arr = tbl.column("a").combine_chunks()
+            phys_names = {f.name for f in a_arr.type}
+            for _i, nm in members:
+                hit = phys_names & names_of_fid[fid_of[nm]]
+                assert len(hit) <= 1, (nm, hit, seed)
+                vals = (
+                    a_arr.field(hit.pop()).to_pylist()
+                    if hit
+                    else [None] * len(ids)
+                )
+                for rid, val in zip(ids, vals):
+                    got.setdefault(rid, {})[nm] = val
+    want = {
+        rid: {nm: by_ident.get(ident) for ident, nm in members}
+        for rid, by_ident in model_rows
+    }
+    assert got == want, f"seed {seed}"
+
+
 def test_nested_id_stability_across_unrelated_drop_readd(spark, tmp_path):
     """ADVICE r9 #5: nested field ids must be table-global — the SAME
     nested member keeps ONE id in every exported schema even when an
