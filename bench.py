@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "dedup_containment_capped",
     "text_bigram_nll",
     "curation_dsir_weights",
+    # r11 addition: the IVF-PQ composite (persisted codes-only index,
+    # probed-cell ADC + exact re-rank)
+    "ann_ivfpq_topk",
 ]
 
 SUMMARY_MAX_BYTES = 4096  # bound enforced by tests/test_bench_emit.py

@@ -18,7 +18,8 @@ Recipe YAML::
       warehouse: /wh
       table: default.docs_curated
     staging:                       # optional stage materialization
-      mode: persist                # persist (default) | table | local
+      mode: parquet                # parquet (default) | table | local
+      # dir: /dfs/stage            # parquet mode (default: under output wh)
       # table mode: reliable + resumable staging tables
       # warehouse: /wh
       # prefix: curate_stage
@@ -369,10 +370,17 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
     executor killed the whole run unrecoverably). Recipe ``staging:``
     modes:
 
-    - ``persist`` (default): ``persist(DISK_ONLY)`` with lineage
-      INTACT — a lost executor's blocks recompute from the upstream
-      stages; each stage's row count is still one job. Previous
-      stages' blocks are released once the next stage materializes.
+    - ``parquet`` (default): write each stage's survivors to a parquet
+      dir under ``staging.dir`` (default: ``<output.warehouse>/
+      _curate_stage``, else a temp dir) and read back — reliable when
+      the dir is on DFS/object storage, and COLUMNAR: downstream
+      stages that scan the survivors several times (the containment
+      miner's 5-branch DAG) get pruned vectorized reads.
+      ``persist(DISK_ONLY)`` was measured pathological here: its
+      Java-serialized full-row blocks re-deserialize the fat text
+      column on every pass with no column pruning — >10 min for a
+      stage that runs in 61 s over parquet at 512k docs — so it is
+      not offered.
     - ``table``: write each stage's survivors to a staging lakehouse
       table ``<prefix>_<i>_<op>`` under ``staging.warehouse`` —
       reliable storage AND resumability: with ``staging.resume: true``
@@ -386,10 +394,13 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
     if "doc_id" not in df.columns or "text" not in df.columns:
         raise ValueError("source must have doc_id and text columns")
     staging = recipe.get("staging") or {}
-    mode = staging.get("mode", "persist")
-    if mode not in ("persist", "table", "local"):
-        raise ValueError(f"staging.mode must be persist|table|local, got {mode!r}")
+    mode = staging.get("mode", "parquet")
+    if mode not in ("parquet", "table", "local"):
+        raise ValueError(
+            f"staging.mode must be parquet|table|local, got {mode!r}"
+        )
     stage_cat = None
+    stage_dir = None
     if mode == "table":
         from crest_spark.lakehouse import LakehouseCatalog
 
@@ -399,12 +410,21 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         if not wh:
             raise ValueError("staging.mode=table needs staging.warehouse")
         stage_cat = LakehouseCatalog(wh)
+    elif mode == "parquet":
+        import os
+        import tempfile
+
+        wh = (recipe.get("output") or {}).get("warehouse")
+        stage_dir = staging.get("dir") or (
+            os.path.join(wh, "_curate_stage")
+            if wh
+            else tempfile.mkdtemp(prefix="curate_stage_")
+        )
     stage_prefix = str(staging.get("prefix", "curate_stage"))
     resume = bool(staging.get("resume", False))
     applied: list[str] = []
     report: dict = {"stages": []}
     rows_in = df.count()
-    prev_persisted = None
     for i, st in enumerate(recipe.get("stages") or []):
         op = st.get("op")
         if op not in STAGES:
@@ -453,13 +473,12 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
             df = STAGES[op](df, **kwargs).localCheckpoint()
             n = df.count()
         else:
-            from pyspark.storagelevel import StorageLevel
+            import os
 
-            df = STAGES[op](df, **kwargs).persist(StorageLevel.DISK_ONLY)
+            p = os.path.join(stage_dir, f"{i:02d}_{op}.parquet")
+            STAGES[op](df, **kwargs).write.mode("overwrite").parquet(p)
+            df = spark.read.parquet(p)
             n = df.count()
-            if prev_persisted is not None:
-                prev_persisted.unpersist()
-            prev_persisted = df
         entry = {
             "op": op,
             "rows_out": n,

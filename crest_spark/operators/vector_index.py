@@ -483,6 +483,53 @@ def build_ivfpq_index(
     dsub = dim // m
     k_codes = int(min(256, max(16, len(sample) // 8)))
     books = fit_pq_codebooks(resid, m, k_codes, PQ_ITERS, seed=seed + 1)
+    codes = _pq_encode_codes(spark, em, centroids, books, m)
+    t = catalog.get_or_create_table(name, codes.schema, namespace)
+    t.overwrite(
+        _cell_clustered(spark, codes, n_cells),
+        extra={
+            "ivfpq": {
+                "n_cells": n_cells,
+                "m": m,
+                "k": k_codes,
+                "seed": seed,
+                "centroids": [[float(x) for x in c] for c in centroids],
+                "books": [
+                    [[float(x) for x in row] for row in bk] for bk in books
+                ],
+            }
+        },
+    )
+    return t
+
+
+def ivfpq_add(
+    spark: SparkSession,
+    t: LakehouseTable,
+    new_em: DataFrame,
+    **append_kw,
+) -> int | None:
+    """Incremental IVF-PQ maintenance (the FAISS ``add`` split for the
+    composite index): encode ONLY the new vectors against the FROZEN
+    coarse centroids + residual codebooks of the current index (one
+    Arrow pass over the delta) and append them as cell-clustered code
+    files. Unlike ``ivf_add``, no auto-recluster: the index holds
+    codes only (no floats), so a re-fit needs the source embedding
+    table — callers watching drift rebuild via ``build_ivfpq_index``.
+    The add still stamps the ``ivf_add`` drift marker so that decision
+    is observable. ``append_kw`` (writer_id/batch_id) makes a replayed
+    ingest micro-batch an idempotent no-op."""
+    centroids, books, m, n_cells = load_ivfpq_meta(t)
+    codes = _pq_encode_codes(spark, new_em, centroids, books, m)
+    clustered = _cell_clustered(spark, codes, n_cells)
+    return t.append(clustered, extra={"ivf_add": {}}, **append_kw)
+
+
+def _pq_encode_codes(spark, em: DataFrame, centroids, books, m: int):
+    """One Arrow pass: (vec_id, cell, c0..c{m-1}) residual PQ codes for
+    ``em`` against frozen coarse centroids + codebooks (shared by the
+    full build and the incremental add — same bytes either way)."""
+    dsub = centroids.shape[1] // m
     b_cent = spark.sparkContext.broadcast(centroids)
     b_books = spark.sparkContext.broadcast(books)
     code_schema = "vec_id long, cell int, " + ", ".join(
@@ -516,28 +563,9 @@ def build_ivfpq_index(
                 ).argmin(1).astype("int32")
             yield out
 
-    codes = em.select("vec_id", "embedding").mapInPandas(
+    return em.select("vec_id", "embedding").mapInPandas(
         encode, code_schema
     )
-    t = catalog.get_or_create_table(
-        name, spark.createDataFrame([], code_schema).schema, namespace
-    )
-    t.overwrite(
-        _cell_clustered(spark, codes, n_cells),
-        extra={
-            "ivfpq": {
-                "n_cells": n_cells,
-                "m": m,
-                "k": k_codes,
-                "seed": seed,
-                "centroids": [[float(x) for x in c] for c in centroids],
-                "books": [
-                    [[float(x) for x in row] for row in bk] for bk in books
-                ],
-            }
-        },
-    )
-    return t
 
 
 def load_ivfpq_meta(t: LakehouseTable):

@@ -168,6 +168,11 @@ class SourceSpec:
     #     FAISS add-split: the first batch builds the IVF index, later
     #     batches assign only their own vectors to the frozen centroids
     #     (ivf_add; drift past threshold reclusters).
+    #   {"kind": "ivfpq", ...same keys...}
+    #     the codes-only composite: first batch builds (build_ivfpq_index),
+    #     later batches encode only their own vectors against the frozen
+    #     centroids+codebooks (ivfpq_add; rebuild-on-drift is the
+    #     caller's call since the index holds no floats to re-fit from).
     indexes: list[dict] | None = None
     # Provenance columns stamped at ingest: `_source_file` (the staged
     # file each row came from — file sources only; Flight streams have
@@ -513,10 +518,12 @@ class IngestionService:
                         writer_id=f"{writer_id}-{name}",
                         batch_id=batch_id,
                     )
-            elif kind == "ivf":
+            elif kind in ("ivf", "ivfpq"):
                 from crest_spark.operators.vector_index import (
                     build_ivf_index,
+                    build_ivfpq_index,
                     ivf_add,
+                    ivfpq_add,
                 )
 
                 id_col = spec.get("id_col", "vec_id")
@@ -526,12 +533,14 @@ class IngestionService:
                     F.col(vec_col).alias("embedding"),
                 )
                 t = self.catalog.table(name, ns)
+                build = build_ivf_index if kind == "ivf" else build_ivfpq_index
+                add = ivf_add if kind == "ivf" else ivfpq_add
                 if not t.exists():
-                    build_ivf_index(
+                    build(
                         spark, new_em, self.catalog, name=name, namespace=ns
                     )
                 else:
-                    ivf_add(
+                    add(
                         spark,
                         t,
                         new_em,
@@ -541,7 +550,7 @@ class IngestionService:
             else:
                 raise ValueError(
                     f"unknown index kind {kind!r} on {ns}.{source.name}; "
-                    "known: minhash, ivf"
+                    "known: minhash, ivf, ivfpq"
                 )
 
     def start(self) -> None:

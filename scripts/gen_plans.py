@@ -256,15 +256,31 @@ COMMENTARY = {
         "candidates, never corpus²."
     ),
     "dedup_minhash_incr": (
-        "Incremental MinHash (r10): each arrival batch signs ONLY its "
-        "own docs; candidates are a (band,sig) equi-join of the new "
-        "band rows against the persisted index (indexed bucket side "
-        "capped — the degenerate-bucket guard) plus the new batch's own "
-        "chain-guarded pairs; the exact-Jaccard verify is semi-join-"
-        "reduced to candidate docs over hashed shingles, so per-batch "
-        "work scales with the batch + its answer, never the corpus. "
-        "Measured 0.64 exponent, ~10%% over the one-shot miner with "
-        "full index round-trips (docs/SCALE.md)."
+        "Incremental MinHash (r10; cap join-reduced r11): each arrival "
+        "batch signs ONLY its own docs; candidates are a (band,sig) "
+        "equi-join of the new band rows against the persisted index "
+        "plus the new batch's own chain-guarded pairs. The degenerate-"
+        "bucket cap's row_number window runs on the index AFTER a "
+        "left-semi join to the arrival's distinct bucket keys — a join "
+        "cannot be pushed below a window, so windowing first (pre-r11) "
+        "shuffled the ENTIRE index per arrival; join-reduced, the "
+        "window input is O(matching buckets) and row_number within a "
+        "bucket is unaffected (bit-identity pinned). The exact-Jaccard "
+        "verify is semi-join-reduced to candidate docs over hashed "
+        "shingles, so per-batch work scales with the batch + its "
+        "answer, never the corpus (docs/SCALE.md)."
+    ),
+    "ann_ivfpq_topk": (
+        "IVF-PQ (r11, Jégou 2011 §IV): coarse cells + per-cell RESIDUAL "
+        "PQ codes persisted as a cell-clustered lakehouse table of "
+        "pure uint8 codes (no float column — the 64x compression), "
+        "centroids+codebooks in commit metadata. A query builds nprobe "
+        "(m x k) ADC tables per probed cell driver-side and the codes "
+        "scan opens ONLY the probed cells' files (one pruned scan per "
+        "cell via commit-log stats); per-batch shortlist truncation, "
+        "then the exact re-rank fetches just the shortlist vectors. "
+        "At 100 TB query cost is ~nprobe/n_cells of the compressed "
+        "corpus vs all of it for flat PQ."
     ),
     "ann_pq_topk": (
         "Product-quantization ANN (r10): one Arrow encode pass emits "

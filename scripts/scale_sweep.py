@@ -73,6 +73,10 @@ OPERATORS = {
     # r10: the PQ route — one encode pass + a codes-only ADC scan, both
     # linear; 64x memory compression is the point (codes vs float64s)
     "ann_pq_topk": ("~linear", "product-quantization codes -> ADC scan -> exact re-rank", None, ("embeddings",)),
+    # r11: the IVF-PQ composition (VERDICT r10 what's-missing #4) —
+    # coarse cells + residual codes persisted as a lakehouse table;
+    # build is one encode pass, the query ADC touches probed cells only
+    "ann_ivfpq_topk": ("~linear", "IVF cells + residual PQ codes -> ADC over probed cells -> exact re-rank", None, ("embeddings",)),
     "dedup_embedding_cosine": ("quadratic", "exact block-pair GEMM (designed O(n^2) baseline)", 256, ("embeddings",)),
     "q58_market_basket": ("~linear", "basket pair-join + lift (pair expansion per order)", 1024, ("lineitem",)),
     "q61_scd2_point_in_time": ("~linear", "union-tag + running-last window (join-free PIT)", 1024, ("events",)),
@@ -90,6 +94,11 @@ OPERATORS = {
     # vintage-aware commit-log stats prune every untouched file without
     # opening it and only the admitted file(s) rewrite.
     "lake_merge_after_rename": ("O(touched-files)", "stats-pruned CoW merge on a renamed clustered key (flat = proof)", 1024, ("lineitem",)),
+    # r11 (VERDICT r10 next-round #7): the recipe COMPOSITION — one
+    # `cli curate` pipeline (exact + containment + quality + pack) over
+    # the scaled corpus must inherit its member exponents (expect ~ the
+    # max member, ~0.6), proving composition adds no super-linear term
+    "curation_recipe": ("sub-quadratic", "cli curate composition: exact+containment+quality+pack", 1024, ("documents",)),
 }
 
 # ops timed by a CUSTOM routine rather than registry-fn + noop sink
@@ -153,7 +162,38 @@ def _lake_merge_after_rename(spark, d: str, work: str) -> float:
     return dt
 
 
-CUSTOM_OPS = {"lake_merge_after_rename": _lake_merge_after_rename}
+def _curation_recipe(spark, d: str, work: str) -> float:
+    """One timed end-to-end `cli curate` run (exact + containment +
+    quality + pack, default DISK_ONLY persist staging) over the scaled
+    documents dir. The composition's wall time should scale like its
+    slowest member (containment, ~0.5-0.6), not multiply."""
+    import shutil
+    import time as _time
+
+    from crest_spark.curation_recipe import run_recipe
+
+    recipe = {
+        "name": "sweep",
+        "source": {"parquet": os.path.join(d, "documents.parquet")},
+        "stages": [
+            {"op": "exact_dedup"},
+            {"op": "containment_dedup", "cap": 1000, "threshold": 0.9},
+            {"op": "quality_gate", "min_chars": 40, "max_repeat_ratio": 0.9},
+            {"op": "pack", "budget": 512},
+        ],
+    }
+    t0 = _time.perf_counter()
+    report = run_recipe(spark, recipe)
+    dt = _time.perf_counter() - t0
+    assert report["rows_out"] > 0
+    shutil.rmtree(work, ignore_errors=True)
+    return dt
+
+
+CUSTOM_OPS = {
+    "lake_merge_after_rename": _lake_merge_after_rename,
+    "curation_recipe": _curation_recipe,
+}
 
 MARK_BEGIN = "<!-- scale-sweep:begin -->"
 MARK_END = "<!-- scale-sweep:end -->"

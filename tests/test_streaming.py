@@ -277,6 +277,40 @@ def test_ingest_maintains_ivf_index(spark, sf_dir, tmp_path):
     assert got.count() == 6
 
 
+def test_ingest_maintains_ivfpq_index(spark, sf_dir, tmp_path):
+    """ivfpq index spec: first arrival builds the codes-only composite
+    index, later arrivals encode only their own vectors against the
+    frozen codebooks — every ingested vector lands exactly once."""
+    from crest_spark.operators.vector_index import load_ivfpq_meta
+
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "embeddings"), n_slices=2,
+        order_col="vec_id",
+    )
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="emb",
+                path=staging,
+                files_per_trigger=1,
+                indexes=[{"kind": "ivfpq", "name": "emb_pq"}],
+            )
+        ],
+    )
+    IngestionService(spark, cfg).run_once()
+    from crest_spark.lakehouse import LakehouseCatalog
+
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    t = cat.table("emb_pq")
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert t.read(spark).count() == n
+    assert t.read(spark).select("vec_id").distinct().count() == n
+    assert "embedding" not in [f.name for f in t.schema().fields]
+    load_ivfpq_meta(t)  # centroids + codebooks present
+
+
 def test_ingest_auto_create_and_metrics(spark, sf_dir, tmp_path):
     """Auto-create DDL from first batch + metrics listener output."""
     from crest_spark.streaming import metrics as m

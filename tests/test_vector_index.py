@@ -162,6 +162,64 @@ def test_ivfpq_recall_and_determinism(spark, pq_index):
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
 
 
+def test_ivfpq_add_encodes_delta_against_frozen_codebooks(
+    spark, sf_dir, tmp_path
+):
+    """ivfpq_add appends ONLY the delta's codes — encoding against the
+    index's frozen centroids+codebooks, so a vector's code bytes are
+    identical whether it arrived at build time or via add; replayed
+    batch ids are no-ops; probes see the delta immediately."""
+    from crest_spark.operators.vector_index import (
+        build_ivfpq_index,
+        ivfpq_add,
+        ivfpq_search,
+        load_ivfpq_meta,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    half1 = em.where(F.col("vec_id") % 2 == 0)
+    half2 = em.where(F.col("vec_id") % 2 == 1)
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    t = build_ivfpq_index(spark, half1, cat, name="pq2")
+    meta_before = load_ivfpq_meta(t)
+    assert ivfpq_add(spark, t, half2, writer_id="w", batch_id=1) is not None
+    n = em.count()
+    assert t.read(spark).count() == n
+    # codebooks frozen across the add
+    meta_after = load_ivfpq_meta(t)
+    assert (meta_before[0] == meta_after[0]).all()
+    assert (meta_before[1] == meta_after[1]).all()
+    # replay of the same batch id: no-op
+    assert ivfpq_add(spark, t, half2, writer_id="w", batch_id=1) is None
+    assert t.read(spark).count() == n
+    # code bytes for a delta vector equal a fresh encode against the
+    # same frozen meta (same function, same inputs — pinned end-to-end
+    # through the commit/scan round trip)
+    from crest_spark.operators.vector_index import _pq_encode_codes
+
+    want = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in _pq_encode_codes(
+            spark, half2, meta_after[0], meta_after[1], meta_after[2]
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in t.read(spark)
+        .where(F.col("vec_id") % 2 == 1)
+        .select(*_pq_encode_codes(
+            spark, half2, meta_after[0], meta_after[1], meta_after[2]
+        ).columns)
+        .collect()
+    }
+    assert got == want
+    # probes surface delta members
+    queries = em.where(F.col("vec_id") < 3)
+    res = ivfpq_search(spark, t, em, queries, k=5, nprobe=8).collect()
+    assert len(res) == 15
+    assert any(r["vec_id"] % 2 == 1 for r in res)
+
+
 def test_rebuild_is_snapshot_isolated(spark, index):
     """A rebuild overwrites in one commit; a reader pinned to the old
     snapshot keeps a consistent index (files + centroids of its day)."""
