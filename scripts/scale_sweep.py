@@ -175,6 +175,7 @@ def _curation_recipe(spark, d: str, work: str) -> float:
     recipe = {
         "name": "sweep",
         "source": {"parquet": os.path.join(d, "documents.parquet")},
+        "staging": {"dir": os.path.join(work, "stage")},
         "stages": [
             {"op": "exact_dedup"},
             {"op": "containment_dedup", "cap": 1000, "threshold": 0.9},
