@@ -77,12 +77,13 @@ def stage_exact_dedup(df: DataFrame, **_: object) -> DataFrame:
     Keys on sha2-256(text) + length, NOT xxhash64 (ADVICE r10): at the
     ~10^10-doc scale this stage targets, expected 64-bit birthday
     collisions exceed 1, and a collision silently drops a distinct
-    document. 256-bit keys push that to ~5e-58 while the shuffle still
-    moves 36-byte keys instead of full document text (grouping on the
-    raw text would be collision-proof but ships every text byte through
-    the exchange — the wrong trade at 100 TB)."""
+    document. 256-bit keys push that to ~5e-58 while the shuffle moves
+    36-byte keys (unhex folds sha2's hex string back to 32 raw bytes)
+    instead of full document text — grouping on the raw text would be
+    collision-proof but ships every text byte through the exchange,
+    the wrong trade at 100 TB."""
     keep = df.groupBy(
-        F.sha2(F.col("text").cast("binary"), 256).alias("_h"),
+        F.unhex(F.sha2(F.col("text").cast("binary"), 256)).alias("_h"),
         F.length("text").alias("_len"),
     ).agg(F.min("doc_id").alias("doc_id"))
     return df.join(keep.select("doc_id"), "doc_id", "left_semi")
@@ -450,23 +451,42 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         resumed = False
         if mode == "table":
             tname = _stage_table_name(i, op, stage_prefix)
+            # stage fingerprint: op + its JSON-able kwargs. Resume only
+            # reuses a staged table whose LAST commit carries the same
+            # fingerprint — a changed threshold/cap silently reusing
+            # stale survivors would be a wrong result, not a speedup.
+            # (A swapped source parquet under the same recipe is still
+            # undetectable here; use a fresh prefix for new corpora.)
+            fp = {
+                "op": op,
+                "kwargs": {
+                    kk: vv
+                    for kk, vv in kwargs.items()
+                    if isinstance(vv, (str, int, float, bool, type(None)))
+                },
+            }
             if resume:
                 t = stage_cat.table(tname)
                 # version > 1 = created AND written (a crash between
                 # create and append leaves v1, which must recompute)
                 if t.version() > 1:
-                    df = t.read(spark)
-                    n = t.row_count()
-                    resumed = True
+                    snaps = t.snapshots()
+                    last_fp = snaps[-1].extra.get("recipe_stage")
+                    if last_fp == fp:
+                        df = t.read(spark)
+                        n = t.row_count()
+                        resumed = True
+                    else:
+                        resume = False  # spec changed: recompute onward
                 else:
                     resume = False  # first missing stage: compute onward
             if not resumed:
                 out = STAGES[op](df, **kwargs)
                 t = stage_cat.get_or_create_table(tname, out.schema)
                 if t.version() > 1:
-                    t.overwrite(out)
+                    t.overwrite(out, extra={"recipe_stage": fp})
                 else:
-                    t.append(out)
+                    t.append(out, extra={"recipe_stage": fp})
                 df = t.read(spark)
                 n = t.row_count()
         elif mode == "local":

@@ -25,13 +25,25 @@ class LakehouseCatalog:
         os.makedirs(warehouse, exist_ok=True)
 
     def create_namespace(self, namespace: str) -> None:
+        # underscore-prefixed names are reserved for engine scratch dirs
+        # (list_namespaces filters them out, so a table created under one
+        # would exist but be invisible to discovery — reject up front)
+        if namespace.startswith("_"):
+            raise ValueError(
+                f"namespace {namespace!r} is reserved (underscore prefix "
+                "marks engine scratch dirs, hidden from list_namespaces)"
+            )
         os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
 
     def list_namespaces(self) -> list[str]:
+        # underscore-prefixed dirs are engine scratch (e.g. the curation
+        # recipe's `_curate_stage` parquet staging), not namespaces —
+        # the same convention Iceberg/Hive use for metadata dirs
         return sorted(
             d
             for d in os.listdir(self.warehouse)
-            if os.path.isdir(os.path.join(self.warehouse, d))
+            if not d.startswith("_")
+            and os.path.isdir(os.path.join(self.warehouse, d))
         )
 
     def list_tables(self, namespace: str | None = None) -> list[str]:

@@ -549,6 +549,7 @@ def fit_pq_codebooks(X, m: int, k: int, iters: int, seed: int = 7):
 
     dim = X.shape[1]
     dsub = dim // m
+    k = max(1, min(k, len(X)))  # a 10-vector sample fits 10 codes, not 16
     rng = np.random.RandomState(seed)
     books = np.empty((m, k, dsub), dtype=np.float64)
     for j in range(m):
@@ -608,6 +609,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsub = dim // m
     k = int(min(256, max(16, len(X) // 8)))
     books = fit_pq_codebooks(X, m, k, _PQ_ITERS, seed=7)
+    k = books.shape[1]  # fit clamps k to the sample when tiny
     code_cols = ", ".join(f"c{j} int" for j in range(m))
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

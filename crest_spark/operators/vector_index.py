@@ -56,7 +56,11 @@ def _ivf_k(n_total: int) -> int:
 
 def _fit_centroids(em: DataFrame, n_cells: int, seed: int, sample_n: int):
     """Seeded k-means on a bounded driver-side sample — O(sample), not
-    O(corpus); the assignment pass below is the only corpus-wide work."""
+    O(corpus); the assignment pass below is the only corpus-wide work.
+    ``n_cells`` clamps to the sample size (a first streaming micro-batch
+    of 10 vectors must build a 10-cell index, not crash the query on
+    ``choice(10, 16, replace=False)``); callers take the effective cell
+    count from ``len(centroids)``."""
     import numpy as np
 
     sample = np.array(
@@ -64,6 +68,7 @@ def _fit_centroids(em: DataFrame, n_cells: int, seed: int, sample_n: int):
         dtype=np.float64,
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    n_cells = max(1, min(n_cells, len(sample)))
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), n_cells, replace=False)]
     for _ in range(IVF_LLOYD):
@@ -156,6 +161,7 @@ def _write_ivf(
     centroids = _fit_centroids(
         em, n_cells, seed, max(IVF_SAMPLE, 8 * n_cells)
     )
+    n_cells = len(centroids)  # clamped to the sample when tiny
     b_cent = spark.sparkContext.broadcast(centroids)
     clustered = _cell_clustered(spark, _assign_cells(em, b_cent), n_cells)
     t.overwrite(
@@ -203,7 +209,11 @@ def ivf_drift(t: LakehouseTable) -> float:
     base_rows: int | None = None
     added = 0
     for s in reversed(t.snapshots()):
-        if s.extra.get("ivf"):
+        # both index flavors rebase drift at their (re)build commit:
+        # flat IVF stamps extra['ivf'], the codes-only composite
+        # stamps extra['ivfpq'] (ivfpq_add documents drift as
+        # observable through this function)
+        if s.extra.get("ivf") or s.extra.get("ivfpq"):
             base_rows = max(int(s.num_rows or 0), 1)
             break
         if "ivf_delete" in s.extra:
@@ -400,6 +410,10 @@ def ivf_index_search(
     probed_cells = sorted(
         {r["cell"] for r in probes.select("cell").distinct().collect()}
     )
+    if not probed_cells:  # empty query set: empty result, not parts[0]
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, sim double, rn int"
+        )
     # one pruned scan per distinct probed cell: each opens only the
     # file(s) whose stats admit that cell value. The union is metadata
     # plumbing, not data movement.
@@ -472,6 +486,7 @@ def build_ivfpq_index(
     centroids = _fit_centroids(
         em, n_cells, seed, max(IVF_SAMPLE, 8 * n_cells)
     )
+    n_cells = len(centroids)  # clamped to the sample when tiny
     sample = np.array(
         [r[0] for r in em.select("embedding").limit(PQ_TRAIN).collect()],
         dtype=np.float64,
@@ -483,6 +498,7 @@ def build_ivfpq_index(
     dsub = dim // m
     k_codes = int(min(256, max(16, len(sample) // 8)))
     books = fit_pq_codebooks(resid, m, k_codes, PQ_ITERS, seed=seed + 1)
+    k_codes = int(books.shape[1])  # fit clamps k to the sample when tiny
     codes = _pq_encode_codes(spark, em, centroids, books, m)
     t = catalog.get_or_create_table(name, codes.schema, namespace)
     t.overwrite(
@@ -611,6 +627,10 @@ def ivfpq_search(
     dim = centroids.shape[1]
     dsub = dim // m
     qrows = queries.select("vec_id", "embedding").collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, sim double, rn int"
+        )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_mat /= np.clip(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12, None)

@@ -148,10 +148,14 @@ class SourceSpec:
     #       mode only — a merge cannot be staged).
     expect_batch: dict[str, str] | None = None
     on_batch_violation: str = "fail"
-    # Maintained secondary indexes (append mode only): after each
+    # Maintained secondary indexes (append mode only; incompatible with
+    # stage/branch/on_batch_violation='stage' — validated at start,
+    # since indexed batches must land LIVE on main): after each
     # committed micro-batch, derive-style index maintenance runs under
     # the same (writer, batch)-id idempotence protocol as the main sink
-    # — a replayed micro-batch signs/adds exactly once. The crest-parity
+    # — a replayed micro-batch signs/adds exactly once, including a
+    # replayed FIRST batch (the index build stamps its batch id via a
+    # zero-row marker append). The crest-parity
     # end state: source -> Iceberg table -> maintained dedup/ANN indexes,
     # all inside one exactly-once write path. Each spec is a dict:
     #   {"kind": "minhash", "name": ..., "id_col": "doc_id",
@@ -251,6 +255,7 @@ class IngestionService:
             )
 
     def _sink(self, source: SourceSpec):
+        self._validate_indexes(source)
         catalog = self.catalog
         ns = source.namespace or self.config.namespace
         writer_id = f"ingest-{ns}.{source.name}"
@@ -435,14 +440,39 @@ class IngestionService:
                 stage=stage_this,
                 branch=source.branch,
             )
-            if source.indexes and not stage_this and source.branch is None:
-                # maintained indexes track PUBLISHED rows only: a staged
-                # or branched batch indexes when it lands on main
+            if source.indexes:
                 self._maintain_indexes(
                     source, table, df, ns, writer_id, batch_id
                 )
 
         return write_batch
+
+    @staticmethod
+    def _validate_indexes(source: SourceSpec) -> None:
+        """Maintained indexes require every committed batch to be LIVE
+        the moment it lands: a staged / branched / stage-diverted batch
+        would be signed into the index while invisible on main (or,
+        worse, never signed if indexing were skipped and publish came
+        later — there is no publish-time maintenance hook). Rejecting
+        the combination up front turns a silent index/table divergence
+        into a config error."""
+        if not source.indexes:
+            return
+        problems = []
+        if source.mode != "append":
+            problems.append("mode must be 'append'")
+        if source.stage:
+            problems.append("stage=True")
+        if source.branch:
+            problems.append(f"branch={source.branch!r}")
+        if source.expect_batch and source.on_batch_violation == "stage":
+            problems.append("on_batch_violation='stage'")
+        if problems:
+            raise ValueError(
+                f"source {source.name!r}: indexes are incompatible with "
+                + ", ".join(problems)
+                + " (indexed batches must land live on main)"
+            )
 
     def _maintain_indexes(
         self, source: SourceSpec, table, df, ns: str, writer_id: str,
@@ -535,16 +565,31 @@ class IngestionService:
                 t = self.catalog.table(name, ns)
                 build = build_ivf_index if kind == "ivf" else build_ivfpq_index
                 add = ivf_add if kind == "ivf" else ivfpq_add
+                widx = f"{writer_id}-{name}"
+                if t.exists() and batch_id in t.committed_batches(widx):
+                    continue  # replayed batch: already built/added
                 if not t.exists():
                     build(
                         spark, new_em, self.catalog, name=name, namespace=ns
+                    )
+                    # the build commits via overwrite, which carries no
+                    # idempotence record — stamp this batch id with a
+                    # zero-row marker append so an at-least-once REPLAY
+                    # of the first micro-batch (crash before the offset
+                    # checkpoint) is caught above instead of taking the
+                    # add path and double-adding its vectors
+                    t = self.catalog.table(name, ns)
+                    t.append(
+                        spark.createDataFrame([], t.schema()),
+                        writer_id=widx,
+                        batch_id=batch_id,
                     )
                 else:
                     add(
                         spark,
                         t,
                         new_em,
-                        writer_id=f"{writer_id}-{name}",
+                        writer_id=widx,
                         batch_id=batch_id,
                     )
             else:

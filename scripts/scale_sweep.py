@@ -164,9 +164,11 @@ def _lake_merge_after_rename(spark, d: str, work: str) -> float:
 
 def _curation_recipe(spark, d: str, work: str) -> float:
     """One timed end-to-end `cli curate` run (exact + containment +
-    quality + pack, default DISK_ONLY persist staging) over the scaled
-    documents dir. The composition's wall time should scale like its
-    slowest member (containment, ~0.5-0.6), not multiply."""
+    quality + pack) over the scaled documents dir, staging each stage's
+    survivors as parquet under the per-scale work dir (the recipe's
+    default materialization mode). The composition's wall time should
+    scale like its slowest member (containment, ~0.5-0.6), not
+    multiply."""
     import shutil
     import time as _time
 

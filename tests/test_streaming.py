@@ -311,6 +311,75 @@ def test_ingest_maintains_ivfpq_index(spark, sf_dir, tmp_path):
     load_ivfpq_meta(t)  # centroids + codebooks present
 
 
+def test_ingest_index_first_batch_replay_idempotent(spark, sf_dir, tmp_path):
+    """Code-review r11: foreachBatch is at-least-once, and the index
+    BUILD commits via overwrite (no idempotence record of its own) — a
+    replayed first micro-batch must not take the add path and
+    double-add its vectors. The build stamps its batch id via a
+    zero-row marker append, so the replay is a no-op; a replayed LATER
+    batch is likewise a no-op through the add's own (writer, batch)
+    protocol. Also covers the tiny-first-batch clamp (10 vectors must
+    build a 10-cell index, not crash on choice(10, 16))."""
+    em = load_table(spark, sf_dir, "embeddings")
+    tiny = em.limit(10)
+    rest = em.subtract(tiny)
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="emb",
+                path=str(tmp_path / "unused"),
+                indexes=[{"kind": "ivf", "name": "riv"}],
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    sink = svc._sink(cfg.sources[0])
+    sink(tiny, 0)
+    t = svc.catalog.table("riv")
+    assert t.read(spark).count() == 10
+    sink(tiny, 0)  # replayed FIRST batch (crash before offset commit)
+    assert t.read(spark).count() == 10
+    sink(rest, 1)
+    n = em.count()
+    assert t.read(spark).count() == n
+    sink(rest, 1)  # replayed add batch
+    assert t.read(spark).count() == n
+    assert t.read(spark).select("vec_id").distinct().count() == n
+
+
+def test_ingest_indexes_reject_staged_modes(spark, tmp_path):
+    """Code-review r11: maintained indexes require every batch to land
+    LIVE on main — stage/branch/stage-diversion would silently diverge
+    the index from the table (no publish-time maintenance hook), so the
+    combination is a config error at sink construction."""
+    import pytest
+
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    svc = IngestionService(spark, cfg)
+    for bad in (
+        {"stage": True},
+        {"branch": "exp"},
+        {
+            "expect_batch": {"nonempty": "COUNT(*) > 0"},
+            "on_batch_violation": "stage",
+        },
+        {"mode": "upsert", "key": "doc_id", "sequence_col": "doc_id"},
+    ):
+        src = SourceSpec(
+            name="d",
+            path=str(tmp_path / "x"),
+            indexes=[{"kind": "minhash"}],
+            **bad,
+        )
+        with pytest.raises(ValueError, match="indexes are incompatible"):
+            svc._sink(src)
+
+
 def test_ingest_auto_create_and_metrics(spark, sf_dir, tmp_path):
     """Auto-create DDL from first batch + metrics listener output."""
     from crest_spark.streaming import metrics as m

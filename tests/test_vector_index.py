@@ -220,6 +220,56 @@ def test_ivfpq_add_encodes_delta_against_frozen_codebooks(
     assert any(r["vec_id"] % 2 == 1 for r in res)
 
 
+def test_ivfpq_drift_observable_and_empty_query_safe(spark, pq_index):
+    """Code-review r11: (a) ivf_drift must recognize the 'ivfpq' base
+    marker — the documented rebuild-on-drift workflow needs drift to be
+    observable on the composite index; (b) an empty query set returns
+    an empty typed result, not an AxisError/IndexError."""
+    from crest_spark.operators.vector_index import ivf_drift, ivfpq_search
+
+    t, em = pq_index
+    assert ivf_drift(t) >= 0.0  # no ValueError on an ivfpq table
+    res = ivfpq_search(
+        spark, t, em, em.where(F.lit(False)), k=5, nprobe=4
+    )
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == [
+        "query_id", "vec_id", "sim", "rn",
+    ]
+
+
+def test_curate_table_resume_invalidates_on_changed_kwargs(
+    spark, sf_dir, tmp_path
+):
+    """Code-review r11: table-mode resume is fingerprint-validated — a
+    changed stage kwarg must recompute instead of silently reusing the
+    stale staged survivors."""
+    from crest_spark.curation_recipe import run_recipe
+
+    def recipe(min_chars):
+        return {
+            "name": "fp",
+            "source": {"parquet": str(sf_dir)},
+            "staging": {
+                "mode": "table",
+                "warehouse": str(tmp_path / "wh"),
+                "prefix": "fp",
+                "resume": True,
+            },
+            "stages": [
+                {"op": "quality_gate", "min_chars": min_chars,
+                 "max_repeat_ratio": 0.9},
+            ],
+        }
+
+    r1 = run_recipe(spark, recipe(40))
+    r2 = run_recipe(spark, recipe(40))
+    assert r2["stages"][0].get("resumed")  # same spec: reused
+    r3 = run_recipe(spark, recipe(4000))
+    assert not r3["stages"][0].get("resumed")  # changed spec: recomputed
+    assert r3["stages"][0]["rows_out"] < r1["stages"][0]["rows_out"]
+
+
 def test_rebuild_is_snapshot_isolated(spark, index):
     """A rebuild overwrites in one commit; a reader pinned to the old
     snapshot keeps a consistent index (files + centroids of its day)."""
