@@ -3830,10 +3830,22 @@ class LakehouseTable:
         folded_schema_events: list[dict] = []
         sstate: dict = {"field_ids": {}, "next_field_id": 1}
         prev_schema_json: str | None = None
+        # STICKY extras: a commit may list extra keys under
+        # 'sticky_extra' that must SURVIVE expiry even when the commit
+        # itself is folded away — e.g. the IVF/IVF-PQ index tables stamp
+        # their centroids/codebooks on the build commit only; expiring
+        # that commit without carrying the metadata forward would leave
+        # a readable index that can never be probed again. Latest
+        # occurrence wins; the boundary commit's own value (if any)
+        # wins over the folded one.
+        folded_sticky: dict = {}
         for v in versions:
             if v >= cutoff:
                 break
             s = by_version[v]
+            for k in s.extra.get("sticky_extra") or []:
+                if k in s.extra:
+                    folded_sticky[k] = s.extra[k]
             if "constraint_state" in s.extra:
                 folded_constraints = dict(s.extra["constraint_state"])
             if "schema_state" in s.extra:
@@ -3963,7 +3975,26 @@ class LakehouseTable:
             # with any map first_keep already carries from an earlier
             # expiration (overwriting would drop that memory)
             "extra": {
+                # folded sticky extras first: the cutoff's own values
+                # (spread next) override, and the merged key list below
+                # keeps them sticky across REPEATED expirations
+                **{
+                    k: v
+                    for k, v in folded_sticky.items()
+                    if k not in first_keep.extra
+                },
                 **first_keep.extra,
+                **(
+                    {
+                        "sticky_extra": sorted(
+                            set(folded_sticky)
+                            | set(first_keep.extra.get("sticky_extra") or [])
+                        )
+                    }
+                    if folded_sticky
+                    or first_keep.extra.get("sticky_extra")
+                    else {}
+                ),
                 # prefix-folded constraint set — unless the cutoff itself
                 # carries an absolute map (a rollback), which already
                 # folded its own history. The cutoff's own set/drop extras

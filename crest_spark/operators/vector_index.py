@@ -171,7 +171,10 @@ def _write_ivf(
                 "n_cells": n_cells,
                 "seed": seed,
                 "centroids": [[float(x) for x in c] for c in centroids],
-            }
+            },
+            # survives expire_snapshots even if this build commit folds
+            # away (an index whose centroids expired is unprobeable)
+            "sticky_extra": ["ivf"],
         },
     )
 
@@ -513,7 +516,10 @@ def build_ivfpq_index(
                 "books": [
                     [[float(x) for x in row] for row in bk] for bk in books
                 ],
-            }
+            },
+            # survives expire_snapshots even if this build commit folds
+            # away (codes without codebooks are undecodable)
+            "sticky_extra": ["ivfpq"],
         },
     )
     return t

@@ -270,6 +270,44 @@ def test_curate_table_resume_invalidates_on_changed_kwargs(
     assert r3["stages"][0]["rows_out"] < r1["stages"][0]["rows_out"]
 
 
+def test_index_metadata_survives_snapshot_expiry(spark, sf_dir, tmp_path):
+    """Self-found r11: centroids/codebooks live in the BUILD commit's
+    extra; expire_snapshots folding that commit away must carry them
+    forward (sticky_extra) — across REPEATED expirations too —
+    or the index data remains readable but can never be probed/decoded
+    again. Covers both the flat IVF and the codes-only IVF-PQ."""
+    from crest_spark.operators.vector_index import (
+        build_ivfpq_index,
+        ivf_add,
+        ivf_index_search,
+        ivfpq_add,
+        ivfpq_search,
+        load_ivf_centroids,
+        load_ivfpq_meta,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    half1 = em.where(F.col("vec_id") % 2 == 0)
+    half2 = em.where(F.col("vec_id") % 2 == 1)
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+
+    t = build_ivfpq_index(spark, half1, cat, name="pqx")
+    ivfpq_add(spark, t, half2)
+    assert t.expire_snapshots(keep_last=1)
+    meta = load_ivfpq_meta(t)  # survived the fold
+    ivfpq_add(spark, t, em.limit(0))  # meta still drives encodes
+    assert t.expire_snapshots(keep_last=1)  # second fold: still sticky
+    assert (load_ivfpq_meta(t)[1] == meta[1]).all()
+    queries = em.where(F.col("vec_id") < 2)
+    assert ivfpq_search(spark, t, em, queries, k=3, nprobe=4).count() == 6
+
+    t2 = build_ivf_index(spark, half1, cat, name="ivx")
+    ivf_add(spark, t2, half2)
+    assert t2.expire_snapshots(keep_last=1)
+    load_ivf_centroids(t2)
+    assert ivf_index_search(spark, t2, queries, k=3).count() == 6
+
+
 def test_rebuild_is_snapshot_isolated(spark, index):
     """A rebuild overwrites in one commit; a reader pinned to the old
     snapshot keeps a consistent index (files + centroids of its day)."""
