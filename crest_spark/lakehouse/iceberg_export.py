@@ -219,6 +219,15 @@ def _replay_field_ids(
                 )
                 if folded != prev:
                     _fold_field_ids(ss, ex, folded)
+                    # An add-only widening (merge_schema append, no
+                    # rename/drop extras) IS evolution to an external
+                    # reader: the data files carry no embedded field
+                    # ids, so files written before the add can only be
+                    # resolved through the name mapping. Any change to
+                    # the folded schema after the first version must
+                    # therefore emit schema.name-mapping.default.
+                    if prev is not None:
+                        has_events = True
                 prev = folded
         fid_by_version[s.version] = dict(ss["field_ids"])
         fjson_by_version[s.version] = prev if prev is not None else s.schema_json
