@@ -451,18 +451,25 @@ def run_recipe(spark: SparkSession, recipe: dict) -> dict:
         resumed = False
         if mode == "table":
             tname = _stage_table_name(i, op, stage_prefix)
-            # stage fingerprint: op + its JSON-able kwargs. Resume only
-            # reuses a staged table whose LAST commit carries the same
-            # fingerprint — a changed threshold/cap silently reusing
-            # stale survivors would be a wrong result, not a speedup.
-            # (A swapped source parquet under the same recipe is still
-            # undetectable here; use a fresh prefix for new corpora.)
+            # stage fingerprint: op + the RAW stage spec's JSON-able
+            # kwargs (st, not the post-injection kwargs — decontaminate
+            # pops eval_parquet/eval_table/eval_warehouse and replaces
+            # them with a DataFrame the filter would drop, so a changed
+            # eval set would otherwise fingerprint identically and
+            # silently reuse stale, un-decontaminated survivors —
+            # ADVICE r11 #1). Resume only reuses a staged table whose
+            # LAST commit carries the same fingerprint — a changed
+            # threshold/cap silently reusing stale survivors would be a
+            # wrong result, not a speedup. (A swapped source parquet
+            # under the same recipe is still undetectable here; use a
+            # fresh prefix for new corpora.)
             fp = {
                 "op": op,
                 "kwargs": {
                     kk: vv
-                    for kk, vv in kwargs.items()
-                    if isinstance(vv, (str, int, float, bool, type(None)))
+                    for kk, vv in st.items()
+                    if kk != "op"
+                    and isinstance(vv, (str, int, float, bool, type(None)))
                 },
             }
             if resume:

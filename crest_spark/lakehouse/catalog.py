@@ -7,6 +7,17 @@ schema pinned by the first writer, plus listing — the same contract
 ``GetOrCreateTable``/``createTable`` provide against Lakekeeper, minus the
 REST hop (the warehouse dir is the catalog root; swapping in an Iceberg
 REST catalog later only changes this module).
+
+Reserved-namespace convention (since r11; migration note for earlier
+warehouses): underscore-prefixed namespace names are reserved for engine
+scratch dirs (e.g. the curation recipe's ``_curate_stage``), the same
+convention Iceberg/Hive use for metadata dirs. ``create_namespace``
+rejects them and ``list_namespaces`` hides them from discovery, but
+EXPLICIT addressing still works everywhere — ``table()`` and
+``list_tables()`` resolve a reserved namespace by name (with a one-time
+warning from ``table()``), so a pre-existing ``_``-prefixed user
+namespace stays reachable and migratable: copy its tables to an
+unreserved namespace at your convenience.
 """
 
 from __future__ import annotations
@@ -57,8 +68,25 @@ class LakehouseCatalog:
             if LakehouseTable(self.warehouse, ns, d).exists()
         )
 
+    # reserved namespaces already warned about this process (one warning
+    # per namespace, not per table() call)
+    _warned_reserved: set[str] = set()
+
     def table(self, name: str, namespace: str | None = None) -> LakehouseTable:
-        return LakehouseTable(self.warehouse, namespace or self.default_namespace, name)
+        ns = namespace or self.default_namespace
+        if ns.startswith("_") and ns not in self._warned_reserved:
+            import warnings
+
+            self._warned_reserved.add(ns)
+            warnings.warn(
+                f"namespace {ns!r} uses the reserved underscore prefix: "
+                "it is hidden from list_namespaces and cannot be "
+                "(re)created; migrate its tables to an unreserved "
+                "namespace",
+                UserWarning,
+                stacklevel=2,
+            )
+        return LakehouseTable(self.warehouse, ns, name)
 
     def transaction(self):
         """Open a multi-table append transaction (see

@@ -263,35 +263,74 @@ def _file_blooms(files: list[str], cols: list[str]) -> dict[str, dict]:
     return out
 
 
-def _stats_admit(fstats: dict[str, list], predicates: dict[str, tuple]) -> bool:
+def _pred_ranges(spec) -> list[tuple]:
+    """Normalize one predicate spec to a list of (lo, hi) ranges.
+
+    Accepted forms: a 2-tuple ``(lo, hi)`` (either bound None = open);
+    a list/set/frozenset whose members are scalars (point values — the
+    IN-list form) or 2-tuples (multi-range). A file is admitted if ANY
+    range admits it; an empty list admits nothing (``IN ()``).
+
+    Multi-value specs let one ``scan()`` read N probed cells / id
+    ranges as a SINGLE pruned scan branch instead of a union of N
+    per-range scans — the physical plan stays one FileScan subtree no
+    matter how many values are probed (VERDICT r11 #5)."""
+    if isinstance(spec, tuple) and len(spec) == 2:
+        return [spec]
+    if isinstance(spec, (list, set, frozenset)):
+        out = []
+        for v in spec:
+            if isinstance(v, tuple) and len(v) == 2:
+                out.append(v)
+            else:
+                out.append((v, v))
+        return out
+    raise TypeError(
+        f"predicate must be a (lo, hi) tuple or a list of values/"
+        f"ranges, got {type(spec).__name__}"
+    )
+
+
+def _range_admits(fstats: dict[str, list], col: str, lo, hi) -> bool:
+    """One (lo, hi) range vs one file's stats — the single-range core
+    of ``_stats_admit``."""
+    if col in fstats:
+        mn, mx = fstats[col]
+        # NaN safety (same PARQUET-1222 skew as _stats_all_match): a
+        # float column's max skips NaN, and Spark's NaN sorts ABOVE all
+        # values — so "mx < lo" cannot prove exclusion for a
+        # lower-bound-only predicate (a hidden NaN row satisfies
+        # col >= lo). With an upper bound present the NaN row fails
+        # col <= hi anyway, and "mn > hi" is NaN-safe in all cases.
+        lo_proof_ok = hi is not None or not isinstance(mx, float)
+        try:
+            if (lo is not None and lo_proof_ok and mx < lo) or (
+                hi is not None and mn > hi
+            ):
+                return False
+        except TypeError:
+            pass  # bound/stat type mismatch: cannot prove exclusion
+    if lo is not None and hi is not None and lo == hi:
+        bloom = (fstats.get(_BLOOM_KEY) or {}).get(col)
+        if bloom is not None and not _bloom_might_contain(bloom, lo):
+            return False
+    return True
+
+
+def _stats_admit(fstats: dict[str, list], predicates: dict) -> bool:
     """True unless the file's recorded [min, max] PROVABLY excludes some
     requested range — or, for point lookups, its Bloom filter proves the
     value absent. The safety direction is one-sided: a file whose data
     could intersect the range must always be admitted; pruning is only an
-    optimization on top of that."""
-    for col, (lo, hi) in predicates.items():
+    optimization on top of that. Each predicate may be a single (lo, hi)
+    range or a list of values/ranges (see ``_pred_ranges``): a
+    multi-value predicate admits when ANY member range does."""
+    for col, spec in predicates.items():
         if col == _BLOOM_KEY:
             continue
-        if col in fstats:
-            mn, mx = fstats[col]
-            # NaN safety (same PARQUET-1222 skew as _stats_all_match): a
-            # float column's max skips NaN, and Spark's NaN sorts ABOVE all
-            # values — so "mx < lo" cannot prove exclusion for a
-            # lower-bound-only predicate (a hidden NaN row satisfies
-            # col >= lo). With an upper bound present the NaN row fails
-            # col <= hi anyway, and "mn > hi" is NaN-safe in all cases.
-            lo_proof_ok = hi is not None or not isinstance(mx, float)
-            try:
-                if (lo is not None and lo_proof_ok and mx < lo) or (
-                    hi is not None and mn > hi
-                ):
-                    return False
-            except TypeError:
-                pass  # bound/stat type mismatch: cannot prove exclusion
-        if lo is not None and hi is not None and lo == hi:
-            bloom = (fstats.get(_BLOOM_KEY) or {}).get(col)
-            if bloom is not None and not _bloom_might_contain(bloom, lo):
-                return False
+        ranges = _pred_ranges(spec)
+        if not any(_range_admits(fstats, col, lo, hi) for lo, hi in ranges):
+            return False
     return True
 
 
@@ -2127,7 +2166,9 @@ class LakehouseTable:
         expected_version: int | None = None,
         keep_files: list[str] | None = None,
         bloom_for: list[str] | None = None,
-    ) -> int:
+        writer_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> int | None:
         """Transactional overwrite: new files + a ``replace`` commit that
         supersedes all prior data (readers at older versions still see
         the old snapshot — time travel preserved).
@@ -2148,9 +2189,19 @@ class LakehouseTable:
         commits 99% of it by reference.
 
         ``bloom_for``: rebuild point-lookup Bloom filters for the NEWLY
-        written files (kept files keep theirs via the stats copy)."""
+        written files (kept files keep theirs via the stats copy).
+
+        ``writer_id``/``batch_id``: the same exactly-once idempotence
+        record ``append`` takes, ON the replace commit itself — a
+        streaming first-batch that BUILDS an artifact via overwrite
+        (e.g. an index build) stamps its batch id atomically with the
+        build, closing the crash window a separate marker append would
+        leave (ADVICE r11 #2). Returns None on a replayed batch."""
         if keep_files and expected_version is None:
             raise ValueError("keep_files requires expected_version")
+        if writer_id is not None and batch_id is not None:
+            if batch_id in self.committed_batches(writer_id):
+                return None
         txn_dir = os.path.join(self.data_path, f"txn-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(txn_dir)
         new_files = sorted(
@@ -2183,6 +2234,11 @@ class LakehouseTable:
                 "schema": json.dumps(df.schema.jsonValue()),
                 "commit_ts": time.time(),
                 "num_rows": num_rows,
+                **(
+                    {"writer_id": writer_id, "batch_id": batch_id}
+                    if writer_id is not None and batch_id is not None
+                    else {}
+                ),
                 **(
                     {"base_version": expected_version}
                     if expected_version is not None
@@ -3845,7 +3901,25 @@ class LakehouseTable:
             s = by_version[v]
             for k in s.extra.get("sticky_extra") or []:
                 if k in s.extra:
-                    folded_sticky[k] = s.extra[k]
+                    val = s.extra[k]
+                    # carry the ORIGIN commit's own row count alongside
+                    # a folded dict-valued sticky extra: the boundary
+                    # commit that ends up holding it reports the merged
+                    # num_rows of the whole expired prefix, so a
+                    # consumer that rebases on the carrying commit's
+                    # rows (e.g. ivf_drift's rebuild base) would
+                    # silently inflate — the stamped origin count keeps
+                    # the original baseline observable (ADVICE r11 #3).
+                    # First stamp wins across repeated expirations.
+                    if (
+                        isinstance(val, dict)
+                        and "_origin_num_rows" not in val
+                    ):
+                        val = {
+                            **val,
+                            "_origin_num_rows": max(int(s.num_rows or 0), 0),
+                        }
+                    folded_sticky[k] = val
             if "constraint_state" in s.extra:
                 folded_constraints = dict(s.extra["constraint_state"])
             if "schema_state" in s.extra:
@@ -4299,12 +4373,18 @@ class LakehouseTable:
             vf = int(fseq.get(f, 0))
             tstats: dict = {}
             skip = False
-            for c, (lo, hi) in predicates.items():
+            for c, spec in predicates.items():
                 if c == _BLOOM_KEY:
                     continue
+                ranges = _pred_ranges(spec)
+                bounded = not ranges or any(
+                    lo is not None or hi is not None for lo, hi in ranges
+                )
                 p = self._vintage_source(c, events, vf)
                 if p is None:
-                    if lo is not None or hi is not None:
+                    # file predates the column (drop + re-add): it reads
+                    # all-NULL, and NULL satisfies no bounded range
+                    if bounded:
                         skip = True
                         break
                     continue
@@ -4322,7 +4402,7 @@ class LakehouseTable:
     def scan(
         self,
         spark: SparkSession,
-        predicates: dict[str, tuple],
+        predicates: dict,
         version: int | None = None,
     ) -> DataFrame:
         """Range-predicate read with manifest-level file skipping: files
@@ -4331,7 +4411,13 @@ class LakehouseTable:
         object-store scale), then the exact range filters are applied so
         semantics match ``read().where(...)`` bit-for-bit. Pairs with
         ``compact(zorder_by=...)``, which is what makes per-file ranges
-        narrow enough to skip."""
+        narrow enough to skip.
+
+        Each predicate is ``(lo, hi)`` or a LIST of values / (lo, hi)
+        ranges (``_pred_ranges``): ``{"cell": [3, 17, 41]}`` reads the
+        union of matching files as ONE scan branch with a single
+        ``IN``-list filter — the plan does not grow with the number of
+        probed values (VERDICT r11 #5)."""
         files = self.pruned_files(predicates, version=version)
         state = self._state(upto=version)
         if any(d.get("seqcol") for d in (state.get("deletes") or [])):
@@ -4363,11 +4449,32 @@ class LakehouseTable:
                 files,
                 state,
             )
-        for col, (lo, hi) in predicates.items():
-            if lo is not None:
-                df = df.where(F.col(col) >= lo)
-            if hi is not None:
-                df = df.where(F.col(col) <= hi)
+        for col, spec in predicates.items():
+            ranges = _pred_ranges(spec)
+            if not ranges:
+                df = df.where(F.lit(False))  # IN (): admits nothing
+            elif len(ranges) == 1:
+                lo, hi = ranges[0]
+                if lo is not None:
+                    df = df.where(F.col(col) >= lo)
+                if hi is not None:
+                    df = df.where(F.col(col) <= hi)
+            elif all(
+                lo is not None and lo == hi for lo, hi in ranges
+            ):
+                # all-point multi-value: one In predicate (pushes down
+                # as a single filter; plan independent of list size)
+                df = df.where(F.col(col).isin([lo for lo, _hi in ranges]))
+            else:
+                cond = F.lit(False)
+                for lo, hi in ranges:
+                    c = F.lit(True)
+                    if lo is not None:
+                        c = c & (F.col(col) >= lo)
+                    if hi is not None:
+                        c = c & (F.col(col) <= hi)
+                    cond = cond | c
+                df = df.where(cond)
         return df
 
     def row_count(self) -> int:

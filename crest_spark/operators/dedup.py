@@ -1889,9 +1889,12 @@ def minhash_incremental_pairs(
     spark: SparkSession,
     index,
     new_docs: DataFrame,
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
     append: bool = True,
     max_bucket: int = LSH_MAX_BUCKET,
+    corpus_table=None,
+    corpus_id_col: str = "doc_id",
+    corpus_text_col: str = "text",
     **append_kw,
 ) -> DataFrame:
     """Near-dup pairs involving the NEW arrival batch, against a
@@ -1912,12 +1915,38 @@ def minhash_incremental_pairs(
     ``corpus_docs`` supplies (doc_id, text) for the verify step's
     candidate docs (old docs' shingles are NOT stored in the index —
     3 longs/row stays 3 longs/row); only candidate-pair members are
-    ever re-shingled, so verify input scales with the answer."""
+    ever re-shingled, so verify input scales with the answer.
+    Alternatively pass ``corpus_table`` (a LakehouseTable): the verify
+    texts are then fetched AFTER candidates are known, through a
+    stats-pruned ``scan`` on the answer-sized candidate id list — the
+    scan opens only files whose doc_id range/Bloom admits a candidate,
+    instead of a full-corpus (doc_id, text) read per arrival batch
+    (VERDICT r11 #2; pair with ``cluster_by('doc_id')`` at ingest so
+    the pruning bites)."""
+    if (corpus_docs is None) == (corpus_table is None):
+        raise ValueError(
+            "pass exactly one of corpus_docs / corpus_table"
+        )
     new_bands = minhash_band_rows(with_shingles(new_docs)).localCheckpoint()
     try:
         old_bands = index.read(spark).select("doc_id", "band", "sig")
     except FileNotFoundError:
         old_bands = None
+    if old_bands is not None:
+        # Replay determinism (VERDICT r11 #3): on an at-least-once
+        # replay whose FIRST run crashed between the index append and
+        # the pairs append, the arrival's own band rows are already in
+        # the index. Anti-joining the arrival's doc_ids out of the old
+        # side makes the capped bucket membership — and therefore the
+        # mined candidate set — bit-identical between first run and
+        # replay (without it, the replayed batch's docs could displace
+        # old members in an over-cap bucket). Same-id pairs were never
+        # emitted anyway (the n.doc_id != o.doc_id guard), so first-run
+        # results are unchanged; the anti-join's right side is the
+        # batch's distinct ids — broadcast-sized.
+        old_bands = old_bands.join(
+            new_bands.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
     nvn = lsh_candidate_pairs(new_bands, max_bucket=max_bucket)
     if old_bands is not None:
         capped_old = capped_index_bands(old_bands, new_bands, max_bucket)
@@ -1941,6 +1970,25 @@ def minhash_incremental_pairs(
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    if corpus_table is not None:
+        # candidate ids are answer-sized — collect them and fetch the
+        # verify texts through ONE stats-pruned IN-list scan (files
+        # whose doc_id stats/Bloom exclude every candidate are never
+        # opened). The semi-join below is then a no-op membership
+        # check, kept so semantics match the corpus_docs path
+        # bit-for-bit.
+        ids = sorted(r[0] for r in cand_docs.collect())
+        if ids:
+            corpus_docs = corpus_table.scan(
+                spark, {corpus_id_col: ids}
+            ).select(
+                F.col(corpus_id_col).alias("doc_id"),
+                F.col(corpus_text_col).alias("text"),
+            )
+        else:
+            corpus_docs = new_docs.sparkSession.createDataFrame(
+                [], "doc_id long, text string"
+            )
     sh = (
         with_shingles(corpus_docs)
         .join(cand_docs, "doc_id", "left_semi")

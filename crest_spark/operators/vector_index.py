@@ -155,9 +155,15 @@ def _write_ivf(
     em: DataFrame,
     n_cells: int,
     seed: int,
+    writer_id: str | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """Fit centroids, assign the full corpus, overwrite the index table
-    as cell-clustered files with centroids in the commit extra."""
+    as cell-clustered files with centroids in the commit extra.
+    ``writer_id``/``batch_id`` stamp exactly-once idempotence ON the
+    build's replace commit itself (ADVICE r11 #2: a separate marker
+    append left a crash window where a replayed first micro-batch
+    double-added its vectors)."""
     centroids = _fit_centroids(
         em, n_cells, seed, max(IVF_SAMPLE, 8 * n_cells)
     )
@@ -166,6 +172,8 @@ def _write_ivf(
     clustered = _cell_clustered(spark, _assign_cells(em, b_cent), n_cells)
     t.overwrite(
         clustered,
+        writer_id=writer_id,
+        batch_id=batch_id,
         extra={
             "ivf": {
                 "n_cells": n_cells,
@@ -187,6 +195,8 @@ def build_ivf_index(
     namespace: str | None = None,
     n_cells: int | None = None,
     seed: int = IVF_SEED,
+    writer_id: str | None = None,
+    batch_id: int | None = None,
 ) -> LakehouseTable:
     """Build (or fully rebuild) the IVF index table for ``em``
     (vec_id, embedding). One ``overwrite`` commit: cell-clustered data
@@ -199,7 +209,7 @@ def build_ivf_index(
     )
     if n_cells is None:
         n_cells = _ivf_k(em.count())
-    _write_ivf(spark, t, em, n_cells, seed)
+    _write_ivf(spark, t, em, n_cells, seed, writer_id, batch_id)
     return t
 
 
@@ -217,7 +227,23 @@ def ivf_drift(t: LakehouseTable) -> float:
         # stamps extra['ivfpq'] (ivfpq_add documents drift as
         # observable through this function)
         if s.extra.get("ivf") or s.extra.get("ivfpq"):
-            base_rows = max(int(s.num_rows or 0), 1)
+            meta = s.extra.get("ivf") or s.extra.get("ivfpq")
+            origin = (
+                meta.get("_origin_num_rows")
+                if isinstance(meta, dict)
+                else None
+            )
+            if origin is not None:
+                # expire_snapshots boundary carrying a FOLDED build: the
+                # commit's num_rows is the merged expired prefix, not
+                # the build-time corpus — rebase on the stamped origin
+                # count and charge the folded growth to drift (ADVICE
+                # r11 #3), so expiry neither understates drift nor
+                # defers recluster
+                base_rows = max(int(origin), 1)
+                added += max(0, int(s.num_rows or 0) - base_rows)
+            else:
+                base_rows = max(int(s.num_rows or 0), 1)
             break
         if "ivf_delete" in s.extra:
             added += int(s.extra["ivf_delete"].get("n_deleted", 0))
@@ -417,15 +443,13 @@ def ivf_index_search(
         return spark.createDataFrame(
             [], "query_id long, vec_id long, sim double, rn int"
         )
-    # one pruned scan per distinct probed cell: each opens only the
-    # file(s) whose stats admit that cell value. The union is metadata
-    # plumbing, not data movement.
-    parts = [
-        t.scan(spark, {"cell": (c, c)}) for c in probed_cells
-    ]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
+    # ONE pruned scan for the whole probed-cell set: the IN-list
+    # predicate keeps the plan a single FileScan branch no matter how
+    # many cells are probed (a per-cell scan union grew the physical
+    # plan linearly in nprobe x |queries| — VERDICT r11 #5), while
+    # file skipping still opens only files whose stats admit some
+    # probed cell value.
+    cand = t.scan(spark, {"cell": probed_cells})
     scored = (
         probes.join(cand, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -459,6 +483,8 @@ def build_ivfpq_index(
     namespace: str | None = None,
     n_cells: int | None = None,
     seed: int = IVF_SEED,
+    writer_id: str | None = None,
+    batch_id: int | None = None,
 ) -> LakehouseTable:
     """IVF-PQ composite index (Jégou et al. 2011 §IV — the refinement
     the r10 verdict asked for): a coarse IVF quantizer routes each
@@ -506,6 +532,8 @@ def build_ivfpq_index(
     t = catalog.get_or_create_table(name, codes.schema, namespace)
     t.overwrite(
         _cell_clustered(spark, codes, n_cells),
+        writer_id=writer_id,
+        batch_id=batch_id,
         extra={
             "ivfpq": {
                 "n_cells": n_cells,
@@ -618,14 +646,16 @@ def ivfpq_search(
     rerank: int = PQ_RERANK,
 ) -> DataFrame:
     """Probe the IVF-PQ index: per query, asymmetric-distance scan over
-    ONLY the probed cells' code files (one pruned scan per cell —
-    metadata plumbing, not data movement), per-batch shortlist
+    ONLY the probed cells' code files (a single IN-list pruned scan —
+    one plan branch regardless of nprobe), per-batch shortlist
     pre-truncation, then EXACT re-rank: a semi-join-sized fetch of the
     shortlist vectors from ``em`` scores true cosine, so reported sims
     are exact and deterministic (sim DESC, vec_id tie-break). LUTs are
     per (query, probed cell): with residual codes the distance is
     ||(q - centroid_cell) - r_x||^2, so the table depends on the cell —
-    nprobe small (m x k) tables per query, built driver-side."""
+    nprobe small (m x k) tables per query, built driver-side and
+    broadcast GROUPED BY CELL so each Arrow batch evaluates only its
+    own cells' queries."""
     import numpy as np
     import pandas as pd
 
@@ -653,18 +683,25 @@ def ivfpq_search(
                 ).sum(1)
             luts[(int(qid), int(c))] = lut
     probed_cells = sorted({c for (_q, c) in luts})
-    parts = [t.scan(spark, {"cell": (c, c)}) for c in probed_cells]
-    codes = parts[0]
-    for p in parts[1:]:
-        codes = codes.unionByName(p)
+    # ONE pruned scan over the probed-cell set (IN-list predicate):
+    # the physical plan is a single FileScan branch regardless of
+    # nprobe x |queries| (VERDICT r11 #5); unprobed cells' files are
+    # still never opened.
+    codes = t.scan(spark, {"cell": probed_cells})
     shortlist = k * rerank
-    b_luts = spark.sparkContext.broadcast(luts)
+    # LUTs grouped BY CELL: each Arrow batch evaluates only the
+    # queries that probed the cells actually present in the batch —
+    # not every (query, cell) LUT against a full-batch mask.
+    by_cell: dict[int, list] = {}
+    for (qid, c), lut in luts.items():
+        by_cell.setdefault(c, []).append((qid, lut))
+    b_luts = spark.sparkContext.broadcast(by_cell)
 
     def adc(batches):
         import numpy as np
         import pandas as pd
 
-        tabs = b_luts.value
+        tabs_by_cell = b_luts.value
         cols = np.arange(m)
         for pdf in batches:
             if pdf.empty:
@@ -673,18 +710,34 @@ def ivfpq_search(
             vec_ids = pdf["vec_id"].to_numpy()
             cells = pdf["cell"].to_numpy()
             frames = []
-            for (qid, c), lut in tabs.items():
-                mask = (cells == c) & (vec_ids != qid)
-                if not mask.any():
+            # contiguous per-cell row blocks via one stable sort; the
+            # per-block work is each block's OWN queries only (cell-
+            # clustered files make most batches single-cell anyway)
+            order_b = np.argsort(cells, kind="stable")
+            cs, starts = np.unique(cells[order_b], return_index=True)
+            bounds = np.append(starts, len(order_b))
+            for ci, c in enumerate(cs):
+                qlist = tabs_by_cell.get(int(c))
+                if not qlist:
                     continue
-                est = lut[cols[None, :], cm[mask]].sum(1)
-                v = vec_ids[mask]
-                if len(est) > shortlist:  # per-batch pre-truncation
-                    idx = np.argpartition(est, shortlist)[:shortlist]
-                    est, v = est[idx], v[idx]
-                frames.append(
-                    pd.DataFrame({"query_id": qid, "vec_id": v, "est": est})
-                )
+                blk = order_b[bounds[ci] : bounds[ci + 1]]
+                sub_cm = cm[blk]
+                sub_v = vec_ids[blk]
+                for qid, lut in qlist:
+                    est = lut[cols[None, :], sub_cm].sum(1)
+                    v = sub_v
+                    keep = v != qid
+                    if not keep.all():
+                        est, v = est[keep], v[keep]
+                    if len(est) > shortlist:  # per-batch pre-truncation
+                        idx = np.argpartition(est, shortlist)[:shortlist]
+                        est, v = est[idx], v[idx]
+                    if len(est):
+                        frames.append(
+                            pd.DataFrame(
+                                {"query_id": qid, "vec_id": v, "est": est}
+                            )
+                        )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 

@@ -281,13 +281,42 @@ for _n in (
 ):
     _LAST_CHECKED[_n] = 10
 
-# --- round-11 fix-affected force-recheck (VERDICT r10 next-round #5):
+# --- round-11 driver check (CORRECTNESS_r11.json: 43/43 oracle rows
+# green + 7 rows-only; the tier-0 ann_ivfpq_topk first check, the 3
+# r10-fix-affected re-checks, all 19 r6-stale and 27 of the r7 tier) ---
+for _n in (
+    "ann_ivfpq_topk", "dedup_minhash_incr", "lake_time_travel",
+    "ann_pq_topk", "q10_range_join", "q10b_theta_join", "q11_rank_window",
+    "q12_frame_window", "q13_topk", "q14_intersect", "q14b_except",
+    "q14c_union", "q15_rollup", "q15b_cube", "q16_scalar_zoo",
+    "q16b_datetime_zoo", "q17_json_extract", "q17b_json_schema",
+    "q18_array_access", "q18b_explode", "q18c_array_hof",
+    "q18d_map_functions", "q55_union_harmonize", "q64_markov_transitions",
+    "dedup_embedding_cosine", "curation_train_split", "graph_triangle_count",
+    "lake_branch_ff", "multimodal_features", "multimodal_png_decode",
+    "q03_agg_pricing_summary", "ann_lsh_topk", "q15c_grouping_sets",
+    "q24c_in_subquery", "q60_scd2_build", "text_quality",
+    "q46_multires_rollup", "q28b_order_count_distribution",
+    "q36_priority_count", "udf_grouped_agg_pandas", "ann_ivf_indexed_topk",
+    "stream_sliding_window", "q65_rfm_segments", "dedup_components",
+    "curation_pack_sequences", "graph_bfs_distances", "lake_constraints",
+    "multimodal_resize", "q19_tumbling_batch", "stats_welch_ttest",
+):
+    _LAST_CHECKED[_n] = 11
+
+# --- round-12 fix-affected force-recheck (VERDICT r11 next-round #6):
 # entries whose implementation changed THIS round jump the staleness
-# queue — tier 1 sorts right after the never-checked tier 0 (this
-# round: ann_ivfpq_topk), ahead of the 19 r6-stale and the r7 tier.
-# dedup_minhash_incr: join-reduced index cap; ann_pq_topk: shared
-# codebook fit + m-coverage fix; lake_time_travel: read() horizon check.
-for _n in ("dedup_minhash_incr", "ann_pq_topk", "lake_time_travel"):
+# queue — tier 1 sorts right after tier 0 (no new entries this round),
+# ahead of the 23 remaining r7-stale and the r8 tier.
+# dedup_minhash_incr: pruned verify fetch + replay anti-join;
+# ann_ivfpq_topk / ann_ivf_indexed_topk: single IN-list probed scan +
+# cell-grouped ADC LUTs; lake_nested_evolution: add-only histories now
+# count as evolution in the export replay; lake_retention_delete:
+# expiry fold stamps origin row counts on sticky extras.
+for _n in (
+    "dedup_minhash_incr", "ann_ivfpq_topk", "ann_ivf_indexed_topk",
+    "lake_nested_evolution", "lake_retention_delete",
+):
     _LAST_CHECKED[_n] = 1
 
 

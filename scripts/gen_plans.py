@@ -275,12 +275,15 @@ COMMENTARY = {
         "PQ codes persisted as a cell-clustered lakehouse table of "
         "pure uint8 codes (no float column — the 64x compression), "
         "centroids+codebooks in commit metadata. A query builds nprobe "
-        "(m x k) ADC tables per probed cell driver-side and the codes "
-        "scan opens ONLY the probed cells' files (one pruned scan per "
-        "cell via commit-log stats); per-batch shortlist truncation, "
-        "then the exact re-rank fetches just the shortlist vectors. "
-        "At 100 TB query cost is ~nprobe/n_cells of the compressed "
-        "corpus vs all of it for flat PQ."
+        "(m x k) ADC tables per probed cell driver-side, broadcast "
+        "GROUPED BY CELL so each Arrow batch evaluates only its own "
+        "cells' queries (r12); the codes scan opens ONLY the probed "
+        "cells' files through ONE IN-list pruned scan — a single plan "
+        "branch regardless of nprobe (r12, was a union of per-cell "
+        "scans); per-batch shortlist truncation, then the exact "
+        "re-rank fetches just the shortlist vectors. At 100 TB query "
+        "cost is ~nprobe/n_cells of the compressed corpus vs all of "
+        "it for flat PQ."
     ),
     "ann_pq_topk": (
         "Product-quantization ANN (r10): one Arrow encode pass emits "

@@ -518,3 +518,38 @@ def test_date_widens_to_timestamp_ntz_only(spark, catalog):
     rows = {r["id"]: r["d"] for r in t.read(spark).collect()}
     assert rows[1] == datetime.datetime(2024, 1, 2, 0, 0)
     assert rows[3] == datetime.datetime(2024, 5, 6, 7, 8)
+
+
+def test_reserved_namespace_reachable_with_warning(spark, tmp_path):
+    """ADVICE r11 #4: underscore-prefixed namespaces are reserved
+    (un-creatable, hidden from discovery) but a PRE-EXISTING one stays
+    explicitly addressable — table() resolves it with a one-time
+    warning and list_tables() lists it by name, so old warehouses
+    aren't stranded."""
+    import warnings as _w
+
+    import pytest as _pt
+
+    from crest_spark.lakehouse import LakehouseCatalog
+
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    with _pt.raises(ValueError):
+        cat.create_namespace("_scratch")
+    # simulate a pre-convention warehouse: namespace dir already on disk
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    import os
+
+    os.makedirs(str(tmp_path / "wh" / "_old"), exist_ok=True)
+    t = LakehouseCatalog(str(tmp_path / "wh")).table("tbl", "_old")
+    t.create(df.schema)
+    t.append(df)
+    assert "_old" not in cat.list_namespaces()  # hidden from discovery
+    assert cat.list_tables("_old") == ["tbl"]  # explicit listing works
+    cat2 = LakehouseCatalog(str(tmp_path / "wh"))
+    cat2._warned_reserved = set()  # fresh warning state
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        assert cat2.table("tbl", "_old").read(spark).count() == 1
+        cat2.table("tbl", "_old")  # second call: no new warning
+    msgs = [str(r.message) for r in rec if r.category is UserWarning]
+    assert sum("reserved underscore prefix" in m for m in msgs) == 1

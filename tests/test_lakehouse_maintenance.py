@@ -1330,3 +1330,48 @@ def test_nested_leaf_stats_prune_and_survive_member_rename(spark, tmp_path):
     files = t.pruned_files({"a.score": (10.0, 20.0)})
     assert len(files) == 1  # old-vintage stats resolved via 'a.b'
     assert t.scan(spark, {"a.score": (10.0, 20.0)}).count() == 11
+
+
+def test_scan_value_list_and_multirange_predicates(spark, sf_dir, tmp_path):
+    """VERDICT r11 #5 (scan half): a predicate may be a LIST of values
+    (IN-list) or of (lo, hi) ranges — one scan() call reads the union
+    of matching files as a SINGLE plan branch, prunes to a strict
+    subset, and matches read().where(...) exactly. Empty list = IN (),
+    admitting nothing."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = _cat(tmp_path).get_or_create_table("ord_inlist", src.schema)
+    t.append(src)
+    t.compact(spark, target_partitions=8, zorder_by=["o_custkey"])
+
+    keys = [7, 11, 400]
+    pruned = t.pruned_files({"o_custkey": keys})
+    assert 0 < len(pruned) < t.file_count()
+    got = t.scan(spark, {"o_custkey": keys})
+    want = t.read(spark).where(F.col("o_custkey").isin(keys))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the physical plan has ONE scan subtree regardless of list size
+    # (no union-per-value), with the IN filter applied to it
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") == 1, plan
+
+    # multi-range form: two disjoint ranges in one scan
+    got2 = t.scan(spark, {"o_custkey": [(5, 20), (300, 450)]})
+    want2 = t.read(spark).where(
+        ((F.col("o_custkey") >= 5) & (F.col("o_custkey") <= 20))
+        | ((F.col("o_custkey") >= 300) & (F.col("o_custkey") <= 450))
+    )
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
+    pr2 = t.pruned_files({"o_custkey": [(5, 20), (300, 450)]})
+    assert 0 < len(pr2) < t.file_count()
+    # a multi-range prune admits at least every single-range member file
+    assert set(t.pruned_files({"o_custkey": (5, 20)})) <= set(pr2)
+
+    # empty list: IN () — no files opened, zero rows
+    assert t.pruned_files({"o_custkey": []}) == []
+    assert t.scan(spark, {"o_custkey": []}).count() == 0

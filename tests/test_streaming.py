@@ -312,14 +312,15 @@ def test_ingest_maintains_ivfpq_index(spark, sf_dir, tmp_path):
 
 
 def test_ingest_index_first_batch_replay_idempotent(spark, sf_dir, tmp_path):
-    """Code-review r11: foreachBatch is at-least-once, and the index
-    BUILD commits via overwrite (no idempotence record of its own) — a
-    replayed first micro-batch must not take the add path and
-    double-add its vectors. The build stamps its batch id via a
-    zero-row marker append, so the replay is a no-op; a replayed LATER
-    batch is likewise a no-op through the add's own (writer, batch)
-    protocol. Also covers the tiny-first-batch clamp (10 vectors must
-    build a 10-cell index, not crash on choice(10, 16))."""
+    """Code-review r11 + ADVICE r11 #2: foreachBatch is at-least-once —
+    a replayed first micro-batch must not take the add path and
+    double-add its vectors. The build now stamps its (writer, batch)
+    idempotence record ON the overwrite commit itself (atomic with the
+    build — no marker-append crash window), so the replay is a no-op;
+    a replayed LATER batch is likewise a no-op through the add's own
+    (writer, batch) protocol. Also covers the tiny-first-batch clamp
+    (10 vectors must build a 10-cell index, not crash on
+    choice(10, 16))."""
     em = load_table(spark, sf_dir, "embeddings")
     tiny = em.limit(10)
     rest = em.subtract(tiny)
@@ -1955,3 +1956,157 @@ def test_ingest_branch_mode_lands_on_branch_then_fast_forwards(
     t.fast_forward("backfill")
     assert t.read(spark).count() == n_total
     assert "backfill" not in t.branches()
+
+
+def test_ingest_minhash_verify_fetch_is_file_pruned(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 #2: the ingest-maintained minhash path must NOT read
+    the full corpus per micro-batch to fetch verify texts. With the
+    source clustered by doc_id, the verify fetch goes through a
+    candidate-id pruned scan whose admitted file set is a strict subset
+    of the table's files — O(matching files) I/O per arrival, not
+    O(corpus)."""
+    import random
+
+    from crest_spark.lakehouse.table import LakehouseTable
+    from crest_spark.streaming.replay import stage_slices
+
+    rng = random.Random(7)
+    words = lambda i: " ".join(  # noqa: E731
+        f"w{rng.randrange(10**9)}" for _ in range(30)
+    )
+    texts = {i: words(i) for i in range(400)}
+    texts[305] = texts[5]  # one cross-slice near-dup pair: (5, 305)
+    docs = spark.createDataFrame(
+        [(i, texts[i]) for i in range(400)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    staging, _ = stage_slices(
+        spark, src, n_slices=4, order_col="doc_id",
+        dest=str(tmp_path / "stage"),
+    )
+
+    calls = []
+    orig = LakehouseTable.pruned_files
+
+    def spy(self, predicates, version=None):
+        out = orig(self, predicates, version=version)
+        if self.name == "docs" and "doc_id" in predicates:
+            calls.append(
+                (dict(predicates), len(out), self.file_count())
+            )
+        return out
+
+    monkeypatch.setattr(LakehouseTable, "pruned_files", spy)
+
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="docs",
+                path=staging,
+                files_per_trigger=1,
+                cluster_by=["doc_id"],
+                indexes=[
+                    {
+                        "kind": "minhash",
+                        "name": "docs_mh",
+                        "id_col": "doc_id",
+                        "text_col": "text",
+                        "mine_pairs": True,
+                    }
+                ],
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    svc.run_once()
+
+    # correctness: the cross-slice pair was mined
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in svc.catalog.table("docs_mh__pairs").read(spark).collect()
+    }
+    assert (5, 305) in pairs
+
+    # the verify fetch used a candidate-id LIST predicate and opened a
+    # STRICT subset of the table's files (pre-fix: full table.read —
+    # zero pruned_files calls, every file opened every batch)
+    assert calls, "verify fetch must go through the pruned scan"
+    probe = [
+        (pred, n_open, n_total)
+        for pred, n_open, n_total in calls
+        if isinstance(pred["doc_id"], list) and 305 in pred["doc_id"]
+    ]
+    assert probe, f"no candidate-list scan recorded: {calls}"
+    for _pred, n_open, n_total in probe:
+        assert n_open < n_total, (n_open, n_total)
+        assert n_open <= 2  # candidates live in exactly 2 slice files
+
+
+def test_ingest_ivfpq_rebuilds_on_drift(spark, sf_dir, tmp_path):
+    """VERDICT r11 #4: the codes-only IVF-PQ index cannot re-fit from
+    itself (no floats) — the ingest maintenance loop, which HAS the
+    source table, must act on the drift markers ivfpq_add stamps. A
+    small first batch builds the index; a large second batch pushes
+    drift past the threshold, so maintenance rebuilds from the source
+    table: the head commit is a fresh build, drift resets, and the
+    rebuilt index's recall vs exact brute-force meets the fresh-build
+    floor."""
+    import numpy as np
+
+    from crest_spark.operators.vector_index import ivf_drift, ivfpq_search
+
+    em = load_table(spark, sf_dir, "embeddings")
+    small = em.where(F.col("vec_id") < 40)
+    big = em.where(F.col("vec_id") >= 40)
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="emb",
+                path=str(tmp_path / "unused"),
+                indexes=[
+                    {
+                        "kind": "ivfpq",
+                        "name": "pqr",
+                        "recluster_threshold": 0.5,
+                    }
+                ],
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    sink = svc._sink(cfg.sources[0])
+    sink(small, 0)
+    t = svc.catalog.table("pqr")
+    assert ivf_drift(t) == 0.0
+    sink(big, 1)  # drift = |big| / |small| >> 0.5 -> rebuild
+    head = t.snapshots()[-1]
+    assert head.extra.get("ivfpq"), "head must be a fresh build commit"
+    assert ivf_drift(t) == 0.0  # rebuild rebased the drift counter
+    n = em.count()
+    assert t.read(spark).count() == n
+    # recall floor vs exact brute-force — same bar as a fresh build
+    queries = em.where(F.col("vec_id") < 5)
+    got = ivfpq_search(spark, t, em, queries, k=5, nprobe=8)
+    mine = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in em.collect()
+    }
+    for vid in vecs:
+        vecs[vid] = vecs[vid] / max(np.linalg.norm(vecs[vid]), 1e-12)
+    exact = set()
+    for q in range(5):
+        sims = sorted(
+            ((float(vecs[q] @ v), vid) for vid, v in vecs.items() if vid != q),
+            key=lambda t2: (-t2[0], t2[1]),
+        )[:5]
+        exact |= {(q, vid) for _, vid in sims}
+    recall = len(mine & exact) / len(exact)
+    assert recall >= 0.5, f"post-rebuild recall {recall} below floor"

@@ -516,3 +516,201 @@ def test_ivf_delete_drift_counts_and_recluster_folds_deltas(
     assert ivf_drift(t) == 0.0  # rebuilt: counter reset
     assert not t._state()["deletes"]  # deltas folded by the overwrite
     assert t.read(spark).count() == n - 3 - len(many)
+
+
+def test_search_plan_single_scan_branch_regardless_of_nprobe(
+    spark, index, pq_index
+):
+    """VERDICT r11 #5 plan pin: probed cells are read through ONE
+    IN-list pruned scan, so the physical plan's scan-node count does
+    not grow with nprobe (pre-fix, each probed cell contributed its own
+    FileScan branch via a union)."""
+    from crest_spark.operators.vector_index import ivfpq_search
+
+    t, em = index
+    queries = em.where(F.col("vec_id") < 3)
+
+    def n_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Scan parquet") + plan.count("FileScan")
+
+    lo = n_scans(ivf_index_search(spark, t, queries, k=3, nprobe=2))
+    hi = n_scans(ivf_index_search(spark, t, queries, k=3, nprobe=8))
+    assert lo == hi, (lo, hi)
+
+    tpq, empq = pq_index
+    qpq = empq.where(F.col("vec_id") < 3)
+    lo2 = n_scans(ivfpq_search(spark, tpq, empq, qpq, k=3, nprobe=2))
+    hi2 = n_scans(ivfpq_search(spark, tpq, empq, qpq, k=3, nprobe=8))
+    assert lo2 == hi2, (lo2, hi2)
+
+
+def test_drift_survives_snapshot_expiry(spark, sf_dir, tmp_path):
+    """ADVICE r11 #3: expire_snapshots folds the build commit into a
+    boundary commit whose num_rows is the WHOLE expired prefix — drift
+    must not silently rebase on that inflated total (which would
+    understate drift and defer recluster after every expiry). The
+    sticky fold stamps the build commit's own row count, and ivf_drift
+    rebases on it, charging folded growth to drift."""
+    from crest_spark.operators.vector_index import (
+        build_ivfpq_index,
+        ivf_drift,
+        ivfpq_add,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    base = em.where(F.col("vec_id") % 3 == 0)
+    delta = em.where(F.col("vec_id") % 3 == 1)
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    t = build_ivfpq_index(spark, base, cat, name="pqd")
+    ivfpq_add(spark, t, delta)
+    before = ivf_drift(t)
+    assert before > 0
+    assert t.expire_snapshots(keep_last=1)
+    # pre-fix: the boundary's merged num_rows became the base and the
+    # folded add stopped counting -> drift read 0.0
+    assert abs(ivf_drift(t) - before) < 1e-9
+    # growth after the expiry keeps accumulating on the SAME base
+    delta2 = em.where(F.col("vec_id") % 3 == 2)
+    ivfpq_add(spark, t, delta2)
+    assert ivf_drift(t) > before
+
+
+def test_overwrite_writer_batch_idempotent(spark, sf_dir, tmp_path):
+    """ADVICE r11 #2 (mechanism): overwrite accepts the same
+    (writer_id, batch_id) exactly-once record append takes, stamped on
+    the replace commit itself — a replayed overwrite is a no-op
+    returning None, atomically with the build it commits."""
+    em = load_table(spark, sf_dir, "embeddings").limit(20)
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    t = cat.get_or_create_table("ow", em.schema)
+    v1 = t.overwrite(em, writer_id="w", batch_id=0)
+    assert v1 is not None
+    assert t.overwrite(em.limit(5), writer_id="w", batch_id=0) is None
+    assert t.read(spark).count() == 20  # replay did not shrink the table
+    assert t.version() == v1
+    # a NEW batch id still overwrites
+    v2 = t.overwrite(em.limit(5), writer_id="w", batch_id=1)
+    assert v2 == v1 + 1 and t.read(spark).count() == 5
+
+
+def test_curate_table_resume_invalidates_on_changed_eval_set(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r11 #1: decontaminate pops eval_parquet out of kwargs and
+    injects a DataFrame the fingerprint filter drops — the fp must be
+    built from the RAW stage spec, so pointing the same recipe at a
+    DIFFERENT eval set recomputes instead of silently reusing staged
+    survivors that were never decontaminated against the new set."""
+    from crest_spark.curation_recipe import run_recipe
+    from crest_spark.sources.tables import load_table
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev1 = str(tmp_path / "ev1.parquet")
+    ev2 = str(tmp_path / "ev2.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            docs.where(F.col("doc_id") < 5).toPandas()
+        ),
+        ev1,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            docs.where(
+                (F.col("doc_id") >= 5) & (F.col("doc_id") < 30)
+            ).toPandas()
+        ),
+        ev2,
+    )
+
+    def recipe(eval_path):
+        return {
+            "name": "decon",
+            "source": {"parquet": str(sf_dir)},
+            "staging": {
+                "mode": "table",
+                "warehouse": str(tmp_path / "wh"),
+                "prefix": "dc",
+                "resume": True,
+            },
+            "stages": [
+                {"op": "decontaminate", "eval_parquet": eval_path},
+            ],
+        }
+
+    r1 = run_recipe(spark, recipe(ev1))
+    r2 = run_recipe(spark, recipe(ev1))
+    assert r2["stages"][0].get("resumed")  # same eval set: reused
+    r3 = run_recipe(spark, recipe(ev2))
+    assert not r3["stages"][0].get("resumed")  # new eval set: recomputed
+    assert r3["stages"][0]["rows_out"] != r1["stages"][0]["rows_out"]
+
+
+def test_curate_table_staging_crash_resume_end_to_end(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r11 #7: kill a table-staged recipe MID-RECIPE (stage 3
+    raises after stages 1-2 staged), re-run with resume: true — stages
+    1-2 report resumed, stage 3 recomputes, and the final curated rows
+    are identical to an uninterrupted control run."""
+    import pytest as _pt
+
+    from crest_spark import curation_recipe as cr
+    from crest_spark.lakehouse import LakehouseCatalog
+
+    def recipe(wh):
+        return {
+            "name": "crash",
+            "source": {"parquet": str(sf_dir)},
+            "staging": {
+                "mode": "table",
+                "warehouse": wh,
+                "prefix": "cx",
+                "resume": True,
+            },
+            "stages": [
+                {"op": "quality_gate", "min_chars": 40,
+                 "max_repeat_ratio": 0.9},
+                {"op": "exact_dedup"},
+                {"op": "pii_scrub"},
+            ],
+            "output": {"warehouse": wh, "table": "curated"},
+        }
+
+    # control: uninterrupted run in its own warehouse
+    ctrl_wh = str(tmp_path / "ctrl")
+    cr.run_recipe(spark, recipe(ctrl_wh))
+    want = sorted(
+        (r["doc_id"], r["text"])
+        for r in LakehouseCatalog(ctrl_wh).table("curated")
+        .read(spark).select("doc_id", "text").collect()
+    )
+
+    # crashed run: stage 3 dies on its first invocation
+    wh = str(tmp_path / "wh")
+    orig = cr.STAGES["pii_scrub"]
+    state = {"crashed": False}
+
+    def flaky(df, **kw):
+        if not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated mid-recipe crash")
+        return orig(df, **kw)
+
+    monkeypatch.setitem(cr.STAGES, "pii_scrub", flaky)
+    with _pt.raises(RuntimeError, match="simulated"):
+        cr.run_recipe(spark, recipe(wh))
+
+    # resume from the surviving staged prefix
+    r = cr.run_recipe(spark, recipe(wh))
+    assert r["stages"][0].get("resumed") and r["stages"][1].get("resumed")
+    assert not r["stages"][2].get("resumed")  # stage 3 was recomputed
+    got = sorted(
+        (r2["doc_id"], r2["text"])
+        for r2 in LakehouseCatalog(wh).table("curated")
+        .read(spark).select("doc_id", "text").collect()
+    )
+    assert got == want
