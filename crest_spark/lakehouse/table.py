@@ -263,6 +263,35 @@ def _file_blooms(files: list[str], cols: list[str]) -> dict[str, dict]:
     return out
 
 
+class _Points(tuple):
+    """Internal marker: a SORTED, deduplicated point-value predicate
+    (produced by ``_normalize_pred``). ``_stats_admit`` admits a file
+    via two binary searches against its [min, max] instead of a linear
+    scan over the value list — at object-store scale the driver-side
+    manifest evaluation is O(files x log values), not
+    O(files x values)."""
+
+    __slots__ = ()
+
+
+def _normalize_pred(spec):
+    """Convert a large int/str point-value list to the ``_Points`` fast
+    path; everything else passes through unchanged. Floats are excluded
+    (NaN breaks binary search against PARQUET-1222-skewed stats), as
+    are bools (sort as ints but compare oddly across engines)."""
+    if isinstance(spec, (list, set, frozenset)) and spec:
+        vals = list(spec)
+        if all(
+            isinstance(v, (int, str)) and not isinstance(v, bool)
+            for v in vals
+        ):
+            try:
+                return _Points(sorted(set(vals)))
+            except TypeError:
+                return spec  # mixed int/str: keep the generic path
+    return spec
+
+
 def _pred_ranges(spec) -> list[tuple]:
     """Normalize one predicate spec to a list of (lo, hi) ranges.
 
@@ -275,6 +304,8 @@ def _pred_ranges(spec) -> list[tuple]:
     ranges as a SINGLE pruned scan branch instead of a union of N
     per-range scans — the physical plan stays one FileScan subtree no
     matter how many values are probed (VERDICT r11 #5)."""
+    if isinstance(spec, _Points):
+        return [(v, v) for v in spec]
     if isinstance(spec, tuple) and len(spec) == 2:
         return [spec]
     if isinstance(spec, (list, set, frozenset)):
@@ -328,9 +359,41 @@ def _stats_admit(fstats: dict[str, list], predicates: dict) -> bool:
     for col, spec in predicates.items():
         if col == _BLOOM_KEY:
             continue
+        if isinstance(spec, _Points):
+            if not _points_admit(fstats, col, spec):
+                return False
+            continue
         ranges = _pred_ranges(spec)
         if not any(_range_admits(fstats, col, lo, hi) for lo, hi in ranges):
             return False
+    return True
+
+
+def _points_admit(fstats: dict[str, list], col: str, vals: "_Points") -> bool:
+    """Sorted point-value list vs one file's stats: two binary searches
+    find the values inside [min, max]; none -> excluded. When a Bloom
+    filter is recorded, the (bounded) in-range slice is membership-
+    checked, so a file whose range covers the values but contains none
+    of them still prunes."""
+    import bisect
+
+    if not vals:
+        return False
+    if col in fstats:
+        mn, mx = fstats[col]
+        try:
+            lo_i = bisect.bisect_left(vals, mn)
+            hi_i = bisect.bisect_right(vals, mx)
+        except TypeError:
+            lo_i, hi_i = 0, len(vals)  # type mismatch: cannot prove
+        if lo_i >= hi_i:
+            return False
+        in_range = vals[lo_i:hi_i]
+    else:
+        in_range = vals
+    bloom = (fstats.get(_BLOOM_KEY) or {}).get(col)
+    if bloom is not None:
+        return any(_bloom_might_contain(bloom, v) for v in in_range)
     return True
 
 
@@ -4357,6 +4420,9 @@ class LakehouseTable:
         pruning. A file older than the column itself (drop + re-add)
         reads all-NULL for it, and NULL satisfies no range bound, so any
         bounded predicate on the column prunes the file outright."""
+        predicates = {
+            c: _normalize_pred(v) for c, v in predicates.items()
+        }
         state = self._state(upto=version)
         stats: dict = state.get("stats", {})
         events = state.get("schema_events") or []
@@ -4376,10 +4442,15 @@ class LakehouseTable:
             for c, spec in predicates.items():
                 if c == _BLOOM_KEY:
                     continue
-                ranges = _pred_ranges(spec)
-                bounded = not ranges or any(
-                    lo is not None or hi is not None for lo, hi in ranges
-                )
+                if isinstance(spec, _Points):
+                    bounded = True  # points are always bounded; skip
+                    # the O(values) range expansion per file
+                else:
+                    ranges = _pred_ranges(spec)
+                    bounded = not ranges or any(
+                        lo is not None or hi is not None
+                        for lo, hi in ranges
+                    )
                 p = self._vintage_source(c, events, vf)
                 if p is None:
                     # file predates the column (drop + re-add): it reads

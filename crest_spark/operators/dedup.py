@@ -1849,9 +1849,13 @@ def minhash_index_append(index, docs: DataFrame, **append_kw) -> int | None:
     persistent lakehouse signature index — the corpus is SIGNED ONCE at
     arrival and never again (the continuous-ingestion contract; same
     role as the IVF index table in ``vector_index.py``). Band rows are
-    3 longs/row, clustered by band so per-band scans prune."""
+    3 longs/row, clustered by (band, sig) so each file covers a narrow
+    lexicographic bucket-key slice — an arrival's bucket-key probe
+    (``minhash_incremental_pairs``) then prunes to the files whose sig
+    range can hold one of its keys, instead of reading the whole
+    index's band rows per batch."""
     bands = minhash_band_rows(with_shingles(docs))
-    return index.append(bands, cluster_by=["band"], **append_kw)
+    return index.append(bands, cluster_by=["band", "sig"], **append_kw)
 
 
 def capped_index_bands(
@@ -1883,6 +1887,39 @@ def capped_index_bands(
         .where(F.col("_r") <= max_bucket)
         .select("doc_id", "band", "sig")
     )
+
+
+# above this many distinct arrival sigs, fall back to a full index
+# read: the IN-list literal in the scan's exact filter (and the
+# per-file stats admission) should stay bounded — batches this large
+# are a backfill, not a micro-batch
+_INDEX_SCAN_MAX_KEYS = 65_536
+
+
+def _index_bands_for(spark, index, new_bands: DataFrame) -> DataFrame:
+    """Index band rows relevant to the arrival, via a bucket-key PRUNED
+    scan when the index is a lakehouse table: the arrival's distinct
+    sigs are batch-sized, and the index files are clustered by
+    (band, sig), so files whose sig range can hold none of the
+    arrival's sigs are never opened — the per-batch index I/O is
+    O(matching files), not O(index) (the same structural fix as the
+    r12 candidate-id pruned verify fetch, one layer down; sigs are
+    uniform hashes, so the pruning bites once file count exceeds key
+    count — exactly the 100 TB regime). Exactness is unaffected: the
+    scan returns a superset of the matching buckets (per-column
+    admission) and ``capped_index_bands``'s semi-join keeps only true
+    key matches. Falls back to a full read for plain-DataFrame indexes
+    or backfill-sized batches."""
+    if hasattr(index, "scan"):
+        keys = [
+            r["sig"]
+            for r in new_bands.select("sig").distinct().collect()
+        ]
+        if keys and len(keys) <= _INDEX_SCAN_MAX_KEYS:
+            return index.scan(spark, {"sig": keys}).select(
+                "doc_id", "band", "sig"
+            )
+    return index.read(spark).select("doc_id", "band", "sig")
 
 
 def minhash_incremental_pairs(
@@ -1929,7 +1966,7 @@ def minhash_incremental_pairs(
         )
     new_bands = minhash_band_rows(with_shingles(new_docs)).localCheckpoint()
     try:
-        old_bands = index.read(spark).select("doc_id", "band", "sig")
+        old_bands = _index_bands_for(spark, index, new_bands)
     except FileNotFoundError:
         old_bands = None
     if old_bands is not None:
@@ -2020,7 +2057,7 @@ def minhash_incremental_pairs(
         # to the table commit: a retried batch must NOT double-sign its
         # docs — duplicate band rows inflate (band, sig) buckets and
         # break the n_docs * LSH_BANDS index invariant
-        index.append(new_bands, cluster_by=["band"], **append_kw)
+        index.append(new_bands, cluster_by=["band", "sig"], **append_kw)
     return out
 
 

@@ -265,10 +265,21 @@ COMMENTARY = {
         "cannot be pushed below a window, so windowing first (pre-r11) "
         "shuffled the ENTIRE index per arrival; join-reduced, the "
         "window input is O(matching buckets) and row_number within a "
-        "bucket is unaffected (bit-identity pinned). The exact-Jaccard "
-        "verify is semi-join-reduced to candidate docs over hashed "
-        "shingles, so per-batch work scales with the batch + its "
-        "answer, never the corpus (docs/SCALE.md)."
+        "bucket is unaffected (bit-identity pinned). r12 closes the "
+        "two remaining O(corpus) I/O terms: the index fetch is a "
+        "bucket-key PRUNED scan (files clustered by (band, sig); the "
+        "arrival's sorted sig list admits files by binary search "
+        "against per-file sig ranges — O(matching files) once file "
+        "count exceeds key count, the 100 TB regime), and the verify "
+        "texts fetch via a candidate-id pruned scan on the source "
+        "table instead of a full (doc_id, text) read. The arrival's "
+        "own doc_ids are anti-joined out of the index side pre-cap, so "
+        "a partial-failure replay mines bit-identical pairs. The "
+        "exact-Jaccard verify is semi-join-reduced to candidate docs "
+        "over hashed shingles, so per-batch work scales with the "
+        "batch + its answer, never the corpus (docs/SCALE.md "
+        "ingest_minhash_arrival row: fixed batch vs 16x->1024x "
+        "corpus)."
     ),
     "ann_ivfpq_topk": (
         "IVF-PQ (r11, Jégou 2011 §IV): coarse cells + per-cell RESIDUAL "

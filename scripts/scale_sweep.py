@@ -99,6 +99,15 @@ OPERATORS = {
     # the scaled corpus must inherit its member exponents (expect ~ the
     # max member, ~0.6), proving composition adds no super-linear term
     "curation_recipe": ("sub-quadratic", "cli curate composition: exact+containment+quality+pack", 1024, ("documents",)),
+    # r12 (VERDICT r11 next-round #8): the CONTINUOUS-ingestion
+    # contract itself — per-arrival-batch cost at FIXED batch size
+    # (200 docs) while the signed corpus grows 16x -> 1024x. The whole
+    # maintenance step is timed (clustered append + sign + join-reduced
+    # mine + candidate-id pruned verify fetch); ~flat (exponent ~0) is
+    # the certification that NO per-batch term scales with the corpus —
+    # before the r12 pruned fetch this measured the full-table verify
+    # read, ~1.0 in I/O.
+    "ingest_minhash_arrival": ("O(batch)", "fixed 200-doc arrival vs grown signed corpus: append + sign + mine, pruned verify fetch (flat = proof)", 1024, ("documents",)),
 }
 
 # ops timed by a CUSTOM routine rather than registry-fn + noop sink
@@ -193,9 +202,77 @@ def _curation_recipe(spark, d: str, work: str) -> float:
     return dt
 
 
+def _ingest_minhash_arrival(spark, d: str, work: str) -> float:
+    """One timed arrival batch (FIXED 200 docs) against a lakehouse
+    documents table + signed minhash band index built from the scaled
+    corpus (build cached per scale, excluded from timing). The timed
+    section is the ingest maintenance step: clustered append + sign +
+    join-reduced candidate mine + candidate-id PRUNED verify fetch
+    (corpus_table= path). Both tables roll back after each run so
+    reruns hit identical state. Flat wall time across corpus scale is
+    the continuous-ingestion certification (VERDICT r11 #8)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_index_append,
+    )
+
+    cat = LakehouseCatalog(os.path.join(work, "wh"))
+    t = cat.table("docs")
+    idx = cat.table("docs_mh")
+    if t.version() == 0:  # not built yet for this scale
+        docs = spark.read.parquet(
+            os.path.join(d, "documents.parquet")
+        ).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        t = cat.get_or_create_table("docs", docs.schema)
+        # constant-size files, scale-proportional file COUNT — the
+        # shape under which "O(matching files)" and "O(corpus)" diverge
+        t.append(docs, cluster_by=["doc_id"], max_rows_per_file=60_000)
+        idx = cat.get_or_create_table(
+            "docs_mh",
+            StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("band", LongType()),
+                    StructField("sig", LongType()),
+                ]
+            ),
+        )
+        minhash_index_append(idx, docs)
+    # fixed arrival: 200 base docs re-sent under fresh ids — each is an
+    # exact dup of its replica-0 corpus twin, so candidates exist and
+    # the verify fetch runs, while the answer stays batch-sized
+    arrival = (
+        spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .where(F.col("doc_id") < 200)
+        .select((F.col("doc_id") + 10**12).alias("doc_id"), "text")
+        .localCheckpoint()
+    )
+    pre_t, pre_idx = t.version(), idx.version()
+    t0 = _time.perf_counter()
+    t.append(arrival, cluster_by=["doc_id"])
+    pairs = minhash_incremental_pairs(
+        spark, idx, arrival, corpus_table=t
+    )
+    n = pairs.count()
+    dt = _time.perf_counter() - t0
+    print(f"#   arrival mined {n} pairs", file=sys.stderr)
+    assert n >= 100  # the planted dups were found
+    t.rollback(pre_t)
+    idx.rollback(pre_idx)
+    return dt
+
+
 CUSTOM_OPS = {
     "lake_merge_after_rename": _lake_merge_after_rename,
     "curation_recipe": _curation_recipe,
+    "ingest_minhash_arrival": _ingest_minhash_arrival,
 }
 
 MARK_BEGIN = "<!-- scale-sweep:begin -->"
