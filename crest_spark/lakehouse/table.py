@@ -134,6 +134,22 @@ _NULLS_KEY = "__nulls__"  # reserved per-file stats slot: column null counts
 _DELTA_BROADCAST_MAX_KEYS = 1_000_000
 
 
+def _require_range_predicates(predicates: dict, verb: str) -> None:
+    """delete()/update() are RANGE-ONLY: their all-match file-drop proof
+    (``_stats_all_match``) and row-condition builders unpack each value
+    as one (lo, hi) tuple, so a value-list predicate (the form scan()
+    accepts since r12) would be read as points by the admission check
+    but as a range by the rewrite — silent wrong deletes. Reject loudly
+    instead."""
+    for col, spec in predicates.items():
+        if not (isinstance(spec, tuple) and len(spec) == 2):
+            raise TypeError(
+                f"{verb} predicate on {col!r} must be a (lo, hi) range "
+                "tuple; value lists / multi-ranges are scan()-only "
+                f"(got {type(spec).__name__})"
+            )
+
+
 def _stats_all_match(fstats: dict, predicates: dict[str, tuple]) -> bool:
     """True when the file's stats PROVE every row matches every range
     predicate — [min, max] inside [lo, hi] and zero NULLs in the column
@@ -3204,6 +3220,7 @@ class LakehouseTable:
         across predicate deltas too."""
         if mode not in ("cow", "mor"):
             raise ValueError(f"delete mode {mode!r}: cow | mor")
+        _require_range_predicates(predicates, "delete")
         last_err: Exception | None = None
         if mode == "mor":
             for _ in range(self._MERGE_RETRIES):
@@ -3403,6 +3420,7 @@ class LakehouseTable:
         unknown = [c for c in set_exprs if c not in self.schema().names]
         if unknown:
             raise ValueError(f"update sets unknown columns {unknown}")
+        _require_range_predicates(predicates, "update")
         last_err: Exception | None = None
         for _ in range(self._MERGE_RETRIES):
             base = self.version()

@@ -2013,9 +2013,18 @@ def minhash_incremental_pairs(
         # whose doc_id stats/Bloom exclude every candidate are never
         # opened). The semi-join below is then a no-op membership
         # check, kept so semantics match the corpus_docs path
-        # bit-for-bit.
-        ids = sorted(r[0] for r in cand_docs.collect())
-        if ids:
+        # bit-for-bit. The collect is gated on a distributed COUNT
+        # first: a backfill-sized arrival can mine more candidates
+        # than the driver should hold (same bound as the index-fetch
+        # side) — past the cap, fall back to the full corpus read the
+        # semi-join already handles.
+        n_cand = cand_docs.count()
+        if n_cand == 0:
+            corpus_docs = new_docs.sparkSession.createDataFrame(
+                [], "doc_id long, text string"
+            )
+        elif n_cand <= _INDEX_SCAN_MAX_KEYS:
+            ids = sorted(r[0] for r in cand_docs.collect())
             corpus_docs = corpus_table.scan(
                 spark, {corpus_id_col: ids}
             ).select(
@@ -2023,8 +2032,9 @@ def minhash_incremental_pairs(
                 F.col(corpus_text_col).alias("text"),
             )
         else:
-            corpus_docs = new_docs.sparkSession.createDataFrame(
-                [], "doc_id long, text string"
+            corpus_docs = corpus_table.read(spark).select(
+                F.col(corpus_id_col).alias("doc_id"),
+                F.col(corpus_text_col).alias("text"),
             )
     sh = (
         with_shingles(corpus_docs)

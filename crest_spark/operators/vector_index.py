@@ -180,9 +180,13 @@ def _write_ivf(
                 "seed": seed,
                 "centroids": [[float(x) for x in c] for c in centroids],
             },
+            # a build resets delete-drift: the zeroed cumulative marker
+            # is sticky with latest-wins, so a pre-build delete folded
+            # onto the same expiry boundary cannot resurrect its count
+            "ivf_delete": {"n_deleted": 0, "cum_deleted": 0},
             # survives expire_snapshots even if this build commit folds
             # away (an index whose centroids expired is unprobeable)
-            "sticky_extra": ["ivf"],
+            "sticky_extra": ["ivf", "ivf_delete"],
         },
     )
 
@@ -221,7 +225,23 @@ def ivf_drift(t: LakehouseTable) -> float:
     serves probes from stale cells."""
     base_rows: int | None = None
     added = 0
+    dels_counted = False
     for s in reversed(t.snapshots()):
+        # Deletes are read BEFORE the build-marker break so an expiry
+        # boundary commit carrying BOTH a folded build and a folded
+        # later delete still counts the delete. A marker with
+        # "cum_deleted" is the running total since the build (stamped
+        # sticky by ivf_delete, zeroed by every build), so the newest
+        # one is counted ONCE and older markers are skipped — a folded-
+        # away delete's count survives expire_snapshots (review r12;
+        # pre-fix, delete-driven drift silently zeroed after expiry).
+        de = s.extra.get("ivf_delete")
+        if de is not None and not dels_counted:
+            if "cum_deleted" in de:
+                added += int(de["cum_deleted"])
+                dels_counted = True
+            else:  # legacy marker (pre-r12): per-commit count
+                added += int(de.get("n_deleted", 0))
         # both index flavors rebase drift at their (re)build commit:
         # flat IVF stamps extra['ivf'], the codes-only composite
         # stamps extra['ivfpq'] (ivfpq_add documents drift as
@@ -245,8 +265,6 @@ def ivf_drift(t: LakehouseTable) -> float:
             else:
                 base_rows = max(int(s.num_rows or 0), 1)
             break
-        if "ivf_delete" in s.extra:
-            added += int(s.extra["ivf_delete"].get("n_deleted", 0))
         if "ivf_add" in s.extra:
             # n_added in the extra is legacy (pre-r9 indexes); current
             # adds record a bare marker and the commit's own num_rows
@@ -324,6 +342,22 @@ def ivf_add(
     return version
 
 
+def _deleted_since_build(t: LakehouseTable) -> int:
+    """Rows deleted since the last (re)build: the newest cumulative
+    marker, plus any legacy per-commit markers newer than it (same walk
+    rules as ivf_drift)."""
+    total = 0
+    for s in reversed(t.snapshots()):
+        de = s.extra.get("ivf_delete")
+        if de is not None:
+            if "cum_deleted" in de:
+                return total + int(de["cum_deleted"])
+            total += int(de.get("n_deleted", 0))
+        if s.extra.get("ivf") or s.extra.get("ivfpq"):
+            break
+    return total
+
+
 def ivf_delete(
     spark: SparkSession,
     t: LakehouseTable,
@@ -356,13 +390,23 @@ def ivf_delete(
         .withColumn("cell", F.lit(None).cast("int"))
         .withColumn("_del", F.lit(True))
     )
+    cum = _deleted_since_build(t) + int(n_del)
     version = t.merge(
         spark,
         tomb,
         key="vec_id",
         delete_col="_del",
         strategy="mor",
-        extra={"ivf_delete": {"n_deleted": int(n_del)}},
+        # cum_deleted = running total since the last build, stamped
+        # sticky so expire_snapshots folding this commit away cannot
+        # zero delete-driven drift (review r12)
+        extra={
+            "ivf_delete": {
+                "n_deleted": int(n_del),
+                "cum_deleted": int(cum),
+            },
+            "sticky_extra": ["ivf_delete"],
+        },
     )
     if ivf_drift(t) > recluster_threshold:
         ivf = None
@@ -545,9 +589,11 @@ def build_ivfpq_index(
                     [[float(x) for x in row] for row in bk] for bk in books
                 ],
             },
+            # a build resets delete-drift (see _write_ivf)
+            "ivf_delete": {"n_deleted": 0, "cum_deleted": 0},
             # survives expire_snapshots even if this build commit folds
             # away (codes without codebooks are undecodable)
-            "sticky_extra": ["ivfpq"],
+            "sticky_extra": ["ivfpq", "ivf_delete"],
         },
     )
     return t

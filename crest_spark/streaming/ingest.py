@@ -590,13 +590,15 @@ class IngestionService:
                         batch_id=batch_id,
                     )
                 else:
-                    add(
-                        spark,
-                        t,
-                        new_em,
-                        writer_id=widx,
-                        batch_id=batch_id,
-                    )
+                    add_kw = dict(writer_id=widx, batch_id=batch_id)
+                    if kind == "ivf":
+                        # flat IVF self-reclusters inside ivf_add —
+                        # honor the spec's threshold there (review r12:
+                        # it was silently ignored for kind='ivf')
+                        add_kw["recluster_threshold"] = float(
+                            spec.get("recluster_threshold", 0.5)
+                        )
+                    add(spark, t, new_em, **add_kw)
                     if kind == "ivfpq":
                         # rebuild-on-drift (VERDICT r11 #4): the codes-
                         # only composite cannot re-fit from itself (no

@@ -1375,3 +1375,24 @@ def test_scan_value_list_and_multirange_predicates(spark, sf_dir, tmp_path):
     # empty list: IN () — no files opened, zero rows
     assert t.pruned_files({"o_custkey": []}) == []
     assert t.scan(spark, {"o_custkey": []}).count() == 0
+
+
+def test_delete_update_reject_value_list_predicates(spark, sf_dir, tmp_path):
+    """Review r12: delete()/update() are range-only — their all-match
+    file-drop proof and rewrite conditions unpack (lo, hi) tuples. A
+    value-list predicate (the scan()-accepted form) must raise loudly
+    instead of being read as points by admission but as a range by the
+    rewrite (silent wrong deletes)."""
+    import pytest as _pt
+
+    src = load_table(spark, sf_dir, "region")
+    t = _cat(tmp_path).get_or_create_table("region_rr", src.schema)
+    t.append(src)
+    with _pt.raises(TypeError, match="scan\\(\\)-only"):
+        t.delete(spark, {"r_regionkey": [1, 5]})
+    with _pt.raises(TypeError, match="scan\\(\\)-only"):
+        t.update(spark, {"r_regionkey": [1, 5]}, {"r_name": "lower(r_name)"})
+    # ranges still work
+    n = t.read(spark).count()
+    t.delete(spark, {"r_regionkey": (0, 0)})
+    assert t.read(spark).count() == n - 1

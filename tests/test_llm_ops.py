@@ -1038,3 +1038,51 @@ def test_minhash_incremental_replay_mines_identical_pairs(
     )
     assert replay == first
     assert index.read(spark).count() == n * LSH_BANDS
+
+
+def test_minhash_incremental_backfill_fallback_matches_pruned_path(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Review r12: the candidate-id verify fetch collects to the driver
+    only under the key cap — past it (backfill-sized arrivals) it falls
+    back to the full corpus read the semi-join already handles. Both
+    paths must return identical pairs."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.operators import dedup as dd
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+
+    def run() -> list:
+        cat = LakehouseCatalog(
+            str(tmp_path / f"wh{dd._INDEX_SCAN_MAX_KEYS}")
+        )
+        corpus_t = cat.get_or_create_table("docs", docs.schema)
+        corpus_t.append(docs, cluster_by=["doc_id"])
+        idx = cat.get_or_create_table(
+            "idx",
+            StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("band", LongType()),
+                    StructField("sig", LongType()),
+                ]
+            ),
+        )
+        out = []
+        for b in (b1, b2):
+            out += dd.minhash_incremental_pairs(
+                spark, idx, b, corpus_table=corpus_t
+            ).collect()
+        return sorted(map(tuple, out))
+
+    pruned = run()
+    monkeypatch.setattr(dd, "_INDEX_SCAN_MAX_KEYS", 1)  # force fallback
+    fallback = run()
+    assert pruned == fallback and len(pruned) > 0

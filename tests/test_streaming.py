@@ -2110,3 +2110,40 @@ def test_ingest_ivfpq_rebuilds_on_drift(spark, sf_dir, tmp_path):
         exact |= {(q, vid) for _, vid in sims}
     recall = len(mine & exact) / len(exact)
     assert recall >= 0.5, f"post-rebuild recall {recall} below floor"
+
+
+def test_ingest_ivf_honors_spec_recluster_threshold(spark, sf_dir, tmp_path):
+    """Review r12: a flat-IVF index spec's recluster_threshold was
+    silently ignored (ivf_add used its internal 0.5 default). With a
+    low threshold, a modest second batch must now trigger the
+    self-recluster: head commit is a fresh build and drift resets."""
+    from crest_spark.operators.vector_index import ivf_drift
+
+    em = load_table(spark, sf_dir, "embeddings")
+    first = em.where(F.col("vec_id") < 150)
+    second = em.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="emb",
+                path=str(tmp_path / "unused"),
+                indexes=[
+                    {
+                        "kind": "ivf",
+                        "name": "ivt",
+                        "recluster_threshold": 0.1,
+                    }
+                ],
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    sink = svc._sink(cfg.sources[0])
+    sink(first, 0)
+    t = svc.catalog.table("ivt")
+    sink(second, 1)  # drift 50/150 = 0.33 > 0.1 (but < default 0.5)
+    head = t.snapshots()[-1]
+    assert head.extra.get("ivf"), "recluster must have fired at 0.1"
+    assert ivf_drift(t) == 0.0

@@ -714,3 +714,36 @@ def test_curate_table_staging_crash_resume_end_to_end(
         .read(spark).select("doc_id", "text").collect()
     )
     assert got == want
+
+
+def test_delete_drift_survives_snapshot_expiry(spark, sf_dir, tmp_path):
+    """Review r12: delete-driven drift must survive expire_snapshots —
+    ivf_delete stamps a sticky cumulative counter (zeroed by every
+    build), so folding the delete commit away cannot zero the drift a
+    shrink-heavy index accumulated."""
+    from crest_spark.operators.vector_index import (
+        build_ivf_index,
+        ivf_delete,
+        ivf_drift,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    t = build_ivf_index(spark, em, cat, name="dd")
+    assert ivf_drift(t) == 0.0
+    ids = [r[0] for r in em.select("vec_id").limit(30).collect()]
+    # high threshold: do NOT let the delete itself trigger a recluster
+    ivf_delete(spark, t, ids[:15], recluster_threshold=10.0)
+    ivf_delete(spark, t, ids[15:], recluster_threshold=10.0)
+    before = ivf_drift(t)
+    assert before > 0
+    assert t.expire_snapshots(keep_last=1)
+    assert abs(ivf_drift(t) - before) < 1e-9  # pre-fix: 0.0
+    # a rebuild resets the counter even across a later expiry
+    from crest_spark.operators.vector_index import _write_ivf
+
+    centroids_rows = t.read(spark).select("vec_id", "embedding")
+    _write_ivf(spark, t, centroids_rows, 16, 99)
+    assert ivf_drift(t) == 0.0
+    assert t.expire_snapshots(keep_last=1)
+    assert ivf_drift(t) == 0.0
