@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     # r11 addition: the IVF-PQ composite (persisted codes-only index,
     # probed-cell ADC + exact re-rank)
     "ann_ivfpq_topk",
+    # r12 addition: batch point lookup via the multi-value scan
+    # predicate (one pruned IN-list scan over a clustered+Bloomed
+    # table — the serving-path shape the pruned dedup/ANN fetches use)
+    "lake_batch_point_lookup",
 ]
 
 SUMMARY_MAX_BYTES = 4096  # bound enforced by tests/test_bench_emit.py

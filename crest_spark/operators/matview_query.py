@@ -1213,3 +1213,48 @@ def lake_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "lake_batch_point_lookup",
+    oracle="""
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        WHERE o_orderkey IN (7, 32, 97, 129, 417, 737, 1093, 2021)
+        ORDER BY o_orderkey
+    """,
+    tags=("lakehouse", "scan", "point-lookup"),
+)
+def lake_batch_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch point lookup through the r12 multi-value scan predicate
+    under the driver hash gate: a doc-id-style IN-list (8 keys) reads a
+    clustered + Bloom-filtered lakehouse table as ONE pruned scan —
+    files whose key range/Bloom admits no requested key are never
+    opened, and the plan is a single FileScan branch regardless of key
+    count (the shape the pruned dedup verify fetch and the IVF probe
+    path are built on; plan/pruning pins in
+    ``test_lakehouse_maintenance.py``, fuzz in
+    ``test_property_based.py``). The engine asserts real pruning
+    inline: the admitted file set must be a strict subset on the
+    multi-file clustered layout."""
+    keys = [7, 32, 97, 129, 417, 737, 1093, 2021]
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_ptl_"))
+    t = cat.get_or_create_table("orders_ptl", orders.schema)
+    t.append(
+        orders,
+        cluster_by=["o_orderkey"],
+        max_rows_per_file=2000,
+        bloom_for=["o_orderkey"],
+    )
+    opened = t.pruned_files({"o_orderkey": keys})
+    assert 0 < len(opened) < t.file_count(), (
+        "batch point lookup must open a strict subset of files"
+    )
+    return t.scan(spark, {"o_orderkey": keys}).orderBy("o_orderkey")

@@ -841,3 +841,119 @@ def test_evolution_fold_and_vintage_match_identity_model(seed):
                     f"path {p} vintage {vintage}: resolved to {got}, "
                     f"which another identity occupied (seed {seed})"
                 )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(-1000, 1000),
+    st.integers(0, 500),
+    st.lists(
+        st.one_of(
+            st.integers(-1200, 1200),
+            st.tuples(
+                st.one_of(st.none(), st.integers(-1200, 1200)),
+                st.one_of(st.none(), st.integers(-1200, 1200)),
+            ),
+        ),
+        max_size=12,
+    ),
+    st.booleans(),
+)
+def test_stats_admit_multivalue_is_exact_or(mn, width, spec, has_stats):
+    """r12 multi-value predicates: a file is admitted iff ANY member
+    value/range of the list intersects its [min, max] (IN-list OR
+    semantics; empty list admits nothing), missing stats always admit —
+    and the sorted-points fast path (_Points, what pruned_files
+    normalizes int/str lists into) agrees with the generic list path
+    on every input."""
+    from crest_spark.lakehouse.table import (
+        _normalize_pred,
+        _stats_admit,
+    )
+
+    mx = mn + width
+    fstats = {"c": [mn, mx]} if has_stats else {}
+
+    def member_intersects(m) -> bool:
+        if isinstance(m, tuple):
+            lo, hi = m
+        else:
+            lo = hi = m
+        return (lo is None or mx >= lo) and (hi is None or mn <= hi)
+
+    admitted = _stats_admit(fstats, {"c": list(spec)})
+    if not has_stats:
+        # missing stats admit — unless the list is empty (IN ()),
+        # which excludes regardless
+        assert admitted == bool(spec)
+    elif any(member_intersects(m) for m in spec):
+        assert admitted
+    else:
+        assert not admitted
+
+    # the normalized fast path must agree bit-for-bit on point lists
+    points = [m for m in spec if not isinstance(m, tuple)]
+    if points:
+        generic = _stats_admit(fstats, {"c": points})
+        fast = _stats_admit(fstats, {"c": _normalize_pred(points)})
+        assert generic == fast
+
+
+def test_scan_multivalue_matches_full_read_randomized(
+    spark, sf_dir, tmp_path
+):
+    """r12 scan fuzz: for 25 seeded random predicate specs (point
+    lists, multi-ranges, mixtures, open bounds) over a clustered
+    table, scan() returns exactly read().where(equivalent) — pruning
+    must never change results, only skip provably-disjoint files."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crest_spark.lakehouse import LakehouseCatalog
+    from crest_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    t = cat.get_or_create_table("ofz", src.schema)
+    t.append(src, cluster_by=["o_custkey"], max_rows_per_file=2000)
+    full = src.count()
+    rng = random.Random(42)
+    lo_k, hi_k = 0, 1500
+    for trial in range(25):
+        members = []
+        for _ in range(rng.randint(0, 6)):
+            if rng.random() < 0.5:
+                members.append(rng.randint(lo_k, hi_k))
+            else:
+                a = rng.randint(lo_k, hi_k)
+                b = a + rng.randint(0, 80)
+                pair = (
+                    None if rng.random() < 0.15 else a,
+                    None if rng.random() < 0.15 else b,
+                )
+                members.append(pair)
+        cond = F.lit(False)
+        for m in members:
+            if isinstance(m, tuple):
+                c = F.lit(True)
+                if m[0] is not None:
+                    c = c & (F.col("o_custkey") >= m[0])
+                if m[1] is not None:
+                    c = c & (F.col("o_custkey") <= m[1])
+            else:
+                c = F.col("o_custkey") == m
+            cond = cond | c
+        got = sorted(
+            map(tuple, t.scan(spark, {"o_custkey": members}).collect())
+        )
+        want = sorted(map(tuple, t.read(spark).where(cond).collect()))
+        assert got == want, (trial, members)
+        # pruning engaged on bounded non-empty specs
+        if members:
+            assert len(t.pruned_files({"o_custkey": members})) <= t.file_count()
+        else:
+            assert got == []
+    assert t.read(spark).count() == full
