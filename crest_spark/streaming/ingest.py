@@ -159,14 +159,21 @@ class SourceSpec:
     # end state: source -> Iceberg table -> maintained dedup/ANN indexes,
     # all inside one exactly-once write path. Each spec is a dict:
     #   {"kind": "minhash", "name": ..., "id_col": "doc_id",
-    #    "text_col": "text", "mine_pairs": True}
-    #     signs ONLY the batch's docs into a band-clustered signature
-    #     index (minhash_index_append — the sign-once contract) and,
-    #     when mine_pairs, mines this arrival's verified near-dup pairs
-    #     (new-vs-index + new-vs-new, join-reduced cap) into
-    #     <name>__pairs. The pairs table accumulates exactly the batch
-    #     miner's pair set over the ingested corpus
+    #    "text_col": "text", "mine_pairs": True,
+    #    "compact_after_files": N, "compact_target_files": M}
+    #     signs ONLY the batch's docs into a (band, sig)-clustered
+    #     signature index (minhash_index_append — the sign-once
+    #     contract) and, when mine_pairs, mines this arrival's verified
+    #     near-dup pairs (new-vs-index + new-vs-new, join-reduced cap,
+    #     candidate-id pruned verify fetch) into <name>__pairs. The
+    #     pairs table accumulates exactly the batch miner's pair set
+    #     over the ingested corpus
     #     (test_streaming.py::test_ingest_maintains_minhash_index).
+    #     compact_after_files (default: the config-level value)
+    #     Z-order-rewrites the index on (band, sig) once its file count
+    #     reaches N — micro-batch appends have corpus-wide per-file sig
+    #     spans, so without periodic re-clustering the bucket-key
+    #     pruned fetch stops skipping files as batches accrete.
     #   {"kind": "ivf", "name": ..., "id_col": "vec_id",
     #    "vec_col": "embedding"}
     #     FAISS add-split: the first batch builds the IVF index, later
@@ -520,6 +527,34 @@ class IngestionService:
                     F.col(id_col).alias("doc_id"),
                     F.col(text_col).alias("text"),
                 )
+                # Periodic re-clustering compaction (r12): each micro-
+                # batch appends band rows whose sigs span the whole hash
+                # space (sigs are uniform), so per-FILE sig ranges are
+                # wide and the bucket-key pruned fetch stops biting as
+                # files accrete — one file per batch means O(batches)
+                # admitted files. A Z-order rewrite on (band, sig)
+                # restores narrow per-file ranges; done BEFORE this
+                # batch's maintenance (serial hook — cannot race our own
+                # appends) and amortized over compact_after - target
+                # batches, the same policy as the main table.
+                idx_compact_after = spec.get(
+                    "compact_after_files",
+                    self.config.compact_after_files,
+                )
+                if (
+                    idx_compact_after is not None
+                    and idx.file_count() >= int(idx_compact_after)
+                ):
+                    idx.compact(
+                        spark,
+                        target_partitions=int(
+                            spec.get(
+                                "compact_target_files",
+                                self.config.compact_target_files,
+                            )
+                        ),
+                        zorder_by=["band", "sig"],
+                    )
                 if spec.get("mine_pairs", True):
                     # verify texts are fetched by candidate-id pruned
                     # scan on the SOURCE table, not a full-corpus read

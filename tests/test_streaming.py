@@ -2147,3 +2147,51 @@ def test_ingest_ivf_honors_spec_recluster_threshold(spark, sf_dir, tmp_path):
     head = t.snapshots()[-1]
     assert head.extra.get("ivf"), "recluster must have fired at 0.1"
     assert ivf_drift(t) == 0.0
+
+
+def test_ingest_minhash_index_compaction_restores_pruning(
+    spark, sf_dir, tmp_path
+):
+    """r12: micro-batch index appends have corpus-wide per-file sig
+    spans (sigs are uniform hashes), so file accretion erodes the
+    bucket-key pruned fetch — the maintenance loop must Z-order-rewrite
+    the index on (band, sig) past the file threshold. After draining
+    many small batches: file count is bounded by the compaction policy
+    (not the batch count), the sign-once n_docs x LSH_BANDS invariant
+    holds, and a bucket-key probe admits a strict file subset."""
+    from crest_spark.operators.dedup import LSH_BANDS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="docs",
+                path=str(tmp_path / "unused"),
+                indexes=[
+                    {
+                        "kind": "minhash",
+                        "name": "cmh",
+                        "mine_pairs": False,
+                        "compact_after_files": 4,
+                        "compact_target_files": 4,
+                    }
+                ],
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    sink = svc._sink(cfg.sources[0])
+    n_batches = 8
+    for b in range(n_batches):
+        sink(docs.where(F.col("doc_id") % n_batches == b), b)
+    idx = svc.catalog.table("cmh")
+    assert idx.read(spark).count() == n_docs * LSH_BANDS  # signed once
+    # compaction kept file count bounded by the policy, not batch count
+    assert idx.file_count() < n_batches
+    # and a bucket-key probe prunes again: take a real indexed sig
+    probe = idx.read(spark).limit(1).collect()[0]["sig"]
+    admitted = idx.pruned_files({"sig": [probe]})
+    assert 0 < len(admitted) < idx.file_count()
