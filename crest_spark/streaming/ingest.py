@@ -608,6 +608,33 @@ class IngestionService:
                 widx = f"{writer_id}-{name}"
                 if t.exists() and batch_id in t.committed_batches(widx):
                     continue  # replayed batch: already built/added
+                # Per-cell DELTA files accrete one per batch touching the
+                # cell: cell stats stay point-narrow (pruning intact) but
+                # a hot cell's probe opens O(batches) files between
+                # drift-triggered rebuilds. Same amortized policy as the
+                # minhash index: a cell-clustered rewrite past the file
+                # threshold (also folds any pending ivf_delete deltas);
+                # metadata is unaffected — centroid/codebook loaders walk
+                # the log past the replace to the build commit.
+                idx_compact_after = spec.get(
+                    "compact_after_files",
+                    self.config.compact_after_files,
+                )
+                if (
+                    idx_compact_after is not None
+                    and t.exists()
+                    and t.file_count() >= int(idx_compact_after)
+                ):
+                    t.compact(
+                        spark,
+                        target_partitions=int(
+                            spec.get(
+                                "compact_target_files",
+                                self.config.compact_target_files,
+                            )
+                        ),
+                        zorder_by=["cell"],
+                    )
                 if not t.exists():
                     # the batch id is stamped ON the build's replace
                     # commit itself (overwrite takes writer/batch since

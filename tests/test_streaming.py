@@ -2195,3 +2195,53 @@ def test_ingest_minhash_index_compaction_restores_pruning(
     probe = idx.read(spark).limit(1).collect()[0]["sig"]
     admitted = idx.pruned_files({"sig": [probe]})
     assert 0 < len(admitted) < idx.file_count()
+
+
+def test_ingest_ivf_index_compaction_bounds_files(spark, sf_dir, tmp_path):
+    """r12: per-cell delta files accrete one per batch between drift
+    rebuilds — the maintenance loop's cell-clustered rewrite past the
+    file threshold bounds the count while probes stay correct (pruned
+    subset, every vector present exactly once, search returns k)."""
+    from crest_spark.operators.vector_index import ivf_index_search
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="emb",
+                path=str(tmp_path / "unused"),
+                indexes=[
+                    {
+                        "kind": "ivf",
+                        "name": "civ",
+                        # high drift threshold: isolate compaction from
+                        # the self-recluster path
+                        "recluster_threshold": 100.0,
+                        "compact_after_files": 20,
+                        "compact_target_files": 8,
+                    }
+                ],
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    sink = svc._sink(cfg.sources[0])
+    n_batches = 8
+    for b in range(n_batches):
+        sink(em.where(F.col("vec_id") % n_batches == b), b)
+    t = svc.catalog.table("civ")
+    n = em.count()
+    assert t.read(spark).count() == n
+    assert t.read(spark).select("vec_id").distinct().count() == n
+    # compaction bounded the file count: without it, the build (16
+    # cell files) + 7 delta waves (~16 files each) accrete ~128 files;
+    # with the policy the count stays near threshold + one wave
+    assert t.file_count() < 40
+    replaces = [s2 for s2 in t.snapshots() if s2.operation == "replace"]
+    assert len(replaces) >= 2  # the build plus >= 1 compaction rewrite
+    # pruning still bites and probes work
+    assert 0 < len(t.pruned_files({"cell": (0, 0)})) < t.file_count()
+    queries = em.where(F.col("vec_id") < 3)
+    assert ivf_index_search(spark, t, queries, k=5).count() == 15
