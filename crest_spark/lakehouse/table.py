@@ -3508,6 +3508,8 @@ class LakehouseTable:
         zorder_by: list[str] | None = None,
         small_file_max_rows: int | None = None,
         bloom_for: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_partitions: int | None = None,
     ) -> int:
         """Small-file compaction: rewrite the current snapshot into
         ``target_partitions`` files and commit a ``replace``. Readers are
@@ -3536,10 +3538,13 @@ class LakehouseTable:
         Conflict-validated like ``merge``: the replace only commits onto
         the snapshot that was read; a concurrent append restarts the
         rewrite rather than being silently dropped."""
-        if small_file_max_rows is not None and zorder_by:
+        if small_file_max_rows is not None and (zorder_by or cluster_by):
             raise ValueError(
-                "small_file_max_rows and zorder_by are mutually exclusive"
+                "small_file_max_rows and zorder_by/cluster_by are "
+                "mutually exclusive"
             )
+        if zorder_by and cluster_by:
+            raise ValueError("zorder_by and cluster_by are mutually exclusive")
         last_err: Exception | None = None
         for _ in range(self._MERGE_RETRIES):
             base = self.version()
@@ -3581,6 +3586,19 @@ class LakehouseTable:
                     .sortWithinPartitions("__z")
                     .drop("__z")
                 )
+            elif cluster_by:
+                # append-style lexicographic range clustering (the
+                # rewrite-side twin of append(cluster_by=...)): with an
+                # explicit cluster_partitions >= the distinct-value
+                # count, the range partitioner never splits equal keys,
+                # so each output file stays single-valued on the
+                # leading key — what keeps an IVF index's per-file cell
+                # stats POINT-narrow through compaction (a z-curve
+                # rewrite into few files would widen them)
+                cols = [F.col(c) for c in cluster_by]
+                clustered = df.repartitionByRange(
+                    cluster_partitions or target_partitions, *cols
+                ).sortWithinPartitions(*cluster_by)
             else:
                 clustered = df.coalesce(target_partitions)
             try:

@@ -1250,6 +1250,11 @@ def lake_batch_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(
         orders,
         cluster_by=["o_orderkey"],
+        # explicit range count: AQE would coalesce a small SF's rows
+        # into ONE file, making the strict-subset pruning assert below
+        # vacuous-or-failing — the multi-file layout the entry
+        # certifies must be pinned, not assumed (review r12)
+        cluster_partitions=8,
         max_rows_per_file=2000,
         bloom_for=["o_orderkey"],
     )

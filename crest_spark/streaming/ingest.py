@@ -170,10 +170,12 @@ class SourceSpec:
     #     over the ingested corpus
     #     (test_streaming.py::test_ingest_maintains_minhash_index).
     #     compact_after_files (default: the config-level value)
-    #     Z-order-rewrites the index on (band, sig) once its file count
-    #     reaches N — micro-batch appends have corpus-wide per-file sig
-    #     spans, so without periodic re-clustering the bucket-key
-    #     pruned fetch stops skipping files as batches accrete.
+    #     SIG-sorts the index once its file count reaches N — micro-
+    #     batch appends have corpus-wide per-file sig spans, so without
+    #     periodic re-clustering the bucket-key pruned fetch stops
+    #     skipping files as batches accrete; the pairs table bin-packs
+    #     under the same threshold, and ivf/ivfpq indexes rewrite
+    #     cell-clustered (one file per cell preserved).
     #   {"kind": "ivf", "name": ..., "id_col": "vec_id",
     #    "vec_col": "embedding"}
     #     FAISS add-split: the first batch builds the IVF index, later
@@ -270,7 +272,12 @@ class IngestionService:
 
         compact_after = self.config.compact_after_files
         compact_target = max(1, self.config.compact_target_files)
-        compact_zorder = self.config.compact_zorder_by
+        # default the rewrite clustering to the source's own cluster
+        # keys: a plain repartition compaction would silently DESTROY
+        # the per-file key ranges every append paid for (and with them
+        # the pruned point-lookup / verify-fetch paths) — the rewrite
+        # must preserve at least the layout the ingest policy promised
+        compact_zorder = self.config.compact_zorder_by or source.cluster_by
 
         def write_batch(df, batch_id: int) -> None:
             if source.lineage:
@@ -372,8 +379,15 @@ class IngestionService:
             # just-written batch out of the rewrite churn.
             if compact_after is not None and table.exists():
                 if table.file_count() >= compact_after:
+                    # bloom_for: the rewrite must re-record the per-file
+                    # Bloom filters the appends paid for — compacting
+                    # without them silently degrades point lookups on
+                    # non-clustered high-cardinality columns (review r12)
                     table.compact(
-                        df.sparkSession, compact_target, zorder_by=compact_zorder
+                        df.sparkSession,
+                        compact_target,
+                        zorder_by=compact_zorder,
+                        bloom_for=source.bloom_for,
                     )
             if source.mode == "upsert":
                 # CDC upsert: reduce the batch to its per-key winner
@@ -481,6 +495,22 @@ class IngestionService:
                 + " (indexed batches must land live on main)"
             )
 
+    def _index_compact_limits(
+        self, spec: dict
+    ) -> tuple[int | None, int]:
+        """(file threshold, target count) for a maintained index's
+        periodic re-clustering compaction — spec keys override the
+        config-level policy."""
+        after = spec.get(
+            "compact_after_files", self.config.compact_after_files
+        )
+        target = int(
+            spec.get(
+                "compact_target_files", self.config.compact_target_files
+            )
+        )
+        return (None if after is None else int(after)), target
+
     def _maintain_indexes(
         self, source: SourceSpec, table, df, ns: str, writer_id: str,
         batch_id: int,
@@ -532,28 +562,22 @@ class IngestionService:
                 # space (sigs are uniform), so per-FILE sig ranges are
                 # wide and the bucket-key pruned fetch stops biting as
                 # files accrete — one file per batch means O(batches)
-                # admitted files. A Z-order rewrite on (band, sig)
-                # restores narrow per-file ranges; done BEFORE this
-                # batch's maintenance (serial hook — cannot race our own
-                # appends) and amortized over compact_after - target
-                # batches, the same policy as the main table.
-                idx_compact_after = spec.get(
-                    "compact_after_files",
-                    self.config.compact_after_files,
-                )
+                # admitted files. A SIG-sorted rewrite restores narrow
+                # per-file sig ranges (the probe key is sig alone — a
+                # 2-d z-curve would dilute each file's sig range by the
+                # band dimension for no read-path benefit); done BEFORE
+                # this batch's maintenance (serial hook — cannot race
+                # our own appends) and amortized over compact_after -
+                # target batches, the same policy as the main table.
+                mh_after, mh_target = self._index_compact_limits(spec)
                 if (
-                    idx_compact_after is not None
-                    and idx.file_count() >= int(idx_compact_after)
+                    mh_after is not None
+                    and idx.file_count() >= mh_after
                 ):
                     idx.compact(
                         spark,
-                        target_partitions=int(
-                            spec.get(
-                                "compact_target_files",
-                                self.config.compact_target_files,
-                            )
-                        ),
-                        zorder_by=["band", "sig"],
+                        target_partitions=mh_target,
+                        cluster_by=["sig"],
                     )
                 if spec.get("mine_pairs", True):
                     # verify texts are fetched by candidate-id pruned
@@ -576,6 +600,14 @@ class IngestionService:
                     pt = self.catalog.get_or_create_table(
                         f"{name}__pairs", pairs.schema, ns
                     )
+                    # the pairs sink accretes one file per batch too —
+                    # plain bin-packing under the same threshold (no
+                    # clustering to preserve: it's a results table)
+                    if (
+                        mh_after is not None
+                        and pt.file_count() >= mh_after
+                    ):
+                        pt.compact(spark, target_partitions=mh_target)
                     pt.append(
                         pairs,
                         writer_id=f"{writer_id}-{name}-pairs",
@@ -612,28 +644,35 @@ class IngestionService:
                 # cell: cell stats stay point-narrow (pruning intact) but
                 # a hot cell's probe opens O(batches) files between
                 # drift-triggered rebuilds. Same amortized policy as the
-                # minhash index: a cell-clustered rewrite past the file
-                # threshold (also folds any pending ivf_delete deltas);
-                # metadata is unaffected — centroid/codebook loaders walk
-                # the log past the replace to the build commit.
-                idx_compact_after = spec.get(
-                    "compact_after_files",
-                    self.config.compact_after_files,
-                )
+                # minhash index, but the rewrite must PRESERVE the
+                # one-file-per-cell point-stat layout the probe contract
+                # is built on: an explicit cluster_partitions >= the
+                # cell count keeps every output file single-valued on
+                # cell (a z-curve rewrite into few files would widen
+                # probe I/O to O(corpus/target) — review r12). Also
+                # folds pending ivf_delete deltas; centroid/codebook
+                # loaders walk the log past the replace to the build
+                # commit.
+                ivf_after, _ivf_target = self._index_compact_limits(spec)
                 if (
-                    idx_compact_after is not None
+                    ivf_after is not None
                     and t.exists()
-                    and t.file_count() >= int(idx_compact_after)
+                    and t.file_count() >= ivf_after
                 ):
+                    from crest_spark.operators.vector_index import (
+                        load_ivf_centroids,
+                        load_ivfpq_meta,
+                    )
+
+                    n_cells = (
+                        load_ivf_centroids(t)[1]
+                        if kind == "ivf"
+                        else load_ivfpq_meta(t)[3]
+                    )
                     t.compact(
                         spark,
-                        target_partitions=int(
-                            spec.get(
-                                "compact_target_files",
-                                self.config.compact_target_files,
-                            )
-                        ),
-                        zorder_by=["cell"],
+                        cluster_by=["cell"],
+                        cluster_partitions=int(n_cells),
                     )
                 if not t.exists():
                     # the batch id is stamped ON the build's replace

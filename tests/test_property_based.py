@@ -951,9 +951,25 @@ def test_scan_multivalue_matches_full_read_randomized(
         )
         want = sorted(map(tuple, t.read(spark).where(cond).collect()))
         assert got == want, (trial, members)
-        # pruning engaged on bounded non-empty specs
-        if members:
-            assert len(t.pruned_files({"o_custkey": members})) <= t.file_count()
-        else:
-            assert got == []
+        # model-based pruning check: the admitted file set must equal
+        # exactly the files whose recorded [min, max] intersects some
+        # member (review r12: a <= file_count assert was vacuous)
+        state = t._state()
+        def _intersects(st) -> bool:
+            if "o_custkey" not in st:
+                return True  # no stats: conservatively admitted
+            mn, mx = st["o_custkey"]
+            for m in members:
+                lo, hi = m if isinstance(m, tuple) else (m, m)
+                if (lo is None or mx >= lo) and (hi is None or mn <= hi):
+                    return True
+            return False
+        expected = {
+            f for f in state["files"]
+            if members and _intersects(state["stats"].get(f, {}))
+        }
+        assert set(t.pruned_files({"o_custkey": members})) == expected, (
+            trial,
+            members,
+        )
     assert t.read(spark).count() == full

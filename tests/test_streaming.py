@@ -2245,3 +2245,85 @@ def test_ingest_ivf_index_compaction_bounds_files(spark, sf_dir, tmp_path):
     assert 0 < len(t.pruned_files({"cell": (0, 0)})) < t.file_count()
     queries = em.where(F.col("vec_id") < 3)
     assert ivf_index_search(spark, t, queries, k=5).count() == 15
+
+
+def test_ingest_compaction_preserves_source_clustering(
+    spark, sf_dir, tmp_path
+):
+    """r12: with cluster_by on the source but no explicit
+    compact_zorder_by, the auto-compaction rewrite must preserve the
+    clustered layout — a plain repartition would silently destroy the
+    per-file key ranges the pruned lookup paths rely on."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        compact_after_files=4,
+        compact_target_files=4,
+        sources=[
+            SourceSpec(
+                name="docs",
+                path=str(tmp_path / "unused"),
+                cluster_by=["doc_id"],
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    sink = svc._sink(cfg.sources[0])
+    n_batches = 8
+    for b in range(n_batches):
+        sink(docs.where(F.col("doc_id") % n_batches == b), b)
+    t = svc.catalog.table("docs")
+    assert t.read(spark).count() == docs.count()
+    assert t.file_count() < n_batches  # compaction ran
+    # post-compaction point lookup still prunes: the rewrite kept
+    # narrow per-file doc_id ranges
+    probe = t.read(spark).limit(1).collect()[0]["doc_id"]
+    admitted = t.pruned_files({"doc_id": (probe, probe)})
+    assert 0 < len(admitted) < t.file_count()
+
+
+def test_ingest_minhash_pairs_table_compaction_bounds_files(
+    spark, sf_dir, tmp_path
+):
+    """Review r12: the <name>__pairs results table accretes one file
+    per micro-batch too — the same threshold bin-packs it, and the
+    accumulated pair set still equals the one-shot batch miner's."""
+    from crest_spark.registry import load_all
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="docs",
+                path=str(tmp_path / "unused"),
+                indexes=[
+                    {
+                        "kind": "minhash",
+                        "name": "pmh",
+                        "mine_pairs": True,
+                        "compact_after_files": 3,
+                        "compact_target_files": 2,
+                    }
+                ],
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    sink = svc._sink(cfg.sources[0])
+    n_batches = 6
+    for b in range(n_batches):
+        sink(docs.where(F.col("doc_id") % n_batches == b), b)
+    pt = svc.catalog.table("pmh__pairs")
+    assert pt.file_count() < n_batches  # bin-packed, not one per batch
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in pt.read(spark).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in load_all()["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
