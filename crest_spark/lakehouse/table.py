@@ -329,6 +329,19 @@ def _pred_ranges(spec) -> list[tuple]:
         for v in spec:
             if isinstance(v, tuple) and len(v) == 2:
                 out.append(v)
+            elif v is None:
+                # SQL's IN (NULL) matches nothing, but a bare None member
+                # would normalize to the UNBOUNDED range (None, None) —
+                # silently turning a point probe into a full scan that
+                # returns every row. Fail loudly instead (the same choice
+                # _require_range_predicates makes for delete/update); an
+                # explicit (None, None) tuple member still means "all".
+                raise TypeError(
+                    "None is not a valid point value in a value-list "
+                    "predicate (SQL IN (NULL) matches nothing); filter "
+                    "out NULL keys, or pass an explicit (None, None) "
+                    "range member to scan everything"
+                )
             else:
                 out.append((v, v))
         return out
@@ -957,6 +970,13 @@ class LakehouseTable:
             "schema_events": [],
             "field_ids": {},
             "next_field_id": 1,
+            # sorted-run bookkeeping for tail-proportional compaction
+            # (r13): each entry is {"mode", "cols", "files", "rows", "v"}
+            # — the files a clustered/packed compaction (or index build)
+            # wrote in one rewrite. compact(tail_only=True) rewrites only
+            # files OUTSIDE matching runs; the fold below keeps a run's
+            # file list intersected with the live set and drops empties.
+            "cluster_runs": [],
         }
         start_after = 0
         for cv in reversed(self._checkpoint_versions()):

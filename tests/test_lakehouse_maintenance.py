@@ -1377,6 +1377,32 @@ def test_scan_value_list_and_multirange_predicates(spark, sf_dir, tmp_path):
     assert t.scan(spark, {"o_custkey": []}).count() == 0
 
 
+def test_scan_rejects_none_in_value_list(spark, sf_dir, tmp_path):
+    """VERDICT r12 #2: a bare ``None`` member in a value-list predicate
+    used to normalize to the UNBOUNDED range (None, None) — so
+    ``scan(spark, {"k": [None]})`` admitted every file and returned the
+    FULL table, where SQL's ``IN (NULL)`` matches nothing. A user
+    probing ids that came off a nullable join column got a silent full
+    scan. Both scan() and pruned_files() must raise loudly; an explicit
+    ``(None, None)`` tuple member is still the documented
+    "scan everything" range."""
+    import pytest as _pt
+
+    src = load_table(spark, sf_dir, "region")
+    t = _cat(tmp_path).get_or_create_table("region_nullin", src.schema)
+    t.append(src)
+    for bad in ([None], [1, None, 3], {None}):
+        with _pt.raises(TypeError, match="IN \\(NULL\\)"):
+            t.scan(spark, {"r_regionkey": bad}).count()
+        with _pt.raises(TypeError, match="IN \\(NULL\\)"):
+            t.pruned_files({"r_regionkey": bad})
+    # the explicit full-range tuple member is unchanged
+    got = t.scan(spark, {"r_regionkey": [(None, None)]})
+    assert got.count() == t.read(spark).count()
+    # and a plain open-ended range predicate is unchanged
+    assert t.scan(spark, {"r_regionkey": (None, 2)}).count() == 3
+
+
 def test_delete_update_reject_value_list_predicates(spark, sf_dir, tmp_path):
     """Review r12: delete()/update() are range-only — their all-match
     file-drop proof and rewrite conditions unpack (lo, hi) tuples. A
