@@ -187,6 +187,11 @@ def _write_ivf(
             # survives expire_snapshots even if this build commit folds
             # away (an index whose centroids expired is unprobeable)
             "sticky_extra": ["ivf", "ivf_delete"],
+            # the build output IS a sorted run (one file per cell):
+            # declaring it lets the ingest loop's tail-only compaction
+            # carry it by reference instead of re-clustering a
+            # freshly-built index on the next threshold crossing
+            "cluster_run": {"mode": "cluster", "cols": ["cell"]},
         },
     )
 
@@ -594,6 +599,8 @@ def build_ivfpq_index(
             # survives expire_snapshots even if this build commit folds
             # away (codes without codebooks are undecodable)
             "sticky_extra": ["ivfpq", "ivf_delete"],
+            # the build output is a sorted run — see _write_ivf
+            "cluster_run": {"mode": "cluster", "cols": ["cell"]},
         },
     )
     return t

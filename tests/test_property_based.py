@@ -973,3 +973,60 @@ def test_scan_multivalue_matches_full_read_randomized(
             members,
         )
     assert t.read(spark).count() == full
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-500, 500), st.integers(0, 60)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.one_of(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-700, 700)),
+            st.one_of(st.none(), st.integers(-700, 700)),
+        ),
+        st.lists(st.integers(-700, 700), max_size=6),
+    ),
+    st.booleans(),
+)
+def test_group_summary_exclusion_implies_member_exclusion(
+    members, pred, drop_some_stats
+):
+    """r13 manifest groups: admission through the group summary must
+    EQUAL the flat per-file walk — (a) a group excluded by its
+    aggregate [min(mins), max(maxs)] has every member individually
+    excluded by its own stats, and (b) a group is never excluded when
+    some member would be admitted. Files with missing stats keep the
+    column OUT of the summary (they can't be excluded, so neither can
+    their group)."""
+    from crest_spark.lakehouse.table import (
+        _group_stats,
+        _normalize_pred,
+        _stats_admit,
+    )
+
+    files = [f"/f/{i}" for i in range(len(members))]
+    stats = {}
+    for i, (f, (mn, w)) in enumerate(zip(files, members)):
+        if drop_some_stats and i % 3 == 2:
+            stats[f] = {}  # no stats recorded for this member
+        else:
+            stats[f] = {"k": [mn, mn + w]}
+    groups = _group_stats(files, stats)
+    assert [f for g in groups for f in g["files"]] == sorted(files)
+    norm = {"k": _normalize_pred(pred)}
+    try:
+        flat = {f for f in files if _stats_admit(stats[f], norm)}
+    except TypeError:
+        return  # e.g. bare None in a value list: both paths raise
+    for g in groups:
+        group_admits = (not g["cols"]) or _stats_admit(g["cols"], norm)
+        member_admits = {f for f in g["files"] if f in flat}
+        if not group_admits:
+            assert not member_admits, (g, pred)
+        else:
+            # group admitted: per-file pass still runs, so equality
+            # holds by construction — nothing to assert beyond types
+            pass

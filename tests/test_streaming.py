@@ -2152,13 +2152,20 @@ def test_ingest_ivf_honors_spec_recluster_threshold(spark, sf_dir, tmp_path):
 def test_ingest_minhash_index_compaction_restores_pruning(
     spark, sf_dir, tmp_path
 ):
-    """r12: micro-batch index appends have corpus-wide per-file sig
-    spans (sigs are uniform hashes), so file accretion erodes the
-    bucket-key pruned fetch — the maintenance loop must Z-order-rewrite
-    the index on (band, sig) past the file threshold. After draining
-    many small batches: file count is bounded by the compaction policy
-    (not the batch count), the sign-once n_docs x LSH_BANDS invariant
-    holds, and a bucket-key probe admits a strict file subset."""
+    """r12 (policy reshaped r13): micro-batch index appends have
+    corpus-wide per-file sig spans (sigs are uniform hashes), so file
+    accretion erodes the bucket-key pruned fetch — the maintenance
+    loop sig-sorts the UNCLUSTERED TAIL past the threshold
+    (VERDICT r12 #1: tail-only, never a full-index rewrite inside the
+    serial hook). After draining many small batches: (a) at least two
+    tail compactions ran, (b) the SECOND rewrite's input excluded the
+    first sorted run — run 1's files are live UNCHANGED in the second
+    compaction's snapshot and at HEAD (carried by reference via
+    keep_files), (c) file count obeys the policy bound
+    max_runs x target + threshold (independent of batch count),
+    (d) the sign-once n_docs x LSH_BANDS invariant holds, and (e) a
+    bucket-key probe still admits a strict file subset after repeated
+    compactions."""
     from crest_spark.operators.dedup import LSH_BANDS
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2184,24 +2191,39 @@ def test_ingest_minhash_index_compaction_restores_pruning(
     )
     svc = IngestionService(spark, cfg)
     sink = svc._sink(cfg.sources[0])
-    n_batches = 8
+    n_batches = 12
     for b in range(n_batches):
         sink(docs.where(F.col("doc_id") % n_batches == b), b)
     idx = svc.catalog.table("cmh")
     assert idx.read(spark).count() == n_docs * LSH_BANDS  # signed once
-    # compaction kept file count bounded by the policy, not batch count
-    assert idx.file_count() < n_batches
-    # and a bucket-key probe prunes again: take a real indexed sig
+    # (a)+(b): two tail compactions; the second carried run 1 by
+    # reference — its rewrite input was ONLY the accreted tail
+    replaces = [s for s in idx.snapshots() if s.operation == "replace"]
+    assert len(replaces) >= 2
+    run1 = set(replaces[0].extra["cluster_run"]["files"])
+    assert run1 and run1 <= set(replaces[1].files)
+    assert run1 <= set(idx._state()["files"])  # still live at HEAD
+    # (c) policy-bounded file count: max_runs x target + threshold
+    assert idx.file_count() <= 4 * 4 + 4
+    # the tail can reach (but not exceed) the threshold between
+    # triggers — compaction runs BEFORE each batch's own append
+    assert idx.unclustered_file_count(cluster_by=["sig"]) <= 4
+    # (e) a bucket-key probe prunes: take a real indexed sig — run
+    # files are sig-narrow, so admission is O(runs + tail), a strict
+    # subset of the live set
     probe = idx.read(spark).limit(1).collect()[0]["sig"]
     admitted = idx.pruned_files({"sig": [probe]})
     assert 0 < len(admitted) < idx.file_count()
 
 
 def test_ingest_ivf_index_compaction_bounds_files(spark, sf_dir, tmp_path):
-    """r12: per-cell delta files accrete one per batch between drift
-    rebuilds — the maintenance loop's cell-clustered rewrite past the
-    file threshold bounds the count while probes stay correct (pruned
-    subset, every vector present exactly once, search returns k)."""
+    """r12 (policy reshaped r13): per-cell delta files accrete one per
+    batch between drift rebuilds — the maintenance loop's TAIL-ONLY
+    cell-clustered rewrite past the threshold bounds the count (the
+    build run + prior compaction runs ride by reference; past
+    max_cluster_runs the smallest runs merge geometrically) while
+    probes stay correct (pruned subset, every vector present exactly
+    once, search returns k)."""
     from crest_spark.operators.vector_index import ivf_index_search
 
     em = load_table(spark, sf_dir, "embeddings")
@@ -2220,7 +2242,10 @@ def test_ingest_ivf_index_compaction_bounds_files(spark, sf_dir, tmp_path):
                         # the self-recluster path
                         "recluster_threshold": 100.0,
                         "compact_after_files": 20,
-                        "compact_target_files": 8,
+                        # n_cells = 16 here, so this must be >= 16 (the
+                        # layout-contract guard rejects less)
+                        "compact_target_files": 16,
+                        "max_cluster_runs": 2,
                     }
                 ],
             )
@@ -2235,14 +2260,17 @@ def test_ingest_ivf_index_compaction_bounds_files(spark, sf_dir, tmp_path):
     n = em.count()
     assert t.read(spark).count() == n
     assert t.read(spark).select("vec_id").distinct().count() == n
-    # compaction bounded the file count: without it, the build (16
-    # cell files) + 7 delta waves (~16 files each) accrete ~128 files;
-    # with the policy the count stays near threshold + one wave
-    assert t.file_count() < 40
+    # compaction bounded the file count by the policy: without it, the
+    # build (16 cell files) + 7 delta waves (~16 files each) accrete
+    # ~128 files; with max_cluster_runs=2 the ceiling is
+    # 2 runs x n_cells + threshold + one uncompacted wave
+    assert t.file_count() <= 2 * 16 + 20 + 16
     replaces = [s2 for s2 in t.snapshots() if s2.operation == "replace"]
     assert len(replaces) >= 2  # the build plus >= 1 compaction rewrite
-    # pruning still bites and probes work
-    assert 0 < len(t.pruned_files({"cell": (0, 0)})) < t.file_count()
+    # pruning still bites — a single-cell probe opens at most
+    # max_runs run files + that cell's tail deltas — and probes work
+    cell0 = t.pruned_files({"cell": (0, 0)})
+    assert 0 < len(cell0) < t.file_count()
     queries = em.where(F.col("vec_id") < 3)
     assert ivf_index_search(spark, t, queries, k=5).count() == 15
 
@@ -2275,9 +2303,13 @@ def test_ingest_compaction_preserves_source_clustering(
         sink(docs.where(F.col("doc_id") % n_batches == b), b)
     t = svc.catalog.table("docs")
     assert t.read(spark).count() == docs.count()
-    assert t.file_count() < n_batches  # compaction ran
+    # compaction ran (tail-only: runs + tail obey the policy bound)
+    replaces = [s for s in t.snapshots() if s.operation == "replace"]
+    assert replaces
+    assert t.file_count() <= 4 * 4 + 4
     # post-compaction point lookup still prunes: the rewrite kept
-    # narrow per-file doc_id ranges
+    # narrow per-file doc_id ranges in the sorted run, so a point
+    # probe admits the matching run file(s) + the wide tail only
     probe = t.read(spark).limit(1).collect()[0]["doc_id"]
     admitted = t.pruned_files({"doc_id": (probe, probe)})
     assert 0 < len(admitted) < t.file_count()
@@ -2327,3 +2359,48 @@ def test_ingest_minhash_pairs_table_compaction_bounds_files(
         for r in load_all()["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_ingest_ivf_compaction_rejects_target_below_cell_count(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r12 #7: the probe contract needs every run file
+    single-valued on cell (cluster_partitions >= n_cells); an explicit
+    spec-level compact_target_files below the index's cell count is a
+    silent probe-I/O widener — the maintenance loop must fail loudly
+    at compaction time instead of honoring it."""
+    import pytest as _pt
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="emb",
+                path=str(tmp_path / "unused"),
+                indexes=[
+                    {
+                        "kind": "ivf",
+                        "name": "badciv",
+                        "recluster_threshold": 100.0,
+                        "compact_after_files": 2,
+                        # n_cells will be 16 — 2 < 16 must be rejected
+                        "compact_target_files": 2,
+                    }
+                ],
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    sink = svc._sink(cfg.sources[0])
+    sink(em.where(F.col("vec_id") < 60), 0)  # build
+    with _pt.raises(ValueError, match="compact_target_files"):
+        for b in range(1, 4):  # accrete past the 2-file threshold
+            sink(
+                em.where(
+                    (F.col("vec_id") >= 60 * b)
+                    & (F.col("vec_id") < 60 * (b + 1))
+                ),
+                b,
+            )
