@@ -319,6 +319,52 @@ def _group_stats(files: list[str], stats: dict) -> list[dict]:
     return out
 
 
+def _fold_runs_groups(
+    runs: list[dict],
+    groups: list[dict],
+    operation: str | None,
+    extra: dict,
+    live_files: list[str],
+    group_stats: list,
+    v: int,
+) -> tuple[list[dict], list[dict]]:
+    """One commit's fold step for sorted-run + manifest-group
+    membership — absolute state first (rollback / expiry boundaries),
+    intersect with the live file set on a replace (a rewrite that
+    consumed a run's/group's files retires or shrinks it; surviving
+    files are individually range-narrow so partial runs/groups still
+    prune soundly), then append the commit's own new run/groups.
+
+    SHARED by ``_state`` and ``expire_snapshots`` (review r13): the
+    expiry prefix fold must track the live fold exactly, so there is
+    one copy of the rules."""
+    if "cluster_run_state" in extra:
+        runs = [dict(r) for r in extra["cluster_run_state"]]
+    if "group_state" in extra:
+        groups = [dict(g) for g in extra["group_state"]]
+    if (
+        operation == "replace"
+        or "cluster_run_state" in extra
+        or "group_state" in extra
+    ):
+        live = set(live_files)
+        runs = [
+            {**r, "files": [f for f in r["files"] if f in live]}
+            for r in runs
+        ]
+        runs = [r for r in runs if r["files"]]
+        groups = [
+            {**g, "files": [f for f in g["files"] if f in live]}
+            for g in groups
+        ]
+        groups = [g for g in groups if g["files"]]
+    if extra.get("cluster_run") and extra["cluster_run"].get("files"):
+        runs = runs + [{"v": v, **extra["cluster_run"]}]
+    if group_stats:
+        groups = groups + [dict(g) for g in group_stats]
+    return runs, groups
+
+
 class _Points(tuple):
     """Internal marker: a SORTED, deduplicated point-value predicate
     (produced by ``_normalize_pred``). ``_stats_admit`` admits a file
@@ -1196,40 +1242,17 @@ class LakehouseTable:
                     state.get("branches", {}).pop(
                         extra["publish_branch"], None
                     )
-            # sorted-run fold (r13): absolute state first (rollback /
-            # expire boundaries), then intersect every run with the live
-            # file set on a replace (a rewrite that consumed a run's
-            # files retires the run — or shrinks it: each surviving file
-            # is individually range-narrow, so a partial run still
-            # prunes), then append the commit's own new run.
-            runs = state.get("cluster_runs") or []
-            if "cluster_run_state" in extra:
-                runs = [dict(r) for r in extra["cluster_run_state"]]
-            groups = state.get("groups") or []
-            if "group_state" in extra:
-                groups = [dict(g) for g in extra["group_state"]]
-            if (
-                d.get("operation") == "replace"
-                or "cluster_run_state" in extra
-                or "group_state" in extra
-            ):
-                live = set(state["files"])
-                runs = [
-                    {**r, "files": [f for f in r["files"] if f in live]}
-                    for r in runs
-                ]
-                runs = [r for r in runs if r["files"]]
-                groups = [
-                    {**g, "files": [f for f in g["files"] if f in live]}
-                    for g in groups
-                ]
-                groups = [g for g in groups if g["files"]]
-            if extra.get("cluster_run") and extra["cluster_run"].get("files"):
-                runs = runs + [{"v": v, **extra["cluster_run"]}]
-            if d.get("group_stats"):
-                groups = groups + [dict(g) for g in d["group_stats"]]
-            state["cluster_runs"] = runs
-            state["groups"] = groups
+            # sorted-run + manifest-group fold (r13) — shared step, see
+            # _fold_runs_groups
+            state["cluster_runs"], state["groups"] = _fold_runs_groups(
+                state.get("cluster_runs") or [],
+                state.get("groups") or [],
+                d.get("operation"),
+                extra,
+                state["files"],
+                d.get("group_stats") or [],
+                v,
+            )
             if extra.get("rename_column"):
                 state.setdefault("schema_events", []).append(
                     {
@@ -2410,23 +2433,26 @@ class LakehouseTable:
             txn_dir,
         )
         files = list(new_files)
+        new_rows = _footer_row_count(new_files)
+        num_rows = new_rows
         if keep_files:
             base_stats = self._state(upto=expected_version).get("stats", {})
             for f in keep_files:
                 stats[f] = base_stats.get(f, {})
             files = list(keep_files) + files
-        num_rows = _footer_row_count(files)
+            num_rows = new_rows + _footer_row_count(keep_files)
         if extra and "cluster_run" in extra:
             # the caller (compact / an index build) declares this
             # rewrite's output a sorted run; the file list and row count
             # are stamped HERE because only overwrite knows which files
-            # the write produced — rows drive the geometric merge order
+            # the write produced — rows (reusing the one footer pass
+            # above) drive the geometric merge order
             extra = {
                 **extra,
                 "cluster_run": {
                     **extra["cluster_run"],
                     "files": list(new_files),
-                    "rows": _footer_row_count(new_files),
+                    "rows": new_rows,
                 },
             }
         version = self._try_commit(
@@ -3745,9 +3771,17 @@ class LakehouseTable:
                 # that would exceed the bound, fold the smallest
                 # existing runs in (smallest-first keeps the rewritten
                 # volume minimal and makes surviving run sizes grow
-                # geometrically across triggers)
+                # geometrically across triggers). Only when a new run
+                # WILL be created (non-empty rewrite set) — an empty
+                # tail at runs == max must stay the documented no-op,
+                # not rewrite the smallest run on every call
+                # (review r13)
                 runs.sort(key=lambda r: int(r.get("rows") or len(r["files"])))
-                while runs and len(runs) + 1 > max_cluster_runs:
+                while (
+                    runs
+                    and rewrite_set
+                    and len(runs) + 1 > max_cluster_runs
+                ):
                     victim = runs.pop(0)
                     rewrite_set.update(victim["files"])
                 if not rewrite_set and not state.get("deletes"):
@@ -3813,12 +3847,16 @@ class LakehouseTable:
                 ).sortWithinPartitions(*cluster_by)
             else:
                 clustered = df.coalesce(target_partitions)
-            extra: dict = {"compaction": True}
-            if tail_only or zorder_by or cluster_by:
-                # declare the output a sorted/packed run so later
-                # tail_only calls carry it by reference instead of
-                # rewriting it (overwrite stamps the file list + rows)
-                extra["cluster_run"] = {"mode": run_mode, "cols": run_cols}
+            # EVERY compaction's output is a sorted/packed run — a plain
+            # full pack (cli maintain) included: without the record, a
+            # later tail_only pack would count the just-compacted files
+            # as tail and rewrite the whole table again (review r13).
+            # For the bin-pack (small_file_max_rows) branch the run is
+            # the packed output only; kept big files stay run-less.
+            extra: dict = {
+                "compaction": True,
+                "cluster_run": {"mode": run_mode, "cols": run_cols},
+            }
             try:
                 # compaction preserves the rowset — tagged so incremental
                 # consumers (read_changes, the crest_table stream) skip it
@@ -4334,35 +4372,17 @@ class LakehouseTable:
                 for e in s.extra.get("deletes") or []:
                     folded_deletes.append(e)
                     base_delete_paths.update(e.get("paths", []))
-            # fold run/group membership exactly like _state: absolute
-            # state first, intersect with live files on a replace, then
-            # the commit's own new run/groups
-            if "cluster_run_state" in s.extra:
-                folded_runs = [dict(r) for r in s.extra["cluster_run_state"]]
-            if "group_state" in s.extra:
-                folded_groups = [dict(g) for g in s.extra["group_state"]]
-            if (
-                s.operation == "replace"
-                or "cluster_run_state" in s.extra
-                or "group_state" in s.extra
-            ):
-                live_now = set(s.files)
-                folded_runs = [
-                    {**r, "files": [f for f in r["files"] if f in live_now]}
-                    for r in folded_runs
-                ]
-                folded_runs = [r for r in folded_runs if r["files"]]
-                folded_groups = [
-                    {**g, "files": [f for f in g["files"] if f in live_now]}
-                    for g in folded_groups
-                ]
-                folded_groups = [g for g in folded_groups if g["files"]]
-            if s.extra.get("cluster_run") and s.extra["cluster_run"].get(
-                "files"
-            ):
-                folded_runs.append({"v": v, **s.extra["cluster_run"]})
-            for g in s.group_stats or []:
-                folded_groups.append(dict(g))
+            # run/group membership folds with the SAME shared step as
+            # _state (_fold_runs_groups) so expiry can never diverge
+            folded_runs, folded_groups = _fold_runs_groups(
+                folded_runs,
+                folded_groups,
+                s.operation,
+                s.extra,
+                s.files,
+                s.group_stats or [],
+                v,
+            )
             # an expired commit's staged change set lies below the fold
             # boundary, where incremental reads can no longer reach it
             for cf in s.extra.get("change_files", []) or []:

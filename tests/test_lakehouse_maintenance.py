@@ -1546,6 +1546,26 @@ def test_compact_tail_only_empty_tail_is_noop(spark, sf_dir, tmp_path):
         t.compact(spark, cluster_by=["o_custkey"], tail_only=True) == v
     )
     assert t.version() == v
+    # review r13: the no-op must hold at the runs == max_cluster_runs
+    # steady state too — the geometric merge only fires when a new run
+    # will actually be created, never on an empty tail (pre-fix this
+    # rewrote the smallest run on EVERY idle call)
+    t.append(_orders_slice(spark, sf_dir, 2000, 3000))
+    t.compact(
+        spark, cluster_by=["o_custkey"], tail_only=True, max_cluster_runs=2
+    )
+    assert len(t.cluster_runs()) == 2
+    v2 = t.version()
+    assert (
+        t.compact(
+            spark,
+            cluster_by=["o_custkey"],
+            tail_only=True,
+            max_cluster_runs=2,
+        )
+        == v2
+    )
+    assert t.version() == v2 and len(t.cluster_runs()) == 2
 
 
 def test_compact_tail_only_folds_pending_mor_deletes(
@@ -1640,6 +1660,14 @@ def test_compact_tail_only_pack_mode_bins_results_tables(
     assert t.read(spark).count() == _orders_slice(
         spark, sf_dir, 0, 4000
     ).count()
+    # review r13: a plain FULL pack compact (cli maintain's form, no
+    # tail_only) also records its output as a pack run — otherwise the
+    # next tail-only trigger would count the whole just-compacted
+    # table as tail and rewrite it again
+    t.compact(spark, target_partitions=2)
+    runs = t.cluster_runs()
+    assert len(runs) == 1 and runs[0]["mode"] == "pack"
+    assert t.unclustered_file_count() == 0
 
 
 # ------------------------------------------------- manifest groups (r13)
@@ -1724,12 +1752,12 @@ def test_pruned_files_grouped_equals_flat_walk(spark, sf_dir, tmp_path):
 def test_group_prefilter_beats_flat_walk_at_10k_files(tmp_path):
     """The driver-time pin (VERDICT r12 #3 done-criterion): at an
     engineered 10k-file metadata state, the grouped admission of a
-    point probe must measurably beat the flat per-file walk — the
-    planning-time term that grows with file count at the 100 TB
-    regime. State is synthesized (no actual parquet I/O: this measures
-    pure driver-side admission)."""
-    import time
-
+    point probe must do ~30x fewer admission checks than the flat
+    per-file walk — the planning-time term that grows with file count
+    at the 100 TB regime. State is synthesized (no actual parquet I/O)
+    and the pin COUNTS _stats_admit invocations rather than timing
+    wall-clock, so a loaded CI box cannot flake it (review r13)."""
+    import crest_spark.lakehouse.table as tmod
     from crest_spark.lakehouse.table import (
         LakehouseTable,
         _group_stats,
@@ -1760,24 +1788,23 @@ def test_group_prefilter_beats_flat_walk_at_10k_files(tmp_path):
     ]
     assert got == flat and len(got) == 1
 
-    def best_of(fn, n=5):
-        b = float("inf")
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn()
-            b = min(b, time.perf_counter() - t0)
-        return b
+    calls = {"n": 0}
+    orig = tmod._stats_admit
 
-    grouped_t = best_of(lambda: t.pruned_files(preds))
-    flat_t = best_of(
-        lambda: [
-            f for f in files if _stats_admit(stats.get(f, {}), norm)
-        ]
-    )
-    # the grouped path must beat the flat walk by a wide margin (it
-    # does ~320 group checks + 32 file checks vs 10k file checks);
-    # assert a conservative 3x so a noisy box cannot flake this
-    assert grouped_t < flat_t / 3, (grouped_t, flat_t)
+    def counting(fstats, predicates):
+        calls["n"] += 1
+        return orig(fstats, predicates)
+
+    tmod._stats_admit = counting
+    try:
+        assert t.pruned_files(preds) == flat
+    finally:
+        tmod._stats_admit = orig
+    # grouped admission: one check per group (~313) + per-file checks
+    # only inside the single admitted group (32) — vs 10,000 for the
+    # flat walk the grouped path replaces
+    assert calls["n"] <= len(groups) + 2 * 32, calls["n"]
+    assert calls["n"] < n_files / 20
 
 
 def test_manifest_groups_survive_expiry_and_rollback(
