@@ -319,6 +319,24 @@ def _group_stats(files: list[str], stats: dict) -> list[dict]:
     return out
 
 
+def _group_excluded(state: dict, predicates: dict) -> set:
+    """Files provably excluded by the manifest-group summaries for the
+    given (normalized) predicates — the shared prefilter behind
+    ``pruned_files`` and the merge/delete/update keep-touch loops.
+    Group exclusion implies per-file exclusion for every member (see
+    ``_group_stats``), so callers may skip the member files' own
+    ``_stats_admit`` checks entirely. Empty for evolved tables
+    (rename/drop events): summaries are keyed by write-time physical
+    names, and the vintage-aware flat path handles those."""
+    if state.get("schema_events"):
+        return set()
+    out: set = set()
+    for g in state.get("groups") or []:
+        if g["cols"] and not _stats_admit(g["cols"], predicates):
+            out.update(g["files"])
+    return out
+
+
 def _fold_runs_groups(
     runs: list[dict],
     groups: list[dict],
@@ -3161,14 +3179,29 @@ class LakehouseTable:
             stats: dict = state.get("stats", {})
             keep: list[str] = []
             touch: list[str] = []
+            # manifest-group fast path (r13): a file whose GROUP summary
+            # is disjoint from some key's bounds is provably disjoint
+            # per-file too (group cols exist only when every member
+            # records stats), so the per-file check is skipped — the
+            # CDC-merge planning term stays O(groups + touched) at the
+            # 10^6-file regime instead of O(files)
+            grp_disjoint: set = set()
+            if not sync:
+                for k in keys:
+                    if key_bounds[k][0] is not None:
+                        grp_disjoint |= _group_excluded(
+                            state, {k: (key_bounds[k][0], key_bounds[k][1])}
+                        )
             for f in state["files"]:
-                fs = self._file_stats(state, f)
-                disjoint = not sync and any(
-                    key_bounds[k][0] is not None
-                    and k in fs
-                    and not _stats_admit(fs, {k: key_bounds[k]})
-                    for k in keys
-                )
+                disjoint = f in grp_disjoint
+                if not disjoint and not sync:
+                    fs = self._file_stats(state, f)
+                    disjoint = any(
+                        key_bounds[k][0] is not None
+                        and k in fs
+                        and not _stats_admit(fs, {k: key_bounds[k]})
+                        for k in keys
+                    )
                 # a kept file must also be unaffected by PENDING MoR
                 # deletes: the replace commit clears them, so any file
                 # they could touch must be rewritten with them applied
@@ -3472,9 +3505,15 @@ class LakehouseTable:
             keep: list[str] = []
             touch: list[str] = []
             drop: list[str] = []
+            # group fast path (r13): a group-excluded file provably
+            # holds no matching row — skip its per-file stats check
+            grp_excluded = _group_excluded(state, predicates)
             for f in state["files"]:
-                fs = self._file_stats(state, f)
                 affected = self._delete_affected(state, f)
+                if f in grp_excluded and not affected:
+                    keep.append(f)  # provably no matching row
+                    continue
+                fs = self._file_stats(state, f)
                 if not _stats_admit(fs, predicates) and not affected:
                     keep.append(f)  # provably no matching row
                 elif _stats_all_match(fs, predicates) and not (
@@ -3585,8 +3624,15 @@ class LakehouseTable:
             stats: dict = state.get("stats", {})
             keep: list[str] = []
             touch: list[str] = []
+            # group fast path (r13) — see delete()
+            grp_excluded = _group_excluded(state, predicates)
             for f in state["files"]:
-                if _stats_admit(
+                if f in grp_excluded:
+                    if self._delete_affected(state, f):
+                        touch.append(f)
+                    else:
+                        keep.append(f)
+                elif _stats_admit(
                     self._file_stats(state, f), predicates
                 ) or self._delete_affected(state, f):
                     touch.append(f)
@@ -4785,10 +4831,7 @@ class LakehouseTable:
             # instead of O(files). Evolved tables (rename/drop events)
             # take the flat vintage-aware path below: group summaries
             # are recorded under write-time physical names.
-            excluded: set = set()
-            for g in state.get("groups") or []:
-                if g["cols"] and not _stats_admit(g["cols"], predicates):
-                    excluded.update(g["files"])
+            excluded = _group_excluded(state, predicates)
             if excluded:
                 return [
                     f

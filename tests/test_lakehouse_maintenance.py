@@ -1844,3 +1844,64 @@ def test_manifest_groups_survive_expiry_and_rollback(
     assert {
         tuple(sorted(g["files"])) for g in t2._state()["groups"]
     } == g_v1
+
+
+def test_merge_delete_update_use_group_prefilter(spark, sf_dir, tmp_path):
+    """r13: the merge/delete/update keep-touch loops route through the
+    manifest-group prefilter — on a clustered table a narrow-key CDC
+    merge evaluates O(groups + admitted) per-file stats, not O(files),
+    and results are unchanged (keep/touch classification equality is
+    implied by group-exclusion soundness, fuzzed elsewhere)."""
+    import crest_spark.lakehouse.table as tmod
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = _cat(tmp_path).get_or_create_table("ord_gm", src.schema)
+    t.append(src, cluster_by=["o_custkey"], max_rows_per_file=40)
+    n_files = t.file_count()
+    assert n_files > 32  # at least 2 groups
+    hot = int(
+        t.read(spark).agg(F.max("o_custkey")).first()[0]
+    )  # top of the key range: the first group(s) are provably disjoint
+    upd = spark.createDataFrame(
+        [(999_999, hot, 1.0)], "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+
+    calls = {"n": 0}
+    orig = tmod._stats_admit
+
+    def counting(fstats, predicates):
+        calls["n"] += 1
+        return orig(fstats, predicates)
+
+    tmod._stats_admit = counting
+    try:
+        t.merge(spark, upd, key="o_custkey")
+    finally:
+        tmod._stats_admit = orig
+    # without the prefilter this is >= n_files checks; with it, the
+    # excluded groups' members are never individually checked
+    assert calls["n"] < n_files // 2, (calls["n"], n_files)
+    got = t.read(spark).where(F.col("o_orderkey") == 999_999).count()
+    assert got == 1
+
+    # delete: prune-only keys keep their files unread; result exact
+    calls["n"] = 0
+    tmod._stats_admit = counting
+    try:
+        t.delete(spark, {"o_custkey": (hot, hot)})
+    finally:
+        tmod._stats_admit = orig
+    assert calls["n"] < t.file_count() + 10  # group checks + tail only
+    assert t.read(spark).where(F.col("o_custkey") == hot).count() == 0
+
+    # update over a narrow low-end range
+    lo = int(t.read(spark).agg(F.min("o_custkey")).first()[0])
+    before = t.read(spark).where(F.col("o_custkey") == lo).count()
+    t.update(
+        spark, {"o_custkey": (lo, lo)}, {"o_totalprice": "o_totalprice + 1"}
+    )
+    assert (
+        t.read(spark).where(F.col("o_custkey") == lo).count() == before
+    )
