@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     # predicate (one pruned IN-list scan over a clustered+Bloomed
     # table — the serving-path shape the pruned dedup/ANN fetches use)
     "lake_batch_point_lookup",
+    # r13 addition: tail-proportional (LSM) compaction + manifest-group
+    # admission — two tail rewrites (run 1 carried by reference) then a
+    # pruned key probe over the multi-run layout
+    "lake_tail_compaction_lookup",
 ]
 
 SUMMARY_MAX_BYTES = 4096  # bound enforced by tests/test_bench_emit.py

@@ -20,9 +20,10 @@ from crest_spark.streaming.ingest import IngestionService
 
 def maintain(argv: list[str]) -> int:
     """Table-maintenance one-shots: ``python -m crest_spark.cli maintain
-    --warehouse W --table ns.tbl [--vacuum-hours H] [--compact N]
-    [--expire-keep K] [--export-iceberg]`` — the operational companions
-    (VACUUM / OPTIMIZE / snapshot expiry / Iceberg metadata export) to
+    --warehouse W --table ns.tbl [--vacuum-hours H] [--compact N
+    [--compact-cluster-by COLS] [--compact-tail]] [--expire-keep K]
+    [--export-iceberg]`` — the operational companions (VACUUM /
+    OPTIMIZE [ZORDER] / snapshot expiry / Iceberg metadata export) to
     the ingestion daemon."""
     parser = argparse.ArgumentParser(
         prog="crest_spark.cli maintain", description="lakehouse maintenance"
@@ -41,6 +42,21 @@ def maintain(argv: list[str]) -> int:
         default=None,
         metavar="N",
         help="rewrite the current snapshot into N files",
+    )
+    parser.add_argument(
+        "--compact-cluster-by",
+        metavar="COLS",
+        default=None,
+        help="comma-separated columns to range-cluster the compaction "
+        "rewrite on (pairs with --compact)",
+    )
+    parser.add_argument(
+        "--compact-tail",
+        action="store_true",
+        help="tail-only (LSM) compaction: rewrite ONLY files outside "
+        "the current sorted/packed runs into a new run, carrying prior "
+        "runs by reference — O(accreted tail) cost, never a full-table "
+        "rewrite (pairs with --compact [+ --compact-cluster-by])",
     )
     parser.add_argument(
         "--expire-keep",
@@ -178,7 +194,18 @@ def maintain(argv: list[str]) -> int:
             )
     if args.compact is not None:
         spark = get_spark("crest-spark-maintain")
-        v = table.compact(spark, target_partitions=args.compact)
+        cluster = (
+            [c.strip() for c in args.compact_cluster_by.split(",") if c.strip()]
+            if args.compact_cluster_by
+            else None
+        )
+        v = table.compact(
+            spark,
+            target_partitions=args.compact,
+            cluster_by=cluster,
+            cluster_partitions=args.compact if cluster else None,
+            tail_only=args.compact_tail,
+        )
         print(f"compact: committed v{v}", file=sys.stderr)
     if args.expire_keep is not None:
         expired = table.expire_snapshots(keep_last=args.expire_keep)

@@ -1263,3 +1263,79 @@ def lake_batch_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch point lookup must open a strict subset of files"
     )
     return t.scan(spark, {"o_orderkey": keys}).orderBy("o_orderkey")
+
+
+@register(
+    "lake_tail_compaction_lookup",
+    oracle="""
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        WHERE o_orderkey < 6000
+          AND o_custkey IN (11, 97, 403, 911)
+        ORDER BY o_orderkey
+    """,
+    tags=("lakehouse", "compaction", "scan"),
+)
+def lake_tail_compaction_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-proportional (LSM) compaction under the driver hash gate
+    (r13, VERDICT r12 #1): three micro-appends tail-compact into a
+    sorted run, two more accrete and tail-compact AGAIN — the engine
+    asserts inline that the second rewrite carried run 1's files BY
+    REFERENCE (same paths live at head: its input was only the new
+    tail) and that a key probe through the manifest-group + per-file
+    admission opens a strict subset of the multi-run layout. The
+    returned scan must hash-equal the plain SQL over the same rows —
+    compaction and run bookkeeping are invisible to results. This is
+    the continuous-ingestion maintenance shape: rewrite cost tracks
+    what accreted, never the table (docs/SCALE.md r13 section;
+    amortized flatness measured by the ingest_minhash_accrete /
+    ingest_vector_arrival sweep rows)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    ).where(F.col("o_orderkey") < 6000)
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_tail_"))
+    t = cat.get_or_create_table("orders_tail", orders.schema)
+    for lo, hi in ((0, 1200), (1200, 2400), (2400, 3600)):
+        t.append(
+            orders.where(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            )
+        )
+    t.compact(
+        spark,
+        cluster_by=["o_custkey"],
+        cluster_partitions=4,
+        tail_only=True,
+    )
+    runs = t.cluster_runs()
+    assert len(runs) == 1, "first tail compaction must leave one run"
+    run1 = set(runs[0]["files"])
+    for lo, hi in ((3600, 4800), (4800, 6000)):
+        t.append(
+            orders.where(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            )
+        )
+    t.compact(
+        spark,
+        cluster_by=["o_custkey"],
+        cluster_partitions=4,
+        tail_only=True,
+    )
+    live = set(t._state()["files"])
+    assert run1 and run1 <= live, (
+        "second tail compaction must carry run 1 by reference — its "
+        "rewrite input is the accreted tail only"
+    )
+    assert len(t.cluster_runs()) == 2
+    probe = [11, 97, 403, 911]
+    opened = t.pruned_files({"o_custkey": probe})
+    assert 0 < len(opened) < t.file_count(), (
+        "a key probe over the multi-run layout must open a strict "
+        "subset of files"
+    )
+    return t.scan(spark, {"o_custkey": probe}).orderBy("o_orderkey")

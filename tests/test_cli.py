@@ -315,3 +315,39 @@ def test_curate_empty_stages_provenance_writable(spark, sf_dir, tmp_path):
     t = LakehouseCatalog(str(tmp_path / "wh")).table("docs_noop")
     row = t.read(spark).limit(1).collect()[0]
     assert list(row["provenance"]["stages"]) == []
+
+
+def test_cli_maintain_compact_tail(spark, sf_dir, tmp_path):
+    """r13: `cli maintain --compact N --compact-cluster-by k
+    --compact-tail` drives the tail-only (LSM) rewrite — the second
+    invocation carries the first run by reference (O(accreted tail)
+    maintenance from the operational surface, not just the ingest
+    hook)."""
+    from pyspark.sql import functions as F
+
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    t = cat.get_or_create_table("ord_cli", src.schema)
+    for i in range(3):
+        t.append(src.where((F.col("k") >= i * 500) & (F.col("k") < (i + 1) * 500)))
+    argv = [
+        "maintain",
+        "--warehouse", str(tmp_path / "wh"),
+        "--table", "default.ord_cli",
+        "--compact", "4",
+        "--compact-cluster-by", "k",
+        "--compact-tail",
+    ]
+    assert main(argv) == 0
+    runs = t.cluster_runs()
+    assert len(runs) == 1 and runs[0]["mode"] == "cluster"
+    run1 = set(runs[0]["files"])
+    t.append(src.where((F.col("k") >= 1500) & (F.col("k") < 2000)))
+    assert main(argv) == 0
+    assert run1 <= set(t._state()["files"])  # carried by reference
+    assert len(t.cluster_runs()) == 2
+    want = src.where(F.col("k") < 2000).count()
+    assert t.read(spark).count() == want
