@@ -266,6 +266,15 @@ def test_read_changes_incremental_consumption(spark, sf_dir, tmp_path):
     assert t.read_changes(spark, after=v1).count() == 3
     v5 = t.append(src.limit(4))
     assert t.read_changes(spark, after=v5 - 1).count() == 4
+    # r13: TAIL-ONLY compactions are rowset-preserving replaces too —
+    # same skip, lagging consumers unaffected, and the incremental view
+    # path (which folds read_changes) keeps working across the LSM
+    # maintenance the ingest loop now runs
+    t.compact(spark, cluster_by=["r_regionkey"], tail_only=True)
+    assert t.read_changes(spark, after=v5 - 1).count() == 4
+    v6 = t.append(src.limit(3))
+    t.compact(spark, cluster_by=["r_regionkey"], tail_only=True)
+    assert t.read_changes(spark, after=v6 - 1).count() == 3
     # a TRUE overwrite rewrites history: must raise
     t.overwrite(src.limit(2))
     with _pytest.raises(ValueError, match="replace"):
