@@ -1043,13 +1043,32 @@ class LakehouseTable:
                 f"{versions[0]}"
             )
 
+    # per-instance folded-state memo: effective head version -> state.
+    # Bounded FIFO of 4 slots (head + a couple of time-travel targets).
+    _STATE_CACHE_SLOTS = 4
+
     def _state(self, upto: int | None = None) -> dict:
         """Folded table state at ``upto`` (or latest): live files, schema,
         row count, and the committed (writer_id -> batch_ids) map.
 
         Loads the newest checkpoint at-or-before ``upto`` and folds only
         the log tail after it — the O(tail) path that keeps appends and
-        reads flat-cost at tens of thousands of commits."""
+        reads flat-cost at tens of thousands of commits.
+
+        MEMOIZED by effective head version (r13): the log is
+        append-only and version files are immutable, so the fold at a
+        given head is deterministic — repeated metadata ops on one
+        instance (the ingest hook's file_count + tail count + compact +
+        merge sequence, a scan's pruned_files + read) pay the
+        checkpoint parse + tail fold ONCE per commit instead of per
+        call. The version listing still happens every call, so a
+        concurrent writer's commit is picked up immediately. The two
+        events that alter history WITHOUT minting a version —
+        expire_snapshots' boundary rewrite (same-process invalidation
+        below; cross-process it preserves folded state by contract)
+        and nothing else — are accounted for. Callers must treat the
+        returned dict as read-only (the only sanctioned mutation is
+        the ``_vintage_stat_maps`` memo, which is version-specific)."""
         versions = self.versions()
         if upto is not None:
             versions = [v for v in versions if v <= upto]
@@ -1057,6 +1076,13 @@ class LakehouseTable:
             raise FileNotFoundError(
                 f"table {self.namespace}.{self.name} does not exist"
             )
+        cache = getattr(self, "_state_memo", None)
+        if cache is None:
+            cache = self._state_memo = {}
+        key = versions[-1]
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         state = {
             "version": 0,
             "files": [],
@@ -1305,6 +1331,9 @@ class LakehouseTable:
                 cur = state["committed"].setdefault(w, [])
                 cur.extend(b for b in bids if b not in cur)
             state["version"] = v
+        while len(cache) >= self._STATE_CACHE_SLOTS:
+            cache.pop(next(iter(cache)))  # FIFO evict
+        cache[key] = state
         return state
 
     def _maybe_checkpoint(self, version: int) -> None:
@@ -1316,7 +1345,14 @@ class LakehouseTable:
             return
         tmp = os.path.join(self.log_path, f".tmp-ckpt-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
-            json.dump(state, fh)
+            # strip derived memo slots (e.g. _vintage_stat_maps): with
+            # the state cache a checkpoint could otherwise serialize a
+            # populated memo — bloat, and its int keys round-trip to
+            # strings
+            json.dump(
+                {k: v for k, v in state.items() if not k.startswith("_")},
+                fh,
+            )
         os.replace(tmp, self._checkpoint_file(version))
 
     def schema(self, version: int | None = None) -> StructType:
@@ -4596,6 +4632,11 @@ class LakehouseTable:
         for f in removable - live_files:
             if os.path.exists(f):
                 os.unlink(f)
+        # expiry is the one operation that rewrites history WITHOUT
+        # minting a new version (the boundary record replaces the
+        # cutoff's file in place): drop the folded-state memo so no
+        # key serves a pre-expiry fold or an expired time-travel target
+        self._state_memo = {}
         return expired
 
     def vacuum(

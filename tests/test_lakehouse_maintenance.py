@@ -1914,3 +1914,41 @@ def test_merge_delete_update_use_group_prefilter(spark, sf_dir, tmp_path):
     assert (
         t.read(spark).where(F.col("o_custkey") == lo).count() == before
     )
+
+
+def test_state_fold_is_memoized_per_version(spark, sf_dir, tmp_path):
+    """r13: the folded-state dict is memoized by effective head version
+    — repeated metadata ops between commits (the ingest hook's
+    file_count + tail count + compact sequence) parse the checkpoint
+    and fold the tail once, not per call. A new commit changes the key;
+    expire_snapshots (the one history rewrite that mints no version)
+    drops the memo; checkpoints never serialize derived memo slots."""
+    import json as _json
+
+    src = load_table(spark, sf_dir, "region")
+    t = _cat(tmp_path).get_or_create_table("region_memo", src.schema)
+    t.append(src)
+    s1 = t._state()
+    assert t._state() is s1  # memo hit
+    assert t._state(upto=t.version()) is s1  # same effective head
+    t.append(src.limit(2))
+    s2 = t._state()
+    assert s2 is not s1 and t._state() is s2
+    # time travel folds its own entry; head entry is untouched
+    assert t._state(upto=1) is not s2 and t._state() is s2
+    t.expire_snapshots(keep_last=1)
+    assert t._state() is not s2  # memo dropped on expiry
+    assert t.read(spark).count() == src.count() + 2
+    # checkpoints exclude derived memo slots: stuff a memo key into the
+    # CACHED head state and force a checkpoint write from it
+    t.checkpoint_interval = 1
+    v = t.append(src.limit(1))
+    t._state()["_vintage_stat_maps"] = {0: {"x": "y"}}
+    t._maybe_checkpoint(v)  # dumps the cached (memo-stuffed) state
+    ck = t._checkpoint_file(v)
+    assert os.path.exists(ck)
+    keys = set(_json.load(open(ck)))
+    assert not any(k.startswith("_") for k in keys), keys
+    # and the reloaded fold from that checkpoint is intact
+    t._state_memo = {}
+    assert t.read(spark).count() == src.count() + 3
