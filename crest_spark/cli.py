@@ -41,7 +41,8 @@ def maintain(argv: list[str]) -> int:
         type=int,
         default=None,
         metavar="N",
-        help="rewrite the current snapshot into N files",
+        help="compact into N files (full-snapshot rewrite; with "
+        "--compact-tail, N sizes only the tail's new run)",
     )
     parser.add_argument(
         "--compact-cluster-by",
@@ -136,6 +137,15 @@ def maintain(argv: list[str]) -> int:
     namespace, _, name = args.table.partition(".")
     if not name:
         parser.error("--table must be namespace.table")
+    if args.compact is None and (
+        args.compact_tail or args.compact_cluster_by
+    ):
+        # fail loudly: exiting 0 with no rewrite would let an operator
+        # believe tail maintenance ran while the backlog keeps
+        # accreting (review r13)
+        parser.error(
+            "--compact-tail/--compact-cluster-by require --compact N"
+        )
 
     from crest_spark.lakehouse import LakehouseCatalog
 

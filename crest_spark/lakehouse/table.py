@@ -3221,13 +3221,19 @@ class LakehouseTable:
             # records stats), so the per-file check is skipped — the
             # CDC-merge planning term stays O(groups + touched) at the
             # 10^6-file regime instead of O(files)
-            grp_disjoint: set = set()
-            if not sync:
-                for k in keys:
-                    if key_bounds[k][0] is not None:
-                        grp_disjoint |= _group_excluded(
-                            state, {k: (key_bounds[k][0], key_bounds[k][1])}
-                        )
+            # one multi-key call: _stats_admit excludes on ANY column's
+            # disjointness, so this equals the union of per-key calls
+            # without re-walking the groups per key (review r13)
+            bounded = {
+                k: (key_bounds[k][0], key_bounds[k][1])
+                for k in keys
+                if key_bounds[k][0] is not None
+            }
+            grp_disjoint: set = (
+                _group_excluded(state, bounded)
+                if bounded and not sync
+                else set()
+            )
             for f in state["files"]:
                 disjoint = f in grp_disjoint
                 if not disjoint and not sync:

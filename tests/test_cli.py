@@ -351,3 +351,21 @@ def test_cli_maintain_compact_tail(spark, sf_dir, tmp_path):
     assert len(t.cluster_runs()) == 2
     want = src.where(F.col("k") < 2000).count()
     assert t.read(spark).count() == want
+
+
+def test_cli_maintain_tail_flags_require_compact(tmp_path):
+    """review r13: --compact-tail / --compact-cluster-by without
+    --compact must error (exit 2), not silently do nothing."""
+    import pytest as _pt
+
+    for extra in (["--compact-tail"], ["--compact-cluster-by", "k"]):
+        with _pt.raises(SystemExit) as e:
+            main(
+                [
+                    "maintain",
+                    "--warehouse", str(tmp_path / "wh"),
+                    "--table", "default.t",
+                ]
+                + extra
+            )
+        assert e.value.code == 2
