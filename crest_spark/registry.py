@@ -343,18 +343,45 @@ for _n in (
 ):
     _LAST_CHECKED[_n] = 12
 
-# --- round-13 fix-affected force-recheck (VERDICT r12 next-round #4):
-# tier 1 jumps the queue ahead of the 28 remaining r8-stale entries
-# and the r9 tier. This round touched scan()/pruned_files() (None
-# value-list rejection + manifest-group admission), the _state fold
-# (sorted-run + group bookkeeping), compact() (tail_only), the ingest
-# compaction policy, and expire_snapshots (run/group state carry) —
-# so the index-maintenance entries, the point-lookup entry, and the
-# retention/evolution entries re-certify first.
+# --- round-13 driver check: the 50-entry prefix of CORRECTNESS_r13
+# (46/46 oracle green, 4 rows-only by design — VERDICT r13): the
+# tier-0 lake_tail_compaction_lookup first check, the 6 r12-fix-
+# affected re-checks, all 28 r8-stale and 15 of the r9 tier. ---
 for _n in (
-    "dedup_minhash_incr", "ann_ivf_indexed_topk", "ann_ivfpq_topk",
-    "lake_batch_point_lookup", "lake_retention_delete",
-    "lake_nested_evolution",
+    "lake_tail_compaction_lookup", "dedup_minhash_incr",
+    "lake_retention_delete", "ann_ivfpq_topk", "lake_nested_evolution",
+    "ann_ivf_indexed_topk", "lake_batch_point_lookup",
+    "dedup_substring_spans", "curation_domain_mix", "lake_mor_sync",
+    "q14e_except_all", "q16d_null_zoo", "q26_misc_aggs",
+    "text_fingerprint", "ts_stl_decompose", "q28d_top_supplier",
+    "q38_revenue_forecast", "udtf_ngrams", "stream_dedup_counts",
+    "dedup_containment", "q05b_shuffle_hash_join", "q11b_window_zoo",
+    "q26b_string_agg", "text_word_counts", "ts_interval_coverage",
+    "q28e_big_orders", "q39_market_share", "stream_stream_join",
+    "dedup_semantic_clusters", "stats_quantile_binning",
+    "q25_deterministic_sample", "text_heavy_hitters", "q28f_promo_share",
+    "text_repetition", "text_bigram_nll", "dedup_exact",
+    "llm_curation_pipeline", "q47_recursive_hierarchy", "mv_hourly_rollup",
+    "multimodal_binary_meta", "multimodal_image_decode",
+    "q01_filter_project", "q22_cosine_topk", "skew_salted_agg",
+    "stats_moments", "q24_scalar_subquery", "text_lang_id",
+    "q33_sessionize", "q28_profit_by_nation_year",
+    "q35_min_acctbal_supplier",
+):
+    _LAST_CHECKED[_n] = 13
+
+# --- round-14 fix-affected force-recheck (VERDICT r13 next-round #3):
+# tier 1 jumps the queue ahead of the 35 remaining r9-stale entries
+# and the r10 tier. This round moves the drift-triggered index rebuild
+# off the serial ingest hook (staged build + conditional publish —
+# vector_index.py / streaming/ingest.py) and coalesces manifest groups
+# across commits under field-id keys (table.py fold + pruned_files) —
+# so the index-maintenance entries and the lakehouse lookup/retention/
+# evolution entries re-certify first.
+for _n in (
+    "ann_ivfpq_topk", "ann_ivf_indexed_topk", "dedup_minhash_incr",
+    "lake_batch_point_lookup", "lake_tail_compaction_lookup",
+    "lake_nested_evolution", "lake_retention_delete",
 ):
     _LAST_CHECKED[_n] = 1
 

@@ -1030,3 +1030,75 @@ def test_group_summary_exclusion_implies_member_exclusion(
             # group admitted: per-file pass still runs, so equality
             # holds by construction — nothing to assert beyond types
             pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-500, 500), st.integers(0, 60)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.one_of(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-700, 700)),
+            st.one_of(st.none(), st.integers(-700, 700)),
+        ),
+        st.lists(st.integers(-700, 700), max_size=6),
+    ),
+    st.booleans(),
+    st.booleans(),
+)
+def test_coalesced_group_exclusion_implies_member_exclusion(
+    members, pred, drop_some_stats, float_some_stats
+):
+    """r14 cross-commit coalescing: groups folded ONE micro-commit at a
+    time through _fold_runs_groups (field-id keyed, adjacent smalls
+    merged) keep the exclusion-implies-member-exclusion invariant —
+    including members with missing stats (their merged group loses the
+    column) and float member maxes (the merged max stays float so the
+    NaN guard of _range_admits is at least as conservative as every
+    member's, ADVICE r13 #2)."""
+    from crest_spark.lakehouse.table import (
+        _fold_runs_groups,
+        _group_stats,
+        _normalize_pred,
+        _stats_admit,
+    )
+
+    fids = {"k": 3}
+    files = [f"/f/{i}" for i in range(len(members))]
+    stats: dict = {}
+    for i, (f, (mn, w)) in enumerate(zip(files, members)):
+        if drop_some_stats and i % 3 == 2:
+            stats[f] = {}  # no stats recorded for this member
+        elif float_some_stats and i % 4 == 3:
+            stats[f] = {"k": [float(mn), float(mn + w)]}
+        else:
+            stats[f] = {"k": [mn, mn + w]}
+    runs: list = []
+    groups: list = []
+    live: list = []
+    for i, f in enumerate(files):
+        live.append(f)
+        runs, groups = _fold_runs_groups(
+            runs,
+            groups,
+            "append",
+            {},
+            live,
+            _group_stats([f], {f: stats[f]}),
+            i + 1,
+            fids,
+        )
+    assert sorted(f for g in groups for f in g["files"]) == sorted(files)
+    norm = {"k": _normalize_pred(pred)}
+    id_norm = {"3": norm["k"]}
+    try:
+        flat = {f for f in files if _stats_admit(stats[f], norm)}
+    except TypeError:
+        return  # e.g. bare None in a value list: both paths raise
+    for g in groups:
+        group_admits = (not g["ids"]) or _stats_admit(g["ids"], id_norm)
+        if not group_admits:
+            assert not {f for f in g["files"] if f in flat}, (g, pred)
