@@ -133,6 +133,37 @@ def maintain(argv: list[str]) -> int:
         default=None,
         help="remove a CHECK constraint by name",
     )
+    parser.add_argument(
+        "--rebuild-indexes",
+        action="store_true",
+        help="staged drift rebuild for a vector index table (--table "
+        "names the INDEX): when accumulated drift exceeds the "
+        "recluster threshold stamped at build time, re-fit + re-encode "
+        "off the ingest path and publish atomically — concurrent "
+        "micro-batches keep committing; their adds are repaired into "
+        "the new index (delta-bounded) before the conditional publish",
+    )
+    parser.add_argument(
+        "--rebuild-threshold",
+        type=float,
+        default=None,
+        metavar="F",
+        help="override the stamped drift threshold (fraction of the "
+        "index changed since the last build; default 0.5)",
+    )
+    parser.add_argument(
+        "--rebuild-source",
+        metavar="NS.TABLE",
+        default=None,
+        help="source embedding table for an IVF-PQ rebuild (codes "
+        "hold no floats); defaults to the binding the ingest loop "
+        "stamped at build time",
+    )
+    parser.add_argument(
+        "--rebuild-force",
+        action="store_true",
+        help="rebuild even when drift is at-or-below the threshold",
+    )
     args = parser.parse_args(argv)
     namespace, _, name = args.table.partition(".")
     if not name:
@@ -145,6 +176,18 @@ def maintain(argv: list[str]) -> int:
         # accreting (review r13)
         parser.error(
             "--compact-tail/--compact-cluster-by require --compact N"
+        )
+    if not args.rebuild_indexes and (
+        args.rebuild_threshold is not None
+        or args.rebuild_source
+        or args.rebuild_force
+    ):
+        # same fail-loud rule as --compact-tail: a silently ignored
+        # rebuild flag would let an operator believe the index was
+        # maintained while drift keeps accreting
+        parser.error(
+            "--rebuild-threshold/--rebuild-source/--rebuild-force "
+            "require --rebuild-indexes"
         )
 
     from crest_spark.lakehouse import LakehouseCatalog
@@ -217,6 +260,32 @@ def maintain(argv: list[str]) -> int:
             tail_only=args.compact_tail,
         )
         print(f"compact: committed v{v}", file=sys.stderr)
+    if args.rebuild_indexes:
+        from crest_spark.lakehouse import LakehouseCatalog as _Cat
+        from crest_spark.operators.vector_index import rebuild_if_drifted
+
+        cat = _Cat(args.warehouse)
+        src_t = None
+        if args.rebuild_source:
+            sns, _, sname = args.rebuild_source.partition(".")
+            if not sname:
+                parser.error("--rebuild-source must be namespace.table")
+            src_t = cat.table(sname, sns)
+        spark = get_spark("crest-spark-maintain")
+        v = rebuild_if_drifted(
+            spark,
+            table,
+            catalog=cat,
+            source_table=src_t,
+            threshold=args.rebuild_threshold,
+            force=args.rebuild_force,
+        )
+        print(
+            f"rebuild: committed v{v}"
+            if v is not None
+            else "rebuild: drift at-or-below threshold (no-op)",
+            file=sys.stderr,
+        )
     if args.expire_keep is not None:
         expired = table.expire_snapshots(keep_last=args.expire_keep)
         print(f"expire: dropped {len(expired)} snapshots", file=sys.stderr)

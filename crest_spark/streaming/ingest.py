@@ -194,12 +194,27 @@ class SourceSpec:
     #    "vec_col": "embedding"}
     #     FAISS add-split: the first batch builds the IVF index, later
     #     batches assign only their own vectors to the frozen centroids
-    #     (ivf_add; drift past threshold reclusters).
+    #     (ivf_add).
     #   {"kind": "ivfpq", ...same keys...}
     #     the codes-only composite: first batch builds (build_ivfpq_index),
     #     later batches encode only their own vectors against the frozen
-    #     centroids+codebooks (ivfpq_add; rebuild-on-drift is the
-    #     caller's call since the index holds no floats to re-fit from).
+    #     centroids+codebooks (ivfpq_add).
+    #
+    #     DRIFT REBUILDS ARE OFF-PATH (r14, VERDICT r13 #1): past
+    #     "recluster_threshold" (fraction of the index changed since
+    #     the last build, default 0.5) the hook does NOT rebuild —
+    #     inline k-means + re-encode over the full corpus inside the
+    #     serial foreachBatch hook is an O(corpus) ingestion stall,
+    #     hours at 100 TB. The adds stamp drift markers (observable
+    #     via rebuild_pending) and the build stamps its source binding
+    #     + threshold, so `cli maintain --table ns.<index>
+    #     --rebuild-indexes` (or any side job calling
+    #     rebuild_if_drifted) re-fits off-path and publishes with a
+    #     conditional replace; micro-batches that land DURING the
+    #     rebuild keep committing and are delta-repaired into the new
+    #     index before publish. Crash anywhere before publish: old
+    #     index stays probeable, drift markers persist, rebuild
+    #     re-triggers.
     indexes: list[dict] | None = None
     # Provenance columns stamped at ingest: `_source_file` (the staged
     # file each row came from — file sources only; Flight streams have
@@ -267,6 +282,9 @@ class IngestionService:
         # catalog outage never drops data (the reference logs-and-drops).
         self.metadata_catalog = metadata_catalog
         self._registered: set[tuple[str, str]] = set()
+        # index tables whose compaction layout contract has been
+        # validated against their actual cell count (ADVICE r13 #3)
+        self._layout_checked: set[tuple[str, str]] = set()
         self.queries = []
 
     def _register_metadata(self, ns: str, name: str, schema) -> None:
@@ -481,7 +499,7 @@ class IngestionService:
             if source.branch and source.branch not in table.branches():
                 # first batch of a branch source forks the ref in place
                 table.create_branch(source.branch)
-            table.append(
+            v_src = table.append(
                 df,
                 writer_id=writer_id,
                 batch_id=batch_id,
@@ -493,8 +511,17 @@ class IngestionService:
                 branch=source.branch,
             )
             if source.indexes:
+                if v_src is None:
+                    # replayed batch: its rows are already in the
+                    # table — recover the ORIGINAL commit's version so
+                    # the index maintenance below stamps the true
+                    # source vintage (the staged-rebuild coverage
+                    # rules depend on it)
+                    v_src = self._replayed_batch_version(
+                        table, writer_id, batch_id
+                    )
                 self._maintain_indexes(
-                    source, table, df, ns, writer_id, batch_id
+                    source, table, df, ns, writer_id, batch_id, v_src
                 )
 
         return write_batch
@@ -526,6 +553,42 @@ class IngestionService:
                 + " (indexed batches must land live on main)"
             )
 
+    def _check_index_layout(self, spec: dict, t, kind: str, ns: str,
+                            name: str) -> None:
+        """Layout-contract validation at index BUILD/LOAD time (ADVICE
+        r13 #3): an explicit spec-level ``compact_target_files`` below
+        the index's cell count would force multiple cells per file and
+        silently widen probe I/O — raising only when the unclustered
+        tail first crosses the compaction threshold aborts the
+        ingestion loop possibly hours in. The cell count is known the
+        moment the index exists, so the spec is checked once then
+        (memoized per table); the compaction-time raise stays as the
+        backstop."""
+        spec_target = spec.get("compact_target_files")
+        if spec_target is None or (ns, name) in self._layout_checked:
+            return
+        from crest_spark.operators.vector_index import (
+            load_ivf_centroids,
+            load_ivfpq_meta,
+        )
+
+        n_cells = (
+            load_ivf_centroids(t)[1]
+            if kind == "ivf"
+            else load_ivfpq_meta(t)[3]
+        )
+        if int(spec_target) < int(n_cells):
+            raise ValueError(
+                f"index {ns}.{name}: compact_target_files="
+                f"{spec_target} is below the index's cell "
+                f"count {n_cells}; per-cell point stats "
+                "(the probe-pruning contract) need "
+                "cluster_partitions >= n_cells — raise "
+                "compact_target_files or drop it from the "
+                "spec"
+            )
+        self._layout_checked.add((ns, name))
+
     def _index_compact_limits(
         self, spec: dict
     ) -> tuple[int | None, int, int]:
@@ -545,15 +608,38 @@ class IngestionService:
         )
         return (None if after is None else int(after)), target, max_runs
 
+    @staticmethod
+    def _replayed_batch_version(table, writer_id: str,
+                                batch_id: int) -> int | None:
+        """The version at which a (writer, batch) originally committed
+        — walked from the head (replays are recent by construction).
+        None when the commit folded behind an expiry boundary; the
+        coverage rules then fall back to the current head, which can
+        only SKIP less (never double-add)."""
+        for s in reversed(table.snapshots()):
+            if s.writer_id == writer_id and s.batch_id == batch_id:
+                return s.version
+        return None
+
     def _maintain_indexes(
         self, source: SourceSpec, table, df, ns: str, writer_id: str,
-        batch_id: int,
+        batch_id: int, src_version: int | None = None,
     ) -> None:
         """Incremental secondary-index maintenance for one committed
         micro-batch (see ``SourceSpec.indexes``). Runs AFTER the main
         append inside the same serial foreachBatch hook, so the corpus
         read below already contains this batch and a crash before any
-        index commit replays the whole batch idempotently."""
+        index commit replays the whole batch idempotently.
+        ``src_version`` is the source-table version this batch's rows
+        committed at — stamped on every index add so the OFF-PATH
+        staged rebuild (r14) can prove which concurrent adds its
+        corpus read covered.
+
+        The hook's inline work is O(batch) in ALL cases since r14:
+        adds encode only their delta against frozen quantizers,
+        compactions are tail-only, and drift REBUILDS moved to the
+        maintenance entry point (``rebuild_if_drifted``) — the hook
+        merely leaves drift observable in the commit log."""
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
@@ -692,21 +778,28 @@ class IngestionService:
                 build = build_ivf_index if kind == "ivf" else build_ivfpq_index
                 add = ivf_add if kind == "ivf" else ivfpq_add
                 widx = f"{writer_id}-{name}"
+                if t.exists():
+                    # fail-fast layout validation on first load (ADVICE
+                    # r13 #3): a mis-sized compact_target_files must not
+                    # wait for the first compaction trigger to abort
+                    self._check_index_layout(spec, t, kind, ns, name)
                 if t.exists() and batch_id in t.committed_batches(widx):
                     continue  # replayed batch: already built/added
-                # Per-cell DELTA files accrete one per batch touching the
-                # cell: cell stats stay point-narrow (pruning intact) but
-                # a hot cell's probe opens O(batches) files between
-                # drift-triggered rebuilds. Same amortized policy as the
-                # minhash index, but the rewrite must PRESERVE the
-                # one-file-per-cell point-stat layout the probe contract
-                # is built on: an explicit cluster_partitions >= the
-                # cell count keeps every output file single-valued on
-                # cell (a z-curve rewrite into few files would widen
-                # probe I/O to O(corpus/target) — review r12). Also
-                # folds pending ivf_delete deltas; centroid/codebook
-                # loaders walk the log past the replace to the build
-                # commit.
+                # DELTA files accrete ~one per batch (r14: AQE-sized
+                # cell-RANGE clustering — a fixed micro-batch no longer
+                # writes one near-empty file per touched cell, the
+                # file-count term that grew with the corpus-scaled
+                # cell count): a probe reads the bounded uncompacted
+                # tail at worst. Same amortized policy as the minhash
+                # index, but the rewrite must RESTORE the
+                # one-file-per-cell point-stat layout the steady-state
+                # probe contract is built on: an explicit
+                # cluster_partitions >= the cell count keeps every
+                # rewritten file single-valued on cell (a z-curve
+                # rewrite into few files would widen probe I/O to
+                # O(corpus/target) — review r12). Also folds pending
+                # ivf_delete deltas; centroid/codebook loaders walk
+                # the log past the replace to the build commit.
                 ivf_after, _ivf_target, ivf_runs = (
                     self._index_compact_limits(spec)
                 )
@@ -731,7 +824,10 @@ class IngestionService:
                     # cell, which cluster_partitions >= n_cells
                     # guarantees; an explicit spec-level target below
                     # the cell count is a mis-configuration that would
-                    # silently widen probe I/O — fail loudly instead.
+                    # silently widen probe I/O. Normally caught at
+                    # first index load (ADVICE r13 #3, above); kept
+                    # here as the compaction-time backstop for a spec
+                    # mutated after validation.
                     spec_target = spec.get("compact_target_files")
                     if (
                         spec_target is not None
@@ -766,7 +862,12 @@ class IngestionService:
                     # ADVICE r11 #2) — no separate marker append, so
                     # there is no crash window in which a replayed
                     # first micro-batch could take the add path and
-                    # double-add its vectors
+                    # double-add its vectors. The SOURCE BINDING +
+                    # threshold ride in the build metadata (r14) so the
+                    # off-path rebuild (`cli maintain
+                    # --rebuild-indexes`) needs no config re-supply,
+                    # and source_version records which source snapshot
+                    # the build's corpus covers.
                     build(
                         spark,
                         new_em,
@@ -775,44 +876,59 @@ class IngestionService:
                         namespace=ns,
                         writer_id=widx,
                         batch_id=batch_id,
+                        source={
+                            "namespace": ns,
+                            "table": source.name,
+                            "id_col": id_col,
+                            "vec_col": vec_col,
+                        },
+                        source_version=src_version,
+                        recluster_threshold=float(
+                            spec.get("recluster_threshold", 0.5)
+                        ),
                     )
                 else:
-                    add_kw = dict(writer_id=widx, batch_id=batch_id)
-                    if kind == "ivf":
-                        # flat IVF self-reclusters inside ivf_add —
-                        # honor the spec's threshold there (review r12:
-                        # it was silently ignored for kind='ivf')
-                        add_kw["recluster_threshold"] = float(
-                            spec.get("recluster_threshold", 0.5)
-                        )
-                    add(spark, t, new_em, **add_kw)
+                    # Drift handling is OFF-PATH since r14 (VERDICT r13
+                    # #1): the adds below stamp drift markers and
+                    # return — the hook's inline work stays O(batch) —
+                    # and a drifted index is rebuilt by the staged
+                    # maintenance job (rebuild_if_drifted: fit+encode
+                    # once, bounded-delta repair of adds that land
+                    # mid-build, conditional publish; searchers keep
+                    # the old index throughout). A crash anywhere
+                    # before that job publishes leaves the drift
+                    # markers in the commit log, so the rebuild stays
+                    # re-triggerable.
                     if kind == "ivfpq":
-                        # rebuild-on-drift (VERDICT r11 #4): the codes-
-                        # only composite cannot re-fit from itself (no
-                        # floats) — the maintenance loop HAS the source
-                        # table, so it acts on the drift markers
-                        # ivfpq_add stamps. The rebuild is one snapshot-
-                        # isolated overwrite; concurrent searchers keep
-                        # their old index. Crash before the rebuild
-                        # lands: the NEXT batch's add re-observes drift
-                        # past threshold and re-triggers it.
+                        # a STAGED rebuild may have published while
+                        # this batch was in flight, with a source read
+                        # that already covers this batch's rows
+                        # (source appends precede index adds in this
+                        # serial hook) — adding again would duplicate
+                        # them. Exact check: the build stamps the
+                        # source version its corpus read covered.
                         from crest_spark.operators.vector_index import (
-                            ivf_drift,
+                            latest_build_meta,
                         )
 
-                        thr = float(spec.get("recluster_threshold", 0.5))
-                        if ivf_drift(t) > thr:
-                            src_em = table.read(spark).select(
-                                F.col(id_col).alias("vec_id"),
-                                F.col(vec_col).alias("embedding"),
-                            )
-                            build_ivfpq_index(
-                                spark,
-                                src_em,
-                                self.catalog,
-                                name=name,
-                                namespace=ns,
-                            )
+                        bsv = latest_build_meta(t)[1].get(
+                            "source_version"
+                        )
+                        ref = (
+                            src_version
+                            if src_version is not None
+                            else table.version()
+                        )
+                        if bsv is not None and int(bsv) >= int(ref):
+                            continue
+                    add_kw = dict(
+                        writer_id=widx,
+                        batch_id=batch_id,
+                        src_version=src_version,
+                    )
+                    if kind == "ivf":
+                        add_kw["recluster"] = "defer"
+                    add(spark, t, new_em, **add_kw)
             else:
                 raise ValueError(
                     f"unknown index kind {kind!r} on {ns}.{source.name}; "

@@ -420,12 +420,17 @@ def _ingest_vector_arrival(spark, d: str, work: str) -> float:
     ]
     queries = em_base.where(F.col("vec_id") < 8).localCheckpoint()
     n_compacts = 0
+    phases = {"compact": 0.0, "add": 0.0, "probe": 0.0}
     t0 = _time.perf_counter()
-    # one add-wave writes up to one file per touched cell — at most
-    # min(batch, n_cells) files; threshold at half a wave so the
-    # amortized rewrite fires (roughly) every batch at every scale
-    compact_after = max(8, min(512, int(n_cells)) // 2)
+    # one add-wave writes ~1 AQE-sized file since r14 (the per-touched-
+    # cell layout wrote O(min(batch, n_cells)) near-empty files — the
+    # file-count term this row's r14 per-phase re-measurement
+    # attributed the 0.38 exponent to); threshold 2 keeps the
+    # amortized rewrite firing (roughly) every other batch at every
+    # scale
+    compact_after = 2
     for batch in batches:
+        p0 = _time.perf_counter()
         if t.unclustered_file_count(cluster_by=["cell"]) >= compact_after:
             t.compact(
                 spark,
@@ -434,12 +439,24 @@ def _ingest_vector_arrival(spark, d: str, work: str) -> float:
                 tail_only=True,
             )
             n_compacts += 1
+        p1 = _time.perf_counter()
         # huge threshold: no in-place recluster — between-rebuild regime
         ivf_add(spark, t, batch, recluster_threshold=1e9)
+        p2 = _time.perf_counter()
         assert ivf_index_search(spark, t, queries, k=5).count() == 40
+        p3 = _time.perf_counter()
+        phases["compact"] += p1 - p0
+        phases["add"] += p2 - p1
+        phases["probe"] += p3 - p2
     dt = (_time.perf_counter() - t0) / n_batches
+    # per-phase attribution (r13 lesson: instrument before chasing a
+    # suspicious exponent — the r13 accrete row's "growth" was warmup)
     print(
-        f"#   {n_compacts} in-window tail compactions", file=sys.stderr
+        f"#   {n_compacts} in-window tail compactions; per-batch "
+        + " ".join(
+            f"{k}={v / n_batches:.3f}s" for k, v in phases.items()
+        ),
+        file=sys.stderr,
     )
     assert n_compacts >= 2, "compactions must fire inside the window"
     t.rollback(pre)

@@ -369,3 +369,57 @@ def test_cli_maintain_tail_flags_require_compact(tmp_path):
                 + extra
             )
         assert e.value.code == 2
+
+
+def test_cli_maintain_rebuild_indexes(spark, sf_dir, tmp_path):
+    """r14: `cli maintain --table ns.index --rebuild-indexes` drives
+    the staged drift rebuild from the operational surface — no-op
+    below threshold, rebuild (binding self-served from the build
+    metadata) once drift crosses it."""
+    from pyspark.sql import functions as F
+
+    from crest_spark.operators.vector_index import (
+        build_ivf_index,
+        ivf_add,
+        ivf_drift,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    t = build_ivf_index(
+        spark, em, cat, name="ivf_cli", recluster_threshold=0.5
+    )
+    argv = [
+        "maintain",
+        "--warehouse", str(tmp_path / "wh"),
+        "--table", "default.ivf_cli",
+        "--rebuild-indexes",
+    ]
+    v0 = t.version()
+    assert main(argv) == 0  # below threshold: no-op
+    assert ivf_drift(t) == 0.0 and t.version() == v0
+    big = em.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    ivf_add(spark, t, big, recluster="defer")
+    assert ivf_drift(t) > 0.5
+    assert main(argv) == 0
+    assert ivf_drift(t) == 0.0  # rebuilt + rebased
+    assert t.read(spark).count() == 2 * em.count()
+
+
+def test_cli_maintain_rebuild_flags_require_rebuild(tmp_path):
+    """--rebuild-threshold/--rebuild-source/--rebuild-force without
+    --rebuild-indexes must error (exit 2), not silently do nothing."""
+    import pytest as _pt
+
+    with _pt.raises(SystemExit) as exc:
+        main(
+            [
+                "maintain",
+                "--warehouse", str(tmp_path / "wh"),
+                "--table", "default.x",
+                "--rebuild-force",
+            ]
+        )
+    assert exc.value.code == 2

@@ -2048,17 +2048,23 @@ def test_ingest_minhash_verify_fetch_is_file_pruned(
 
 
 def test_ingest_ivfpq_rebuilds_on_drift(spark, sf_dir, tmp_path):
-    """VERDICT r11 #4: the codes-only IVF-PQ index cannot re-fit from
-    itself (no floats) — the ingest maintenance loop, which HAS the
-    source table, must act on the drift markers ivfpq_add stamps. A
-    small first batch builds the index; a large second batch pushes
-    drift past the threshold, so maintenance rebuilds from the source
-    table: the head commit is a fresh build, drift resets, and the
-    rebuilt index's recall vs exact brute-force meets the fresh-build
-    floor."""
+    """VERDICT r11 #4 (reshaped r14 / VERDICT r13 #1): the codes-only
+    IVF-PQ index cannot re-fit from itself (no floats) — the rebuild
+    reads the SOURCE table, via the source binding the ingest build
+    stamps. Since r14 the rebuild is OFF-PATH: a large second batch
+    pushes drift past the threshold but the hook only stamps it
+    (O(batch) inline work); the maintenance entry point then rebuilds
+    from the bound source — the head commit is a fresh build, drift
+    resets, and the rebuilt index's recall vs exact brute-force meets
+    the fresh-build floor."""
     import numpy as np
 
-    from crest_spark.operators.vector_index import ivf_drift, ivfpq_search
+    from crest_spark.operators.vector_index import (
+        ivf_drift,
+        ivfpq_search,
+        rebuild_if_drifted,
+        rebuild_pending,
+    )
 
     em = load_table(spark, sf_dir, "embeddings")
     small = em.where(F.col("vec_id") < 40)
@@ -2085,7 +2091,10 @@ def test_ingest_ivfpq_rebuilds_on_drift(spark, sf_dir, tmp_path):
     sink(small, 0)
     t = svc.catalog.table("pqr")
     assert ivf_drift(t) == 0.0
-    sink(big, 1)  # drift = |big| / |small| >> 0.5 -> rebuild
+    sink(big, 1)  # drift = |big| / |small| >> 0.5 — stamped, NOT rebuilt
+    assert t.snapshots()[-1].operation == "append"  # hook stayed O(batch)
+    assert rebuild_pending(t)
+    assert rebuild_if_drifted(spark, t, catalog=svc.catalog) is not None
     head = t.snapshots()[-1]
     assert head.extra.get("ivfpq"), "head must be a fresh build commit"
     assert ivf_drift(t) == 0.0  # rebuild rebased the drift counter
@@ -2113,11 +2122,19 @@ def test_ingest_ivfpq_rebuilds_on_drift(spark, sf_dir, tmp_path):
 
 
 def test_ingest_ivf_honors_spec_recluster_threshold(spark, sf_dir, tmp_path):
-    """Review r12: a flat-IVF index spec's recluster_threshold was
-    silently ignored (ivf_add used its internal 0.5 default). With a
-    low threshold, a modest second batch must now trigger the
-    self-recluster: head commit is a fresh build and drift resets."""
-    from crest_spark.operators.vector_index import ivf_drift
+    """Review r12 (reshaped r14): the spec's recluster_threshold is
+    stamped into the build metadata and drives the OFF-PATH rebuild
+    decision — with a low threshold a modest second batch makes the
+    rebuild pending (while the hook itself only stamps drift and keeps
+    the inline work O(batch)), and the maintenance entry point — given
+    NO explicit threshold — honors the stamped 0.1 where the default
+    0.5 would have been a no-op."""
+    from crest_spark.operators.vector_index import (
+        ivf_drift,
+        latest_build_meta,
+        rebuild_if_drifted,
+        rebuild_pending,
+    )
 
     em = load_table(spark, sf_dir, "embeddings")
     first = em.where(F.col("vec_id") < 150)
@@ -2143,9 +2160,14 @@ def test_ingest_ivf_honors_spec_recluster_threshold(spark, sf_dir, tmp_path):
     sink = svc._sink(cfg.sources[0])
     sink(first, 0)
     t = svc.catalog.table("ivt")
+    assert latest_build_meta(t)[1]["recluster_threshold"] == 0.1
     sink(second, 1)  # drift 50/150 = 0.33 > 0.1 (but < default 0.5)
+    assert t.snapshots()[-1].operation == "append"  # no inline rebuild
+    assert 0.1 < ivf_drift(t) < 0.5
+    assert rebuild_pending(t)  # stamped threshold, not the 0.5 default
+    assert rebuild_if_drifted(spark, t) is not None
     head = t.snapshots()[-1]
-    assert head.extra.get("ivf"), "recluster must have fired at 0.1"
+    assert head.extra.get("ivf"), "rebuild must honor the stamped 0.1"
     assert ivf_drift(t) == 0.0
 
 
@@ -2217,13 +2239,14 @@ def test_ingest_minhash_index_compaction_restores_pruning(
 
 
 def test_ingest_ivf_index_compaction_bounds_files(spark, sf_dir, tmp_path):
-    """r12 (policy reshaped r13): per-cell delta files accrete one per
-    batch between drift rebuilds — the maintenance loop's TAIL-ONLY
-    cell-clustered rewrite past the threshold bounds the count (the
-    build run + prior compaction runs ride by reference; past
-    max_cluster_runs the smallest runs merge geometrically) while
-    probes stay correct (pruned subset, every vector present exactly
-    once, search returns k)."""
+    """r12 (policy reshaped r13, add layout reshaped r14): delta files
+    accrete ~one per batch (AQE-sized range clustering) between drift
+    rebuilds — the maintenance loop's TAIL-ONLY cell-clustered rewrite
+    past the threshold bounds the count (the build run + prior
+    compaction runs ride by reference; past max_cluster_runs the
+    smallest runs merge geometrically) while probes stay correct
+    (pruned subset, every vector present exactly once, search
+    returns k)."""
     from crest_spark.operators.vector_index import ivf_index_search
 
     em = load_table(spark, sf_dir, "embeddings")
@@ -2239,9 +2262,12 @@ def test_ingest_ivf_index_compaction_bounds_files(spark, sf_dir, tmp_path):
                         "kind": "ivf",
                         "name": "civ",
                         # high drift threshold: isolate compaction from
-                        # the self-recluster path
+                        # the rebuild path
                         "recluster_threshold": 100.0,
-                        "compact_after_files": 20,
+                        # adds write ~1 file per batch since r14: the
+                        # tail threshold is now ~batches, same as the
+                        # minhash index policy
+                        "compact_after_files": 4,
                         # n_cells = 16 here, so this must be >= 16 (the
                         # layout-contract guard rejects less)
                         "compact_target_files": 16,
@@ -2260,15 +2286,13 @@ def test_ingest_ivf_index_compaction_bounds_files(spark, sf_dir, tmp_path):
     n = em.count()
     assert t.read(spark).count() == n
     assert t.read(spark).select("vec_id").distinct().count() == n
-    # compaction bounded the file count by the policy: without it, the
-    # build (16 cell files) + 7 delta waves (~16 files each) accrete
-    # ~128 files; with max_cluster_runs=2 the ceiling is
-    # 2 runs x n_cells + threshold + one uncompacted wave
-    assert t.file_count() <= 2 * 16 + 20 + 16
+    # compaction bounded the file count by the policy: the ceiling is
+    # 2 runs x n_cells + the tail threshold + one uncompacted wave
+    assert t.file_count() <= 2 * 16 + 4 + 2
     replaces = [s2 for s2 in t.snapshots() if s2.operation == "replace"]
     assert len(replaces) >= 2  # the build plus >= 1 compaction rewrite
     # pruning still bites — a single-cell probe opens at most
-    # max_runs run files + that cell's tail deltas — and probes work
+    # max_runs run files + the bounded tail — and probes work
     cell0 = t.pruned_files({"cell": (0, 0)})
     assert 0 < len(cell0) < t.file_count()
     queries = em.where(F.col("vec_id") < 3)
@@ -2364,11 +2388,13 @@ def test_ingest_minhash_pairs_table_compaction_bounds_files(
 def test_ingest_ivf_compaction_rejects_target_below_cell_count(
     spark, sf_dir, tmp_path
 ):
-    """VERDICT r12 #7: the probe contract needs every run file
-    single-valued on cell (cluster_partitions >= n_cells); an explicit
-    spec-level compact_target_files below the index's cell count is a
-    silent probe-I/O widener — the maintenance loop must fail loudly
-    at compaction time instead of honoring it."""
+    """VERDICT r12 #7 + ADVICE r13 #3: the probe contract needs every
+    run file single-valued on cell (cluster_partitions >= n_cells); an
+    explicit spec-level compact_target_files below the index's cell
+    count is a silent probe-I/O widener — and the rejection must be
+    FAIL-FAST, on the first batch that loads the built index, not
+    hours later when the unclustered tail first crosses the compaction
+    threshold (which would abort a long-running ingestion mid-run)."""
     import pytest as _pt
 
     em = load_table(spark, sf_dir, "embeddings")
@@ -2395,12 +2421,132 @@ def test_ingest_ivf_compaction_rejects_target_below_cell_count(
     svc = IngestionService(spark, cfg)
     sink = svc._sink(cfg.sources[0])
     sink(em.where(F.col("vec_id") < 60), 0)  # build
+    # fail-fast: the VERY NEXT batch validates the spec against the
+    # now-known cell count — well before any compaction trigger
     with _pt.raises(ValueError, match="compact_target_files"):
-        for b in range(1, 4):  # accrete past the 2-file threshold
-            sink(
-                em.where(
-                    (F.col("vec_id") >= 60 * b)
-                    & (F.col("vec_id") < 60 * (b + 1))
-                ),
-                b,
+        sink(
+            em.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 120)), 1
+        )
+
+
+def test_ingest_ivfpq_drift_rebuild_is_off_path(spark, sf_dir, tmp_path):
+    """VERDICT r13 #1 done-criterion: drift crossing the recluster
+    threshold no longer triggers an inline full-corpus rebuild in the
+    serial foreachBatch hook — subsequent micro-batches COMMIT while
+    the rebuild is pending (drift observable, no replace landed), the
+    rebuild lands via the maintenance entry point (from the source
+    binding the build stamped) with the drift marker cleared, and
+    ingestion continues against the new index."""
+    from crest_spark.operators.vector_index import (
+        ivf_drift,
+        rebuild_if_drifted,
+        rebuild_pending,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="emb",
+                path=str(tmp_path / "unused"),
+                indexes=[
+                    {
+                        "kind": "ivfpq",
+                        "name": "pqidx",
+                        "recluster_threshold": 0.3,
+                    }
+                ],
             )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    sink = svc._sink(cfg.sources[0])
+    sink(em.where(F.col("vec_id") < 100), 0)  # build
+    t = svc.catalog.table("pqidx")
+
+    def builds():
+        return sum(1 for s in t.snapshots() if s.extra.get("ivfpq"))
+
+    assert builds() == 1
+    # adds accrete drift well past 0.3 — the hook must keep committing
+    # WITHOUT any inline rebuild (its work stays O(batch))
+    bounds = [(100, 140), (140, 190), (190, 260)]
+    for b, (lo, hi) in enumerate(bounds, start=1):
+        sink(
+            em.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), b
+        )
+    assert builds() == 1  # NO inline rebuild
+    assert ivf_drift(t) > 0.3
+    assert rebuild_pending(t)  # observable + re-triggerable
+    assert svc.catalog.table("emb").read(spark).count() == 260
+    assert t.read(spark).count() == 260  # every batch committed
+    # the maintenance path lands the rebuild — binding self-served
+    v = rebuild_if_drifted(spark, t, catalog=svc.catalog)
+    assert v is not None
+    assert ivf_drift(t) == 0.0 and not rebuild_pending(t)
+    assert builds() == 2
+    # ingestion keeps flowing against the rebuilt index
+    sink(em.where((F.col("vec_id") >= 260) & (F.col("vec_id") < 300)), 4)
+    out = t.read(spark)
+    assert out.count() == 300
+    assert out.select("vec_id").distinct().count() == 300
+
+
+def test_ingest_skips_add_covered_by_staged_rebuild(
+    spark, sf_dir, tmp_path
+):
+    """The coverage race the staged rebuild opens: batch K's SOURCE
+    append lands, a rebuild publishes having read the source at-or-
+    after K, and only then does batch K's index-add phase run (the
+    serial hook was mid-batch, or replaying after a crash). The hook
+    must SKIP the add — the rebuild's corpus read already encoded
+    those rows — or the index double-holds K's vectors."""
+    from crest_spark.operators.vector_index import rebuild_if_drifted
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="emb",
+                path=str(tmp_path / "unused"),
+                indexes=[
+                    {
+                        "kind": "ivfpq",
+                        "name": "pqskip",
+                        "recluster_threshold": 0.3,
+                    }
+                ],
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    src_spec = cfg.sources[0]
+    sink = svc._sink(src_spec)
+    sink(em.where(F.col("vec_id") < 150), 0)  # build
+    sink(
+        em.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 200)), 1
+    )
+    table = svc.catalog.table("emb")
+    t = svc.catalog.table("pqskip")
+    wid = "ingest-default.emb"
+    # batch 2's source append lands...
+    rows_b2 = em.where(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 240)
+    )
+    v2 = table.append(rows_b2, writer_id=wid, batch_id=2)
+    # ...a staged rebuild publishes covering the source AT v2...
+    assert rebuild_if_drifted(spark, t, catalog=svc.catalog, force=True)
+    n = t.read(spark).count()
+    assert n == 240  # rebuild covers batch 2's rows already
+    adds = sum(1 for s in t.snapshots() if "ivf_add" in s.extra)
+    # ...and only then does batch 2's index maintenance run
+    svc._maintain_indexes(
+        src_spec, table, rows_b2, "default", wid, 2, v2
+    )
+    assert t.read(spark).count() == n  # SKIPPED: no double-add
+    assert sum(1 for s in t.snapshots() if "ivf_add" in s.extra) == adds
+    assert t.read(spark).select("vec_id").distinct().count() == n

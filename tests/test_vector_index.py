@@ -338,9 +338,13 @@ def _delta(em, offset, n=20):
 
 
 def test_ivf_add_touches_only_delta_cells(spark, fresh_index):
-    """Incremental add (VERDICT r7 #3): an add assigns the DELTA to the
-    frozen centroids and appends per-cell files — only the cells of the
-    new vectors gain a file; every pre-existing file is untouched."""
+    """Incremental add (VERDICT r7 #3, layout reshaped r14): an add
+    assigns the DELTA to the frozen centroids and appends cell-RANGE-
+    clustered files — every pre-existing file is untouched, the new
+    files' recorded cell bounds cover exactly the delta's assigned
+    cells, and a micro-batch writes O(1) files (AQE-sized), NOT one
+    near-empty file per touched cell (the file-count term the r14
+    sweep measured growing with the corpus-scaled cell count)."""
     from crest_spark.operators.vector_index import ivf_add
 
     t, em = fresh_index
@@ -361,14 +365,26 @@ def test_ivf_add_touches_only_delta_cells(spark, fresh_index):
         v = np.array(r["embedding"], dtype=np.float64)
         v /= max(np.linalg.norm(v), 1e-12)
         delta_cells.add(int((v @ cent.T).argmax()))
-    touched = set()
-    for f in new_files:
-        lo, hi = state["stats"][f]["cell"]
-        assert lo == hi  # still one cell per file
-        touched.add(lo)
-    assert touched == delta_cells
-    # one file per touched cell, not one per shuffle partition
-    assert len(new_files) == len(delta_cells)
+    # per-file [min, max] on cell covers the delta's cells exactly
+    # (bounds are real assigned cells: sorted files touch min and max)
+    spans = sorted(
+        tuple(state["stats"][f]["cell"]) for f in new_files
+    )
+    assert spans[0][0] == min(delta_cells)
+    assert spans[-1][1] == max(delta_cells)
+    for lo, hi in spans:
+        assert lo in delta_cells and hi in delta_cells
+    # ranges are disjoint and ordered (range-partitioned on cell)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+    # a micro-batch add writes O(1) files, not one per touched cell
+    assert len(new_files) < max(2, len(delta_cells))
+    # every delta row is readable back from the new files
+    got = {
+        r["vec_id"]
+        for r in spark.read.parquet(*new_files).select("vec_id").collect()
+    }
+    assert got == {r["vec_id"] for r in delta.collect()}
     # centroids unchanged by an add (frozen until recluster)
     now_centroids, _ = load_ivf_centroids(t)
     assert (now_centroids == old_centroids).all()
@@ -747,3 +763,232 @@ def test_delete_drift_survives_snapshot_expiry(spark, sf_dir, tmp_path):
     assert ivf_drift(t) == 0.0
     assert t.expire_snapshots(keep_last=1)
     assert ivf_drift(t) == 0.0
+
+
+# ------------------------------------------------- staged drift rebuild (r14)
+
+
+def test_deferred_add_stamps_drift_without_recluster(spark, fresh_index):
+    """VERDICT r13 #1: with recluster='defer' (what the serial ingest
+    hook passes), a threshold-crossing add stamps its drift marker and
+    RETURNS — no inline full-corpus refit — leaving the rebuild
+    observable and re-triggerable via rebuild_pending."""
+    from crest_spark.operators.vector_index import (
+        ivf_add,
+        ivf_drift,
+        rebuild_pending,
+    )
+
+    t, em = fresh_index
+    old_centroids, _ = load_ivf_centroids(t)
+    big = em.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    ivf_add(spark, t, big, recluster="defer")
+    assert ivf_drift(t) > 0.5  # past threshold, NOT rebuilt
+    assert rebuild_pending(t)
+    new_centroids, _ = load_ivf_centroids(t)
+    assert (new_centroids == old_centroids).all()  # frozen
+    # and no replace landed: the add is an append
+    assert t.snapshots()[-1].operation == "append"
+
+
+def test_staged_rebuild_flat_ivf_lands_and_resets_drift(
+    spark, fresh_index
+):
+    """The maintenance-path rebuild: re-fits from the index table
+    itself (flat IVF holds floats), publishes one replace, rebases
+    drift to 0, keeps every row, and restores the one-cell-per-file
+    layout + a declared sorted run (so the next tail compaction
+    carries the fresh build by reference)."""
+    from crest_spark.operators.vector_index import (
+        ivf_add,
+        ivf_drift,
+        rebuild_if_drifted,
+        rebuild_pending,
+    )
+
+    t, em = fresh_index
+    base = t.read(spark).count()
+    big = em.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    ivf_add(spark, t, big, recluster="defer")
+    old_centroids, _ = load_ivf_centroids(t)
+    v = rebuild_if_drifted(spark, t)
+    assert v is not None and v == t.version()
+    assert ivf_drift(t) == 0.0
+    assert not rebuild_pending(t)
+    new_centroids, _ = load_ivf_centroids(t)
+    assert new_centroids.shape[0] >= old_centroids.shape[0]
+    assert t.read(spark).count() == base + em.count()
+    state = t._state()
+    for f in state["files"]:
+        lo, hi = state["stats"][f]["cell"]
+        assert lo == hi
+    runs = t.cluster_runs()
+    assert runs and runs[-1]["mode"] == "cluster"
+    # below-threshold drift: the entry point is a no-op
+    assert rebuild_if_drifted(spark, t) is None
+
+
+def test_staged_rebuild_repairs_concurrent_add(spark, fresh_index):
+    """The publish race: an add lands between the rebuild's corpus
+    read and its conditional commit (CommitConflict) — the repair loop
+    re-encodes exactly that delta against the NEW centroids and
+    retries; the final index holds base + deferred add + concurrent
+    add with no duplicate vec_ids and drift rebased to 0."""
+    from crest_spark.operators.vector_index import (
+        ivf_add,
+        ivf_drift,
+        rebuild_if_drifted,
+    )
+
+    t, em = fresh_index
+    base = t.read(spark).count()
+    big = em.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    ivf_add(spark, t, big, recluster="defer")
+
+    orig = t._commit_prepared_replace
+    hits = {"n": 0}
+
+    def hooked(prepared, **kw):
+        if hits["n"] == 0:
+            hits["n"] += 1
+            # a concurrent micro-batch lands in the commit window
+            ivf_add(spark, t, _delta(em, 3_000_000, n=7), recluster="defer")
+        return orig(prepared, **kw)
+
+    t._commit_prepared_replace = hooked
+    try:
+        v = rebuild_if_drifted(spark, t)
+    finally:
+        del t._commit_prepared_replace
+    assert v is not None
+    out = t.read(spark)
+    assert out.count() == base + em.count() + 7
+    assert out.select("vec_id").distinct().count() == out.count()
+    # the concurrent add's vectors are probeable cell members
+    got = {r[0] for r in out.select("vec_id").collect()}
+    assert {3_000_000 + i for i in range(7)} <= got
+    assert ivf_drift(t) == 0.0  # repaired adds fold into the build base
+
+
+def test_staged_rebuild_crash_leaves_old_index_probeable(
+    spark, fresh_index
+):
+    """Crash between trigger and publish (VERDICT r13 #1
+    done-criterion): the prepared files are uncommitted orphans — the
+    old index stays fully probeable, drift markers persist
+    (re-triggerable), and a re-run lands the rebuild."""
+    from crest_spark.operators.vector_index import (
+        ivf_add,
+        rebuild_if_drifted,
+        rebuild_pending,
+    )
+
+    t, em = fresh_index
+    big = em.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    ivf_add(spark, t, big, recluster="defer")
+    old_centroids, _ = load_ivf_centroids(t)
+    head_before = t.version()
+
+    def crash(prepared, **kw):
+        raise RuntimeError("simulated crash before publish")
+
+    t._commit_prepared_replace = crash
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            rebuild_if_drifted(spark, t)
+    finally:
+        del t._commit_prepared_replace
+    # nothing committed; old index intact and probeable
+    assert t.version() == head_before
+    assert (load_ivf_centroids(t)[0] == old_centroids).all()
+    queries = em.where(F.col("vec_id") < 3)
+    assert ivf_index_search(spark, t, queries, k=3).count() > 0
+    assert rebuild_pending(t)  # drift marker persisted: re-triggerable
+    assert rebuild_if_drifted(spark, t) is not None
+    assert not rebuild_pending(t)
+
+
+def test_staged_rebuild_ivfpq_from_source_binding(spark, sf_dir, tmp_path):
+    """IVF-PQ staged rebuild end-to-end: the build stamps its source
+    binding + threshold + covered source version; deferred adds accrete
+    drift; the rebuild re-reads the BOUND source table (codes cannot
+    re-fit themselves), repairs a concurrent legacy add via the exact
+    s0-membership probe (no src_v stamp -> ids already at s0 must not
+    double-encode), and publishes with the new source_version stamped."""
+    from crest_spark.operators.vector_index import (
+        build_ivfpq_index,
+        ivf_drift,
+        ivfpq_add,
+        ivfpq_search,
+        latest_build_meta,
+        rebuild_if_drifted,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    src = cat.get_or_create_table("emb_src", em.schema)
+    v1 = src.append(em.where(F.col("vec_id") < 200))
+    t = build_ivfpq_index(
+        spark,
+        src.read(spark),
+        cat,
+        name="pq_reb",
+        source={
+            "namespace": "default",
+            "table": "emb_src",
+            "id_col": "vec_id",
+            "vec_col": "embedding",
+        },
+        source_version=v1,
+        recluster_threshold=0.4,
+    )
+    kind, meta = latest_build_meta(t)
+    assert kind == "ivfpq" and meta["source"]["table"] == "emb_src"
+    assert meta["source_version"] == v1
+    # a big delta appends to the SOURCE first (the hook's order), then
+    # the index — drift crosses the stamped threshold
+    delta = em.where(F.col("vec_id") >= 200).select(
+        "vec_id", "embedding"
+    )
+    v2 = src.append(delta)
+    ivfpq_add(spark, t, delta, src_version=v2)
+    assert ivf_drift(t) > 0.4
+
+    # a LEGACY add (no src_v) of rows already covered at s0 lands in
+    # the publish window: the repair probe must skip them (no dups)
+    covered = em.where(F.col("vec_id") < 5).select("vec_id", "embedding")
+    orig = t._commit_prepared_replace
+    hits = {"n": 0}
+
+    def hooked(prepared, **kw):
+        if hits["n"] == 0:
+            hits["n"] += 1
+            ivfpq_add(spark, t, covered)
+        return orig(prepared, **kw)
+
+    t._commit_prepared_replace = hooked
+    try:
+        v = rebuild_if_drifted(spark, t, catalog=cat)
+    finally:
+        del t._commit_prepared_replace
+    assert v is not None
+    assert ivf_drift(t) == 0.0
+    out = t.read(spark)
+    assert out.count() == em.count()  # every source row exactly once
+    assert out.select("vec_id").distinct().count() == out.count()
+    _k2, meta2 = latest_build_meta(t)
+    assert meta2["source_version"] >= v2  # coverage advanced
+    assert meta2["recluster_threshold"] == 0.4  # carried forward
+    # probes serve the rebuilt index
+    res = ivfpq_search(
+        spark, t, src.read(spark), em.where(F.col("vec_id") < 3), k=3
+    )
+    assert res.count() > 0
