@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     # admission — two tail rewrites (run 1 carried by reference) then a
     # pruned key probe over the multi-run layout
     "lake_tail_compaction_lookup",
+    # r14 addition: the staged index-maintenance flow — build + deferred
+    # drift adds + off-path rebuild publish, membership hash-gated
+    "lake_index_rebuild_roundtrip",
 ]
 
 SUMMARY_MAX_BYTES = 4096  # bound enforced by tests/test_bench_emit.py

@@ -1272,3 +1272,54 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = build_ivf_index(spark, em, cat)
     queries = em.where(F.col("vec_id") < 5)
     return ivf_index_search(spark, t, queries, k=5)
+
+
+@register(
+    "lake_index_rebuild_roundtrip",
+    oracle=(
+        # the staged rebuild's exactly-once membership contract is
+        # EXACT even though cell assignments are seeded: after
+        # build(first half) -> deferred adds(second half) -> off-path
+        # rebuild, the index holds precisely the source's vec_ids —
+        # no vector lost to the replace, none double-encoded
+        "SELECT vec_id, COUNT(*) AS n_copies FROM embeddings "
+        "GROUP BY vec_id ORDER BY vec_id"
+    ),
+    tags=("llm", "lakehouse", "index", "maintenance", "ann"),
+)
+def lake_index_rebuild_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r14 staged-maintenance flow end-to-end under the driver's
+    hash gate (VERDICT r13 #1): build a flat IVF index from half the
+    embeddings corpus, land the other half as DEFERRED adds (drift
+    stamped, no inline recluster — the serial-hook contract), then
+    publish the off-path rebuild (``rebuild_if_drifted``: corpus
+    re-read at a pinned snapshot, write-once files, conditional
+    replace). The returned (vec_id, n_copies) set must hash-match the
+    source table exactly: every vector present, exactly once — the
+    membership invariant the whole repair/skip protocol exists to
+    preserve. Drift is asserted rebased inline (a failed rebuild
+    cannot silently pass as a correct roundtrip)."""
+    import tempfile
+
+    em = load_table(spark, sf_dir, "embeddings")
+    mid = em.approxQuantile("vec_id", [0.5], 0.0)[0]
+    cat = LakehouseCatalog(tempfile.mkdtemp(prefix="crest_rebuild_"))
+    t = build_ivf_index(
+        spark,
+        em.where(F.col("vec_id") < mid),
+        cat,
+        name="ivf_roundtrip",
+        recluster_threshold=0.5,
+    )
+    ivf_add(spark, t, em.where(F.col("vec_id") >= mid), recluster="defer")
+    assert rebuild_pending(t)  # drift observable, nothing rebuilt yet
+    assert rebuild_if_drifted(spark, t) is not None
+    assert ivf_drift(t) == 0.0  # the landed build rebased drift
+    return (
+        t.read(spark)
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("long").alias("n_copies"))
+        .orderBy("vec_id")
+    )
