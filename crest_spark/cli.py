@@ -261,10 +261,9 @@ def maintain(argv: list[str]) -> int:
         )
         print(f"compact: committed v{v}", file=sys.stderr)
     if args.rebuild_indexes:
-        from crest_spark.lakehouse import LakehouseCatalog as _Cat
         from crest_spark.operators.vector_index import rebuild_if_drifted
 
-        cat = _Cat(args.warehouse)
+        cat = LakehouseCatalog(args.warehouse)
         src_t = None
         if args.rebuild_source:
             sns, _, sname = args.rebuild_source.partition(".")

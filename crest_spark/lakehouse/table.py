@@ -2654,14 +2654,25 @@ class LakehouseTable:
         """Commit a ``replace`` from pre-written file sets (the second
         half of ``overwrite``, shared with the staged rebuild path).
         Metadata-only: raising ``CommitConflict`` here costs nothing to
-        retry beyond re-deriving the commit record."""
+        retry beyond re-deriving the commit record.
+
+        A prepared set may opt OUT of the declared sorted run with
+        ``cluster_run_member: False`` (review r14): the staged
+        rebuild's repair deltas are range- not point-clustered, and a
+        run member is never re-clustered by tail-only compaction — so
+        only run-grade files may join the ``cluster_run`` record."""
         new_files: list[str] = []
+        run_files: list[str] = []
         stats: dict = {}
         new_rows = 0
+        run_rows = 0
         for p in prepared:
             new_files.extend(p["files"])
             stats.update(p["stats"])
             new_rows += p["num_rows"]
+            if p.get("cluster_run_member", True):
+                run_files.extend(p["files"])
+                run_rows += p["num_rows"]
         files = list(new_files)
         num_rows = new_rows
         if keep_files:
@@ -2680,8 +2691,8 @@ class LakehouseTable:
                 **extra,
                 "cluster_run": {
                     **extra["cluster_run"],
-                    "files": list(new_files),
-                    "rows": new_rows,
+                    "files": list(run_files),
+                    "rows": run_rows,
                 },
             }
         version = self._try_commit(

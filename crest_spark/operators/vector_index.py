@@ -268,15 +268,15 @@ def build_ivf_index(
     )
     if n_cells is None:
         n_cells = _ivf_k(em.count())
-    meta_extra: dict = {}
-    if source is not None:
-        meta_extra["source"] = source
-    if source_version is not None:
-        meta_extra["source_version"] = int(source_version)
-    if recluster_threshold is not None:
-        meta_extra["recluster_threshold"] = float(recluster_threshold)
     _write_ivf(
-        spark, t, em, n_cells, seed, writer_id, batch_id, meta_extra
+        spark,
+        t,
+        em,
+        n_cells,
+        seed,
+        writer_id,
+        batch_id,
+        _index_meta_extra(source, source_version, recluster_threshold),
     )
     return t
 
@@ -343,6 +343,41 @@ def ivf_drift(t: LakehouseTable) -> float:
     return added / base_rows
 
 
+DELTA_COMPACT_TAIL = 64  # default add-path tail-compaction backstop
+
+
+def _compact_delta_tail(
+    spark: SparkSession,
+    t: LakehouseTable,
+    n_cells: int,
+    compact_tail_after: int | None,
+) -> None:
+    """Tail-compaction backstop inside the add path (review r14): delta
+    adds write cell-RANGE files whose spans cover most cells, so a
+    probe reads the whole uncompacted tail — sound only while the tail
+    is BOUNDED. Ingest configs bound it with their own policy, but a
+    standalone ``ivf_add``/``ivfpq_add`` caller (or an ingest spec with
+    compaction unconfigured) had nothing enforcing the bound: with the
+    default threshold, once the unclustered tail reaches
+    ``compact_tail_after`` files the add first folds it into a
+    one-file-per-cell run (tail-only — prior runs ride by reference),
+    so probe I/O stays <= max_runs x probed cells + the bounded tail
+    for every caller. Pass ``compact_tail_after=None`` to disable
+    (the ingest loop does, when its own spec-level policy is active)."""
+    if compact_tail_after is None:
+        return
+    if (
+        t.unclustered_file_count(cluster_by=["cell"])
+        >= compact_tail_after
+    ):
+        t.compact(
+            spark,
+            cluster_by=["cell"],
+            cluster_partitions=int(n_cells),
+            tail_only=True,
+        )
+
+
 def ivf_add(
     spark: SparkSession,
     t: LakehouseTable,
@@ -350,6 +385,7 @@ def ivf_add(
     recluster_threshold: float = 0.5,
     recluster: str = "inline",
     src_version: int | None = None,
+    compact_tail_after: int | None = DELTA_COMPACT_TAIL,
     **append_kw,
 ) -> int | None:
     """Incremental index maintenance (the FAISS ``add`` split, VERDICT
@@ -390,6 +426,7 @@ def ivf_add(
     centroids, n_cells = load_ivf_centroids(t)
     import numpy as np
 
+    _compact_delta_tail(spark, t, n_cells, compact_tail_after)
     b_cent = spark.sparkContext.broadcast(
         np.asarray(centroids, dtype=np.float64)
     )
@@ -474,11 +511,16 @@ def ivf_delete(
     else:
         kdf = keys.select("vec_id")
     n_del = kdf.count()  # bounded: the delete key set, never the corpus
-    tomb = (
-        kdf.withColumn("embedding", F.lit(None).cast("array<float>"))
-        .withColumn("cell", F.lit(None).cast("int"))
-        .withColumn("_del", F.lit(True))
-    )
+    # tombstone columns come from the TABLE's schema (review r14: a
+    # hardcoded (embedding, cell) shape broke on the codes-only IVF-PQ
+    # layout, whose files carry c0..c{m-1} instead of embeddings)
+    tomb = kdf
+    for fld in t.schema().fields:
+        if fld.name != "vec_id":
+            tomb = tomb.withColumn(
+                fld.name, F.lit(None).cast(fld.dataType)
+            )
+    tomb = tomb.withColumn("_del", F.lit(True))
     cum = _deleted_since_build(t) + int(n_del)
     version = t.merge(
         spark,
@@ -501,8 +543,13 @@ def ivf_delete(
         ivf = None
         for s in reversed(t.snapshots()):
             ivf = s.extra.get("ivf")
-            if ivf:
+            if ivf or s.extra.get("ivfpq"):
                 break
+        if ivf is None:
+            # codes-only IVF-PQ index: no floats to refit from — drift
+            # stays pending and observable; rebuild_if_drifted (which
+            # has the source binding) is the refit path
+            return version
         corpus = t.read(spark).select("vec_id", "embedding")
         _write_ivf(
             spark,
@@ -697,13 +744,6 @@ def build_ivfpq_index(
     )
     codes = _pq_encode_codes(spark, em, centroids, books, m)
     t = catalog.get_or_create_table(name, codes.schema, namespace)
-    meta_extra: dict = {}
-    if source is not None:
-        meta_extra["source"] = source
-    if source_version is not None:
-        meta_extra["source_version"] = int(source_version)
-    if recluster_threshold is not None:
-        meta_extra["recluster_threshold"] = float(recluster_threshold)
     t.overwrite(
         _cell_clustered(spark, codes, n_cells),
         writer_id=writer_id,
@@ -711,7 +751,7 @@ def build_ivfpq_index(
         extra=_ivf_build_extra(
             "ivfpq",
             _ivfpq_meta_dict(centroids, books, m, k_codes, n_cells, seed),
-            meta_extra,
+            _index_meta_extra(source, source_version, recluster_threshold),
         ),
     )
     return t
@@ -722,6 +762,7 @@ def ivfpq_add(
     t: LakehouseTable,
     new_em: DataFrame,
     src_version: int | None = None,
+    compact_tail_after: int | None = DELTA_COMPACT_TAIL,
     **append_kw,
 ) -> int | None:
     """Incremental IVF-PQ maintenance (the FAISS ``add`` split for the
@@ -738,7 +779,8 @@ def ivfpq_add(
     concurrent adds its corpus read covered. ``append_kw``
     (writer_id/batch_id) makes a replayed ingest micro-batch an
     idempotent no-op."""
-    centroids, books, m, _n_cells = load_ivfpq_meta(t)
+    centroids, books, m, n_cells = load_ivfpq_meta(t)
+    _compact_delta_tail(spark, t, n_cells, compact_tail_after)
     codes = _pq_encode_codes(spark, new_em, centroids, books, m)
     clustered = _cell_range_clustered(codes)
     marker = (
@@ -834,12 +876,33 @@ def rebuild_pending(t: LakehouseTable, threshold: float | None = None) -> bool:
     observable and a rebuild landing leaves this True, which is the
     re-triggerability contract (VERDICT r13 #1 done-criterion)."""
     _kind, meta = latest_build_meta(t)
-    thr = (
-        float(threshold)
-        if threshold is not None
-        else float(meta.get("recluster_threshold", 0.5))
-    )
-    return ivf_drift(t) > thr
+    return ivf_drift(t) > _resolve_threshold(meta, threshold)
+
+
+def _resolve_threshold(meta: dict, threshold: float | None) -> float:
+    """Effective drift threshold: the caller's explicit value, else the
+    one stamped at build time, else 0.5 — ONE copy of the rule shared
+    by ``rebuild_pending`` and ``rebuild_if_drifted`` (review r14)."""
+    if threshold is not None:
+        return float(threshold)
+    return float(meta.get("recluster_threshold", 0.5))
+
+
+def _index_meta_extra(
+    source: dict | None,
+    source_version: int | None,
+    recluster_threshold: float | None,
+) -> dict:
+    """Assemble the optional maintenance-bookkeeping keys one way
+    (review r14: this dict was hand-built in three places)."""
+    out: dict = {}
+    if source:
+        out["source"] = dict(source)
+    if source_version is not None:
+        out["source_version"] = int(source_version)
+    if recluster_threshold is not None:
+        out["recluster_threshold"] = float(recluster_threshold)
+    return out
 
 
 _REBUILD_MAX_PASSES = 50
@@ -884,11 +947,23 @@ def rebuild_if_drifted(
        another add landed in the tiny metadata window — loop back to
        step 2, repair just that delta, retry. Unlike re-running the
        whole build per conflict, the bounded-delta retry terminates
-       even when micro-batches land faster than a corpus encode.
-    4. MoR deletes that landed mid-rebuild are re-applied after
-       publish (their key files are read back; bounded by the delete
-       set). Searchers keep the old index throughout — snapshot
-       isolation — and the landed build rebases drift to ~0.
+       even when micro-batches land faster than a corpus encode. The
+       repairs' files are NOT declared part of the build's sorted run
+       (they are range- not point-clustered on cell), so the next
+       tail compaction re-clusters them (review r14).
+    4. MoR deletes ride IN the publish commit (review r14: a
+       post-publish re-apply left a crash window that permanently
+       resurrected deleted vectors, and could not work on a codes
+       table at all): every delete entry that landed after ``b0`` —
+       equality AND predicate form, even if a mid-rebuild compaction
+       already folded it into files this replace discards — plus the
+       entries still pending AT ``b0`` (whose rows an IVF-PQ source
+       re-read would otherwise resurrect) is carried in the replace's
+       ``deletes`` extra, with the new files' ``file_seq`` pinned to 0
+       so every carried entry stays in scope; they apply at scan
+       exactly as before and fold away at the next compaction.
+       Searchers keep the old index throughout — snapshot isolation —
+       and the landed build rebases drift to ~0.
 
     Returns the committed version, or None when drift is at-or-below
     the threshold (pass ``force=True`` to rebuild regardless).
@@ -905,11 +980,7 @@ def rebuild_if_drifted(
     from crest_spark.lakehouse.table import CommitConflict
 
     kind, meta = latest_build_meta(t)
-    thr = (
-        float(threshold)
-        if threshold is not None
-        else float(meta.get("recluster_threshold", 0.5))
-    )
+    thr = _resolve_threshold(meta, threshold)
     if not force and ivf_drift(t) <= thr:
         return None
     seed = int(meta.get("seed", IVF_SEED)) + 1
@@ -976,19 +1047,31 @@ def rebuild_if_drifted(
         )
     prepared = [t._prepare_replace(clustered)]
 
-    # ---- steps 2+3: bounded-delta repair + conditional publish
+    # ---- steps 2+3: bounded-delta repair + conditional publish.
+    # Delete entries still pending AT b0 are carried into the publish:
+    # harmless for flat IVF (the b0 corpus read already applied them,
+    # and new files' seq-0 anti-joins no-op on absent keys) and
+    # REQUIRED for IVF-PQ (the source re-read resurrects their rows).
+    carried_deletes: list[dict] = [
+        dict(e) for e in t.pending_deletes(version=b0)
+    ]
     repaired: set[int] = set()
-    delete_paths: list[str] = []
     seen_deletes: set[int] = set()
     version: int | None = None
     for _ in range(_REBUILD_MAX_PASSES):
         head = t.version()
         tail = [s for s in t.snapshots() if s.version > b0]
         for s in tail:
-            if "ivf_delete" in s.extra and s.version not in seen_deletes:
+            # EVERY delete entry recorded after b0 joins the carry —
+            # equality (ivf_delete) and predicate (delete(mode='mor'))
+            # alike, collected from the recording commit itself so a
+            # mid-rebuild compaction that folded it into files this
+            # replace discards cannot lose it (review r14)
+            if s.version not in seen_deletes:
                 seen_deletes.add(s.version)
-                for e in s.extra.get("deletes") or []:
-                    delete_paths.extend(e.get("paths", []))
+                carried_deletes.extend(
+                    dict(e) for e in s.extra.get("deletes") or []
+                )
         pend = [
             s
             for s in tail
@@ -1007,13 +1090,16 @@ def rebuild_if_drifted(
                     delta = spark.read.parquet(*add_files).select(
                         "vec_id", "embedding"
                     )
-                    prepared.append(
-                        t._prepare_replace(
-                            _cell_range_clustered(
-                                _assign_cells(delta, b_cent)
-                            )
+                    rep = t._prepare_replace(
+                        _cell_range_clustered(
+                            _assign_cells(delta, b_cent)
                         )
                     )
+                    # range- not point-clustered: must stay OUT of the
+                    # declared run so the next tail compaction
+                    # re-clusters it (review r14)
+                    rep["cluster_run_member"] = False
+                    prepared.append(rep)
             else:
                 need: set[int] = set()
                 unknown: set[int] = set()
@@ -1054,20 +1140,30 @@ def rebuild_if_drifted(
                         F.col(icol).alias("vec_id"),
                         F.col(vcol).alias("embedding"),
                     )
-                    prepared.append(
-                        t._prepare_replace(
-                            _cell_range_clustered(
-                                _pq_encode_codes(
-                                    spark, delta, centroids, books, m
-                                )
+                    rep = t._prepare_replace(
+                        _cell_range_clustered(
+                            _pq_encode_codes(
+                                spark, delta, centroids, books, m
                             )
                         )
                     )
+                    rep["cluster_run_member"] = False
+                    prepared.append(rep)
             continue  # re-list the head: more adds may have landed
+        extra = _ivf_build_extra(kind, new_meta, meta_extra)
+        if carried_deletes:
+            # atomic carry (review r14): the entries land ON the
+            # publish commit; file_seq=0 puts every new file in every
+            # carried entry's scope, so the deletes keep applying at
+            # scan with no post-publish window and no second commit
+            extra["deletes"] = carried_deletes
+            extra["file_seq"] = {
+                f: 0 for p in prepared for f in p["files"]
+            }
         try:
             version = t._commit_prepared_replace(
                 prepared,
-                extra=_ivf_build_extra(kind, new_meta, meta_extra),
+                extra=extra,
                 expected_version=head,
             )
             break
@@ -1078,16 +1174,6 @@ def rebuild_if_drifted(
             f"index rebuild of {t.namespace}.{t.name} could not win "
             f"the publish race in {_REBUILD_MAX_PASSES} passes"
         )
-    # ---- step 4: re-apply deletes that landed while we were building
-    live_paths = [p for p in delete_paths if os.path.exists(p)]
-    if live_paths:
-        keys = (
-            spark.read.parquet(*live_paths).select("vec_id").distinct()
-        )
-        ivf_delete(
-            spark, t, keys, recluster_threshold=float("inf")
-        )
-        version = t.version()
     return version
 
 

@@ -614,8 +614,18 @@ class IngestionService:
         """The version at which a (writer, batch) originally committed
         — walked from the head (replays are recent by construction).
         None when the commit folded behind an expiry boundary; the
-        coverage rules then fall back to the current head, which can
-        only SKIP less (never double-add)."""
+        skip rule then falls back to the table's OLDEST retained
+        version: the folded commit is provably older, so a build whose
+        source_version reaches the fold boundary provably covers it
+        (skip is exact). A build older than the boundary itself leaves
+        the ordering unrecoverable — the rule then ADDS, which risks a
+        duplicate only in the triple race (crash between source append
+        and index add) + (expiry folding that seconds-old commit) +
+        (a staged rebuild ALSO older than the fold boundary); with any
+        sane retention the rebuild is newer than the horizon and the
+        fallback decides exactly (review r14 — the previous head
+        fallback got the common case wrong in the double-add
+        direction)."""
         for s in reversed(table.snapshots()):
             if s.writer_id == writer_id and s.batch_id == batch_id:
                 return s.version
@@ -914,10 +924,14 @@ class IngestionService:
                         bsv = latest_build_meta(t)[1].get(
                             "source_version"
                         )
+                        # unknown vintage (commit folded behind an
+                        # expiry boundary): the fold boundary is an
+                        # upper bound on it — see
+                        # _replayed_batch_version's docstring
                         ref = (
                             src_version
                             if src_version is not None
-                            else table.version()
+                            else table.versions()[0]
                         )
                         if bsv is not None and int(bsv) >= int(ref):
                             continue
@@ -926,6 +940,11 @@ class IngestionService:
                         batch_id=batch_id,
                         src_version=src_version,
                     )
+                    if ivf_after is not None:
+                        # the spec-level policy above owns compaction;
+                        # suppress the add's own backstop so one
+                        # threshold governs the tail (review r14)
+                        add_kw["compact_tail_after"] = None
                     if kind == "ivf":
                         add_kw["recluster"] = "defer"
                     add(spark, t, new_em, **add_kw)

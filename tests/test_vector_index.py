@@ -992,3 +992,175 @@ def test_staged_rebuild_ivfpq_from_source_binding(spark, sf_dir, tmp_path):
         spark, t, src.read(spark), em.where(F.col("vec_id") < 3), k=3
     )
     assert res.count() > 0
+
+
+def test_staged_rebuild_carries_midflight_delete_atomically(
+    spark, fresh_index
+):
+    """Review r14: an ivf_delete landing between the rebuild's corpus
+    read and its publish must ride IN the publish commit — the deleted
+    keys stay invisible with NO post-publish window and NO second
+    commit, and the carried entries fold away at the next compaction."""
+    from crest_spark.operators.vector_index import (
+        ivf_add,
+        ivf_delete,
+        load_ivfpq_meta,
+        rebuild_if_drifted,
+    )
+
+    t, em = fresh_index
+    big = em.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    ivf_add(spark, t, big, recluster="defer")
+    victim = [2_000_000, 2_000_001]
+
+    orig = t._commit_prepared_replace
+    hits = {"n": 0}
+
+    def hooked(prepared, **kw):
+        if hits["n"] == 0:
+            hits["n"] += 1
+            ivf_delete(
+                spark, t, victim, recluster_threshold=float("inf")
+            )
+        return orig(prepared, **kw)
+
+    t._commit_prepared_replace = hooked
+    try:
+        v = rebuild_if_drifted(spark, t)
+    finally:
+        del t._commit_prepared_replace
+    assert v is not None
+    assert t.version() == v  # publish is the LAST commit: atomic carry
+    got = {r[0] for r in t.read(spark).select("vec_id").collect()}
+    assert not (set(victim) & got)  # deleted keys stay gone
+    assert t.pending_deletes()  # carried as pending MoR entries
+    # the next tail compaction folds the carried entries into files
+    _cent, n_cells = load_ivf_centroids(t)
+    t.compact(
+        spark,
+        cluster_by=["cell"],
+        cluster_partitions=int(n_cells),
+        tail_only=True,
+    )
+    assert not t.pending_deletes()
+    got2 = {r[0] for r in t.read(spark).select("vec_id").collect()}
+    assert got2 == got
+
+
+def test_staged_rebuild_repair_files_stay_out_of_run(spark, fresh_index):
+    """Review r14: the repair deltas are range- (not point-) clustered
+    on cell, so they must NOT join the build's declared sorted run —
+    a run member is never re-clustered by tail-only compaction. After
+    a repaired rebuild the repair files are tail; one tail compaction
+    restores the all-files-single-cell layout."""
+    from crest_spark.operators.vector_index import (
+        ivf_add,
+        rebuild_if_drifted,
+    )
+
+    t, em = fresh_index
+    big = em.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    ivf_add(spark, t, big, recluster="defer")
+
+    orig = t._commit_prepared_replace
+    hits = {"n": 0}
+
+    def hooked(prepared, **kw):
+        if hits["n"] == 0:
+            hits["n"] += 1
+            ivf_add(spark, t, _delta(em, 3_000_000, n=7), recluster="defer")
+        return orig(prepared, **kw)
+
+    t._commit_prepared_replace = hooked
+    try:
+        assert rebuild_if_drifted(spark, t) is not None
+    finally:
+        del t._commit_prepared_replace
+    # repair files are tail (outside the run), run files all single-cell
+    tail = t.unclustered_file_count(cluster_by=["cell"])
+    assert tail > 0
+    state = t._state()
+    run_files = {f for r in t.cluster_runs() for f in r["files"]}
+    for f in run_files:
+        lo, hi = state["stats"][f]["cell"]
+        assert lo == hi
+    _cent, n_cells = load_ivf_centroids(t)
+    t.compact(
+        spark,
+        cluster_by=["cell"],
+        cluster_partitions=int(n_cells),
+        tail_only=True,
+    )
+    assert t.unclustered_file_count(cluster_by=["cell"]) == 0
+    state = t._state()
+    for f in state["files"]:
+        lo, hi = state["stats"][f]["cell"]
+        assert lo == hi  # layout fully restored
+    n = t.read(spark)
+    assert n.count() == n.select("vec_id").distinct().count()
+
+
+def test_add_backstop_bounds_uncompacted_tail(spark, fresh_index):
+    """Review r14: range-clustered delta files make probes read the
+    whole uncompacted tail, so the tail must be BOUNDED for every
+    caller — standalone adds (no ingest policy) self-compact past
+    compact_tail_after, keeping file count and probe I/O bounded."""
+    from crest_spark.operators.vector_index import ivf_add
+
+    t, em = fresh_index
+    for i in range(5):
+        ivf_add(
+            spark,
+            t,
+            _delta(em, (i + 1) * 1_000_000, n=10),
+            recluster="defer",
+            compact_tail_after=2,
+        )
+    # the backstop fired: tail stays under threshold + one new add
+    assert t.unclustered_file_count(cluster_by=["cell"]) <= 2
+    assert any(s.operation == "replace" for s in t.snapshots()[1:])
+    out = t.read(spark)
+    assert out.count() == em.count() + 50
+    assert out.select("vec_id").distinct().count() == out.count()
+    queries = em.where(F.col("vec_id") < 3)
+    assert ivf_index_search(spark, t, queries, k=3).count() == 9
+
+
+def test_ivf_delete_works_on_codes_table(spark, sf_dir, tmp_path):
+    """Review r14: ivf_delete's tombstone hardcoded the flat layout's
+    (embedding, cell) columns and broke on the codes-only IVF-PQ
+    schema; it now derives the tombstone from the table's own schema,
+    and drift from the delete stays pending (no inline refit — codes
+    hold no floats) for rebuild_if_drifted."""
+    from crest_spark.operators.vector_index import (
+        build_ivfpq_index,
+        ivf_delete,
+        ivf_drift,
+        ivfpq_search,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    t = build_ivfpq_index(spark, em, cat, name="pq_del")
+    before = t.version()
+    ivf_delete(spark, t, [7, 8], recluster_threshold=1e9)
+    got = {r[0] for r in t.read(spark).select("vec_id").collect()}
+    assert 7 not in got and 8 not in got
+    assert ivf_drift(t) > 0
+    # a threshold-crossing delete must NOT attempt a codes-only refit
+    ivf_delete(spark, t, [9], recluster_threshold=0.0)
+    assert 9 not in {
+        r[0] for r in t.read(spark).select("vec_id").collect()
+    }
+    assert t.version() > before
+    res = ivfpq_search(
+        spark, t, em, em.where(F.col("vec_id") < 2), k=3
+    )
+    assert res.count() > 0
+    assert not {
+        r["vec_id"] for r in res.collect()
+    } & {7, 8, 9}
