@@ -905,6 +905,62 @@ def _index_meta_extra(
     return out
 
 
+def _apply_index_deletes_to_source(
+    spark: SparkSession,
+    t: LakehouseTable,
+    em: DataFrame,
+    upto: int,
+    src_label: str,
+) -> DataFrame:
+    """Apply the index's PENDING MoR delete entries at ``upto`` to a
+    source-table re-read (the IVF-PQ rebuild path): equality entries
+    anti-join their recorded key files; predicate entries apply when
+    they constrain ``vec_id`` alone (the realistic index-delete
+    shape). A predicate on index-internal columns (e.g. ``cell``)
+    cannot be translated to source rows — and cell assignments change
+    with the new centroids anyway — so the rebuild refuses loudly:
+    compact the index first (folding the deletes), then rebuild."""
+    import os
+
+    eq_paths: list[str] = []
+    for e in t.pending_deletes(version=upto):
+        pred = e.get("pred")
+        if pred is not None:
+            if not set(pred) <= {"vec_id"}:
+                raise ValueError(
+                    f"{src_label}: a pending predicate delete on "
+                    f"columns {sorted(pred)} cannot be applied to the "
+                    "source re-read — run compact() on the index to "
+                    "fold pending deletes, then rebuild"
+                )
+            lo, hi = pred.get("vec_id", (None, None))
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("vec_id") >= lo)
+            if hi is not None:
+                cond = cond & (F.col("vec_id") <= hi)
+            em = em.where(~cond)
+        else:
+            if list(e.get("keys") or []) != ["vec_id"]:
+                raise ValueError(
+                    f"{src_label}: a pending equality delete keyed by "
+                    f"{e.get('keys')} cannot be applied to the source "
+                    "re-read — run compact() on the index first"
+                )
+            eq_paths.extend(
+                p for p in e.get("paths", []) if os.path.exists(p)
+            )
+    if eq_paths:
+        # no broadcast hint: AQE promotes the (typically tiny) key set
+        # itself, and a backfill-scale delete must not ride executor
+        # memory (same policy as _apply_pending_deletes)
+        keys = (
+            spark.read.parquet(*eq_paths).select("vec_id").distinct()
+        )
+        em = em.join(keys, "vec_id", "left_anti")
+    return em
+
+
 _REBUILD_MAX_PASSES = 50
 
 
@@ -956,14 +1012,16 @@ def rebuild_if_drifted(
        resurrected deleted vectors, and could not work on a codes
        table at all): every delete entry that landed after ``b0`` —
        equality AND predicate form, even if a mid-rebuild compaction
-       already folded it into files this replace discards — plus the
-       entries still pending AT ``b0`` (whose rows an IVF-PQ source
-       re-read would otherwise resurrect) is carried in the replace's
-       ``deletes`` extra, with the new files' ``file_seq`` pinned to 0
-       so every carried entry stays in scope; they apply at scan
-       exactly as before and fold away at the next compaction.
-       Searchers keep the old index throughout — snapshot isolation —
-       and the landed build rebases drift to ~0.
+       already folded it into files this replace discards — is
+       carried in the replace's ``deletes`` extra with exact scoping
+       (build files stamp ``file_seq=b0``, each repair its add
+       commit's version), so a delete applies to the corpus and to
+       earlier adds but never to a row re-added after it. Entries
+       still pending AT ``b0`` need no carry: the flat corpus read
+       applies them at scan, and the IVF-PQ source re-read applies
+       them explicitly (``_apply_index_deletes_to_source``) before
+       encoding. Searchers keep the old index throughout — snapshot
+       isolation — and the landed build rebases drift to ~0.
 
     Returns the committed version, or None when drift is at-or-below
     the threshold (pass ``force=True`` to rebuild regardless).
@@ -1007,6 +1065,14 @@ def rebuild_if_drifted(
         em = src_t.read(spark, version=s0).select(
             F.col(icol).alias("vec_id"), F.col(vcol).alias("embedding")
         )
+        # deletes still PENDING on the index at b0 must be applied to
+        # the source re-read explicitly (review r14): a flat corpus
+        # read resolves them via the MoR scan, but the source table
+        # never saw them — without this, genuinely deleted vectors
+        # resurrect through the rebuild
+        em = _apply_index_deletes_to_source(
+            spark, t, em, b0, src_label=f"{t.namespace}.{t.name}"
+        )
         meta_extra["source_version"] = int(s0)
         if binding:
             meta_extra["source"] = binding
@@ -1048,13 +1114,15 @@ def rebuild_if_drifted(
     prepared = [t._prepare_replace(clustered)]
 
     # ---- steps 2+3: bounded-delta repair + conditional publish.
-    # Delete entries still pending AT b0 are carried into the publish:
-    # harmless for flat IVF (the b0 corpus read already applied them,
-    # and new files' seq-0 anti-joins no-op on absent keys) and
-    # REQUIRED for IVF-PQ (the source re-read resurrects their rows).
-    carried_deletes: list[dict] = [
-        dict(e) for e in t.pending_deletes(version=b0)
-    ]
+    # Carried deletes are the entries recorded AFTER b0 (pending-at-b0
+    # entries were already resolved: the flat corpus read applies them
+    # at scan, the IVF-PQ source re-read applied them above). Scoping
+    # is preserved exactly: build files stamp file_seq=b0 and each
+    # repair stamps its add commit's version, so a carried entry at
+    # seq T applies to the build corpus and to repairs of adds <= T,
+    # but NOT to a row re-ADDED after the delete (review r14 — a
+    # uniform seq-0 stamp would have killed such re-adds).
+    carried_deletes: list[dict] = []
     repaired: set[int] = set()
     seen_deletes: set[int] = set()
     version: int | None = None
@@ -1079,15 +1147,15 @@ def rebuild_if_drifted(
         ]
         if pend:
             repaired.update(s.version for s in pend)
-            if kind == "ivf":
-                add_files = [
-                    f
-                    for s in pend
-                    for f in s.files
-                    if os.path.exists(f)
-                ]
-                if add_files:
-                    delta = spark.read.parquet(*add_files).select(
+            # one repair per ADD COMMIT: each prepared set carries its
+            # own file_seq stamp, which is what keeps the carried
+            # deletes' scoping exact (see above)
+            for s in pend:
+                fls = [f for f in s.files if os.path.exists(f)]
+                if not fls:
+                    continue
+                if kind == "ivf":
+                    delta = spark.read.parquet(*fls).select(
                         "vec_id", "embedding"
                     )
                     rep = t._prepare_replace(
@@ -1095,18 +1163,7 @@ def rebuild_if_drifted(
                             _assign_cells(delta, b_cent)
                         )
                     )
-                    # range- not point-clustered: must stay OUT of the
-                    # declared run so the next tail compaction
-                    # re-clusters it (review r14)
-                    rep["cluster_run_member"] = False
-                    prepared.append(rep)
-            else:
-                need: set[int] = set()
-                unknown: set[int] = set()
-                for s in pend:
-                    fls = [f for f in s.files if os.path.exists(f)]
-                    if not fls:
-                        continue
+                else:
                     sv = (s.extra.get("ivf_add") or {}).get("src_v")
                     if sv is not None and int(sv) <= s0:
                         continue  # covered by the s0 source read
@@ -1117,25 +1174,26 @@ def rebuild_if_drifted(
                         .distinct()
                         .collect()
                     }
-                    (need if sv is not None else unknown).update(ids)
-                if unknown:
-                    # legacy adds without a src_v stamp: exact coverage
-                    # check — ids present in the source at s0 were in
-                    # the build's corpus read (ids are append-once)
-                    at_s0 = {
-                        r[0]
-                        for r in src_t.scan(
-                            spark,
-                            {icol: sorted(unknown)},
-                            version=s0,
-                        )
-                        .select(icol)
-                        .collect()
-                    }
-                    need.update(unknown - at_s0)
-                if need:
+                    if sv is None and ids:
+                        # legacy add without a src_v stamp: exact
+                        # coverage check — ids present in the source
+                        # at s0 were in the build's corpus read (ids
+                        # are append-once)
+                        at_s0 = {
+                            r[0]
+                            for r in src_t.scan(
+                                spark,
+                                {icol: sorted(ids)},
+                                version=s0,
+                            )
+                            .select(icol)
+                            .collect()
+                        }
+                        ids -= at_s0
+                    if not ids:
+                        continue
                     delta = src_t.scan(
-                        spark, {icol: sorted(need)}
+                        spark, {icol: sorted(ids)}
                     ).select(
                         F.col(icol).alias("vec_id"),
                         F.col(vcol).alias("embedding"),
@@ -1147,18 +1205,24 @@ def rebuild_if_drifted(
                             )
                         )
                     )
-                    rep["cluster_run_member"] = False
-                    prepared.append(rep)
+                # range- not point-clustered: must stay OUT of the
+                # declared run so the next tail compaction re-clusters
+                # it (review r14)
+                rep["cluster_run_member"] = False
+                rep["file_seq_stamp"] = int(s.version)
+                prepared.append(rep)
             continue  # re-list the head: more adds may have landed
         extra = _ivf_build_extra(kind, new_meta, meta_extra)
         if carried_deletes:
             # atomic carry (review r14): the entries land ON the
-            # publish commit; file_seq=0 puts every new file in every
-            # carried entry's scope, so the deletes keep applying at
-            # scan with no post-publish window and no second commit
+            # publish commit with the per-set seq stamps above, so the
+            # deletes keep applying at scan — correctly scoped — with
+            # no post-publish window and no second commit
             extra["deletes"] = carried_deletes
             extra["file_seq"] = {
-                f: 0 for p in prepared for f in p["files"]
+                f: int(p.get("file_seq_stamp", b0))
+                for p in prepared
+                for f in p["files"]
             }
         try:
             version = t._commit_prepared_replace(

@@ -1024,6 +1024,15 @@ def test_staged_rebuild_carries_midflight_delete_atomically(
             ivf_delete(
                 spark, t, victim, recluster_threshold=float("inf")
             )
+            # ...and victim[0] is RE-ADDED after the delete: the
+            # carried entry's seq scoping must spare the re-add
+            # (review r14: a uniform seq-0 stamp killed it)
+            ivf_add(
+                spark,
+                t,
+                big.where(F.col("vec_id") == victim[0]),
+                recluster="defer",
+            )
         return orig(prepared, **kw)
 
     t._commit_prepared_replace = hooked
@@ -1033,8 +1042,11 @@ def test_staged_rebuild_carries_midflight_delete_atomically(
         del t._commit_prepared_replace
     assert v is not None
     assert t.version() == v  # publish is the LAST commit: atomic carry
-    got = {r[0] for r in t.read(spark).select("vec_id").collect()}
-    assert not (set(victim) & got)  # deleted keys stay gone
+    rows = t.read(spark).select("vec_id").collect()
+    got = {r[0] for r in rows}
+    assert victim[1] not in got  # deleted, never re-added: gone
+    assert victim[0] in got  # re-added AFTER the delete: survives
+    assert len(rows) == len(got)  # and exactly once
     assert t.pending_deletes()  # carried as pending MoR entries
     # the next tail compaction folds the carried entries into files
     _cent, n_cells = load_ivf_centroids(t)
@@ -1164,3 +1176,53 @@ def test_ivf_delete_works_on_codes_table(spark, sf_dir, tmp_path):
     assert not {
         r["vec_id"] for r in res.collect()
     } & {7, 8, 9}
+
+
+def test_ivfpq_rebuild_does_not_resurrect_pending_deletes(
+    spark, sf_dir, tmp_path
+):
+    """Review r14: deletes PENDING on the IVF-PQ index at rebuild time
+    are invisible to the source table — the rebuild's source re-read
+    must apply them explicitly or the deleted vectors come back. A
+    pending predicate delete on an index-internal column (cell) cannot
+    be translated and must refuse loudly instead of resurrecting."""
+    import pytest as _pt
+
+    from crest_spark.operators.vector_index import (
+        build_ivfpq_index,
+        ivf_delete,
+        rebuild_if_drifted,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cat = LakehouseCatalog(str(tmp_path / "wh"))
+    src = cat.get_or_create_table("emb_src2", em.schema)
+    src.append(em)
+    t = build_ivfpq_index(
+        spark,
+        src.read(spark),
+        cat,
+        name="pq_nores",
+        source={
+            "namespace": "default",
+            "table": "emb_src2",
+            "id_col": "vec_id",
+            "vec_col": "embedding",
+        },
+        source_version=src.version(),
+        recluster_threshold=0.4,
+    )
+    ivf_delete(spark, t, [11, 12], recluster_threshold=1e9)
+    assert t.pending_deletes()
+    v = rebuild_if_drifted(spark, t, catalog=cat, force=True)
+    assert v is not None
+    got = {r[0] for r in t.read(spark).select("vec_id").collect()}
+    assert 11 not in got and 12 not in got  # NOT resurrected
+    assert got == {
+        r[0] for r in em.select("vec_id").collect()
+    } - {11, 12}
+    assert not t.pending_deletes()  # resolved, not carried
+    # an untranslatable pending predicate delete refuses loudly
+    t.delete(spark, {"cell": (0, 0)}, mode="mor")
+    with _pt.raises(ValueError, match="compact"):
+        rebuild_if_drifted(spark, t, catalog=cat, force=True)
