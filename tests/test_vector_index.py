@@ -1226,3 +1226,123 @@ def test_ivfpq_rebuild_does_not_resurrect_pending_deletes(
     t.delete(spark, {"cell": (0, 0)}, mode="mor")
     with _pt.raises(ValueError, match="compact"):
         rebuild_if_drifted(spark, t, catalog=cat, force=True)
+
+
+def test_index_lifecycle_model_fuzz(spark, sf_dir, tmp_path):
+    """Model-based randomized lifecycle for the r14 staged-maintenance
+    protocol: a scripted random mix of deferred adds, re-adds of
+    deleted ids, MoR deletes, and forced staged rebuilds — each
+    rebuild with a 50% chance of a random op INJECTED into its publish
+    window (repair/carry path). After EVERY op the live vec_id set
+    must equal the driver-side model with no duplicates: adds land
+    exactly once, deletes stay deleted through rebuilds, re-adds
+    survive carried deletes, repairs never double-encode."""
+    import random
+
+    from crest_spark.operators.vector_index import (
+        build_ivf_index,
+        ivf_add,
+        ivf_delete,
+        rebuild_if_drifted,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    vecs = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in em.where(F.col("vec_id") < 60).collect()
+    ]
+
+    def delta_df(ids):
+        rows = [
+            (int(i), vecs[k % len(vecs)][1]) for k, i in enumerate(ids)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    for seed in (7, 21):
+        rng = random.Random(seed)
+        cat = LakehouseCatalog(str(tmp_path / f"wh{seed}"))
+        t = build_ivf_index(
+            spark,
+            delta_df(range(100)),
+            cat,
+            name=f"fuzz_idx_{seed}",
+            recluster_threshold=0.5,
+        )
+        model = set(range(100))
+        deleted: set = set()
+        next_id = 1000
+
+        def rand_op(inside_rebuild=False):
+            nonlocal next_id
+            kind_choices = ["add", "delete"]
+            if deleted:
+                kind_choices.append("readd")
+            op = rng.choice(kind_choices)
+            if op == "add":
+                ids = list(range(next_id, next_id + rng.randint(3, 12)))
+                next_id += len(ids)
+                ivf_add(
+                    spark,
+                    t,
+                    delta_df(ids),
+                    recluster="defer",
+                    compact_tail_after=3,
+                )
+                model.update(ids)
+            elif op == "readd":
+                ids = rng.sample(sorted(deleted), min(3, len(deleted)))
+                ivf_add(
+                    spark,
+                    t,
+                    delta_df(ids),
+                    recluster="defer",
+                    compact_tail_after=3,
+                )
+                model.update(ids)
+                deleted.difference_update(ids)
+            else:
+                ids = rng.sample(sorted(model), min(rng.randint(1, 6), len(model)))
+                ivf_delete(
+                    spark, t, ids, recluster_threshold=float("inf")
+                )
+                model.difference_update(ids)
+                deleted.update(ids)
+
+        for step in range(10):
+            if rng.random() < 0.3:
+                # forced staged rebuild, maybe with a publish-window op
+                if rng.random() < 0.5:
+                    orig = t._commit_prepared_replace
+                    hit = {"n": 0}
+
+                    def hooked(prepared, **kw):
+                        if hit["n"] == 0:
+                            hit["n"] += 1
+                            rand_op(inside_rebuild=True)
+                        return orig(prepared, **kw)
+
+                    t._commit_prepared_replace = hooked
+                    try:
+                        assert (
+                            rebuild_if_drifted(spark, t, force=True)
+                            is not None
+                        )
+                    finally:
+                        del t._commit_prepared_replace
+                else:
+                    assert (
+                        rebuild_if_drifted(spark, t, force=True)
+                        is not None
+                    )
+            else:
+                rand_op()
+            rows = t.read(spark).select("vec_id").collect()
+            got = [r[0] for r in rows]
+            assert len(got) == len(set(got)), (seed, step, "duplicates")
+            assert set(got) == model, (
+                seed,
+                step,
+                sorted(set(got) ^ model)[:10],
+            )
