@@ -236,6 +236,14 @@ def load_config(path: str) -> EngineConfig:
             if "zorderBy" in compaction
             else None
         ),
+        compact_max_runs=int(compaction.get("maxRuns", 4)),
+        # maintenance.rebuildIntervalSeconds: in-process drift-rebuild
+        # sweeps (r14); absent = rebuilds via `cli maintain` only
+        index_rebuild_interval=(
+            float(raw["maintenance"]["rebuildIntervalSeconds"])
+            if "rebuildIntervalSeconds" in raw.get("maintenance", {})
+            else None
+        ),
     )
     m = raw.get("metrics", {})
     metrics = MetricsConfig(

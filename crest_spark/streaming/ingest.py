@@ -263,6 +263,17 @@ class IngestConfig:
     # via its 500 ms repoll (ingestor.go:131-152); a bounded wait keeps
     # misconfigured locations from hanging startup forever.
     flight_start_timeout: float = 10.0
+    # Self-maintained drift rebuilds (r14): when set, start() also runs
+    # a daemon MAINTENANCE thread that every this-many seconds checks
+    # each maintained ivf/ivfpq index for drift past its stamped
+    # threshold and runs the staged rebuild (rebuild_if_drifted) —
+    # the in-process form of `cli maintain --rebuild-indexes`. The
+    # thread races the serial foreachBatch hook BY DESIGN: the
+    # rebuild's conditional publish + bounded-delta repair and the
+    # hook's coverage-skip rule are exactly the protocol that makes
+    # the race safe (micro-batches keep committing throughout). None
+    # (default) leaves rebuilds to the external maintenance job.
+    index_rebuild_interval: float | None = None
 
 
 class IngestionService:
@@ -954,9 +965,69 @@ class IngestionService:
                     "known: minhash, ivf, ivfpq"
                 )
 
+    def rebuild_indexes_once(self) -> dict[str, int]:
+        """One maintenance sweep over every ivf/ivfpq index this
+        service maintains: indexes whose drift exceeds their stamped
+        threshold are staged-rebuilt (``rebuild_if_drifted`` — corpus
+        re-read off the ingest path, concurrent adds delta-repaired,
+        conditional publish). Returns {index name: committed version}
+        for the rebuilds that landed. Safe to call from a side thread
+        or an external scheduler while the ingest queries run; the
+        deterministic entry point behind ``index_rebuild_interval``."""
+        from crest_spark.operators.vector_index import (
+            rebuild_if_drifted,
+        )
+
+        landed: dict[str, int] = {}
+        for source in self.config.sources:
+            for spec in source.indexes or []:
+                kind = spec.get("kind")
+                if kind not in ("ivf", "ivfpq"):
+                    continue
+                ns = source.namespace or self.config.namespace
+                name = spec.get("name", f"{source.name}__{kind}_idx")
+                t = self.catalog.table(name, ns)
+                if not t.exists():
+                    continue
+                v = rebuild_if_drifted(
+                    self.spark, t, catalog=self.catalog
+                )
+                if v is not None:
+                    landed[f"{ns}.{name}"] = v
+        return landed
+
+    def _rebuild_loop(self, interval: float) -> None:
+        import logging
+
+        while not self._rebuild_stop.wait(interval):
+            try:
+                self.rebuild_indexes_once()
+            except Exception:  # noqa: BLE001 — maintenance must not
+                # kill the thread: drift persists, the next sweep (or
+                # the external CLI) retries; ingestion is unaffected
+                logging.getLogger(__name__).exception(
+                    "index rebuild sweep failed (will retry)"
+                )
+
     def start(self) -> None:
         """Start every source's streaming query (reference Start(),
-        ``ingestor.go:58-102``)."""
+        ``ingestor.go:58-102``) and, when ``index_rebuild_interval``
+        is set, the index-maintenance daemon thread."""
+        if self.config.index_rebuild_interval is not None and any(
+            spec.get("kind") in ("ivf", "ivfpq")
+            for src in self.config.sources
+            for spec in src.indexes or []
+        ):
+            import threading
+
+            self._rebuild_stop = threading.Event()
+            self._rebuild_thread = threading.Thread(
+                target=self._rebuild_loop,
+                args=(float(self.config.index_rebuild_interval),),
+                daemon=True,
+                name="crest-index-rebuild",
+            )
+            self._rebuild_thread.start()
         for src in self.config.sources:
             if src.flight_location is not None:
                 from crest_spark.sources.flight_source import (
@@ -1038,6 +1109,9 @@ class IngestionService:
 
     def stop(self) -> None:
         """Graceful shutdown (reference SIGTERM drain, ``main.go:26-54``)."""
+        if getattr(self, "_rebuild_stop", None) is not None:
+            self._rebuild_stop.set()
+            self._rebuild_thread.join(timeout=30)
         for q in self.queries:
             if q.isActive:
                 q.stop()

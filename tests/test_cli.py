@@ -423,3 +423,26 @@ def test_cli_maintain_rebuild_flags_require_rebuild(tmp_path):
             ]
         )
     assert exc.value.code == 2
+
+
+def test_config_parses_maintenance_rebuild_interval(tmp_path):
+    from crest_spark.config import load_config
+
+    cfg = tmp_path / "m.yaml"
+    cfg.write_text(
+        """
+warehouse: w
+checkpoints: c
+maintenance:
+  rebuildIntervalSeconds: 45
+compaction:
+  maxRuns: 6
+sources: []
+"""
+    )
+    parsed = load_config(str(cfg))
+    assert parsed.ingest.index_rebuild_interval == 45.0
+    assert parsed.ingest.compact_max_runs == 6
+    # absent block: rebuilds stay CLI-driven
+    cfg.write_text("warehouse: w\ncheckpoints: c\nsources: []\n")
+    assert load_config(str(cfg)).ingest.index_rebuild_interval is None

@@ -2550,3 +2550,136 @@ def test_ingest_skips_add_covered_by_staged_rebuild(
     assert t.read(spark).count() == n  # SKIPPED: no double-add
     assert sum(1 for s in t.snapshots() if "ivf_add" in s.extra) == adds
     assert t.read(spark).select("vec_id").distinct().count() == n
+
+
+def test_service_rebuild_indexes_once_sweeps_drifted(
+    spark, sf_dir, tmp_path
+):
+    """r14: the service's own maintenance sweep — the deterministic
+    entry point behind index_rebuild_interval — rebuilds exactly the
+    indexes whose drift crossed their stamped threshold, self-serving
+    the source binding; below-threshold indexes are untouched."""
+    from crest_spark.operators.vector_index import (
+        ivf_drift,
+        rebuild_pending,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        sources=[
+            SourceSpec(
+                name="emb",
+                path=str(tmp_path / "unused"),
+                indexes=[
+                    {
+                        "kind": "ivfpq",
+                        "name": "pqsweep",
+                        "recluster_threshold": 0.3,
+                    },
+                    {
+                        "kind": "ivf",
+                        "name": "ivsweep",
+                        # high threshold: must NOT be rebuilt
+                        "recluster_threshold": 50.0,
+                    },
+                ],
+            )
+        ],
+    )
+    svc = IngestionService(spark, cfg)
+    sink = svc._sink(cfg.sources[0])
+    sink(em.where(F.col("vec_id") < 100), 0)
+    sink(em.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)), 1)
+    pq = svc.catalog.table("pqsweep")
+    iv = svc.catalog.table("ivsweep")
+    assert rebuild_pending(pq) and not rebuild_pending(iv)
+    iv_head = iv.version()
+    landed = svc.rebuild_indexes_once()
+    assert set(landed) == {"default.pqsweep"}
+    assert ivf_drift(pq) == 0.0
+    assert iv.version() == iv_head  # below threshold: untouched
+    assert svc.rebuild_indexes_once() == {}  # idempotent: nothing left
+
+
+def test_service_rebuild_thread_lands_while_stream_runs(
+    spark, sf_dir, tmp_path
+):
+    """r14 end-to-end: with index_rebuild_interval set, start() runs
+    the maintenance daemon alongside a live processing-time stream —
+    drift accretes from real micro-batches, the thread's staged
+    rebuild lands WHILE batches keep committing, and stop() joins the
+    thread cleanly. (The race-correctness itself is pinned by the
+    deterministic staged-rebuild suite; this is the wiring test.)"""
+    import os as _os
+    import shutil
+    import time as _time
+
+    from crest_spark.operators.vector_index import ivf_drift
+
+    em = load_table(spark, sf_dir, "embeddings")
+    stage = str(tmp_path / "stage")
+    _os.makedirs(stage)
+    em.where(F.col("vec_id") < 100).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    cfg = IngestConfig(
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        trigger_interval="1 seconds",
+        sources=[
+            SourceSpec(
+                name="emb",
+                path=stage,
+                files_per_trigger=1,
+                indexes=[
+                    {
+                        "kind": "ivfpq",
+                        "name": "pqlive",
+                        "recluster_threshold": 0.3,
+                    }
+                ],
+            )
+        ],
+        index_rebuild_interval=2.0,
+    )
+    svc = IngestionService(spark, cfg)
+    svc.start()
+    try:
+        assert svc._rebuild_thread.is_alive()
+        # feed a drift-crossing second batch through the live stream
+        em.where(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 220)
+        ).coalesce(1).write.mode("append").parquet(stage)
+        t = svc.catalog.table("pqlive")
+        deadline = _time.monotonic() + 90
+        rebuilt = False
+        while _time.monotonic() < deadline:
+            try:
+                if (
+                    t.exists()
+                    and t.read(spark).count() == 220
+                    and ivf_drift(t) == 0.0
+                    and sum(
+                        1
+                        for s in t.snapshots()
+                        if s.extra.get("ivfpq")
+                    )
+                    >= 2
+                ):
+                    rebuilt = True
+                    break
+            except Exception:
+                pass  # table mid-commit: retry
+            _time.sleep(1.0)
+        assert rebuilt, "maintenance thread never landed the rebuild"
+        # and the stream is still alive and committing
+        assert all(q.isActive for q in svc.queries)
+    finally:
+        svc.stop()
+        shutil.rmtree(stage, ignore_errors=True)
+    assert not svc._rebuild_thread.is_alive()
+    out = t.read(spark)
+    assert out.count() == 220
+    assert out.select("vec_id").distinct().count() == 220
