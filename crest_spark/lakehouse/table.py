@@ -1790,9 +1790,9 @@ class LakehouseTable:
                 "schema": json.dumps(table_schema.jsonValue()),
                 "commit_ts": time.time(),
                 "num_rows": num_rows,
-                # staged/branch files go live via a later publish commit
-                # that carries no group record — they stay on the
-                # per-file admission path (correct, just ungrouped)
+                # staged/branch files are invisible here; their group
+                # records are stamped by the publish/fast-forward
+                # commit that makes them live (r14)
                 **(
                     {"group_stats": _group_stats(files, stats)}
                     if files and not (stage or branch)
@@ -1919,6 +1919,15 @@ class LakehouseTable:
                         "schema": json.dumps(schema.jsonValue()),
                         "commit_ts": time.time(),
                         "num_rows": num_rows,
+                        # r14: published files join the grouped
+                        # admission path like any other commit's
+                        # (stage time deliberately records none —
+                        # staged files are invisible)
+                        **(
+                            {"group_stats": _group_stats(files, stats)}
+                            if files
+                            else {}
+                        ),
                         "extra": {"publish_of": take},
                     },
                     expected_base=state["version"],
@@ -2137,6 +2146,13 @@ class LakehouseTable:
                         "schema": json.dumps(schema.jsonValue()),
                         "commit_ts": time.time(),
                         "num_rows": num_rows,
+                        # r14: landed branch files join the grouped
+                        # admission path (see publish_staged)
+                        **(
+                            {"group_stats": _group_stats(files, stats)}
+                            if files
+                            else {}
+                        ),
                         "extra": {
                             "publish_branch": name,
                             "publish_of": [
@@ -3156,6 +3172,15 @@ class LakehouseTable:
                 "schema": state["schema"],
                 "commit_ts": time.time(),
                 "num_rows": _footer_row_count(files),
+                # r14: MoR micro-batches accrete files too — without
+                # group records a hot-key CDC table degenerates the
+                # grouped admission walk exactly like micro-appends
+                # did (the fold coalesces these with its neighbors)
+                **(
+                    {"group_stats": _group_stats(files, stats)}
+                    if files
+                    else {}
+                ),
                 "extra": extra,
             },
             expected_base=base,

@@ -2156,3 +2156,51 @@ def test_state_memo_invalidated_across_instances_on_expiry(
     assert st_a2["stats"] == st_fresh["stats"]
     assert not any(_BLOOM_KEY in s for s in st_a2["stats"].values())
     assert a.read(spark).count() == 2 * src.count()
+
+
+def test_mor_micro_batches_get_grouped(spark, sf_dir, tmp_path):
+    """r14: merge-on-read micro-batches record group summaries like
+    appends do — a hot-key CDC table (one small rowdelta commit per
+    micro-batch) keeps the coalesced grouped admission instead of
+    accreting ungrouped files, and pruning stays bit-equal to the
+    flat walk with the MoR deltas applied."""
+    from crest_spark.lakehouse.table import (
+        _GROUP_SIZE,
+        _normalize_pred,
+        _stats_admit,
+    )
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = _cat(tmp_path).get_or_create_table("ord_morgrp", src.schema)
+    t.append(src.where(F.col("o_orderkey") < 2000))
+    for i in range(40):
+        upd = spark.createDataFrame(
+            [(int(i), int(i), 1.0 + i)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+        t.merge(spark, upd, key="o_orderkey", strategy="mor")
+    state = t._state()
+    n_files = len(state["files"])
+    grouped = {f for g in state["groups"] for f in g["files"]}
+    assert grouped == set(state["files"])  # rowdelta files grouped too
+    assert len(state["groups"]) <= n_files // _GROUP_SIZE + 1
+    # pruning equality (per-file walk) on the same state
+    for preds in (
+        {"o_orderkey": (5, 9)},
+        {"o_custkey": [1, 25, 3000]},
+    ):
+        norm = {c: _normalize_pred(v) for c, v in preds.items()}
+        flat = [
+            f
+            for f in state["files"]
+            if _stats_admit(state["stats"].get(f, {}), norm)
+        ]
+        assert t.pruned_files(preds) == flat, preds
+    # and the MoR semantics are intact through the grouped admission
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in t.scan(spark, {"o_orderkey": (0, 39)}).collect()
+    }
+    assert got == {i: 1.0 + i for i in range(40)}
