@@ -35,3 +35,77 @@ def avg4(expr: str) -> str:
     """
     exact_sum = f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,8))) AS DOUBLE)"
     return f"CAST(ROUND(CAST({exact_sum} / COUNT({expr}) AS DECIMAL(30,12)), 4) AS DOUBLE)"
+
+
+# --- Execution-side fast forms (r14 optimization round) -------------------
+#
+# ``sum4``/``avg4`` are kept verbatim for the DuckDB oracle strings; the
+# Spark side now evaluates the SAME value through three BIGINT partial sums
+# instead of one wide-decimal sum. Motivation (optimization guide §1.2/§2.3,
+# measured on TPC-H Q1 at sf0.1): a SUM over DECIMAL(30,8) keeps a
+# DECIMAL(38,8) aggregation buffer, which at precision > 18 is byte-array
+# backed in UnsafeRow and every per-row update goes through BigDecimal —
+# 1.10 s for the 600k-row Q1 aggregate vs 0.33 s for double sums. Three
+# BIGINT sums use inline primitive buffer slots with codegen'd long adds:
+# the identical Q1 aggregate measures 0.68 s (plan: same single
+# partial+final HashAggregate, narrower buffer), and the partial-agg rows
+# crossing the exchange carry 3 longs per measure instead of a var-length
+# decimal.
+#
+# Exactness: the per-row quantum is unchanged — u = unscaled(CAST(e AS
+# DECIMAL(20,8))) = the very integer the decimal cast rounds to (scale 8,
+# half-up, identical to the DECIMAL(30,8) cast for every |e| < 10^12).
+# u is split base-2^20 into (hi, mid, lo) with exact floor-division
+# identities (u == hi*2^40 + mid*2^20 + lo, lo/mid in [0, 2^20)), each part
+# is summed as BIGINT (exact integer arithmetic, order-independent), and
+# the group total is reassembled in DECIMAL and divided by 10^8 — Spark's
+# decimal-division rule at DECIMAL(30,0)/DECIMAL(9,0) yields scale 8, so
+# the reassembled decimal is the exact scale-8 sum, and ROUND(...,4) /
+# the final double cast see bit-identical inputs to the ``sum4`` path.
+# NULL semantics match (all three partial sums skip exactly the NULL rows;
+# empty/all-NULL groups yield NULL).
+#
+# Domain (fail-loud under ANSI mode, Spark 4's default — same posture as
+# the decimal path, just lower ceilings; pick ``sum4`` for anything wider):
+#   per-row |e| < 2^63/10^8 ≈ 9.2e10   (BIGINT cast of u overflows)
+#   rows per group < ~1.1e12           (SUM(hi) overflows first)
+#   |Σe| < 10^22                       (DECIMAL(30,0) reassembly cast)
+# A 100 TB TPC-H lineitem is ~6e11 rows TOTAL with per-row money values
+# < 1e7, so every current call site clears the bounds by >10x; the fuzz +
+# equality gate lives in tests/test_stable_fast_sums.py and every
+# registry entry using these still passes the unchanged DuckDB oracle.
+
+_B = 1 << 20
+_B2 = 1 << 40
+
+
+def _split_total(expr: str) -> str:
+    """DECIMAL(30,0) exact unscaled (×10^8) group sum of ``expr`` via
+    three BIGINT partial sums (see module comment for the proof)."""
+    u = f"CAST(CAST(({expr}) AS DECIMAL(20,8)) * 100000000 AS BIGINT)"
+    lo = f"PMOD({u}, {_B})"
+    midhi = f"(({u}) - PMOD({u}, {_B})) DIV {_B}"
+    mid = f"PMOD({midhi}, {_B})"
+    hi = f"(({midhi}) - PMOD({midhi}, {_B})) DIV {_B}"
+    return (
+        f"CAST(CAST(SUM({hi}) AS DECIMAL(38,0)) * {_B2}"
+        f" + CAST(SUM({mid}) AS DECIMAL(38,0)) * {_B}"
+        f" + CAST(SUM({lo}) AS DECIMAL(38,0)) AS DECIMAL(30,0))"
+    )
+
+
+def sum4x(expr: str) -> str:
+    """Spark-side fast twin of ``sum4`` — identical value, BIGINT buffers."""
+    return f"CAST(ROUND({_split_total(expr)} / 100000000, 4) AS DOUBLE)"
+
+
+def avg4x(expr: str) -> str:
+    """Spark-side fast twin of ``avg4`` — identical value, BIGINT buffers."""
+    exact_sum = (
+        f"CAST(CAST({_split_total(expr)} / 100000000 AS DECIMAL(38,8))"
+        " AS DOUBLE)"
+    )
+    return (
+        f"CAST(ROUND(CAST({exact_sum} / COUNT({expr}) AS DECIMAL(30,12)), 4)"
+        " AS DOUBLE)"
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from crest_spark.functions.stable import sum4
+from crest_spark.functions.stable import sum4, sum4x
 from crest_spark.operators.dedup import _DUCK_SHINGLES, _docs, with_shingles
 from crest_spark.registry import register
 
@@ -944,7 +944,7 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.expr(sum4(v)).alias("dsir_logw"),
+            F.expr(sum4x(v)).alias("dsir_logw"),
         )
         .orderBy("doc_id")
     )

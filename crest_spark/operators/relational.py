@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from crest_spark.functions.stable import avg4, round4, sum4
+from crest_spark.functions.stable import avg4, avg4x, round4, sum4, sum4x
 from crest_spark.registry import register
 from crest_spark.sources.tables import load_table
 
@@ -114,9 +114,9 @@ def q03_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.expr(sum4("l_quantity")).alias("sum_qty"),
-            F.expr(sum4("l_extendedprice * (1 - l_discount)")).alias("sum_rev"),
-            F.expr(avg4("l_discount")).alias("avg_disc"),
+            F.expr(sum4x("l_quantity")).alias("sum_qty"),
+            F.expr(sum4x("l_extendedprice * (1 - l_discount)")).alias("sum_rev"),
+            F.expr(avg4x("l_discount")).alias("avg_disc"),
             F.count("*").alias("n"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -205,7 +205,7 @@ def q06_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey")
-        .agg(F.expr(sum4("l_extendedprice * (1 - l_discount)")).alias("rev"))
+        .agg(F.expr(sum4x("l_extendedprice * (1 - l_discount)")).alias("rev"))
         .orderBy(F.desc("rev"), "o_orderkey")
         .limit(10)
     )
@@ -530,7 +530,7 @@ def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.expr(sum4("l_quantity")).alias("sum_qty"))
+        .agg(F.expr(sum4x("l_quantity")).alias("sum_qty"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
@@ -552,7 +552,7 @@ def q15b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.expr(sum4("l_quantity")).alias("sum_qty"))
+        .agg(F.expr(sum4x("l_quantity")).alias("sum_qty"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
@@ -803,7 +803,7 @@ def q19_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.expr(sum4("value")).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.expr(sum4x("value")).alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
             "event_type",
@@ -999,7 +999,7 @@ def q27_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
-        .agg(F.count("*").alias("n"), F.expr(sum4("o_totalprice")).alias("total"))
+        .agg(F.count("*").alias("n"), F.expr(sum4x("o_totalprice")).alias("total"))
         .where(F.col("n") > 12)
         .orderBy("o_custkey")
     )
@@ -1181,7 +1181,7 @@ def q05b_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.expr(sum4("l_extendedprice")).alias("sum_price"),
+            F.expr(sum4x("l_extendedprice")).alias("sum_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1234,7 +1234,7 @@ def q55_union_harmonize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.expr(sum4("o_totalprice")).alias("revenue"),
+            F.expr(sum4x("o_totalprice")).alias("revenue"),
         )
         .orderBy("priority")
     )

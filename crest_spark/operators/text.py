@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from crest_spark.functions.stable import avg4, round4, sum4
+from crest_spark.functions.stable import avg4, avg4x, round4, sum4, sum4x
 from crest_spark.registry import register
 from crest_spark.sources.tables import load_table
 
@@ -437,7 +437,7 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.expr(avg4("-LN(CAST(c AS DOUBLE) / t)")).alias("nll"),
+            F.expr(avg4x("-LN(CAST(c AS DOUBLE) / t)")).alias("nll"),
         )
         .orderBy("doc_id")
     )
@@ -616,7 +616,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.groupBy("doc_id")
-        .agg(F.expr(sum4("s")).alias("score"))
+        .agg(F.expr(sum4x("s")).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
@@ -753,7 +753,7 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.expr(avg4(_BIGRAM_P)).alias("nll"),
+            F.expr(avg4x(_BIGRAM_P)).alias("nll"),
         )
         .orderBy("doc_id")
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crest_spark.functions.stable import round4, sum4
+from crest_spark.functions.stable import round4, sum4, sum4x
 from crest_spark.registry import register
 from crest_spark.sources.tables import load_table
 
@@ -154,7 +154,7 @@ def q34_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(
             "event_type", F.window("ts", GRID_STEP).alias("w")
         )
-        .agg(F.expr(sum4("value")).alias("sum_value"))
+        .agg(F.expr(sum4x("value")).alias("sum_value"))
         .select("event_type", F.col("w.start").alias("bucket"), "sum_value")
     )
     grid = (
@@ -360,7 +360,7 @@ def q34b_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     b = (
         e.groupBy("event_type", F.window("ts", GRID_STEP).alias("w"))
-        .agg(F.expr(sum4("value")).alias("sum_value"))
+        .agg(F.expr(sum4x("value")).alias("sum_value"))
         .select("event_type", F.col("w.start").alias("bucket"), "sum_value")
     )
     grid = (

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crest_spark.functions.stable import round4, sum4
+from crest_spark.functions.stable import round4, sum4, sum4x
 from crest_spark.registry import register
 from crest_spark.sources.tables import load_table
 
@@ -81,7 +81,7 @@ def q28_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.expr(sum4("l_extendedprice * (1 - l_discount)")).alias("profit"))
+        .agg(F.expr(sum4x("l_extendedprice * (1 - l_discount)")).alias("profit"))
         .orderBy("nation", "o_year")
     )
 
@@ -180,7 +180,7 @@ def q28c_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(F.expr(sum4("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .agg(F.expr(sum4x("l_extendedprice * (1 - l_discount)")).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -263,7 +263,7 @@ def q28e_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         li.groupBy("l_orderkey")
         .agg(
-            F.expr(sum4("l_quantity")).alias("sum_qty"),
+            F.expr(sum4x("l_quantity")).alias("sum_qty"),
             F.expr("SUM(CAST(l_quantity AS DECIMAL(30,8)))").alias("_exact_qty"),
         )
         .where(F.col("_exact_qty") > 300)

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crest_spark.functions.stable import round4, sum4
+from crest_spark.functions.stable import round4, sum4, sum4x
 from crest_spark.registry import register
 from crest_spark.sources.tables import load_table
 
@@ -230,7 +230,7 @@ def q37_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.expr(sum4(_REV)).alias("revenue"))
+        .agg(F.expr(sum4x(_REV)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -268,7 +268,7 @@ def q38_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.round(F.col("l_discount") * 100).cast("bigint").between(5, 7)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.expr(sum4("l_extendedprice * l_discount")).alias("revenue"))
+        .agg(F.expr(sum4x("l_extendedprice * l_discount")).alias("revenue"))
     )
 
 
@@ -388,7 +388,7 @@ def q40_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.expr(sum4(_REV)).alias("revenue"))
+        .agg(F.expr(sum4x(_REV)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -590,7 +590,7 @@ def q44_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
-        .agg(F.expr(sum4(_REV)).alias("revenue"))
+        .agg(F.expr(sum4x(_REV)).alias("revenue"))
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crest_spark.functions.stable import sum4
+from crest_spark.functions.stable import sum4, sum4x
 from crest_spark.registry import register
 from crest_spark.sources.tables import load_table, table_path
 from crest_spark.streaming.replay import read_stream, run_to_memory, stage_slices
@@ -43,7 +43,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.expr(sum4("value")).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.expr(sum4x("value")).alias("sum_value"))
     )
     result = run_to_memory(agg, f"s1_tumbling_{abs(hash(sf_dir)) % 10**8}")
     return result.select(
@@ -83,7 +83,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.expr(sum4("value")).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.expr(sum4x("value")).alias("sum_value"))
     )
     result = run_to_memory(agg, f"s2_sliding_{abs(hash(sf_dir)) % 10**8}")
     return result.select(
@@ -264,7 +264,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
     )
     agg = joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n"), F.expr(sum4("value")).alias("sum_value")
+        F.count(F.lit(1)).alias("n"), F.expr(sum4x("value")).alias("sum_value")
     )
     result = run_to_memory(
         agg,
