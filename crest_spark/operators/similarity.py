@@ -579,7 +579,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (m per-subspace k-means fits — same bounded-scalar pattern as the
     IVF centroid fit, vector_index.py); (2) ONE Arrow pass encodes the
     corpus to (vec_id, m uint8 codes) — at scale this is the persisted
-    compressed index, here pinned via localCheckpoint; (3) the query
+    compressed index (the lakehouse-landed route is ann_ivfpq_topk;
+    here the single ADC consumer streams the codes directly, r14: the
+    old eager localCheckpoint was a full extra materialization pass
+    for a pin nothing re-read); (3) the query
     scan touches ONLY the codes: per query an (m x k) asymmetric-
     distance lookup table broadcasts in the closure and each batch
     scores as m table gathers + a sum (no floats from the corpus are
@@ -630,10 +633,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).argmin(1).astype(np.int32)
             yield out
 
-    codes = (
-        em.select("vec_id", "embedding")
-        .mapInPandas(encode, f"vec_id long, {code_cols}")
-        .localCheckpoint()  # the compressed index: encoded ONCE
+    # The codes relation has exactly ONE consumer (the ADC scan below), so
+    # it streams straight into it — encode still runs once, fused into the
+    # same stage. The r10-r13 eager localCheckpoint here materialized all
+    # codes as a separate job before the scan could start: a full extra
+    # pass + executor memory for a pin nothing re-reads (guide §5:
+    # persist only what is REUSED). ann_ivfpq_topk is the route where the
+    # codes ARE a persisted artifact — there they land in a lakehouse
+    # table; this entry is the recompute-per-query flat-PQ twin.
+    codes = em.select("vec_id", "embedding").mapInPandas(
+        encode, f"vec_id long, {code_cols}"
     )
 
     qrows = (

@@ -42,15 +42,34 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = li.withColumn(
         "_salt", (F.crc32(F.col("l_orderkey").cast("string")) % _SALT).cast("int")
     )
+    # Both stages sum the split-BIGINT parts of the exact decimal quantum
+    # (stable.sum4x's representation, r14): partial sums of hi/mid/lo are
+    # themselves exact longs, so the stage-2 merge is three more long
+    # sums and ONE decimal reassembly per final group — associativity is
+    # the very property the salted plan demonstrates, now on primitive
+    # buffers instead of BigDecimal ones.
+    u = "CAST(CAST(l_quantity AS DECIMAL(20,8)) * 100000000 AS BIGINT)"
+    B, B2 = 1 << 20, 1 << 40
+    lo = f"PMOD({u}, {B})"
+    midhi = f"(({u}) - PMOD({u}, {B})) DIV {B}"
     partial = salted.groupBy("l_returnflag", "_salt").agg(
         F.count("*").alias("pn"),
-        F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias("pq"),
+        F.expr(f"SUM((({midhi}) - PMOD({midhi}, {B})) DIV {B})").alias("p_hi"),
+        F.expr(f"SUM(PMOD({midhi}, {B}))").alias("p_mid"),
+        F.expr(f"SUM({lo})").alias("p_lo"),
+    )
+    total = (
+        f"CAST(CAST(SUM(p_hi) AS DECIMAL(38,0)) * {B2}"
+        f" + CAST(SUM(p_mid) AS DECIMAL(38,0)) * {B}"
+        f" + CAST(SUM(p_lo) AS DECIMAL(38,0)) AS DECIMAL(30,0))"
     )
     return (
         partial.groupBy("l_returnflag")
         .agg(
             F.sum("pn").alias("n"),
-            F.expr("CAST(ROUND(SUM(pq), 4) AS DOUBLE)").alias("sum_qty"),
+            F.expr(
+                f"CAST(ROUND({total} / 100000000, 4) AS DOUBLE)"
+            ).alias("sum_qty"),
         )
         .orderBy("l_returnflag")
     )
