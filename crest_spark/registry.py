@@ -385,6 +385,26 @@ for _n in (
 ):
     _LAST_CHECKED[_n] = 1
 
+# --- round-14 optimization-affected force-recheck: the r14 OPTIMIZATION
+# round re-evaluates the stable 4-dp aggregates through BIGINT split
+# sums on the Spark side (sum4x/avg4x, functions/stable.py — oracle
+# strings unchanged), drops ann_pq_topk's single-consumer checkpoint,
+# and splits skew_salted_agg's two-level partials. Every entry whose
+# Spark-side fn changed re-certifies against its UNCHANGED oracle hash
+# ahead of the staleness tiers (OPTIMIZATION_r14.md). ---
+for _n in (
+    "q03_agg_pricing_summary", "q06_join3_topk", "q15_rollup", "q15b_cube",
+    "q19_tumbling_batch", "q27_having", "q05b_shuffle_hash_join",
+    "q55_union_harmonize", "text_unigram_nll", "text_bm25_topk",
+    "text_bigram_nll", "q34_gapfill", "q34b_gapfill_interpolate",
+    "q28_profit_by_nation_year", "q28c_volume_shipping", "q28e_big_orders",
+    "q37_local_supplier_volume", "q38_revenue_forecast",
+    "q40_returned_items", "q44_disjunctive_revenue", "curation_dsir_weights",
+    "stream_tumbling_window", "stream_sliding_window", "stream_static_join",
+    "skew_salted_agg", "ann_pq_topk",
+):
+    _LAST_CHECKED[_n] = 1
+
 
 def ordered_registry() -> dict[str, QuerySpec]:
     """The registry re-ordered so the driver's fixed-size prefix is
