@@ -401,6 +401,7 @@ for _n in (
     "q37_local_supplier_volume", "q38_revenue_forecast",
     "q40_returned_items", "q44_disjunctive_revenue", "curation_dsir_weights",
     "stream_tumbling_window", "stream_sliding_window", "stream_static_join",
+    "stream_session_window", "stream_dedup_counts", "stream_stream_join",
     "skew_salted_agg", "ann_pq_topk",
 ):
     _LAST_CHECKED[_n] = 1

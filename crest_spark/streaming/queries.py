@@ -45,7 +45,9 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.expr(sum4x("value")).alias("sum_value"))
     )
-    result = run_to_memory(agg, f"s1_tumbling_{abs(hash(sf_dir)) % 10**8}")
+    result = run_to_memory(
+        agg, f"s1_tumbling_{abs(hash(sf_dir)) % 10**8}", staging_dir=staging
+    )
     return result.select(
         F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
         "event_type",
@@ -85,7 +87,9 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.expr(sum4x("value")).alias("sum_value"))
     )
-    result = run_to_memory(agg, f"s2_sliding_{abs(hash(sf_dir)) % 10**8}")
+    result = run_to_memory(
+        agg, f"s2_sliding_{abs(hash(sf_dir)) % 10**8}", staging_dir=staging
+    )
     return result.select(
         F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
         "event_type",
@@ -135,7 +139,9 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream.groupBy(
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
     ).agg(F.count("*").alias("n"))
-    result = run_to_memory(agg, f"s3_session_{abs(hash(sf_dir)) % 10**8}")
+    result = run_to_memory(
+        agg, f"s3_session_{abs(hash(sf_dir)) % 10**8}", staging_dir=staging
+    )
     return result.select(
         "user_id",
         F.unix_timestamp(F.col("w.start")).cast("bigint").alias("session_start"),
@@ -167,7 +173,9 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_stream(spark, staging, schema, files_per_trigger=2)
     deduped = stream.select("event_id", "user_id").dropDuplicates(["event_id"])
     agg = deduped.groupBy("user_id").agg(F.count("*").alias("n"))
-    result = run_to_memory(agg, f"s4_dedup_{abs(hash(sf_dir)) % 10**8}")
+    result = run_to_memory(
+        agg, f"s4_dedup_{abs(hash(sf_dir)) % 10**8}", staging_dir=staging
+    )
     return result.orderBy("user_id")
 
 
@@ -225,7 +233,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_id", "s_id")
     )
     result = run_to_memory(
-        joined, f"ss_join_{abs(hash(sf_dir)) % 10**8}", output_mode="append"
+        joined,
+        f"ss_join_{abs(hash(sf_dir)) % 10**8}",
+        output_mode="append",
+        staging_dir=staging,
     )
     return result.orderBy("p_id", "s_id")
 
@@ -270,6 +281,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg,
         f"s6_static_join_{abs(hash(sf_dir)) % 10**8}",
         output_mode="complete",
+        staging_dir=staging,
     )
     return result.select("c_mktsegment", "n", "sum_value").orderBy(
         "c_mktsegment"

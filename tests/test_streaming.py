@@ -2683,3 +2683,53 @@ def test_service_rebuild_thread_lands_while_stream_runs(
     out = t.read(spark)
     assert out.count() == 220
     assert out.select("vec_id").distinct().count() == 220
+
+
+def test_replay_shuffle_partitions_sizing(spark, sf_dir, tmp_path):
+    """The bounded-replay drain width tracks staged bytes, floors at 4,
+    and never exceeds the session's configured width (r14 optimization:
+    every stateful shuffle partition is a per-micro-batch RocksDB store
+    commit, so an MB-scale replay must not drain at cluster width)."""
+    from crest_spark.streaming.replay import replay_shuffle_partitions
+
+    staging, _ = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=4, order_col="event_id"
+    )
+    configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = replay_shuffle_partitions(spark, staging)
+    assert 4 <= n <= configured
+    # MB-scale staged input must resolve to the floor, not cluster width
+    total = 0
+    for root, _dirs, files in __import__("os").walk(staging):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += __import__("os").path.getsize(
+                    __import__("os").path.join(root, f)
+                )
+    assert n == max(4, min(configured, -(-total // (32 << 20))))
+
+
+def test_run_to_memory_restores_session_width(spark, sf_dir):
+    """run_to_memory(staging_dir=...) resizes only the drain: the
+    session's shuffle width must be back to its configured value after
+    the query completes, and the drained rows must equal the
+    full-width batch answer (partition-count invariance)."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    staging, schema = stage_slices(
+        spark, table_path(sf_dir, "events"), n_slices=4, order_col="event_id"
+    )
+    stream = read_stream(spark, staging, schema, files_per_trigger=2)
+    agg = stream.select("event_id", "user_id").dropDuplicates(
+        ["event_id"]
+    ).groupBy("user_id").agg(F.count("*").alias("n"))
+    drained = run_to_memory(agg, "t_replay_width", staging_dir=staging)
+    assert spark.conf.get(key) == before
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .dropDuplicates(["event_id"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    assert _rows(drained, "user_id", "n") == _rows(batch, "user_id", "n")
