@@ -14,9 +14,10 @@ Defaults are chosen for the 100 TB posture and stay valid on ``local[*]``:
   scan-speed/size sweet spot at scale.
 - **UTC session timezone** — deterministic timestamp semantics regardless of
   host TZ; required for oracle comparability.
-- **shuffle.partitions** defaults to max(cores, 32) locally; on a real
-  cluster AQE coalesces from a deliberately high initial number, so we also
-  set ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``.
+- **shuffle.partitions** is CORE-DERIVED (2 per core, floor 16 — see
+  ``_default_shuffle_partitions``), never a machine-shape constant; on a
+  real cluster AQE coalesces from a deliberately high initial number, so we
+  also set ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``.
 """
 
 from __future__ import annotations
@@ -24,6 +25,27 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+
+def _default_shuffle_partitions() -> str:
+    """Core-derived shuffle width: 2 tasks per core, floor 16.
+
+    A constant width is tuned for exactly one machine shape — the r14
+    optimization round measured the old constant 64 at 1.21x the
+    core-derived width on an 8-core master (interleaved A/B over 12
+    bench entries, TOTAL 26.7 s -> 22.0 s: four waves of tiny tasks per
+    shuffle collapsed to two). At 32 cores the formula yields the same
+    64 the bench has always run with, so cross-round numbers stay
+    comparable; on a cluster pass the real value via ``extra_conf`` or
+    spark-submit conf (``extra_conf`` overrides these defaults), and
+    AQE coalescing still right-sizes each stage downward from whatever
+    the initial width is."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    try:
+        n = int(cpus)
+    except ValueError:
+        n = os.cpu_count() or 8
+    return str(max(2 * n, 16))
+
 
 _DEFAULTS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
@@ -44,8 +66,10 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # 10 MB default is conservative; dims at 100 TB scale are still small.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": "64",
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "64",
+    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": (
+        _default_shuffle_partitions()
+    ),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.streaming.stateStore.providerClass": (
