@@ -96,9 +96,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
     # Stateful streaming ops can't use AQE coalescing; if the session still
     # has the untouched Spark default (200), right-size for local runs.
-    # A deliberately configured value is left alone.
+    # A deliberately configured value is left alone. Core-derived, not a
+    # constant (r14): one task per core, floor 16 — identical to the old
+    # pinned 32 on a 32-core master, half the task waves on smaller ones.
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        width = max(spark.sparkContext.defaultParallelism, 16)
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
 
 
 def register(
