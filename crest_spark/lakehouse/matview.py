@@ -222,31 +222,9 @@ class IncrementalAggView:
                 # sketch, so even a holistic aggregate maintains
                 # incrementally — union sketches, never re-scan
                 exprs.append(F.hll_sketch_agg(spec.col).alias(f"{out}__hll"))
-            elif spec.kind == "approx_percentile":
-                # fixed-range histogram state: one conditional SUM per
-                # bucket (whole-stage codegen, the simhash-vote pattern),
-                # assembled into an array column after the agg so the
-                # state stays a single mergeable vector
-                width = (spec.hi - spec.lo) / spec.buckets
-                idx = F.least(
-                    F.lit(spec.buckets - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor((F.col(spec.col) - spec.lo) / width),
-                    ),
-                ).cast("int")
-                for i in range(spec.buckets):
-                    exprs.append(
-                        F.sum(
-                            F.when(
-                                F.col(spec.col).isNotNull() & (idx == i), sign
-                            ).otherwise(0)
-                        )
-                        .cast("long")
-                        .alias(f"{out}__h{i}")
-                    )
-            elif spec.kind == "approx_top_k":
-                continue  # built by _mg_partial and joined on the key
+            elif spec.kind in ("approx_percentile", "approx_top_k"):
+                # built by _hist_partial / _mg_partial, joined on the key
+                continue
             else:  # avg -> (sum, count) state pair
                 exprs.append(F.sum(signed_val(spec.col)).alias(f"{out}__sum"))
                 exprs.append(
@@ -261,20 +239,103 @@ class IncrementalAggView:
             for out, spec in self.aggs.items()
             if spec.kind == "approx_top_k"
         }
+        pct_specs = {
+            out: spec
+            for out, spec in self.aggs.items()
+            if spec.kind == "approx_percentile"
+        }
         if exprs:
             df = delta.groupBy(*self.group_by).agg(*exprs)
-        else:  # only approx_top_k aggs: group rows come from distinct
+        else:  # only joined-state aggs: group rows come from distinct
             df = delta.select(*self.group_by).distinct()
-        for out, spec in self.aggs.items():
-            if spec.kind == "approx_percentile":
-                pieces = [f"{out}__h{i}" for i in range(spec.buckets)]
-                df = df.withColumn(
-                    f"{out}__hist", F.array(*[F.col(c) for c in pieces])
-                ).drop(*pieces)
         df = df.withColumn(_KEY_COL, self._key_expr())
+        # histogram states: one two-level aggregate per DISTINCT bucket
+        # config (specs sharing (col, lo, hi, buckets) — e.g. a p50/p90
+        # pair — reuse a single computed vector), joined on the key
+        cfgs: dict[tuple, list[str]] = {}
+        for out, spec in pct_specs.items():
+            cfgs.setdefault(
+                (spec.col, spec.lo, spec.hi, spec.buckets), []
+            ).append(out)
+        for (col, lo, hi, buckets), outs in cfgs.items():
+            hp = self._hist_partial(delta, col, lo, hi, buckets, sign)
+            hp = hp.select(
+                _KEY_COL,
+                *[F.col("__hist").alias(f"{out}__hist") for out in outs],
+            )
+            df = df.join(hp, _KEY_COL, "left")
+        for out, spec in pct_specs.items():
+            # a group whose delta rows are all NULL in the measured
+            # column has no histogram rows — its state is the zero
+            # vector, exactly what the old per-bucket sums produced
+            df = df.withColumn(
+                f"{out}__hist",
+                F.coalesce(
+                    F.col(f"{out}__hist"),
+                    F.expr(
+                        f"transform(sequence(0, {spec.buckets - 1}),"
+                        " i -> CAST(0 AS BIGINT))"
+                    ),
+                ),
+            )
+        # pin the historical column order (group cols, inline states in
+        # agg order, histogram states in agg order, key): the view
+        # table's schema was created from this layout
+        ordered = list(self.group_by)
+        for out, spec in self.aggs.items():
+            if spec.kind in ("approx_percentile", "approx_top_k"):
+                continue
+            ordered += _state_cols(out, spec)
+        ordered += [f"{out}__hist" for out in pct_specs]
+        ordered.append(_KEY_COL)
+        df = df.select(*ordered)
         for out, spec in mg_specs.items():
             df = df.join(self._mg_partial(delta, out, spec), _KEY_COL, "left")
         return df
+
+    def _hist_partial(
+        self,
+        delta: DataFrame,
+        col: str,
+        lo: float,
+        hi: float,
+        buckets: int,
+        sign: F.Column,
+    ) -> DataFrame:
+        """Fixed-range histogram of one delta, per group, as a TWO-LEVEL
+        aggregate: exact (group, bucket) signed counts first (a single
+        codegen'd SUM — the only corpus-scale pass), then the sparse
+        counts pivot into the dense ``array<bigint>`` state over at most
+        groups x buckets rows. The old single-level form (one
+        conditional SUM per bucket) carried ``buckets`` aggregate
+        buffers PER SPEC, which blows past
+        ``spark.sql.codegen.maxFields`` (100) and silently drops the
+        whole aggregate — scan included — out of whole-stage codegen,
+        making every delta row pay ``buckets`` interpreted buffer
+        updates (measured 10x slower at 2x100 buckets, r14)."""
+        width = (hi - lo) / buckets
+        idx = F.least(
+            F.lit(buckets - 1),
+            F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width)),
+        ).cast("int")
+        keyed = delta.withColumn(_KEY_COL, self._key_expr())
+        lvl1 = (
+            keyed.where(F.col(col).isNotNull())
+            .groupBy(_KEY_COL, idx.alias("__hb"))
+            .agg(F.sum(sign).cast("long").alias("__hc"))
+        )
+        m = lvl1.groupBy(_KEY_COL).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__hb", "__hc"))
+            ).alias("__hm")
+        )
+        return m.select(
+            _KEY_COL,
+            F.expr(
+                f"transform(sequence(0, {buckets - 1}),"
+                " i -> CAST(coalesce(try_element_at(__hm, i), 0) AS BIGINT))"
+            ).alias("__hist"),
+        )
 
     def _mg_partial(self, delta: DataFrame, out: str, spec: AggSpec) -> DataFrame:
         """Misra-Gries summary of one delta, per group: exact (group,

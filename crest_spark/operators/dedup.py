@@ -985,6 +985,15 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     labels = (
         sym.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
     )
+    # Convergence check via the label-sum invariant: min-propagation
+    # labels are monotone non-increasing per vertex and the vertex set
+    # is fixed, so the (exact, decimal) label sum is unchanged between
+    # rounds IFF no label changed — a one-row aggregate per round in
+    # place of the old full old-vs-new join + count. The aggregate is
+    # also the action that materializes the round's LAZY localCheckpoint
+    # (which still truncates the SQL lineage at wrap time), so each
+    # round runs exactly one job.
+    prev_sum = None
     for _ in range(max_rounds):
         msgs = sym.join(labels, sym.src == F.col("v")).select(
             F.col("dst").alias("v"), F.col("label")
@@ -993,16 +1002,14 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             msgs.union(labels).groupBy("v").agg(F.min("label").alias("label"))
         )
         # localCheckpoint: truncate lineage so round N doesn't replay 1..N-1
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_labels = new_labels.localCheckpoint(eager=False)
+        label_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels
 
 

@@ -409,6 +409,18 @@ for _n in (
 ):
     _LAST_CHECKED[_n] = 1
 
+# --- round-14 optimization, second batch: the matview histogram partial
+# became a two-level aggregate (matview.py _hist_partial — codegen
+# restored; _partial's key/column assembly touched for ALL view kinds)
+# and connected_components' convergence check became the label-sum
+# invariant (dedup.py). Affected entries re-certify first. ---
+for _n in (
+    "mv_percentile_rollup", "mv_hourly_rollup", "mv_cdc_fold",
+    "mv_topk_rollup", "dedup_components", "dedup_embedding_components",
+    "dedup_canonical",
+):
+    _LAST_CHECKED[_n] = 1
+
 
 def ordered_registry() -> dict[str, QuerySpec]:
     """The registry re-ordered so the driver's fixed-size prefix is

@@ -740,3 +740,42 @@ def test_continuous_maintenance_over_mor_upsert_source(
     q.awaitTermination(120)
     check()
     li.unpersist()
+
+
+def test_partial_layout_and_null_group_hist(spark, catalog, sf_dir):
+    """The two-level histogram partial (r14) must keep the exact state
+    layout the single-level form created view tables with — group cols,
+    inline states in agg order, histogram states in agg order, key —
+    and a group whose delta values are all NULL must still carry the
+    zero vector, not a NULL state."""
+    li = load_table(spark, sf_dir, "lineitem").limit(0)
+    view = IncrementalAggView(
+        catalog,
+        source="li",
+        name="li_mixed",
+        group_by=["l_returnflag"],
+        aggs={
+            "p50_price": AggSpec(
+                "approx_percentile", "l_extendedprice",
+                p=0.5, lo=0.0, hi=1000.0, buckets=10,
+            ),
+            "sum_qty": AggSpec("sum", "l_quantity"),
+            "p90_price": AggSpec(
+                "approx_percentile", "l_extendedprice",
+                p=0.9, lo=0.0, hi=1000.0, buckets=10,
+            ),
+        },
+    )
+    delta = spark.createDataFrame(
+        [("A", 1.0, None), ("A", 2.0, None), ("B", 3.0, 50.0)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    part = view._partial(delta)
+    assert part.columns == [
+        "l_returnflag", "sum_qty",
+        "p50_price__hist", "p90_price__hist", "__mv_key",
+    ]
+    rows = {r["l_returnflag"]: r for r in part.collect()}
+    assert rows["A"]["p50_price__hist"] == [0] * 10  # all-NULL group
+    assert rows["B"]["p50_price__hist"] == [1, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    assert rows["B"]["p50_price__hist"] == rows["B"]["p90_price__hist"]
