@@ -79,10 +79,18 @@ _B = 1 << 20
 _B2 = 1 << 40
 
 
-def _split_total(expr: str) -> str:
-    """DECIMAL(30,0) exact unscaled (×10^8) group sum of ``expr`` via
-    three BIGINT partial sums (see module comment for the proof)."""
-    u = f"CAST(CAST(({expr}) AS DECIMAL(20,8)) * 100000000 AS BIGINT)"
+def _split_total(expr: str, scale: int = 8) -> str:
+    """DECIMAL(30,0) exact unscaled (×10^scale) group sum of ``expr``
+    via three BIGINT partial sums (see module comment for the proof).
+
+    The per-row quantum is ``unscaled(CAST(expr AS DECIMAL(12+scale,
+    scale)))`` — the same half-up scale-``scale`` rounding as the
+    equivalent wide-decimal cast for every |expr| < 10^12, fail-loud
+    past it under ANSI mode (a tighter ceiling than the scale-8
+    default's 2^63/10^8; every current call site's values are < 10^7).
+    """
+    q = 10 ** scale
+    u = f"CAST(CAST(({expr}) AS DECIMAL({12 + scale},{scale})) * {q} AS BIGINT)"
     lo = f"PMOD({u}, {_B})"
     midhi = f"(({u}) - PMOD({u}, {_B})) DIV {_B}"
     mid = f"PMOD({midhi}, {_B})"
@@ -97,6 +105,25 @@ def _split_total(expr: str) -> str:
 def sum4x(expr: str) -> str:
     """Spark-side fast twin of ``sum4`` — identical value, BIGINT buffers."""
     return f"CAST(ROUND({_split_total(expr)} / 100000000, 4) AS DOUBLE)"
+
+
+def sumdec(expr: str, scale: int = 8) -> str:
+    """Value- and dtype-identical fast twin of
+    ``SUM(CAST(expr AS DECIMAL(.,scale)))`` (result DECIMAL(38,scale))
+    through three BIGINT partial sums — for Spark-side call sites that
+    keep the exact decimal sum (a HAVING bound, a pivot cell, a ratio
+    numerator) instead of the 4-dp ``sum4x`` form.
+
+    Measured guidance (r14, interleaved A/Bs at sf0.1 — see
+    OPTIMIZATION_r14.md): the swap wins where the aggregate's per-row
+    buffer updates are the work — fact-scale input into FEW groups
+    (stats_correlation 0.68x, q15e 0.73x, q15d 0.81x) — and LOSES on
+    high-cardinality groupings (one group per key: 1.27x worse on a
+    100k-group synthetic), where tripling the per-group state widens
+    the hash map and the exchange rows. Convert only measured sites.
+    """
+    q = 10 ** scale
+    return f"CAST({_split_total(expr, scale)} / {q} AS DECIMAL(38,{scale}))"
 
 
 def avg4x(expr: str) -> str:

@@ -27,6 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crest_spark.functions.stable import sum4x
 from crest_spark.lakehouse.catalog import LakehouseCatalog
 from crest_spark.lakehouse.matview import AggSpec, IncrementalAggView
 from crest_spark.registry import register
@@ -388,9 +389,10 @@ def lake_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.min("event_id").cast("long").alias("min_id"),
-            F.expr(
-                "CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)"
-            ).alias("sum_value"),
+            # r14: the inline sum4 literal joins the opt-1 sum4x swap
+            # (identical 4-dp value via BIGINT split partials; the
+            # oracle string keeps the decimal SUM)
+            F.expr(sum4x("value")).alias("sum_value"),
         )
         .orderBy("event_type")
     )

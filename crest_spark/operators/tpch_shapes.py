@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crest_spark.functions.stable import round4, sum4, sum4x
+from crest_spark.functions.stable import _split_total, round4, sum4, sum4x
 from crest_spark.registry import register
 from crest_spark.sources.tables import load_table
 
@@ -264,10 +264,15 @@ def q28e_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(
             F.expr(sum4x("l_quantity")).alias("sum_qty"),
-            F.expr("SUM(CAST(l_quantity AS DECIMAL(30,8)))").alias("_exact_qty"),
+            # r14: the exact HAVING bound reuses sum4x's three BIGINT
+            # partial sums (Catalyst dedups the identical aggregate
+            # children) as the unscaled x10^8 total — the separate
+            # wide-decimal buffer this carried is gone (0.88x at
+            # sf0.1, rows identical). 300 quantity == 3e10 unscaled.
+            F.expr(_split_total("l_quantity")).alias("_exact_u"),
         )
-        .where(F.col("_exact_qty") > 300)
-        .drop("_exact_qty")
+        .where(F.col("_exact_u") > 30_000_000_000)
+        .drop("_exact_u")
     )
     return (
         big.join(_t(spark, sf_dir, "orders"),

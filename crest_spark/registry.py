@@ -421,6 +421,19 @@ for _n in (
 ):
     _LAST_CHECKED[_n] = 1
 
+# --- round-14 optimization, third batch: the remaining Spark-side
+# wide-decimal aggregates with MEASURED wins moved to BIGINT split
+# partials (stable.sumdec / sum4x — stats.py correlation/pivot/unpivot,
+# tpch_shapes.py q28e HAVING bound, matview_query.py retention agg;
+# high-cardinality and scan-bound sites measured neutral-or-worse and
+# left alone, see OPTIMIZATION_r14.md). Affected entries re-certify
+# against their UNCHANGED oracle hashes first. q28e_big_orders and
+# lake_retention_delete are already tier-1 above. ---
+for _n in (
+    "stats_correlation", "q15d_pivot", "q15e_unpivot",
+):
+    _LAST_CHECKED[_n] = 1
+
 
 def ordered_registry() -> dict[str, QuerySpec]:
     """The registry re-ordered so the driver's fixed-size prefix is

@@ -11,7 +11,14 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from crest_spark.functions.stable import avg4, avg4x, sum4, sum4x
+from crest_spark.functions.stable import (
+    _split_total,
+    avg4,
+    avg4x,
+    sum4,
+    sum4x,
+    sumdec,
+)
 
 
 def _adversarial_rows():
@@ -102,6 +109,50 @@ def test_fast_sums_match_on_lineitem(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in old] == [tuple(r) for r in new]
+
+
+def test_sumdec_value_and_dtype_identical(spark):
+    """``sumdec`` (the exact-decimal-sum twin, r14 third batch) must match
+    ``SUM(CAST(e AS DECIMAL(.,scale)))`` in VALUE and RESULT DTYPE — it
+    feeds HAVING bounds, pivot cells and ratio terms that stay decimal."""
+    df = spark.createDataFrame(_adversarial_rows(), "g int, x double")
+    # xb: |xb| <= 1e5 so xb*xb stays inside the scale-6 |e| < 10^12
+    # fail-loud ceiling (the real squared-sum sites sum prices/values
+    # bounded far below it; the overflow test below pins the loudness)
+    df = df.withColumn(
+        "xb", F.when(F.abs("x") <= 1e5, F.col("x")).otherwise(F.lit(0.25))
+    )
+    cases = [
+        ("SUM(CAST(x AS DECIMAL(30,8)))", sumdec("x")),
+        ("SUM(CAST(xb * xb AS DECIMAL(38,6)))", sumdec("xb * xb", 6)),
+        ("SUM(CAST(ROUND(x, 4) AS DECIMAL(38,4)))", sumdec("ROUND(x, 4)", 4)),
+    ]
+    for old_expr, new_expr in cases:
+        old = df.groupBy("g").agg(F.expr(old_expr).alias("s"))
+        new = df.groupBy("g").agg(F.expr(new_expr).alias("s"))
+        assert dict(old.dtypes)["s"] == dict(new.dtypes)["s"], old_expr
+        o = {r["g"]: r["s"] for r in old.collect()}
+        n = {r["g"]: r["s"] for r in new.collect()}
+        assert o == n, old_expr
+
+
+def test_split_total_having_filter_matches_decimal(spark, sf_dir):
+    """The q28e HAVING rewrite: filtering on the unscaled x10^8 split
+    total must keep exactly the decimal filter's groups."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    old = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("SUM(CAST(l_quantity AS DECIMAL(30,8)))").alias("x"))
+        .where("x > 300")
+        .select("l_orderkey")
+    )
+    new = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr(_split_total("l_quantity")).alias("x"))
+        .where("x > 30000000000")
+        .select("l_orderkey")
+    )
+    assert old.exceptAll(new).unionAll(new.exceptAll(old)).count() == 0
 
 
 def test_fast_sum_domain_overflow_is_loud(spark):
