@@ -92,6 +92,17 @@ _P_LO, _P_HI, _P_BUCKETS = 0.0, 500.0, 100  # events.value spans [0.01, 490x]
 _P_W = (_P_HI - _P_LO) / _P_BUCKETS
 
 
+def _assert_multiset_equal(a: DataFrame, b: DataFrame, msg: str) -> None:
+    """Raise unless ``a`` and ``b`` are equal as multisets.
+
+    Both exceptAll directions must be empty; checking them as ONE
+    unioned action instead of two lets AQE reuse the operands'
+    sub-exchanges between the directions (r14: 32 verification jobs
+    -> 17 on lake_mor_cdf) — same assertion, half the passes."""
+    if a.exceptAll(b).unionAll(b.exceptAll(a)).limit(1).count() > 0:
+        raise AssertionError(msg)
+
+
 def _duck_pct(p: float) -> str:
     """DuckDB replica of the view's histogram estimator for one p:
     same bucketing, same nearest-rank target, same in-bucket linear
@@ -615,13 +626,11 @@ def lake_mor_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__n")
     )
     scan = t.read(spark)
-    if (
-        folded.exceptAll(scan).limit(1).count() > 0
-        or scan.exceptAll(folded).limit(1).count() > 0
-    ):
-        raise AssertionError(
-            "change-feed fold diverged from the merge-on-read scan"
-        )
+    _assert_multiset_equal(
+        folded,
+        scan,
+        "change-feed fold diverged from the merge-on-read scan",
+    )
     return folded.orderBy("event_id")
 
 

@@ -434,6 +434,13 @@ for _n in (
 ):
     _LAST_CHECKED[_n] = 1
 
+# --- round-14 optimization, fourth batch: lake_mor_cdf's fold==scan
+# assertion became ONE unioned exceptAll action instead of two (the
+# returned rowset is untouched; AQE reuses the fold/scan sub-exchanges
+# between the two directions, 32 verification jobs -> 17). Re-certify
+# against its UNCHANGED oracle hash first. ---
+_LAST_CHECKED["lake_mor_cdf"] = 1
+
 
 def ordered_registry() -> dict[str, QuerySpec]:
     """The registry re-ordered so the driver's fixed-size prefix is

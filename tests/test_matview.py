@@ -779,3 +779,35 @@ def test_partial_layout_and_null_group_hist(spark, catalog, sf_dir):
     assert rows["A"]["p50_price__hist"] == [0] * 10  # all-NULL group
     assert rows["B"]["p50_price__hist"] == [1, 0, 0, 0, 0, 0, 0, 0, 0, 0]
     assert rows["B"]["p50_price__hist"] == rows["B"]["p90_price__hist"]
+
+
+def test_assert_multiset_equal_one_action(spark):
+    """The unioned fold==scan check (r14 opt): passes on equal
+    multisets INCLUDING duplicate rows, raises on any divergence in
+    either direction — the exact semantics of the two-exceptAll form
+    it replaced."""
+    from crest_spark.operators.matview_query import _assert_multiset_equal
+
+    a = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], "k int, v string"
+    )
+    same = spark.createDataFrame(
+        [(2, "y"), (1, "x"), (1, "x")], "k int, v string"
+    )
+    _assert_multiset_equal(a, same, "equal multisets must pass")
+
+    # multiplicity matters: {1x,1x,2y} != {1x,2y,2y}
+    diff_mult = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "y")], "k int, v string"
+    )
+    with pytest.raises(AssertionError, match="boom"):
+        _assert_multiset_equal(a, diff_mult, "boom")
+
+    # one-sided extras in EITHER direction are caught
+    extra = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (3, "z")], "k int, v string"
+    )
+    with pytest.raises(AssertionError, match="boom"):
+        _assert_multiset_equal(a, extra, "boom")
+    with pytest.raises(AssertionError, match="boom"):
+        _assert_multiset_equal(extra, a, "boom")
