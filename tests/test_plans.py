@@ -330,18 +330,21 @@ def test_skyline_is_windows_not_self_join(spark, sf_dir):
     assert plan.count("FileScan") == 1
 
 
-def test_market_basket_pair_join_co_partitioned(spark, sf_dir):
-    """The pair expansion must be an equi-join on the basket key (order)
-    with the inequality as a residual — not a cartesian. The per-part
-    singles joins are deliberately UNHINTED (r7 verdict what's-wrong #2:
-    ``singles`` is one row per part, an SF-scaling relation — a forced
-    broadcast of it is an OOM at 100 TB); the pin asserts only that no
-    join degenerates to a cartesian, leaving broadcast-vs-shuffle to
-    AQE's runtime size measurement."""
+def test_market_basket_pairs_from_arrays_no_self_join(spark, sf_dir):
+    """r14 shape: pairs explode from each basket's sorted distinct-item
+    array (one basket-key exchange; ``Generate explode`` in the plan)
+    instead of a distinct + equi-self-join — no join may degenerate to
+    a cartesian. The per-part singles joins are deliberately UNHINTED
+    (r7 verdict what's-wrong #2: ``singles`` is one row per part, an
+    SF-scaling relation — a forced broadcast of it is an OOM at
+    100 TB); the pin asserts only that no join degenerates to a
+    cartesian, leaving broadcast-vs-shuffle to AQE's runtime size
+    measurement."""
     from crest_spark.plans.checks import simple_plan
 
     df = SPECS["q58_market_basket"].fn(spark, sf_dir)
     plan = simple_plan(df)
+    assert "Generate explode" in plan  # array pair expansion, not a join
     assert "CartesianProduct" not in plan
     # exactly ONE nested-loop join is allowed: the 1-row basket census
     # riding the DAG as an unhinted broadcast scalar (r10: folding the
