@@ -434,6 +434,15 @@ for _n in (
 ):
     _LAST_CHECKED[_n] = 1
 
+# --- round-14 optimization, sixth batch: _stage_changes (the CDF
+# staging diff every change_feed=True merge/delete runs) computes ONE
+# signed-count aggregate over old ∪ new instead of two sign-inverted
+# exceptAll aggregates (standalone A/B 0.82-0.88x; identical staged
+# rows asserted). Re-certify every consumer against its UNCHANGED
+# oracle hash first (lake_mor_cdf already stamped above). ---
+for _n in ("mv_cdc_fold", "mv_mor_cdc_fold", "lake_mor_sync"):
+    _LAST_CHECKED[_n] = 1
+
 # --- round-14 optimization, fifth batch: q58's pair mining now
 # explodes each basket's sorted distinct-item array (ONE basket-key
 # exchange) instead of distinct + equi-self-join; rows proved identical

@@ -417,3 +417,42 @@ def test_cow_delete_drop_branch_respects_seq_delta(spark, tmp_path):
     # before the delete, and deleting the winner does not revive it
     t.delete(spark, {"seq": (5, None)})
     assert t.read(spark).count() == 0
+
+
+def test_stage_changes_multiset_multiplicity(spark, tmp_path):
+    """_stage_changes' diff is a MULTISET diff (r14: one signed-count
+    aggregate replacing the exceptAll pair): a row present 3x in old
+    and 1x in new must stage exactly 2 removal rows, and multiplicity
+    INCREASES must stage the added copies — the replication path the
+    signed-count rewrite implements with explode(sequence)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "a"), (2, "b"), (3, "c")],
+        "id int, val string",
+    )
+    t = _cat(tmp_path).get_or_create_table("t", df.schema)
+    old = df
+    new = spark.createDataFrame(
+        # key 1: multiplicity 3 -> 1 (2 preimages, 1 postimage pairs
+        # via key presence); key 2: value change; key 3: dropped; key
+        # 4: inserted twice (multiplicity 2 insert)
+        [(1, "a"), (2, "B"), (4, "d"), (4, "d")],
+        "id int, val string",
+    )
+    files = t._stage_changes(old, new, ["id"])
+    got = sorted(
+        (r["id"], r["val"], r["_change_type"])
+        for f in files
+        for r in spark.read.parquet(f).collect()
+    )
+    assert got == [
+        # key 1 shed 2 copies with NO added row — no postimage rows
+        # for the key, so the removals classify as deletes (identical
+        # to the old exceptAll pair's classification)
+        (1, "a", "delete"),
+        (1, "a", "delete"),
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (3, "c", "delete"),
+        (4, "d", "insert"),
+        (4, "d", "insert"),
+    ]
