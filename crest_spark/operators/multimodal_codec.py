@@ -193,8 +193,31 @@ def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, schema)
 
 
-def _docs_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").select("doc_id")
+def _docs_ids(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    """The doc-id key relation every codec entry synthesizes media
+    from. The decode work downstream is per-row Python (mapInPandas /
+    mapInArrow), so its parallelism is capped by THIS relation's
+    partitioning — and a small documents table is one parquet file =
+    ONE task doing all the codec work (guide §2.5 "one unsplittable
+    input: repartition immediately after the read").
+
+    ``spread=True`` hash-repartitions the 8-byte keys up to core count
+    when the scan has fewer partitions (a no-op at scale, where the
+    table already has >= cores partitions; the exchange carries only
+    doc_id longs — decide-with-small-rows, guide §8). OPT-IN because
+    it only pays for itself when the per-row Python work dominates the
+    per-task overhead: measured r14 at sf0.01, the full PNG round-trip
+    (~2.2 ms/doc) went 2.41 s -> 1.01 s, while the cheap BMP/WAV
+    codecs REGRESSED ~2x under 32-way task overhead (0.66 -> 1.22 /
+    0.58 -> 1.20) and stay unspread."""
+    df = load_table(spark, sf_dir, "documents").select("doc_id")
+    if spread:
+        n = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < n:
+            df = df.repartition(n, "doc_id")
+    return df
 
 
 # ---------------------------------------------------------------- image ops
@@ -868,5 +891,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return (
-        _docs_ids(spark, sf_dir).mapInPandas(run, schema).orderBy("doc_id")
+        _docs_ids(spark, sf_dir, spread=True)
+        .mapInPandas(run, schema)
+        .orderBy("doc_id")
     )

@@ -434,6 +434,12 @@ for _n in (
 ):
     _LAST_CHECKED[_n] = 1
 
+# --- round-14 optimization, seventh batch: multimodal_png_decode's
+# key relation hash-spreads to core count before the per-doc Python
+# codec work (rows untouched; single-file scan was capping the decode
+# at ONE task). Re-certify against its UNCHANGED oracle hash first. ---
+_LAST_CHECKED["multimodal_png_decode"] = 1
+
 # --- round-14 optimization, sixth batch: _stage_changes (the CDF
 # staging diff every change_feed=True merge/delete runs) computes ONE
 # signed-count aggregate over old ∪ new instead of two sign-inverted

@@ -159,3 +159,23 @@ def test_png_chunk_crc_validated():
         decode_png(bytes(payload))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"\x00" * 32)
+
+
+def test_docs_ids_spread_parallelizes_without_changing_rows(spark):
+    """r14: ``_docs_ids(spread=True)`` hash-repartitions the key
+    relation up to core count so per-row Python decode parallelizes
+    past a single-file scan — rows must be untouched and the spread
+    must actually widen the single-partition input."""
+    from crest_spark.operators.multimodal_codec import _docs_ids
+
+    sf = "/root/testdata/sf0.001"
+    plain = _docs_ids(spark, sf)
+    spread = _docs_ids(spark, sf, spread=True)
+    assert plain.rdd.getNumPartitions() == 1
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert sorted(r["doc_id"] for r in spread.collect()) == sorted(
+        r["doc_id"] for r in plain.collect()
+    )
