@@ -26,7 +26,29 @@ _LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 _LANG_ORDER = ("en", "es", "de")  # deterministic argmax tie-break
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    """The documents relation. A small corpus is one parquet file =
+    ONE scan partition, so everything before the first exchange
+    (tokenize, explode, per-doc scoring) runs single-threaded (guide
+    §2.5 "one unsplittable input: repartition after the read").
+
+    ``spread=True`` routes through the dedup module's size-adaptive
+    spread (~4 MB of raw text per task, clamped to [8, 4x cores] — a
+    no-op at scale where the scan's own splits dominate). OPT-IN per
+    entry because the raw-text exchange must be cheaper than the
+    single-threaded stage it removes: measured r14 at sf0.1
+    (interleaved min-of-4, rows identical), per-doc-heavy entries won
+    — repetition 0.35x, lang_id 0.62x, tfidf 0.74x, bm25 0.81x,
+    unigram_nll 0.84x, token_stats 0.89x, bigram_nll 0.90x — while
+    cheap corpus passes
+    LOST (word_counts 1.21x, heavy_hitters 1.13x, fingerprint and
+    quality flat) and stay unspread."""
+    if spread:
+        from crest_spark.operators.dedup import _docs as _spread_docs
+
+        return _spread_docs(spark, sf_dir)
     return load_table(spark, sf_dir, "documents")
 
 
@@ -67,7 +89,7 @@ def _spark_hits(lang: str) -> F.Column:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID with a deterministic argmax tie-break."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     scored = d.select(
         "doc_id",
         _spark_hits("en").alias("hits_en"),
@@ -147,7 +169,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + regex (BPE-ish word/number pieces) token counting and
     type-token ratio."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     toks = F.split("text", " ")
     n_ws = F.size(toks).cast("bigint")
     n_unique = F.size(F.array_distinct(toks)).cast("bigint")
@@ -351,7 +373,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     both partition by doc_id (the second reuses the first's
     partitioning: EnsureRequirements inserts no second exchange), so the
     whole operator is one shuffle of (doc, gram) pairs."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     toks = F.split("text", " ")
     grams = d.select(
         "doc_id",
@@ -424,7 +446,7 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     before summing (avg4), so engines' 1-ulp ln differences cannot
     reorder the aggregate.
     """
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     words = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .where(F.col("w") != "")
@@ -485,7 +507,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tf multiply (then the product is pinned again), so 1-ulp libm
     differences between engines can't reach the hash. Deterministic
     tie-break (score desc, term asc)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     n_docs = docs.count()
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
@@ -584,7 +606,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic from integer inputs (bit-identical across engines by
     construction); their product pins again; the cross-term sum runs as
     DECIMAL so partition order can't move the hash."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     toks = F.split(F.col("text"), " ")
     scalars = docs.select(
         F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("s")
@@ -706,7 +728,7 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     immaterial against the scoring role (and the sf0.01 oracle gate
     exercises the exact same keyed plan). Per-position ln routes
     through DECIMAL (avg4) before averaging."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     ct = d.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),

@@ -434,6 +434,22 @@ for _n in (
 ):
     _LAST_CHECKED[_n] = 1
 
+# --- round-14 optimization, eighth batch: seven per-doc-heavy text
+# entries spread the single-file documents scan to size-adaptive width
+# before tokenizing (rows untouched; the cheap corpus passes stay
+# unspread by measurement). Re-certify against UNCHANGED oracle
+# hashes first. ---
+for _n in (
+    "text_repetition",
+    "text_lang_id",
+    "text_tfidf",
+    "text_bm25_topk",
+    "text_unigram_nll",
+    "text_token_stats",
+    "text_bigram_nll",
+):
+    _LAST_CHECKED[_n] = 1
+
 # --- round-14 optimization, seventh batch: multimodal_png_decode's
 # key relation hash-spreads to core count before the per-doc Python
 # codec work (rows untouched; single-file scan was capping the decode

@@ -467,8 +467,8 @@ def test_short_docs_gram_guard(spark, sf_dir):
     )
     orig_cu, orig_tx = cu._docs, tx._docs
     try:
-        cu._docs = lambda s, _sf: df
-        tx._docs = lambda s, _sf: df
+        cu._docs = lambda s, _sf, **kw: df
+        tx._docs = lambda s, _sf, **kw: df
         flagged = [
             r["doc_id"]
             for r in SPECS["curation_decontaminate"].fn(spark, sf_dir).collect()
@@ -1086,3 +1086,19 @@ def test_minhash_incremental_backfill_fallback_matches_pruned_path(
     monkeypatch.setattr(dd, "_INDEX_SCAN_MAX_KEYS", 1)  # force fallback
     fallback = run()
     assert pruned == fallback and len(pruned) > 0
+
+
+def test_text_docs_spread_parallelizes_without_changing_rows(spark):
+    """r14: ``text._docs(spread=True)`` widens the single-file scan so
+    per-doc token work parallelizes — rows must be untouched and the
+    spread must actually widen the single-partition input."""
+    from crest_spark.operators.text import _docs
+
+    sf = "/root/testdata/sf0.001"
+    plain = _docs(spark, sf)
+    spread = _docs(spark, sf, spread=True)
+    assert plain.rdd.getNumPartitions() == 1
+    assert spread.rdd.getNumPartitions() > 1
+    assert sorted(r["doc_id"] for r in spread.collect()) == sorted(
+        r["doc_id"] for r in plain.collect()
+    )
