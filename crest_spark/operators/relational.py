@@ -197,13 +197,22 @@ def q05_join_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "topk"),
 )
 def q06_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join (TPC-H Q3 shape): filter pushed below joins, top-k sink."""
+    """3-way join (TPC-H Q3 shape): filter pushed below joins, top-k sink.
+
+    Both joins are MERGE-pinned (r15, guide §3.1): every relation here is
+    SF-scaling (filtered customer is still ~1/5 of all customers), so the
+    100 TB plan is SMJ on the natural keys — the local 64 MB
+    autoBroadcastJoinThreshold otherwise broadcasts the RAW LINEITEM fact
+    at sf0.1, benchmarking a plan that cannot exist at scale. Measured
+    0.68x at sf0.1 (the single-threaded 600k-row broadcast build cost more
+    than the shuffle it saved)."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        c.hint("merge")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li.hint("merge"), li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey")
         .agg(F.expr(sum4x("l_extendedprice * (1 - l_discount)")).alias("rev"))
         .orderBy(F.desc("rev"), "o_orderkey")
@@ -222,11 +231,16 @@ def q06_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "outer"),
 )
 def q07_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving customers without orders."""
+    """Left outer join preserving customers without orders.
+
+    MERGE-pinned (r15): orders is a raw fact — the local 64 MB broadcast
+    threshold was building a hash relation of the whole orders table, a
+    plan shape impossible at 100 TB; the SMJ on custkey is what ships.
+    The post-join groupBy(c_custkey) reuses the join's partitioning."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
+        c.join(o.hint("merge"), c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"))
         .orderBy("c_custkey")
@@ -336,12 +350,16 @@ def q09_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi key + range residual: stays a hash/SMJ join with a post-filter,
-    NOT a nested-loop — the equi conjunct anchors the join strategy."""
+    NOT a nested-loop — the equi conjunct anchors the join strategy.
+
+    MERGE-pinned (r15): both sides are raw facts; the local threshold was
+    broadcasting all of lineitem. SMJ on orderkey is the 100 TB shape and
+    measured 0.91x at sf0.1."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
         o.join(
-            li,
+            li.hint("merge"),
             (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
         )
         .groupBy("o_orderkey")

@@ -84,15 +84,29 @@ def q24b_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subquery", "in"),
 )
 def q24c_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN / NOT IN subqueries -> semi / null-aware anti joins."""
+    """IN / NOT IN subqueries -> semi / anti joins.
+
+    r15 scale pin: the NOT IN spelling plans a NULL-AWARE anti join, which
+    Spark can only execute as a broadcast hash join — at 100 TB that is a
+    forced broadcast of a corpus-scale filtered lineitem (and locally the
+    64 MB threshold benched that impossible plan). The Spark-side
+    evaluation uses the NOT EXISTS decorrelation instead: a plain
+    LeftAnti on the correlation key, shuffleable at any scale.
+    Equivalent because the key columns are TPC-H primary/foreign keys
+    (never NULL, both engines read the same parquet); certified against
+    the unchanged NOT IN oracle at both gated SFs. Both subquery joins
+    are MERGE-hinted: customer and lineitem are SF-scaling relations, so
+    SMJ semi/anti on the natural keys is the plan that ships."""
     _views(spark, sf_dir, "orders", "customer", "lineitem")
     return spark.sql(
         """
-        SELECT o_orderkey FROM _sq_orders
+        SELECT o_orderkey FROM _sq_orders o
         WHERE o_custkey IN (
-            SELECT c_custkey FROM _sq_customer WHERE c_mktsegment = 'BUILDING')
-          AND o_orderkey NOT IN (
-            SELECT l_orderkey FROM _sq_lineitem WHERE l_quantity > 45)
+            SELECT /*+ MERGE */ c_custkey FROM _sq_customer
+            WHERE c_mktsegment = 'BUILDING')
+          AND NOT EXISTS (
+            SELECT /*+ MERGE */ 1 FROM _sq_lineitem l
+            WHERE l.l_quantity > 45 AND l.l_orderkey = o.o_orderkey)
         ORDER BY o_orderkey
         """
     )

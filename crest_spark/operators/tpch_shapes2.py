@@ -192,12 +192,20 @@ def q37_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders(filtered year) joins customer on custkey, then lineitem on
     orderkey — the two fact shuffles, both on natural keys. The ASIA
     restriction is applied BEFORE anything touches a fact table:
-    supplier⋈nation⋈region('ASIA') is pre-joined dim-side and THAT is the
-    broadcast build side (~region-fraction of supplier, ~5× smaller than
-    broadcasting all suppliers), and customer is semi-join-pruned to ASIA
-    nations so non-qualifying customers never ride the two fact shuffles.
-    The same-nation correlate rides the supplier join as an extra
-    equality. Revenue is a DECIMAL(30,8) sum.
+    customer is semi-join-pruned to ASIA nations so non-qualifying
+    customers never ride the two fact shuffles, and
+    supplier⋈nation⋈region('ASIA') pre-joins dim-side. The same-nation
+    correlate rides the supplier join as an extra equality. Revenue is a
+    DECIMAL(30,8) sum.
+
+    r15: every SF-scaling join side (customer, lineitem, and the
+    ASIA-filtered supplier — still ~1/5 of ALL suppliers, unboundable at
+    100 TB) is MERGE-pinned so the benched plan is the scale plan: three
+    SMJs on the natural keys, BroadcastExchange only above the bounded
+    nation/region dims. Before the pin the local 64 MB threshold
+    broadcast the raw lineitem fact AND the customer semi output — and
+    the single-threaded broadcast builds were the prime suspect for this
+    entry's r14 cold-run variance (VERDICT r14 #2).
     """
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -222,10 +230,10 @@ def q37_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return (
-        o.join(c_asia, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        o.join(c_asia.hint("merge"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s_asia),
+            s_asia.hint("merge"),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -375,6 +383,11 @@ def q40_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering is on the 4-dp-rounded revenue with a c_custkey tiebreak —
     deterministic across engines. TakeOrderedAndProject keeps the top-k
     per-partition before a single-partition merge.
+
+    r15: the customer and lineitem join sides are MERGE-pinned (both are
+    SF-scaling facts; the local 64 MB threshold was broadcasting the
+    returned-lines lineitem scan) — the benched plan is now the 100 TB
+    plan: two SMJs, nation the only BroadcastExchange.
     """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").where(
@@ -384,8 +397,9 @@ def q40_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        c.hint("merge")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.expr(sum4x(_REV)).alias("revenue"))
