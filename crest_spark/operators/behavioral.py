@@ -255,16 +255,25 @@ def basket_pairs_from_arrays(
 ) -> DataFrame:
     """Explode each basket's sorted item array into its ``a < b`` pairs
     (JVM array expressions — no join, no extra exchange) and count
-    co-occurrences with map-side partial aggregation."""
-    pair_arr = F.flatten(
-        F.expr(
-            "transform(pks, (x, i) -> transform("
-            "slice(pks, i + 2, size(pks)), y -> struct(x AS a, y AS b)))"
-        )
-    )
+    co-occurrences with map-side partial aggregation.
+
+    The expansion STREAMS through two chained generators —
+    ``posexplode(pks)`` yields each anchor item, then a second explode
+    over ``slice(pks, i + 2, ...)`` yields its greater partners — so
+    per-row memory stays O(basket). The r14 form flattened the full
+    O(basket²/2) pair-struct array as ONE row value before exploding:
+    on the uncapped library path (q58 pins ``max_basket=None``) a single
+    mega-basket would materialize its entire pair set in an executor
+    buffer — an OOM/2 GB-array hazard the self-join it replaced never
+    had (ADVICE r14). Same one-exchange plan, same pair multiset (the
+    generator chain enumerates exactly transform's (i, i+1..) pairs)."""
     return (
-        grouped.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        grouped.select(F.posexplode("pks").alias("i", "a"), F.col("pks"))
+        .select(
+            "a",
+            F.explode(F.expr("slice(pks, i + 2, size(pks))")).alias("b"),
+        )
+        .groupBy(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= min_support)
     )

@@ -46,6 +46,35 @@ def test_mega_basket_guard_is_deterministic_and_spares_small_baskets(spark):
     assert capped == exact
 
 
+def test_streamed_pair_expansion_matches_bruteforce(spark):
+    """The chained-generator pair expansion (r15: posexplode + sliced
+    explode, O(basket) per-row memory) must enumerate exactly the a < b
+    pairs of each basket's distinct item set — including 1-item baskets
+    (no pairs), duplicate items (collapsed), and the mega-basket path."""
+    from itertools import combinations
+
+    rows = (
+        [(0, p) for p in range(50)]          # mega-ish basket
+        + [(1, 7)]                           # single-item: no pairs
+        + [(2, 3), (2, 3), (2, 9), (2, 1)]   # duplicates collapse
+        + [(3, 2), (3, 2)]                   # dup-only single item
+    )
+    b = spark.createDataFrame(rows, "ok bigint, pk bigint")
+    got = sorted(
+        map(tuple, market_basket_pairs(b, min_support=1, max_basket=None).collect())
+    )
+    from collections import Counter
+
+    want = Counter()
+    baskets = {}
+    for ok, pk in rows:
+        baskets.setdefault(ok, set()).add(pk)
+    for items in baskets.values():
+        for a, bb in combinations(sorted(items), 2):
+            want[(a, bb)] += 1
+    assert got == sorted((a, bb, n) for (a, bb), n in want.items())
+
+
 def test_registry_entry_pins_uncapped_semantics(spark):
     """The q58 registry entry passes max_basket=None — its result must
     equal the library's uncapped form on the real table (the DuckDB
