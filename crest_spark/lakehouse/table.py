@@ -3214,31 +3214,39 @@ class LakehouseTable:
         region is CDC-bounded (duplicate identical full rows), unlike
         corpus cardinality, so the array stays small."""
         cols = old_df.columns
+        # helper names must not shadow user columns: withColumn silently
+        # REPLACES an existing column, which would corrupt the grouping
+        # and the staged feed for a table that happens to carry __d/__net
+        d_col, net_col, i_col = "__d", "__net", "__i"
+        while d_col in cols or net_col in cols or i_col in cols:
+            d_col += "_"
+            net_col += "_"
+            i_col += "_"
         net = (
             old_df.select(*cols)
-            .withColumn("__d", F.lit(1).cast("long"))
+            .withColumn(d_col, F.lit(1).cast("long"))
             .unionByName(
                 new_df.select(*cols).withColumn(
-                    "__d", F.lit(-1).cast("long")
+                    d_col, F.lit(-1).cast("long")
                 )
             )
             .groupBy(*cols)
-            .agg(F.sum("__d").alias("__net"))
-            .where(F.col("__net") != 0)
+            .agg(F.sum(d_col).alias(net_col))
+            .where(F.col(net_col) != 0)
         )
         pre = (
-            net.where(F.col("__net") > 0)
+            net.where(F.col(net_col) > 0)
             .withColumn(
-                "__i", F.explode(F.sequence(F.lit(1), F.col("__net")))
+                i_col, F.explode(F.sequence(F.lit(1), F.col(net_col)))
             )
-            .drop("__i", "__net")
+            .drop(i_col, net_col)
         )
         post = (
-            net.where(F.col("__net") < 0)
+            net.where(F.col(net_col) < 0)
             .withColumn(
-                "__i", F.explode(F.sequence(F.lit(1), -F.col("__net")))
+                i_col, F.explode(F.sequence(F.lit(1), -F.col(net_col)))
             )
-            .drop("__i", "__net")
+            .drop(i_col, net_col)
         )
         pre_keys = pre.select(*keys).distinct()
         post_keys = post.select(*keys).distinct()

@@ -46,8 +46,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the r7 scale sweep ran 2M docs through 8 tasks), while always
     # using every core makes tiny test corpora pay 32 Python-worker
     # spin-ups for microseconds of work. ~4 MB of raw text per task,
-    # clamped to [8, 4x cores]; at 100 TB the scan's own splits dominate
-    # and the clamp ceiling just caps the extra shuffle.
+    # clamped to [8, 4x cores]. The exchange is CONDITIONAL on the scan
+    # being narrower than the target (r15, ADVICE r14): a corpus whose
+    # scan already splits to >= the target keeps its natural layout —
+    # the old unconditional repartition was a full raw-text exchange at
+    # every scale, and would have actively COALESCED a wide scan down
+    # to the 4x-cores clamp.
     df = load_table(spark, sf_dir, "documents")
     try:
         nbytes = sum(
@@ -59,6 +63,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbytes = 0
     cores = spark.sparkContext.defaultParallelism
     parts = max(8, min(4 * cores, nbytes // (4 << 20) or 8))
+    if df.rdd.getNumPartitions() >= parts:
+        return df
     return df.repartition(int(parts), "doc_id")
 
 
@@ -993,6 +999,14 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     # also the action that materializes the round's LAZY localCheckpoint
     # (which still truncates the SQL lineage at wrap time), so each
     # round runs exactly one job.
+    #
+    # Overflow domain (the invariant is load-bearing for CORRECTNESS):
+    # SUM over DECIMAL(38,0) of BIGINT labels overflows — and under
+    # non-ANSI configs silently yields NULL, making round N and N+1
+    # "equal" and converging EARLY — only past ~10^19 vertices of
+    # near-2^63 ids (38 digits vs max |label| < 9.3e18). Any physically
+    # storable vertex set is orders of magnitude below that, and the
+    # explicit None-guard below fail-louds if it is ever reached.
     prev_sum = None
     for _ in range(max_rounds):
         msgs = sym.join(labels, sym.src == F.col("v")).select(
@@ -1006,6 +1020,11 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         label_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).first()[0]
+        if label_sum is None and not new_labels.rdd.isEmpty():
+            raise ArithmeticError(
+                "connected_components: label-sum convergence check "
+                "overflowed DECIMAL(38,0) — vertex-id domain too wide"
+            )
         labels = new_labels
         if label_sum == prev_sum:
             break

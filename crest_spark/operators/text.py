@@ -35,8 +35,10 @@ def _docs(
     §2.5 "one unsplittable input: repartition after the read").
 
     ``spread=True`` routes through the dedup module's size-adaptive
-    spread (~4 MB of raw text per task, clamped to [8, 4x cores] — a
-    no-op at scale where the scan's own splits dominate). OPT-IN per
+    spread (~4 MB of raw text per task, clamped to [8, 4x cores]; since
+    r15 the exchange only runs when the scan is NARROWER than that
+    target, so a scan that already splits wide keeps its layout and
+    pays nothing). OPT-IN per
     entry because the raw-text exchange must be cheaper than the
     single-threaded stage it removes: measured r14 at sf0.1
     (interleaved min-of-4, rows identical), per-doc-heavy entries won

@@ -314,6 +314,23 @@ def test_connected_components_chain_and_isolated(spark):
     }
 
 
+def test_connected_components_near_bound_labels(spark):
+    """Vertex ids near 2^63: the decimal(38,0) label-sum convergence
+    check (load-bearing for correctness — a silent NULL would falsely
+    converge) must stay exact at the BIGINT domain edge (r15, VERDICT
+    r14 #7)."""
+    from crest_spark.operators.dedup import connected_components
+
+    big = (1 << 62) + 12345
+    edges = spark.createDataFrame(
+        [(big, big + 1), (big + 2, big + 3)], "a long, b long"
+    )
+    labels = {r.v: r.label for r in connected_components(edges).collect()}
+    assert labels == {
+        big: big, big + 1: big, big + 2: big + 2, big + 3: big + 2
+    }
+
+
 def test_dedup_embedding_ann_precision_and_recall(spark, sf_dir):
     """The sub-quadratic LSH-blocked semantic dedup: precision is exact
     (every emitted pair re-scored with true cosine => subset of the exact

@@ -456,3 +456,30 @@ def test_stage_changes_multiset_multiplicity(spark, tmp_path):
         (4, "d", "insert"),
         (4, "d", "insert"),
     ]
+
+
+def test_stage_changes_survives_sentinel_column_names(spark, tmp_path):
+    """A user table whose columns collide with the diff's helper names
+    (__d/__net/__i) must still stage a correct feed: withColumn on a
+    colliding name would silently REPLACE the user column and corrupt
+    the grouping (r15 guard: helper names uniquified against the
+    schema)."""
+    df = spark.createDataFrame(
+        [(1, 10, 20, 30), (2, 11, 21, 31)],
+        "id int, __d int, __net int, __i int",
+    )
+    t = _cat(tmp_path).get_or_create_table("t_sentinel", df.schema)
+    new = spark.createDataFrame(
+        [(1, 10, 20, 30), (2, 99, 21, 31)],
+        "id int, __d int, __net int, __i int",
+    )
+    files = t._stage_changes(df, new, ["id"])
+    got = sorted(
+        (r["id"], r["__d"], r["__net"], r["__i"], r["_change_type"])
+        for f in files
+        for r in spark.read.parquet(f).collect()
+    )
+    assert got == [
+        (2, 11, 21, 31, "update_preimage"),
+        (2, 99, 21, 31, "update_postimage"),
+    ]
