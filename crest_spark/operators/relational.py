@@ -109,8 +109,14 @@ def q02_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation",),
 )
 def q03_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped hash aggregate (partial+final, map-side combine)."""
-    li = _t(spark, sf_dir, "lineitem")
+    """TPC-H Q1-shaped hash aggregate (partial+final, map-side combine).
+
+    The partial aggregate is the work (4 decimal-quantum measures per
+    row); spread_fact parallelizes it past the single-task local scan
+    (r15, guide §2.5 — no-op at scale, 0.85x measured at sf0.1)."""
+    from crest_spark.sources.tables import spread_fact
+
+    li = spread_fact(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(

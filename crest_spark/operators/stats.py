@@ -41,8 +41,14 @@ _VAR = f"(({_S2}) - ({_S1}) * ({_S1}) / COUNT(*)) / (COUNT(*) - 1)"
     tags=("aggregation", "stats"),
 )
 def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean/stddev/variance from exact moment sums (order-independent)."""
-    o = load_table(spark, sf_dir, "orders")
+    """Mean/stddev/variance from exact moment sums (order-independent).
+
+    spread_fact parallelizes the partial moment sums (two wide-decimal
+    quanta per row) past the single-task local scan (r15, guide §2.5 —
+    no-op at scale, 0.62x measured at sf0.1)."""
+    from crest_spark.sources.tables import spread_fact
+
+    o = spread_fact(spark, load_table(spark, sf_dir, "orders"), "o_orderkey")
     return (
         o.groupBy("o_orderstatus")
         .agg(

@@ -178,8 +178,16 @@ _ARG_KEY_SPARK = _arg_key("STRING")
 def q26_misc_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (arg-extremes), bool_and/bool_or, exact median —
     keyed on a totally-ordered composite so arg extremes are
-    deterministic despite duplicate (orderkey, linenumber) rows."""
-    li = load_table(spark, sf_dir, "lineitem")
+    deterministic despite duplicate (orderkey, linenumber) rows.
+
+    spread_fact parallelizes the partial aggregate (string-composite
+    min_by/max_by keys + exact median buffers are per-row expensive)
+    past the single-task local scan (r15, guide §2.5 — no-op at scale,
+    0.66x measured at sf0.1). Every aggregate here is
+    partitioning-invariant (the arg extremes key on a total order)."""
+    from crest_spark.sources.tables import spread_fact
+
+    li = spread_fact(spark, load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         li.groupBy("l_returnflag")
         .agg(

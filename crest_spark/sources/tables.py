@@ -74,6 +74,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_fact(
+    spark: SparkSession, df: DataFrame, key: str, parts: int | None = None
+) -> DataFrame:
+    """Conditional post-scan spread for aggregate-heavy consumers of a
+    narrow scan (guide §2.5 "one unsplittable input: repartition
+    immediately after the read").
+
+    The local test tables are single-row-group parquet files, so every
+    scan is ONE task and the partial aggregation fused into it runs
+    single-threaded; a hash repartition on the table's natural key
+    parallelizes it. CONDITIONAL: fires only when the scan has fewer
+    partitions than the core-derived target (max(8, cores/2) — measured
+    r15 interleaved at sf0.1: 16 beats 32/64/128 on a 32-core box, the
+    exchange's per-partition overhead eats the extra width), so a scan
+    that already splits wide — any real table at scale — keeps its
+    layout and pays nothing. Filters and column pruning push through
+    RepartitionByExpression, so PushedFilters/ReadSchema at the scan
+    are unchanged. OPT-IN per entry: only aggregate-dominated entries
+    win (q03 0.85x / q26 0.66x / stats_moments 0.62x measured); scan-
+    or output-dominated entries LOSE the exchange (q01 2.2x, q04 4.5x,
+    q12 2.5x, q38 2.0x, q58 1.8x, udf_scalar_pandas 2.8x) and stay
+    unspread."""
+    n = parts or max(8, spark.sparkContext.defaultParallelism // 2)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, key)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every table in the scale-factor directory as a DataFrame."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
