@@ -175,7 +175,17 @@ def q54_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     The day-domain semi-join (broadcast: it's one row per calendar day)
     stops trailing windows from reporting days past the data's range.
     The range-join spelling the oracle uses would be an O(days x pairs)
-    theta join in Spark; the explode form is linear and co-partitioned."""
+    theta join in Spark; the explode form is linear and co-partitioned.
+
+    r15: DAU and WAU split into separate aggregates joined day-wise.
+    The previous single aggregate held two DISTINCT aggregates with
+    different children, which Catalyst plans as an Expand(x2) — 14
+    copies of every (user, day) pair crossed the exchange. DAU needs no
+    distinct (and no explode) at all: ``ud`` is already the distinct
+    (user, day) set, so DAU per day is a plain count over it; WAU is a
+    single countDistinct over the 7x spans (one distinct child, no
+    Expand). Shuffled copies 14x -> 7x + two day-sized join sides;
+    rows proved identical, 0.84x interleaved at sf0.1."""
     ev = load_table(spark, sf_dir, "events")
     ud = (
         ev.select(
@@ -187,24 +197,19 @@ def q54_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = ud.select(F.col("d").alias("day_epoch")).distinct()
     spans = ud.select(
         "user_id",
-        "d",
         F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6))).alias(
             "day_epoch"
         ),
     )
-    return (
+    dau = ud.groupBy(F.col("d").alias("day_epoch")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    wau = (
         spans.join(F.broadcast(days), "day_epoch", "left_semi")
         .groupBy("day_epoch")
-        .agg(
-            F.countDistinct(
-                F.when(F.col("d") == F.col("day_epoch"), F.col("user_id"))
-            )
-            .cast("long")
-            .alias("dau"),
-            F.countDistinct("user_id").cast("long").alias("wau"),
-        )
-        .orderBy("day_epoch")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
     )
+    return dau.join(wau, "day_epoch").orderBy("day_epoch")
 
 
 _MB_MIN_N = 3  # minimum pair co-occurrence (support floor)
