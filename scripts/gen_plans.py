@@ -17,13 +17,19 @@ COMMENTARY = {
     ),
     "q03_agg_pricing_summary": (
         "Partial HashAggregate before the exchange (map-side combine); "
-        "decimal sums keep partial aggregation lossless."
+        "split-BIGINT sums keep partial aggregation lossless. r15: a "
+        "conditional spread_fact repartition (keyed on l_orderkey, only "
+        "when the scan is narrower than cores/2) parallelizes the "
+        "partial aggregate past a single-row-group local input; absent "
+        "at scale."
     ),
     "q06_join3_topk": (
         "The BUILDING filter is applied below the joins; both joins "
         "shuffle on their natural keys (custkey, then orderkey) — at "
-        "100 TB neither side of either join fits a broadcast — and "
-        "TakeOrderedAndProject caps the output without a global sort."
+        "100 TB neither side of either join fits a broadcast, and since "
+        "r15 both are MERGE-pinned so the local plan is the same SMJ "
+        "shape — and TakeOrderedAndProject caps the output without a "
+        "global sort."
     ),
     "q09_broadcast_dim": "Explicit broadcast: probe side never shuffles.",
     "q13_topk": "TakeOrderedAndProject: per-partition heaps, k rows to the driver.",
@@ -52,7 +58,9 @@ COMMENTARY = {
     ),
     "q40_returned_items": (
         "TPC-H Q10 shape: returnflag and quarter filters reach the scans; "
-        "TakeOrderedAndProject caps the top-20 without a global sort."
+        "TakeOrderedAndProject caps the top-20 without a global sort. "
+        "r15: customer and lineitem sides MERGE-pinned (SF-scaling "
+        "facts); nation is the only broadcast."
     ),
     "q44_disjunctive_revenue": (
         "TPC-H Q19 shape: Catalyst derives the implied per-side filters "
@@ -80,9 +88,12 @@ COMMENTARY = {
     ),
     "q37_local_supplier_volume": (
         "TPC-H Q5 shape: the ASIA restriction is applied dim-side BEFORE "
-        "any fact table — supplier joins nation x region('ASIA') and THAT "
-        "filtered result is the broadcast build side; customer is "
-        "semi-pruned to ASIA nations ahead of the two fact shuffles."
+        "any fact table — supplier pre-joins nation x region('ASIA'), "
+        "customer is semi-pruned to ASIA nations ahead of the fact "
+        "shuffles. r15: every SF-scaling join side (customer, lineitem, "
+        "filtered supplier) is MERGE-pinned — three SMJs on natural "
+        "keys, BroadcastExchange only above the bounded nation/region "
+        "dims."
     ),
     "q28_profit_by_nation_year": (
         "TPC-H Q9 shape: filtered part and bounded nation broadcast-"
@@ -138,9 +149,12 @@ COMMENTARY = {
         "collapses to distinct (user, day) first (partial-combined), "
         "each pair explodes into its <=7 report days (bounded fanout of "
         "the collapsed set, not raw events), the day-domain guard is a "
-        "broadcast LEFT SEMI, and the DAU/WAU pair is one Expand-based "
-        "double-distinct — the oracle's BETWEEN join would be an "
-        "O(days x pairs) theta join here."
+        "broadcast LEFT SEMI. DAU and WAU are SEPARATE aggregates "
+        "joined day-wise (r15): DAU is a plain count over the distinct "
+        "set (no explode), WAU one countDistinct over the spans — no "
+        "Expand, so only 7 copies of each pair cross the exchange "
+        "instead of the double-distinct's 14. The oracle's BETWEEN "
+        "join would be an O(days x pairs) theta join here."
     ),
     "dedup_incremental": (
         "Incremental batch-vs-corpus dedup: corpus side pre-aggregates "
@@ -329,15 +343,17 @@ COMMENTARY = {
         "string shingles for the whole corpus)."
     ),
     "q58_market_basket": (
-        "Market basket: pair expansion is an equi-join on the basket "
-        "key with the inequality residual (never cartesian); the "
-        "per-part singles joins are UNHINTED — singles grows with the "
-        "corpus, and AQE picks broadcast only while measured-small "
-        "(r7 what's-wrong #2 removed the forced broadcast). r10: the "
-        "1-row basket census rides the DAG as an unhinted broadcast "
-        "scalar instead of a separate driver count() job (min-of-5 at "
-        "sf0.1: 2.39s -> 1.76s); a global aggregate is one row at any "
-        "corpus size, so its BNLJ never grows."
+        "Market basket: the fact shuffles ONCE into sorted per-basket "
+        "item arrays (r14); pairs then STREAM through two chained "
+        "generators — posexplode for the anchor, a sliced explode for "
+        "its greater partners (r15: the r14 flatten materialized the "
+        "whole O(k^2) pair array per basket row — an OOM hazard on the "
+        "uncapped path, and 1.27x slower). The per-part singles joins "
+        "are UNHINTED — singles grows with the corpus, and AQE picks "
+        "broadcast only while measured-small. r10: the 1-row basket "
+        "census rides the DAG as an unhinted broadcast scalar; a global "
+        "aggregate is one row at any corpus size, so its BNLJ never "
+        "grows."
     ),
 }
 

@@ -54,10 +54,19 @@ def test_q13_topk_avoids_global_sort(spark, sf_dir):
 
 
 def test_q03_single_shuffle_aggregate(spark, sf_dir):
-    # partial+final hash aggregate: exactly one exchange before the sort
+    # partial+final hash aggregate: one exchange for the groupBy, one
+    # for the final orderBy, plus (r15) the conditional spread_fact
+    # repartition that parallelizes the partial aggregate past a
+    # single-row-group local scan — keyed on l_orderkey, absent at
+    # scale where the scan splits wide
     df = SPECS["q03_agg_pricing_summary"].fn(spark, sf_dir)
-    # one for the groupBy, one for the final orderBy
-    assert shuffle_count(df) <= 2
+    assert shuffle_count(df) <= 3
+    from crest_spark.plans.checks import simple_plan
+
+    plan = simple_plan(df)
+    # the spread (when present) must be the keyed repartition, never a
+    # round-robin (which would pay a local sort per task)
+    assert "RoundRobinPartitioning" not in plan
 
 
 def test_scalar_query_is_fully_codegen(spark, sf_dir):
