@@ -480,6 +480,54 @@ _LAST_CHECKED["q58_market_basket"] = 1
 _LAST_CHECKED["lake_mor_cdf"] = 1
 
 
+# --- round-14 driver check recorded: the 50-entry prefix the r14
+# driver verified (CORRECTNESS_r14.json — 46 rows+schema+hash green,
+# 4 no-oracle by design) is no longer stale. Re-stamp to its actual
+# last-checked round so the r15 prefix spends its slots on this
+# round's changed entries plus the genuinely stalest backlog. ---
+for _n in (
+    "ann_ivf_indexed_topk", "ann_ivfpq_topk", "ann_pq_topk",
+    "curation_dsir_weights", "dedup_canonical", "dedup_components",
+    "dedup_embedding_components", "dedup_minhash_incr",
+    "lake_index_rebuild_roundtrip", "lake_mor_cdf",
+    "lake_retention_delete", "multimodal_png_decode", "mv_cdc_fold",
+    "mv_hourly_rollup", "mv_mor_cdc_fold", "mv_percentile_rollup",
+    "mv_topk_rollup", "q03_agg_pricing_summary", "q05b_shuffle_hash_join",
+    "q06_join3_topk", "q15_rollup", "q15b_cube", "q15d_pivot",
+    "q15e_unpivot", "q19_tumbling_batch", "q27_having",
+    "q28_profit_by_nation_year", "q28c_volume_shipping", "q28e_big_orders",
+    "q34_gapfill", "q34b_gapfill_interpolate", "q37_local_supplier_volume",
+    "q38_revenue_forecast", "q40_returned_items", "q44_disjunctive_revenue",
+    "q58_market_basket", "skew_salted_agg", "stats_correlation",
+    "stream_dedup_counts", "stream_session_window", "stream_sliding_window",
+    "stream_static_join", "stream_stream_join", "stream_tumbling_window",
+    "text_bm25_topk", "text_lang_id", "text_repetition", "text_tfidf",
+    "text_token_stats", "text_unigram_nll",
+):
+    _LAST_CHECKED[_n] = 14
+
+# --- round-15 optimization force-recheck: tier 1 jumps the queue.
+# Every entry whose PLANNED Spark-side evaluation changed this round
+# re-certifies against its UNCHANGED oracle hash first
+# (OPTIMIZATION_r15.md): the six MERGE-pinned join entries (q24c also
+# switches its NOT IN evaluation to the NOT EXISTS decorrelation — the
+# null-aware anti join is broadcast-only in Spark), the streamed q58
+# pair expansion, the three spread_fact aggregate entries, and the q54
+# DAU/WAU split. The r15 helper guards (_docs conditional spread,
+# _stage_changes sentinel uniquification, the components overflow
+# guard) produce BYTE-IDENTICAL local plans for every registry
+# consumer (id-normalized plan diffs committed under plans/r15), so
+# those consumers are NOT re-stamped — their planned evaluation is
+# unchanged. ---
+for _n in (
+    "q03_agg_pricing_summary", "q06_join3_topk", "q07_left_outer",
+    "q10_range_join", "q24c_in_subquery", "q26_misc_aggs",
+    "q37_local_supplier_volume", "q40_returned_items",
+    "q54_rolling_active_users", "q58_market_basket", "stats_moments",
+):
+    _LAST_CHECKED[_n] = 1
+
+
 def ordered_registry() -> dict[str, QuerySpec]:
     """The registry re-ordered so the driver's fixed-size prefix is
     maximally informative: round-robin passes over the defining modules
